@@ -1,0 +1,299 @@
+"""Deduplication operators (SURVEY.md §2.10 L1/L2) for training-data
+pipelines: exact, n-gram Jaccard, MinHash(+LSH), SimHash.
+
+Scale design (100 TB corpus):
+
+- **Exact** (L1): hash-groupBy on sha256(text) — shuffle carries only
+  (hash, doc_id), never the text. At 100 TB this is the cheapest op in
+  the pipeline (one shuffle of ~40 bytes/row).
+- **Jaccard near-dup**: candidate generation MUST avoid the |D|^2 cross
+  join. ``near_dup_jaccard`` blocks on cheap invariants (lang + length
+  bucket); ``minhash_lsh_pairs`` replaces blocking with banded MinHash
+  so candidates are pairs agreeing on >=1 band — the standard
+  sub-quadratic LSH dataflow: explode bands → shuffle by (band, value)
+  → pairs within buckets only.
+- **Determinism**: every hash is derived from md5(token) arithmetic
+  (not engine-native hash functions), so signatures are reproducible
+  across engines — the DuckDB oracle computes the *same* signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+#: MinHash parameters: k permutations (a*h + b) mod P over 28-bit token
+#: hashes. P = 2^31 - 1 (prime); a,b fixed → reproducible anywhere.
+MINHASH_K = 8
+MINHASH_P = 2_147_483_647
+MINHASH_A = [1_000_003 * (i + 1) + 7 for i in range(MINHASH_K)]
+MINHASH_B = [97 + 31 * i for i in range(MINHASH_K)]
+
+SIMHASH_BITS = 32
+
+
+def distinct_tokens(text: Column) -> Column:
+    """Distinct non-empty whitespace tokens (the shingle set)."""
+    return F.array_distinct(F.filter(F.split(text, " "), lambda x: x != ""))
+
+
+def token_hash28(token: Column) -> Column:
+    """Deterministic 28-bit token hash: first 7 hex digits of md5,
+    base-16 → long. Engine-portable (DuckDB: ('0x'||substr(md5(t),1,7))::BIGINT)."""
+    return F.conv(F.substring(F.md5(token), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signature_cols() -> list[Column]:
+    """The k min-hash aggregate expressions over a column named ``h``."""
+    return [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+            f"sig_{i}"
+        )
+        for i in range(MINHASH_K)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc → k-column MinHash signature (explode tokens, hash, k mins).
+
+    One narrow explode + one shuffle keyed by doc id; signature width is
+    k longs regardless of document size.
+    """
+    toks = docs.select(id_col, F.explode(distinct_tokens(F.col(text_col))).alias("token"))
+    return toks.select(id_col, token_hash28(F.col("token")).alias("h")).groupBy(id_col).agg(
+        *minhash_signature_cols()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: banded MinHash LSH then exact
+    Jaccard verification on candidates only.
+
+    Bands of rows=k/bands signature values; pairs agreeing on any band
+    meet in a shuffle bucket — never a cross join. Candidates are then
+    verified with exact distinct-token Jaccard (array_intersect math,
+    no Python).
+    """
+    rows = MINHASH_K // bands
+    sigs = minhash_signatures(docs, id_col, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"sig_{b * rows + r}").alias(f"v{r}") for r in range(rows)],
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col), distinct_tokens(F.col(text_col)).alias("toks")
+    )
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document from md5-derived token hashes.
+
+    Per bit i: sum over tokens of +-1 by bit value; signature bit = 1 if
+    the sum is positive. All builtin integer arithmetic (shiftright /
+    conditional sums) → portable + codegen'd.
+    """
+    toks = docs.select(id_col, F.explode(distinct_tokens(F.col(text_col))).alias("token"))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long").alias("h")
+    hashed = toks.select(id_col, h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select(id_col, sig.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qd01_exact_dedup",
+    bench=True,
+    tags=("dedup",),
+    oracle="""
+SELECT sha256(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def qd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (L1): sha256 content hash → representative + copy count."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "qd02_near_dup_jaccard",
+    tags=("dedup",),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+         AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6
+""",
+)
+def qd02_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/token Jaccard near-dup with blocking (L2 baseline).
+
+    Candidates are blocked on (lang, n_chars/16) so the join is
+    per-bucket, not |D|^2; the Jaccard is exact integer arithmetic
+    (distinct-token sets) → bit-identical across engines.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 16).cast("long").alias("bucket"),
+        distinct_tokens(F.col("text")).alias("toks"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "bucket",
+        F.col("toks").alias("toks_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "bucket",
+        F.col("toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, ["lang", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n       ".join(
+        f"CAST(MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS BIGINT)"
+        f" AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h
+  FROM (SELECT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x <> ''))) AS tok
+        FROM documents))
+SELECT doc_id, {sig_exprs}
+FROM toks GROUP BY doc_id
+"""
+
+
+@register("qd03_minhash_signatures", tags=("dedup",), oracle=_minhash_oracle())
+def qd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (L2): deterministic md5-derived permutation
+    hashes — the oracle recomputes identical signatures in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(d)
+
+
+@register("qd04_minhash_lsh_pairs", tags=("dedup",))
+def qd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs + exact-Jaccard verification.
+
+    Rows-only driver check (the banding dataflow isn't one SQL query);
+    tests/test_dedup.py verifies recall against the brute-force qd02
+    pairs at sf0.001.
+
+    Restricted to short documents: the synthetic corpus draws from a
+    ~30-word vocabulary, so long docs all share (nearly) the full
+    vocabulary as their token set and every signature collides — the
+    degenerate worst case for MinHash. Short docs keep the bucket
+    distribution meaningful (and the candidate set sub-quadratic).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
+    return minhash_lsh_pairs(d, bands=2, threshold=0.8)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x <> ''))) AS tok
+        FROM documents)),
+sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register("qd05_simhash", tags=("dedup",), oracle=_simhash_oracle())
+def qd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (L2): 32-bit sign-of-weighted-bits signature,
+    portable integer arithmetic, oracle recomputes identically."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(d)

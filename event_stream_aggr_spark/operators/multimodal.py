@@ -1,0 +1,97 @@
+"""Multimodal column plumbing (SURVEY.md §2.10 L5).
+
+At 100 TB, media NEVER travels through the query plan as inline bytes
+unless a stage actually decodes it. The pattern implemented here:
+
+- **pointer-style rows**: a typed metadata struct (uri, mime, n_bytes)
+  plus an optional inline ``payload BINARY`` column. Filters/joins run
+  on metadata only (column pruning keeps the binary out of scans that
+  don't need it — parquet is columnar, so ``select`` without payload
+  reads zero payload bytes).
+- **decode/feature stages as Arrow-batched pandas iterators**
+  (``mapInPandas``): the engine hands each task a batch of payloads;
+  the Python side is a vectorized library call. Real image/audio codecs
+  aren't in this container, so ``decode_features`` dispatches to a
+  deterministic fake featureizer; the Spark-side plumbing (schema,
+  batching, partitioning) is real and tested.
+
+``spark.read.format("binaryFile")`` is the ingest path for directories
+of media files (binds path/length/content columns); here the driver
+tables stand in via ``attach_binary``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+FEATURE_DIM = 4
+
+FEATURES_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, features array<double>"
+)
+
+
+def attach_binary(docs: DataFrame) -> DataFrame:
+    """Documents → multimodal rows: payload binary + metadata struct."""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.concat(F.lit("mem://documents/"), F.col("doc_id")).alias("uri"),
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col("text")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder (image resize / audio
+    frame-sample / video keyframe). Real codecs are not in this
+    container — a production build swaps this for PIL/librosa/ffmpeg
+    calls on the same batch path.
+    """
+    n = len(payload)
+    head = payload[0] if n else 0
+    return [float(n), float(head), float(n % 257), float(head % 17)]
+
+
+def decode_features(multimodal: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage: mapInPandas over (payload, meta).
+
+    Each pandas batch decodes vectorized; output schema is fixed and
+    narrow (features only, payload dropped) so downstream stages never
+    carry the media bytes.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "features": [_fake_decode(p) for p in pdf["payload"]],
+                }
+            )
+
+    return multimodal.mapInPandas(op, schema=FEATURES_SCHEMA)
+
+
+@register("qm01_multimodal_features", tags=("multimodal",))
+def qm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline (L5): binary payload + metadata → Arrow-batch
+    decode → per-mime feature stats. Rows-only driver check; the
+    decode output values are unit-tested in tests/test_multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = decode_features(attach_binary(d))
+    return feats.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

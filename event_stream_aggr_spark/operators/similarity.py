@@ -1,0 +1,211 @@
+"""Embedding similarity search (SURVEY.md §2.10 L3).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  All vector math is higher-order array functions (zip_with/aggregate)
+  on DOUBLE: pure JVM, codegen'd, sequential fold → deterministic.
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH bucketing so
+  each query only scores candidates sharing a hash bucket. At 100 TB
+  the corpus side is bucketed ONCE (shuffle by bucket) and queries
+  broadcast; cost drops from |Q|x|C| to |Q|x|C|/2^planes per probe.
+
+Hyperplanes are derived deterministically from md5, not an RNG, so
+results are stable across runs/engines (needed for tests; a production
+pipeline would accept seeded randomness here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact double-precision dot product of two float arrays
+    (sequential left fold → deterministic accumulation order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors per query.
+
+    The query side is broadcast (queries << corpus); ranking happens on
+    cosine rounded to ``round_digits`` with the candidate id as
+    tiebreak, so ordering is deterministic to the last bit.
+    """
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col(c_id) != F.col(q_id))
+    scored = pairs.select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), round_digits).alias("cos_sim"),
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{plane}:dim:{d}".encode()).hexdigest()
+        vals.append(int(h[:8], 16) / float(0xFFFFFFFF) - 0.5)
+    return vals
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 6,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Approximate top-k: sign-of-projection LSH bucket join + exact
+    cosine rerank within buckets.
+
+    2^planes buckets; corpus is hashed once (narrow map), the join is
+    equi on the bucket key (shuffle-hash/broadcast, never nested-loop).
+    Recall is tested against ``cosine_topk`` in tests/test_similarity.py.
+    """
+
+    def bucket_expr(vec: str) -> Column:
+        bits = []
+        for p in range(planes):
+            plane = _hyperplane(dim, p)
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, w_: x.cast("double") * w_,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    qb = queries.withColumn("bucket", bucket_expr(q_vec))
+    cb = corpus.withColumn("bucket", bucket_expr(c_vec))
+    pairs = cb.join(F.broadcast(qb), "bucket").filter(F.col(c_id) != F.col(q_id))
+    scored = pairs.select(
+        q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos_sim")
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qe01_cosine_topk",
+    bench=True,
+    tags=("similarity",),
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT qid, cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(qe)::DOUBLE AS a,
+                                         unnest(ce)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(qe)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(ce)::DOUBLE AS b)) AS nc
+  FROM c, q WHERE cid <> qid),
+scored AS (
+  SELECT qid, cid, ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) AS cos_sim FROM pairs),
+ranked AS (
+  SELECT qid, cid, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+  FROM scored)
+SELECT qid, cid, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def qe01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 8 query vectors (L3 baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    return cosine_topk(q, c, k=5)
+
+
+@register(
+    "qe02_label_centroid_norms",
+    tags=("similarity",),
+    oracle="""
+WITH dims AS (
+  SELECT label, u.pos, u.x::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u),
+centroid AS (
+  SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos)
+SELECT CAST(label AS BIGINT) AS label,
+       ROUND(SQRT(SUM(cx * cx)), 4) AS centroid_norm
+FROM centroid GROUP BY label
+""",
+)
+def qe02_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm: posexplode → per-dimension mean →
+    vector norm. The explode shuffles (label, pos) partial means, so
+    at scale the shuffle is |labels| x dim, not |vectors| x dim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+    centroid = dims.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("cx"))
+    return centroid.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 4).alias("centroid_norm")
+    )
+
+
+@register("qe03_ann_lsh_topk", tags=("similarity", "approx"))
+def qe03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (L3 scale path). Rows-only check;
+    tests/test_similarity.py measures recall vs the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    return ann_lsh_topk(q, c, dim=64, k=5, planes=4)

@@ -1,0 +1,162 @@
+"""Text-analysis operators (SURVEY.md §2.10 L4): token statistics,
+quality scoring, language-ID signal, document fingerprinting.
+
+All of these are whole-stage-codegen'd array/string builtins — no
+Python in the row path — so at 100 TB they run at parquet-scan speed
+and only the tiny per-group aggregates shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+#: Tiny built-in stopword lists for the language-ID heuristic
+#: (n-gram/stopword-hit scoring; real pipelines plug fastText etc. via
+#: a pandas UDF — see operators/multimodal.py for that pattern).
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Non-empty whitespace tokens."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_hits(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Count of tokens that are stopwords (with repeats — a ratio
+    denominator-compatible count, not a distinct intersection)."""
+    sw = list(stopwords)
+    return F.size(F.filter(tokens(text), lambda x: x.isin(sw))).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap quality heuristic: mean token length in [3, 10] and
+    stopword ratio > 0 score positively. Deterministic rational math."""
+    n_tok = token_count(text)
+    mean_len = (F.length(text) - n_tok + 1).cast("double") / n_tok
+    sw_ratio = stopword_hits(text).cast("double") / n_tok
+    return (
+        F.when((mean_len >= 3) & (mean_len <= 10), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(sw_ratio > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set (the classic shingle-set fingerprint)."""
+    sorted_toks = F.array_sort(F.array_distinct(tokens(F.lower(text))))
+    return F.md5(F.array_join(sorted_toks, " "))
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qt01_text_stats",
+    bench=True,
+    tags=("text",),
+    oracle="""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         n_chars
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM per_doc GROUP BY lang
+""",
+)
+def qt01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-language corpus statistics (L4)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select("lang", token_count(F.col("text")).alias("n_tokens"), "n_chars")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "qt02_stopword_language_signal",
+    tags=("text",),
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN {STOPWORDS_EN!r})) AS DOUBLE)
+           / len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS sw_ratio
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(sw_ratio) / COUNT(*), 6) AS avg_stopword_ratio
+FROM per_doc GROUP BY lang
+""",
+)
+def qt02_stopword_language_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID signal (L4): stopword-hit ratio per document,
+    averaged per labeled language (the feature a langid classifier
+    thresholds on)."""
+    d = load_table(spark, sf_dir, "documents")
+    ratio = stopword_hits(F.col("text")).cast("double") / token_count(F.col("text"))
+    per_doc = d.select("lang", ratio.alias("sw_ratio"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("sw_ratio") / F.count(F.lit(1)), 6).alias("avg_stopword_ratio"),
+    )
+
+
+@register(
+    "qt03_fingerprints",
+    tags=("text",),
+    oracle="""
+WITH fp AS (
+  SELECT source,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))
+           AS fingerprint
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT fingerprint) AS n_unique_fingerprints
+FROM fp GROUP BY source
+""",
+)
+def qt03_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (L4): sorted-distinct-token md5 → unique
+    content count per source."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique_fingerprints"),
+        )
+    )
+
+
+@register("qt04_quality_scores", tags=("text",))
+def qt04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution (rows-only; the score recipe is
+    engine-internal, unit-tested in tests/test_text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,943 @@
+"""The relational operator surface as (Spark plan, DuckDB oracle) pairs.
+
+Covers SURVEY.md §2 rows P4-P5 (filters/column ops), F6-F11 (scalar
+function families), A3-A6 (aggregations), J2-J5 (joins), §2.6 (window
+functions), §2.7 (sort/limit/top-k/set ops), plus batch analogues of
+the streaming windows (W1) — each registered with an equivalent ANSI
+SQL oracle for the DuckDB harness.
+
+Scale notes (100 TB design) are inline per query; the common ones:
+- dimension joins (nation/region/part/supplier, and derived tiny
+  relations) are explicitly ``F.broadcast`` — no shuffle of the fact
+  table for enrichment joins at any scale;
+- fact-fact joins shuffle on the join key; AQE handles skew/coalesce;
+- aggregates are declarative groupBy → Catalyst plans partial (map-side)
+  + final aggregation, so shuffled bytes are per-group, not per-row;
+- top-k is orderBy+limit → TakeOrderedAndProject (no global sort).
+
+Float determinism: see plans/registry.py docstring. ``_dsum`` computes
+order-independent exact sums via DECIMAL, output as DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.asof import asof_join
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+TS_US_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_US_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent sum of a double column, bit-exact across engines:
+    exact DECIMAL accumulation, DOUBLE output."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _osum(expr: str, scale: int = 2) -> str:
+    """DuckDB mirror of ``_dsum``."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    bench=True,
+    tags=("agg", "filter"),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_osum('l_quantity')} AS sum_qty,
+       {_osum('l_extendedprice')} AS sum_base_price,
+       {_osum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {_osum('l_quantity')} / COUNT(*) AS avg_qty,
+       {_osum('l_extendedprice')} / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter + multi-aggregate groupBy.
+
+    Catalyst plans partial+final hash aggregation over 2 low-cardinality
+    keys — at 100 TB the shuffle carries only (4 groups x partitions)
+    rows. The shipdate filter pushes down to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc, 4).alias("sum_disc_price"),
+            _dsum(charge, 6).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_predicates",
+    tags=("filter",),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+       (o_orderpriority LIKE '1%') AS is_urgent
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 150000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus <> 'P'
+""",
+)
+def q02_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface (P4): BETWEEN / IN / <> / LIKE, all pushed to scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 150000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") != "P")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("o_orderpriority").like("1%").alias("is_urgent"),
+    )
+
+
+@register(
+    "q03_column_ops",
+    tags=("projection",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank,
+       CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+            ELSE 'partial' END AS status_label,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status2,
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS k_price
+FROM orders
+""",
+)
+def q03_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column ops (P5): cast / when-otherwise / coalesce / nullif / floor."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_rank"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_label"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status2"
+        ),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("k_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J2, J3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q04_join_revenue_by_segment",
+    bench=True,
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       {_osum('o_totalprice')} AS revenue,
+       {_osum('o_totalprice')} / COUNT(*) AS avg_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q04_join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (J2) + aggregation: revenue per market segment.
+
+    customer is the small side at every SF (1.5% of orders rows) →
+    explicit broadcast: the orders fact never shuffles for the join;
+    only the tiny per-segment aggregate shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            (_dsum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("avg_order"),
+        )
+    )
+
+
+@register(
+    "q05_star_join_geography",
+    bench=True,
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       {_osum('c_acctbal')} AS total_acctbal,
+       MAX(c_acctbal) AS max_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q05_star_join_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (J2) over broadcast dimensions.
+
+    nation (25 rows) and region (5 rows) are broadcast at any scale —
+    the customer fact table streams through two map-side hash joins
+    with zero shuffle before the final small aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+@register(
+    "q06_outer_join_order_counts",
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE({_osum('o_totalprice')}, 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def q06_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (J2) keeping zero-order customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q07_semi_join",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""",
+)
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J3) = EXISTS: customers with a finished order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q08_anti_join",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J3) = NOT EXISTS: customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_topn_per_group",
+    bench=True,
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""",
+)
+def q09_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number + filter (deterministic
+    tiebreak on o_orderkey). Single shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q10_running_totals",
+    tags=("window",),
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_date,
+       o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spent,
+       LAG(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+""",
+)
+def q10_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per customer ordered by date (deterministic
+    tiebreak). DECIMAL accumulation: DuckDB's segment-tree window sum
+    associates differently than Spark's running fold — exact decimal
+    makes the association order irrelevant."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", TS_FMT_SPARK).alias("order_date"),
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spent"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@register(
+    "q28_first_last_per_user",
+    tags=("window", "agg"),
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       arg_min(event_type, ts) AS first_type,
+       arg_max(event_type, ts) AS last_type
+FROM events
+GROUP BY user_id
+""",
+)
+def q28_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (first/last event per user by event time)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_global_topk",
+    bench=True,
+    tags=("sort",),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q13_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit plans TakeOrderedAndProject — each
+    partition keeps k rows, driver merges; no global sort at any SF."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_set_ops",
+    tags=("setop",),
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+)
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) then EXCEPT, matching SQL left-assoc precedence."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+    rich = c.filter(F.col("c_acctbal") > 7000).select(F.col("c_custkey").alias("custkey"))
+    pending = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return big.union(rich).distinct().subtract(pending)
+
+
+@register(
+    "q30_intersect",
+    tags=("setop",),
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q30_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers holding both open and finished orders."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    fin = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return open_.intersect(fin)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (A5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_rollup_geography",
+    tags=("agg", "rollup"),
+    oracle=f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       {_osum('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q11_rollup_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotals + grand total."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q23_cube_lineitem",
+    tags=("agg", "rollup"),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {_osum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q23_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (F6-F11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_string_functions",
+    tags=("scalar",),
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substr(p_type, 1, 6) AS type_prefix,
+       regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+       concat(p_brand, '#', p_type) AS brand_type,
+       CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS BIGINT)
+         AS n_words,
+       (p_type LIKE '%BRASS%') AS is_brass
+FROM part
+""",
+)
+def q14_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (F6): upper/length/substr/regexp_replace/concat/
+    replace/LIKE — all JVM builtins inside whole-stage codegen."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1)
+        .cast("long")
+        .alias("n_words"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+    )
+
+
+@register(
+    "q15_date_functions",
+    tags=("scalar",),
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       strftime(date_trunc('month', o_orderdate), '{TS_FMT_DUCK}') AS month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+         AS days_since_1995
+FROM orders
+""",
+)
+def q15_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family (F8): year/month/quarter/date_trunc/datediff."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), TS_FMT_SPARK).alias(
+            "month_start"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .cast("long")
+        .alias("days_since_1995"),
+    )
+
+
+@register(
+    "q16_json_extraction",
+    tags=("scalar", "json"),
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q16_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (F10): get_json_object over the events.props column.
+
+    At scale the JSON parse happens once per row map-side (codegen'd
+    JsonPath, no shuffle until the tiny aggregate).
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation extensions (A3-A6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_having",
+    tags=("agg",),
+    oracle=f"""
+SELECT l_partkey, COUNT(*) AS n, {_osum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(*) >= 35
+""",
+)
+def q17_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("n") >= 35)
+    )
+
+
+@register(
+    "q21_distinct_aggregates",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q21_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) — Catalyst expands to a two-phase aggregate so
+    the distinct shuffle is per (group, key), never a global set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "q22_conditional_aggregates",
+    tags=("agg",),
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS urgent_ratio
+FROM orders
+GROUP BY yr
+""",
+)
+def q22_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: CASE inside SUM (filtered counting)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0)
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(urgent).alias("n_urgent"),
+            (F.sum(urgent).cast("double") / F.count(F.lit(1))).alias("urgent_ratio"),
+        )
+    )
+
+
+@register("q29_approx_distinct", tags=("agg", "approx"))
+def q29_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (A4, HyperLogLog++) — constant memory per
+    group at 100 TB where exact distinct would shuffle every key.
+    No SQL oracle (sketch internals are engine-specific) → driver runs
+    the weaker rows-only check; tests/test_relational.py bounds the
+    estimate against the exact count instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_subqueries",
+    tags=("subquery",),
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+""",
+)
+def q18_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries via the SQL API (Catalyst rewrites the IN
+    to a left-semi join and the scalar to a broadcast subquery)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time buckets / explode / pivot / sessionize (W1 batch analogue, P1, A6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_hourly_event_rollup",
+    bench=True,
+    tags=("agg", "time"),
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       {_osum('value')} AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY hour_bucket, event_type
+""",
+)
+def q19_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (W1) in batch form: the reference's
+    interval stats (app.go:75-110) as an event-time hourly rollup."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT_SPARK).alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q20_token_counts",
+    bench=True,
+    tags=("explode", "text"),
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, COUNT(*) AS n
+FROM toks
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+""",
+)
+def q20_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (P1) on batch data: tokenize documents, top-50 tokens.
+    The explode is narrow (no shuffle); only per-token partial counts
+    shuffle — at 100 TB the combiner keeps this proportional to vocab
+    size, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "q26_pivot_user_activity",
+    tags=("pivot",),
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def q26_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value list
+    so the plan is single-pass — no extra distinct-values job)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, subset=types)
+    )
+
+
+@register(
+    "q27_sessionization",
+    tags=("window", "session"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+""",
+)
+def q27_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap flag (the batch form of
+    session_window W2): one shuffle on user_id, then a window scan."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff on NTZ values is session-timezone independent
+    # (cast ts->timestamp->long would shift across DST under a
+    # non-UTC driver session)
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    prev_epoch = F.lag(epoch).over(w)
+    new_session = (
+        F.when(prev_epoch.isNull() | (epoch - prev_epoch > 1800), 1).otherwise(0)
+    )
+    return (
+        e.select("user_id", "ts", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range / as-of joins (J4, J5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_range_join_price_bands",
+    tags=("join", "range"),
+    oracle=f"""
+SELECT band, COUNT(*) AS n_orders, {_osum('o_totalprice')} AS band_revenue
+FROM orders
+JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+             ('high', 250000.0, 400000.0), ('top', 400000.0, 1000000000.0))
+     bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+""",
+)
+def q24_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join J4 against a derived band dimension.
+
+    The band table is tiny → BroadcastNestedLoopJoin: each fact row
+    scans 4 broadcast rows map-side; no shuffle of the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 100000.0),
+            ("mid", 100000.0, 250000.0),
+            ("high", 250000.0, 400000.0),
+            ("top", 400000.0, 1000000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("band_revenue"),
+        )
+    )
+
+
+@register(
+    "q25_asof_join",
+    tags=("join", "asof"),
+    oracle=f"""
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '{TS_US_FMT_DUCK}') AS purchase_ts,
+       strftime(s.ts, '{TS_US_FMT_DUCK}') AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J5): for each purchase, the latest signup at-or-before
+    it. Spark has no builtin — operators/asof.py implements the
+    union+window recipe (single shuffle, no join explosion)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_cols=["signup_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_US_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("signup_ts", TS_US_FMT_SPARK).alias("signup_ts"),
+    )
