@@ -83,42 +83,58 @@ def ann_lsh_topk(
     corpus: DataFrame,
     dim: int,
     k: int = 5,
-    planes: int = 6,
+    planes: int = 4,
+    tables: int = 4,
     q_id: str = "qid",
     c_id: str = "cid",
     q_vec: str = "qe",
     c_vec: str = "ce",
 ) -> DataFrame:
-    """Approximate top-k: sign-of-projection LSH bucket join + exact
-    cosine rerank within buckets.
+    """Approximate top-k: sign-of-projection LSH with OR-amplification
+    (``tables`` independent hash tables of ``planes`` bits each), then
+    exact cosine rerank on the candidate union.
 
-    2^planes buckets; corpus is hashed once (narrow map), the join is
-    equi on the bucket key (shuffle-hash/broadcast, never nested-loop).
-    Recall is tested against ``cosine_topk`` in tests/test_similarity.py.
+    A pair is a candidate if it collides in ANY table — recall grows as
+    1-(1-p^planes)^tables while each table still prunes to |C|/2^planes
+    per bucket. The corpus is hashed once (narrow map: explode to
+    ``tables`` rows), the join is equi on (table, bucket) — a
+    shuffle-hash/broadcast join, never a nested loop. Candidates are
+    deduped on (q, c) before the (expensive) exact rerank.
     """
 
-    def bucket_expr(vec: str) -> Column:
-        bits = []
-        for p in range(planes):
-            plane = _hyperplane(dim, p)
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec),
-                    F.array(*[F.lit(v) for v in plane]),
-                    lambda x, w_: x.cast("double") * w_,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    def bucket_structs(vec: str) -> Column:
+        tbls = []
+        for t in range(tables):
+            bits = []
+            for p in range(planes):
+                plane = _hyperplane(dim, t * planes + p)
+                proj = F.aggregate(
+                    F.zip_with(
+                        F.col(vec),
+                        F.array(*[F.lit(v) for v in plane]),
+                        lambda x, w_: x.cast("double") * w_,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
+            bucket = bits[0]
+            for b in bits[1:]:
+                bucket = bucket + b
+            tbls.append(
+                F.struct(F.lit(t).alias("t"), bucket.cast("long").alias("b"))
             )
-            bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("long")
+        return F.array(*tbls)
 
-    qb = queries.withColumn("bucket", bucket_expr(q_vec))
-    cb = corpus.withColumn("bucket", bucket_expr(c_vec))
-    pairs = cb.join(F.broadcast(qb), "bucket").filter(F.col(c_id) != F.col(q_id))
+    qb = queries.select(q_id, q_vec, F.explode(bucket_structs(q_vec)).alias("tb"))
+    cb = corpus.select(c_id, c_vec, F.explode(bucket_structs(c_vec)).alias("tb"))
+    cand = (
+        cb.join(F.broadcast(qb.select(q_id, "tb")), "tb")
+        .filter(F.col(c_id) != F.col(q_id))
+        .select(q_id, c_id)
+        .distinct()
+    )
+    pairs = cand.join(F.broadcast(queries), q_id).join(corpus, c_id)
     scored = pairs.select(
         q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos_sim")
     )
@@ -208,4 +224,4 @@ def qe03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    return ann_lsh_topk(q, c, dim=64, k=5, planes=4)
+    return ann_lsh_topk(q, c, dim=64, k=5, planes=4, tables=4)

@@ -31,7 +31,6 @@ from event_stream_aggr_spark.functions.scalar import (
 #: types.go:33-187 json tags), identity-mapped nullables.
 _METRIC_RENAMES = {
     "snort_base64_data": "b64_data",
-    "snort_direction": "dir",
     "snort_dst_address": "dst_addr",
     "snort_dst_ap": "dst_ap",
     "snort_eth_dst": "eth_dst",
@@ -73,6 +72,7 @@ _METRIC_RENAMES = {
 _EVENT_RENAMES = {
     "snort_action": "action",
     "snort_classification": "class",
+    "snort_direction": "dir",
     "snort_rule_gid": "gid",
     "snort_interface": "iface",
     "snort_message": "msg",
@@ -129,11 +129,16 @@ def with_kafka_envelope(events: DataFrame) -> DataFrame:
     reproduces PartitionAny+key partitioning (app.go:189).
     """
     exploded = events.filter(F.col("metrics").isNotNull()).select(
-        "*", F.explode("metrics").alias("_m")
+        "*", F.posexplode("metrics").alias("_i", "_m")
     )
     hdr = lambda k, v: F.struct(F.lit(k).alias("key"), v.cast("binary").alias("value"))
     cols = [
         F.col("event_hash_sha256").alias("key"),
+        # (key, metric_idx) is the alert's replay-stable identity: every
+        # metric of an event shares the event hash (app.go:182), so
+        # dedup on the key alone would drop sibling alerts, not just
+        # redeliveries (see streaming/pipeline.py).
+        F.col("_i").cast("long").alias("metric_idx"),
         F.array(
             hdr("hash_sha256", F.col("event_hash_sha256")),
             hdr("sensor_id", F.col("sensor_id")),

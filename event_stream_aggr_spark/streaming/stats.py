@@ -1,0 +1,131 @@
+"""Interval stats (SURVEY.md §2.4 A1 / §3 E3) — the reference's only
+aggregation, in its two idiomatic Spark forms.
+
+Reference semantics (app.go:75-110, ticker app.go:115-123): every
+``log_interval`` seconds report batches processed, events out, failed
+count, avg per-batch latency ms, events/s, and a running total —
+accumulated under a mutex, snapshot-and-reset per tick (app.go:66-73).
+
+Spark replaces the user-space accumulation entirely:
+
+1. ``IntervalStatsListener`` — a ``StreamingQueryListener`` reading
+   per-micro-batch progress (no locks, no state in the data path;
+   this is the idiomatic choice and the default).
+2. ``windowed_stats`` — the same numbers as a declarative windowed
+   aggregation over the stream itself, when stats must be a *table*
+   (e.g. written to a sink) rather than logs.
+
+Plus ``running_totals_with_state`` (W5): the reference's cross-interval
+running ``total`` counter (app.go:99) as an explicitly-stateful
+per-key operator via ``applyInPandasWithState`` — kept for the one
+shape the listener can't express (arbitrary user state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.listener import (
+    QueryProgressEvent,
+    StreamingQueryListener,
+)
+
+
+class IntervalStatsListener(StreamingQueryListener):
+    """Collects the reference's log line from query progress events.
+
+    ``snapshots`` accumulates one dict per micro-batch:
+    events (= numInputRows), events/s, batch duration ms, running total
+    — app.go:101-109's numbers without any user-space accumulation.
+    """
+
+    def __init__(self) -> None:
+        self.snapshots: list[dict[str, Any]] = []
+        self._total = 0
+
+    def onQueryStarted(self, event: Any) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event: QueryProgressEvent) -> None:  # noqa: N802
+        p = event.progress
+        self._total += p.numInputRows
+        self.snapshots.append(
+            {
+                "batch_id": p.batchId,
+                "events": p.numInputRows,
+                "events_per_sec": p.processedRowsPerSecond,
+                "batch_duration_ms": p.batchDuration,
+                "total": self._total,
+            }
+        )
+
+    def onQueryIdle(self, event: Any) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event: Any) -> None:  # noqa: N802
+        pass
+
+
+def windowed_stats(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "10 seconds",
+    failed_predicate: Column | None = None,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """A1 as a declarative stream aggregation: per-interval event count,
+    failure count, and rate — joinable/sinkable as a table."""
+    failed = failed_predicate if failed_predicate is not None else F.lit(False)
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, interval))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.when(failed, 1).otherwise(0)).alias("failed"),
+        )
+    )
+    secs = F.col("window.end").cast("long") - F.col("window.start").cast("long")
+    return out.select(
+        "window",
+        "events",
+        "failed",
+        (F.col("events") / secs).alias("events_per_sec"),
+    )
+
+
+RUNNING_TOTAL_SCHEMA = "key string, batch_events long, total long"
+RUNNING_TOTAL_STATE_SCHEMA = "total long"
+
+
+def running_totals_with_state(df: DataFrame, key_col: str) -> DataFrame:
+    """W5: per-key running total across micro-batches via
+    applyInPandasWithState (the reference's ``total`` counter,
+    app.go:99, as bounded keyed state)."""
+
+    def fn(
+        key: tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = sum(len(b) for b in batches)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame({"key": [key[0]], "batch_events": [n], "total": [total]})
+
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RUNNING_TOTAL_SCHEMA,
+            stateStructType=RUNNING_TOTAL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,39 @@
+"""operators/asof.py — J5 semantics: backward inclusive, per-key,
+left-preserving."""
+
+from __future__ import annotations
+
+from event_stream_aggr_spark.operators.asof import asof_join
+
+
+def _dfs(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 50, "d"), (3, 7, "e")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 60, 600.0)],
+        "k int, rts int, val double",
+    )
+    return left, right
+
+
+def test_backward_inclusive(spark):
+    left, right = _dfs(spark)
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    right_cols=["rts", "val"])
+    got = {(r.k, r.ts): (r.rts, r.val) for r in out.collect()}
+    assert got[(1, 10)] == (10, 100.0)   # exact-ts match included (>=)
+    assert got[(1, 20)] == (15, 150.0)   # latest at-or-before
+    assert got[(1, 5)] == (None, None)   # nothing before → NULL (left kept)
+    assert got[(2, 50)] == (None, None)  # right exists but only later
+    assert got[(3, 7)] == (None, None)   # key with no right rows
+    assert len(got) == 5                 # all left rows preserved
+
+
+def test_left_columns_survive(spark):
+    left, right = _dfs(spark)
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    right_cols=["val"])
+    tags = {r.tag for r in out.collect()}
+    assert tags == {"a", "b", "c", "d", "e"}

@@ -1,0 +1,71 @@
+"""Dedup operators: MinHash estimates Jaccard; LSH candidates recall
+true near-dups; SimHash clusters near-identical docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.dedup import (
+    MINHASH_K,
+    distinct_tokens,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base + " extra"),                      # near-dup of 0
+        (2, base.replace("fox", "cat")),           # near-dup of 0
+        (3, "completely different words about spark catalyst tungsten shuffle"),
+        (4, "another unrelated text mentioning parquet arrow pandas numpy"),
+        (5, base),                                 # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact_jaccard(spark, docs):
+    t = docs.select("doc_id", distinct_tokens(F.col("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("j"))
+    )
+
+
+def test_minhash_estimates_jaccard(spark):
+    docs = _docs(spark)
+    sigs = {r.doc_id: [r[f"sig_{i}"] for i in range(MINHASH_K)]
+            for r in minhash_signatures(docs).collect()}
+    jacc = {(r.doc_a, r.doc_b): r.j for r in _exact_jaccard(spark, docs).collect()}
+    # exact dup → identical signature
+    assert sigs[0] == sigs[5]
+    # near-dup signature agreement beats unrelated-pair agreement
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / MINHASH_K
+    assert agree(0, 1) > agree(0, 3)
+    assert jacc[(0, 1)] > 0.8 and jacc[(0, 3)] < 0.2
+
+
+def test_lsh_pairs_find_near_dups_without_cross_join(spark):
+    docs = _docs(spark)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in minhash_lsh_pairs(docs, bands=4, threshold=0.5).collect()}
+    assert (0, 5) in pairs and pairs[(0, 5)] == 1.0
+    assert (0, 1) in pairs
+    # verified Jaccard filter keeps unrelated docs out even if bucketed
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_distance_orders_similarity(spark):
+    docs = _docs(spark)
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    ham = lambda a, b: bin(sig[a] ^ sig[b]).count("1")
+    assert ham(0, 5) == 0                 # exact dup
+    assert ham(0, 1) < ham(0, 3)          # near-dup closer than unrelated

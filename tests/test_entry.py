@@ -1,0 +1,36 @@
+"""Driver-contract integrity: entry() smoke + registry invariants."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "hour_bucket", "event_type", "n_events", "total_value", "n_users", "sum_k"
+    }
+
+
+def test_every_oracle_has_a_query(spark):
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 40
+    for name, sql in os_.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_queries_run_at_smoke_sf(spark, sf_dir):
+    # every registered query must at least plan + execute at sf0.001
+    qs = entry_mod.queries()
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(1).collect()

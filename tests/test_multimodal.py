@@ -1,0 +1,30 @@
+"""Multimodal plumbing: binary payloads + Arrow-batched decode stage."""
+
+from __future__ import annotations
+
+from event_stream_aggr_spark.operators.multimodal import attach_binary, decode_features
+from event_stream_aggr_spark.tables import load_table
+
+
+def test_attach_binary_schema(spark, sf_dir):
+    mm = attach_binary(load_table(spark, sf_dir, "documents"))
+    d = dict(mm.dtypes)
+    assert d["payload"] == "binary"
+    assert d["meta"].startswith("struct<uri:string,mime:string,n_bytes:bigint")
+
+
+def test_decode_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x")], "doc_id long, text string"
+    )
+    feats = {r.doc_id: r for r in decode_features(attach_binary(docs)).collect()}
+    # fake decoder contract: [n_bytes, first_byte, n % 257, first % 17]
+    assert feats[1].features == [11.0, float(ord("h")), 11.0, float(ord("h") % 17)]
+    assert feats[1].mime == "text/plain" and feats[1].n_bytes == 11
+    assert feats[2].features[0] == 1.0
+
+
+def test_payload_not_in_decoded_schema(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out = decode_features(attach_binary(docs))
+    assert "payload" not in out.columns  # media bytes dropped post-decode

@@ -1,0 +1,55 @@
+"""Similarity search: exact cosine correctness + ANN recall vs exact."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.similarity import ann_lsh_topk, cosine, cosine_topk
+from event_stream_aggr_spark.tables import load_table
+
+
+def test_cosine_exact_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]), ([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+         ([1.0, 1.0, 0.0], [1.0, 0.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == 0.0
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2] - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_topk_excludes_self_and_ranks(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    rows = cosine_topk(q, c, k=4).collect()
+    assert len(rows) == 12
+    by_q = {}
+    for r in rows:
+        assert r.cid != r.qid
+        by_q.setdefault(r.qid, []).append((r.rank, r.cos_sim))
+    for ranked in by_q.values():
+        ranked.sort()
+        sims = [s for _, s in ranked]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    exact = {(r.qid, r.cid) for r in cosine_topk(q, c, k=5).collect()}
+    approx = {
+        (r.qid, r.cid)
+        for r in ann_lsh_topk(q, c, dim=64, k=5, planes=4, tables=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # OR-amplified LSH (6 tables x 4 planes): p=0.9-neighbors collide
+    # in >=1 table w.p. ~1-(1-0.9^4)^6 ~ 0.9
+    assert recall >= 0.5, f"ANN recall collapsed: {recall}"
