@@ -941,3 +941,244 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", TS_US_FMT_SPARK).alias("purchase_ts"),
         F.date_format("signup_ts", TS_US_FMT_SPARK).alias("signup_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: bag set-ops, math/array/codec families, re-nesting,
+# grouping sets, rank suite, enrichment (J1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_except_all",
+    tags=("setop",),
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+EXCEPT ALL
+SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+""",
+)
+def q31_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicities subtract, unlike q12)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    f = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    return n.exceptAll(f)
+
+
+@register(
+    "q32_math_functions",
+    tags=("scalar",),
+    oracle="""
+SELECT p_partkey,
+       abs(p_retailprice - 1000.0) AS dev_from_1000,
+       CAST(round(p_retailprice) AS DOUBLE) AS price_rounded,
+       CAST(floor(p_retailprice) AS DOUBLE) AS price_floor,
+       CAST(ceil(p_retailprice) AS DOUBLE) AS price_ceil,
+       sqrt(p_retailprice) AS price_sqrt,
+       round(ln(p_retailprice), 6) AS price_ln,
+       round(log10(p_retailprice), 6) AS price_log10,
+       round(pow(p_size, 2.0), 1) AS size_sq,
+       CAST(((p_partkey % 7) + 7) % 7 AS BIGINT) AS key_mod7,
+       CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS over_1000
+FROM part
+""",
+)
+def q32_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (F7): abs/round/floor/ceil/sqrt/ln/log10/pow/pmod/sign.
+
+    sqrt is IEEE-correctly-rounded (bit-identical across engines);
+    ln/log10/pow are libm-dependent → rounded to 6 in both engines.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dev_from_1000"),
+        F.round("p_retailprice", 0).cast("double").alias("price_rounded"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.round(F.log10("p_retailprice"), 6).alias("price_log10"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2.0), 1).alias("size_sq"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.signum(F.col("p_retailprice") - 1000.0).alias("over_1000"),
+    )
+
+
+@register(
+    "q33_array_functions",
+    tags=("scalar", "array"),
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(embedding[1]::DOUBLE, 4) AS first_val,
+       array_to_string(list_transform(embedding[1:4],
+                                      x -> printf('%.4f', x::DOUBLE)), ',') AS head4,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_val
+FROM embeddings
+""",
+)
+def q33_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order family (F9): size/element_at/slice/transform/
+    array_max/array_join — all JVM-side, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.format_string("%.4f", x.cast("double")),
+            ),
+            ",",
+        ).alias("head4"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 4
+        ).alias("max_val"),
+    )
+
+
+@register(
+    "q34_codecs",
+    tags=("scalar", "codec"),
+    oracle="""
+SELECT p_partkey,
+       to_base64(p_name::BLOB) AS name_b64,
+       CAST(from_base64(to_base64(p_name::BLOB)) AS VARCHAR) AS name_roundtrip,
+       hex(p_partkey) AS key_hex,
+       md5(p_name) AS name_md5
+FROM part
+""",
+)
+def q34_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec family (F11): base64/unbase64/hex/md5 (b64_data handling,
+    types.go:33-34)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+        F.unbase64(F.base64(F.col("p_name").cast("binary")))
+        .cast("string")
+        .alias("name_roundtrip"),
+        F.hex("p_partkey").alias("key_hex"),
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+    )
+
+
+@register(
+    "q35_renest_collect",
+    tags=("agg", "nest"),
+    oracle="""
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def q35_renest_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set (A6) — the inverse of the P1 explode;
+    sorted before join so the nondeterministic collect order cancels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.array_join(F.array_sort(F.collect_list("l_linenumber")), ",").alias(
+            "line_numbers"
+        ),
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
+    )
+
+
+@register(
+    "q36_grouping_sets",
+    tags=("agg", "rollup"),
+    oracle="""
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       COUNT(*) AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+""",
+)
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() markers (A5), via the SQL API."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+               COUNT(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@register(
+    "q37_rank_suite",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q37_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (§2.6): rank/dense_rank/ntile/percent_rank/
+    cume_dist (percent_rank & cume_dist are exact integer ratios →
+    bit-identical)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "q38_enrichment_join",
+    tags=("join", "enrich"),
+    oracle=f"""
+SELECT n_name AS geo, COUNT(*) AS n_customers, {_osum('c_acctbal')} AS total_acctbal
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q38_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment (J1, iplookup.go analogue): broadcast left
+    join against the geo dim, zero fact-side shuffle for the join."""
+    from event_stream_aggr_spark.operators.enrich import enrich_with_dim
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("geo")
+    )
+    return (
+        enrich_with_dim(c, dim, "c_nationkey")
+        .groupBy("geo")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )

@@ -170,3 +170,40 @@ def test_running_totals_with_state(spark, tmp_path):
     q.stop()
     rows = {r.key: r.total for r in spark.sql("SELECT * FROM rt_out").collect()}
     assert rows == {"s0": 3, "s1": 3}
+
+
+def test_stream_static_join(spark, tmp_path):
+    """J6: streaming fact joined to a static broadcast dimension."""
+    src = str(tmp_path / "j6")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, label string")
+    joined = stream.join(F.broadcast(dim), "k", "left")
+    _run_to_memory(joined, "j6_out")
+    got = {r.k: r.label for r in spark.sql("SELECT * FROM j6_out").collect()}
+    assert got == {1: "one", 2: "two", 3: None}
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """J7: stream-stream inner join with watermarks + time-range bound."""
+    left_src = str(tmp_path / "j7l")
+    right_src = str(tmp_path / "j7r")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:05:00")], "k long, ts_str string"
+    ).select("k", F.to_timestamp("ts_str").alias("lts")).coalesce(1).write.parquet(left_src)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:40"), (2, "2024-01-01 00:30:00")], "k long, ts_str string"
+    ).select("k", F.to_timestamp("ts_str").alias("rts")).coalesce(1).write.parquet(right_src)
+    l = spark.readStream.schema("k long, lts timestamp").parquet(left_src).withWatermark("lts", "1 minute")
+    r = spark.readStream.schema("k long, rts timestamp").parquet(right_src).withWatermark("rts", "1 minute")
+    joined = l.join(
+        r,
+        (l.k == r.k)
+        & (r.rts >= l.lts)
+        & (r.rts <= l.lts + F.expr("INTERVAL 2 MINUTES")),
+    )
+    _run_to_memory(joined.select(l.k, "lts", "rts"), "j7_out")
+    got = {r.k for r in spark.sql("SELECT * FROM j7_out").collect()}
+    assert got == {1}  # k=2's right event is outside the 2-minute bound
