@@ -1182,3 +1182,85 @@ def q38_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal")).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "q39_percentiles",
+    tags=("agg", "approx"),
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (A4's correctness baseline; approx_percentile
+    is the 100 TB path, q29). Both engines linearly interpolate over
+    the sorted values → same math, rounded to absorb libm noise."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "q40_unpivot",
+    tags=("pivot",),
+    oracle="""
+SELECT l_orderkey, l_linenumber, charge_kind, amount
+FROM (SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS price, l_discount AS discount, l_tax AS tax
+      FROM lineitem WHERE l_orderkey < 100)
+UNPIVOT (amount FOR charge_kind IN (price, discount, tax))
+""",
+)
+def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): the inverse of q26's pivot. Narrow op —
+    each row expands map-side, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount", "tax"],
+        "charge_kind",
+        "amount",
+    )
+
+
+@register(
+    "q41_supplier_geography",
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT n_name,
+       COUNT(*) AS n_suppliers,
+       {_osum('s_acctbal')} AS total_balance,
+       MIN(s_name) AS first_supplier
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q41_supplier_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side dimension join (completes table coverage: every
+    driver table is exercised by at least one oracle query)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _dsum(F.col("s_acctbal")).alias("total_balance"),
+            F.min("s_name").alias("first_supplier"),
+        )
+    )
