@@ -297,3 +297,133 @@ def qd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable integer arithmetic, oracle recomputes identically."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_signatures(d)
+
+
+@register(
+    "qd06_embedding_near_dup",
+    tags=("dedup", "similarity"),
+    oracle="""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         (SELECT SUM(x * y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
+                                         unnest(b.embedding)::DOUBLE AS y)) AS dp,
+         (SELECT SUM(x * x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x)) AS na,
+         (SELECT SUM(y * y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y)) AS nb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, ROUND(dp / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM pairs
+WHERE ROUND(dp / (SQRT(na) * SQRT(nb)), 6) >= 0.35
+""",
+)
+def qd06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (L2's semantic variant): exact
+    pairwise cosine above threshold.
+
+    Correctness baseline is the exact all-pairs form (the embeddings
+    table is a fixed 500-vector panel at every SF); the 100 TB path is
+    the same threshold applied to LSH candidates (similarity.py
+    ``ann_lsh_topk`` dataflow) instead of the cross join.
+    """
+    from event_stream_aggr_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+@register(
+    "qd07_char_shingle_jaccard",
+    tags=("dedup", "text"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
+         list_distinct(list_transform(generate_series(1, length(text) - 4),
+                                      i -> substr(text, i, 5))) AS sh
+  FROM documents WHERE n_chars <= 200)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.18
+""",
+)
+def qd07_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram shingle Jaccard (the classic n-gram dedup unit,
+    robust to token-boundary edits). Shingling is a pure array
+    expression (sequence + transform + substring) — no UDF; blocking
+    as in qd02 keeps the candidate join sub-quadratic."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") <= 200)
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / 16).cast("long").alias("bucket"),
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+            ).alias("sh"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", "bucket", F.col("sh").alias("sha"))
+    b = d.select(F.col("doc_id").alias("doc_b"), "lang", "bucket", F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        a.join(b, ["lang", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.18)
+    )
+
+
+@register(
+    "qd08_dedup_clusters",
+    tags=("dedup", "cluster"),
+    oracle="""
+WITH pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        FROM documents) a
+  JOIN (SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        FROM documents) b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+  SELECT a, b FROM r)
+SELECT a AS node, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+""",
+)
+def qd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (dedup clusters).
+
+    Spark side: iterative min-label propagation (operators/cluster.py,
+    one shuffle per iteration, O(graph diameter) iterations). Oracle:
+    the same components via a recursive-CTE transitive closure — two
+    totally different dataflows, identical fixpoint.
+    """
+    from event_stream_aggr_spark.operators.cluster import connected_components
+
+    pairs = qd02_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)

@@ -1264,3 +1264,32 @@ def q41_supplier_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s_name").alias("first_supplier"),
         )
     )
+
+
+@register(
+    "q42_range_frame",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS trailing_90d_spend
+FROM orders
+""",
+)
+def q42_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, interval bound): trailing-90-day
+    spend per customer. Peers at equal order dates share a frame, so no
+    tiebreaker is needed — the frame is value-determined."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS trailing_90d_spend
+        FROM orders
+        """
+    )

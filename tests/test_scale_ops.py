@@ -1,0 +1,70 @@
+"""Scale-hardening operators: salted join equivalence, bucketed
+shuffle-free joins, connected-components dedup clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.cluster import connected_components, dedup_keepers
+from event_stream_aggr_spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (0) with many rows — the shape salting exists for
+    left = spark.createDataFrame(
+        [(0, i) for i in range(500)] + [(k, k * 10) for k in range(1, 20)], "k int, v int"
+    )
+    right = spark.createDataFrame([(k, f"dim{k}") for k in range(20)], "k int, label string")
+    plain = {(r.k, r.v, r.label) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.label) for r in salted_join(left, right, "k", salt=4).collect()}
+    assert salted == plain and len(plain) == 519
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "one")], "k int, label string")
+    got = {(r.k, r.label) for r in salted_join(left, right, "k", salt=3, how="left").collect()}
+    assert got == {(1, "one"), (99, None)}
+
+
+def test_connected_components_clusters(spark):
+    # two components {1,2,3,4} (chain) and {10,11}; 20 isolated via docs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keepers(spark):
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    keep = {r.doc_id for r in dedup_keepers(docs, pairs).collect()}
+    assert keep == {1, 10, 20}  # component reps + untouched doc
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from event_stream_aggr_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dims = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("d").alias("label"))
+    write_bucketed(facts, "b_facts", "k", n_buckets=8, sort_col="k")
+    write_bucketed(dims, "b_dims", "k", n_buckets=8, sort_col="k")
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (broadcast would also be shuffle-free
+        # here, but the point is the co-located big-big join shape)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_facts", "b_dims", "k")
+        assert joined.count() == 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: the shuffle was paid at write
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_dims")
