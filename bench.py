@@ -57,9 +57,54 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": infer_sf(SF_DIR),
+                "streaming": stream_bench(spark),
             }
         )
     )
+
+
+def stream_bench(spark, n_events: int = 20_000, metrics_per_event: int = 3) -> dict:
+    """Streaming throughput of the reference-parity alert pipeline
+    (events/s as the reference logs them, app.go:101-109) via the
+    hermetic file stream + noop-ish memory sink."""
+    import shutil
+    import tempfile
+
+    from event_stream_aggr_spark.schemas import SENSOR_EVENT_SCHEMA
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming.pipeline import snort_alert_stream
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    from tests.fixtures import make_sensor_event
+
+    src = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        events = [make_sensor_event(i, metrics_per_event) for i in range(n_events)]
+        spark.createDataFrame(events, schema=SENSOR_EVENT_SCHEMA).repartition(
+            8
+        ).write.mode("overwrite").parquet(src)
+        stream = stream_parquet_dir(
+            spark, src, SENSOR_EVENT_SCHEMA, max_files_per_trigger=4
+        )
+        t0 = time.perf_counter()
+        q = (
+            snort_alert_stream(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(src, "_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        alerts = n_events * metrics_per_event
+        return {
+            "input_events": n_events,
+            "alerts_out": alerts,
+            "sec": round(elapsed, 4),
+            "alerts_per_sec": round(alerts / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,17 @@ def iso_micro_timestamp(micros: Column | str) -> Column:
     return F.regexp_replace(no_zeros, r"\.Z$", "Z")
 
 
+def iso_micro_timestamp_ntz(ts: Column | str) -> Column:
+    """F1's formatting applied to a TIMESTAMP_NTZ column (same
+    truncate-to-ms + suppress-trailing-zeros contract, but the input is
+    already a naive timestamp, so the result is independent of the
+    session timezone)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    padded = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    no_zeros = F.regexp_replace(padded, r"0+Z$", "Z")
+    return F.regexp_replace(no_zeros, r"\.Z$", "Z")
+
+
 def priority_label(priority: Column | str) -> Column:
     """1→High, 2→Medium, 3→Low, else→Informational (processor.go:109-120)."""
     c = F.col(priority) if isinstance(priority, str) else priority

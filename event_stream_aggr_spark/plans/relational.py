@@ -1293,3 +1293,56 @@ def q42_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@register(
+    "q43_nest_flatten_pipeline",
+    tags=("explode", "pipeline"),
+    oracle="""
+SELECT user_id,
+       (SELECT COUNT(*) FROM events e2 WHERE e2.user_id = e.user_id)
+         AS event_metrics_count,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+            AS BIGINT) AS metric_idx,
+       event_id,
+       CASE (event_id % 4) + 1 WHEN 1 THEN 'High' WHEN 2 THEN 'Medium'
+            WHEN 3 THEN 'Low' ELSE 'Informational' END AS priority_str,
+       regexp_replace(regexp_replace(
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.') || substr(strftime(ts, '%f'), 1, 3)
+             || 'Z',
+           '0+Z$', 'Z'), '\\.Z$', 'Z') AS ts_iso
+FROM events e
+""",
+)
+def q43_nest_flatten_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's nest→flatten data path (P1+P2+F1+F2) as an
+    oracle-checked query on driver tables: re-nest events per user
+    (collect_list of structs = a SensorEvent's metrics[]), posexplode
+    back, and apply the reference's scalar derivations — the priority
+    label (processor.go:109-120) and the trailing-zero-suppressed ISO
+    timestamp (processor.go:16-18). The oracle computes the identical
+    flat result without the nest/unnest round-trip, proving the
+    explode pipeline is lossless and the F1/F2 semantics are exact.
+    """
+    from event_stream_aggr_spark.functions.scalar import (
+        iso_micro_timestamp_ntz,
+        priority_label,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    nested = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "ts"))).alias("metrics"),
+        F.count(F.lit(1)).alias("event_metrics_count"),
+    )
+    return nested.select(
+        "user_id",
+        "event_metrics_count",
+        F.posexplode("metrics").alias("metric_idx", "m"),
+    ).select(
+        "user_id",
+        "event_metrics_count",
+        F.col("metric_idx").cast("long").alias("metric_idx"),
+        F.col("m.event_id").alias("event_id"),
+        priority_label((F.col("m.event_id") % 4) + 1).alias("priority_str"),
+        iso_micro_timestamp_ntz(F.col("m.ts")).alias("ts_iso"),
+    )
