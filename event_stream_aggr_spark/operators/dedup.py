@@ -325,18 +325,28 @@ def qd06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same threshold applied to LSH candidates (similarity.py
     ``ann_lsh_topk`` dataflow) instead of the cross join.
     """
-    from event_stream_aggr_spark.operators.similarity import cosine
+    from event_stream_aggr_spark.operators.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
     )

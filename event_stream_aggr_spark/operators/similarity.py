@@ -50,15 +50,23 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k cosine neighbors per query.
 
+    Norms are hoisted to the row level (one fold per row) instead of
+    being recomputed inside every pair (which would triple the
+    per-pair work — the dominant cost of a |Q|x|C| scoring pass).
     The query side is broadcast (queries << corpus); ranking happens on
     cosine rounded to ``round_digits`` with the candidate id as
     tiebreak, so ordering is deterministic to the last bit.
     """
-    pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col(c_id) != F.col(q_id))
+    qn = queries.withColumn("_qnorm", norm(F.col(q_vec)))
+    cn = corpus.withColumn("_cnorm", norm(F.col(c_vec)))
+    pairs = cn.crossJoin(F.broadcast(qn)).filter(F.col(c_id) != F.col(q_id))
     scored = pairs.select(
         q_id,
         c_id,
-        F.round(cosine(F.col(q_vec), F.col(c_vec)), round_digits).alias("cos_sim"),
+        F.round(
+            dot(F.col(q_vec), F.col(c_vec)) / (F.col("_qnorm") * F.col("_cnorm")),
+            round_digits,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
     return (
@@ -134,9 +142,15 @@ def ann_lsh_topk(
         .select(q_id, c_id)
         .distinct()
     )
-    pairs = cand.join(F.broadcast(queries), q_id).join(corpus, c_id)
+    qn = queries.withColumn("_qnorm", norm(F.col(q_vec)))
+    cn = corpus.withColumn("_cnorm", norm(F.col(c_vec)))
+    pairs = cand.join(F.broadcast(qn), q_id).join(cn, c_id)
     scored = pairs.select(
-        q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos_sim")
+        q_id,
+        c_id,
+        F.round(
+            dot(F.col(q_vec), F.col(c_vec)) / (F.col("_qnorm") * F.col("_cnorm")), 6
+        ).alias("cos_sim"),
     )
     w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
     return (

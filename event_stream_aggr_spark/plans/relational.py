@@ -1346,3 +1346,38 @@ def q43_nest_flatten_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         priority_label((F.col("m.event_id") % 4) + 1).alias("priority_str"),
         iso_micro_timestamp_ntz(F.col("m.ts")).alias("ts_iso"),
     )
+
+
+@register(
+    "q44_map_functions",
+    tags=("scalar", "map"),
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type),
+m AS (
+  SELECT user_id, map_from_entries(list(ROW(event_type, n))) AS mp
+  FROM counts GROUP BY user_id)
+SELECT user_id,
+       CAST(cardinality(mp) AS BIGINT) AS n_types,
+       CAST(COALESCE((mp['purchase'])[1], 0) AS BIGINT) AS purchase_count,
+       array_to_string(list_sort(map_keys(mp)), ',') AS types
+FROM m
+""",
+)
+def q44_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (F9): map_from_entries / size / element_at / map_keys.
+    try_element_at keeps the missing-key lookup NULL-safe under ANSI
+    mode (plain element_at raises MAP_KEY_DOES_NOT_EXIST)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("mp")
+    )
+    return m.select(
+        "user_id",
+        F.size("mp").cast("long").alias("n_types"),
+        F.coalesce(F.try_element_at("mp", F.lit("purchase")), F.lit(0)).alias(
+            "purchase_count"
+        ),
+        F.array_join(F.array_sort(F.map_keys("mp")), ",").alias("types"),
+    )

@@ -68,3 +68,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
+    from event_stream_aggr_spark.operators.sampling import hash_split
+    from event_stream_aggr_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    train, ev = hash_split(d, "doc_id", 0.8)
+    n, nt, ne = d.count(), train.count(), ev.count()
+    assert nt + ne == n and 0 < nt < n
+    # stable across repartitioning (content-addressed, not layout-addressed)
+    t2, _ = hash_split(d.repartition(13), "doc_id", 0.8)
+    assert {r.doc_id for r in t2.select("doc_id").collect()} == {
+        r.doc_id for r in train.select("doc_id").collect()
+    }
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    from event_stream_aggr_spark.operators.sampling import stratified_sample
+    from event_stream_aggr_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s = stratified_sample(d, "lang", {"en": 1.0, "de": 0.0}, seed=7)
+    langs = {r.lang for r in s.select("lang").distinct().collect()}
+    assert "en" in langs and "de" not in langs

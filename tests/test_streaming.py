@@ -207,3 +207,32 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     _run_to_memory(joined.select(l.k, "lts", "rts"), "j7_out")
     got = {r.k for r in spark.sql("SELECT * FROM j7_out").collect()}
     assert got == {1}  # k=2's right event is outside the 2-minute bound
+
+
+def test_foreach_batch_sink_and_available_now_trigger(spark, tmp_path):
+    """W6: foreachBatch (custom exactly-once-style sink) + the
+    availableNow trigger (bounded catch-up run, the batch-replay mode
+    a backfill job uses)."""
+    src = str(tmp_path / "fb_src")
+    out_dir = str(tmp_path / "fb_out")
+    _write_events(spark, src, [make_sensor_event(i, 1) for i in range(4)])
+    stream = stream_parquet_dir(spark, src, SENSOR_EVENT_SCHEMA, max_files_per_trigger=1)
+
+    def sink(batch_df, epoch_id):
+        # idempotent per-epoch write — the foreachBatch exactly-once recipe
+        batch_df.select("key", "msg").write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+
+    q = (
+        snort_alert_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # availableNow terminates after catch-up
+    assert not q.isActive
+    written = spark.read.parquet(f"{out_dir}/epoch=*")
+    assert written.count() == 4
+    assert written.select("key").distinct().count() == 4
