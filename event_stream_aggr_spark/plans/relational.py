@@ -1381,3 +1381,92 @@ def q44_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_join(F.array_sort(F.map_keys("mp")), ",").alias("types"),
     )
+
+
+@register(
+    "q45_shipping_priority",
+    bench=True,
+    tags=("join", "agg", "sort"),
+    oracle=f"""
+SELECT l_orderkey,
+       {_osum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q45_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: two-fact shuffle join (lineitem x orders on
+    orderkey — sort-merge/shuffle-hash territory, AQE picks) with a
+    broadcast customer filter, then top-10 by revenue.
+
+    Plan shape at scale: customer (filtered, small) broadcasts into
+    orders; the surviving orders shuffle once against lineitem on
+    orderkey; TakeOrderedAndProject caps the output. Both date filters
+    push to the parquet scans.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey), 
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q46_order_priority_check",
+    bench=True,
+    tags=("join", "agg"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q46_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: semi join of a fact against a fact (EXISTS with
+    a correlated non-equi condition) + aggregate. Catalyst plans the
+    correlated EXISTS as a left-semi join on orderkey with the
+    shipdate predicate as a join-side filter."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
