@@ -160,3 +160,37 @@ def qt04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quality")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "qt05_bpe_style_token_counts",
+    tags=("text",),
+    oracle=r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS BIGINT) AS total_subword_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS DOUBLE) / COUNT(*)
+         AS avg_subword_tokens
+FROM documents GROUP BY lang
+""",
+)
+def qt05_bpe_style_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting (L4): a pre-tokenizer regex (letter
+    runs | digit runs | punctuation runs — the GPT-2-style split
+    classes) as a cost proxy for real BPE. Pure regexp_extract_all,
+    codegen'd; a real tokenizer would slot in as a pandas UDF on the
+    same column."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), 0
+        )
+    ).cast("long")
+    per_doc = d.select("lang", n_tok.alias("n_tok"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_subword_tokens"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_subword_tokens"),
+    )

@@ -28,3 +28,18 @@ def test_payload_not_in_decoded_schema(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     out = decode_features(attach_binary(docs))
     assert "payload" not in out.columns  # media bytes dropped post-decode
+
+
+def test_metadata_scan_prunes_payload_column(spark, tmp_path):
+    """Pointer-style contract: a metadata-only query over a multimodal
+    parquet table must not read the payload bytes (columnar pruning —
+    the property that makes 100 TB of media filterable)."""
+    from event_stream_aggr_spark.operators.multimodal import attach_binary
+    from event_stream_aggr_spark.tables import load_table
+
+    path = str(tmp_path / "mm.parquet")
+    attach_binary(load_table(spark, "/root/testdata/sf0.001", "documents")).write.parquet(path)
+    meta_only = spark.read.parquet(path).select("doc_id", "meta.n_bytes")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "payload" not in read_schema[0]
