@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the properties the 100 TB design
+depends on (ARCHITECTURE.md §"100 TB design rules"), asserted on the
+actual executed plans so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from event_stream_aggr_spark.plans.registry import load_all
+from event_stream_aggr_spark.schemas import SENSOR_EVENT_SCHEMA
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def test_q01_pushdown_pruning_partial_agg(spark, sf_dir, specs):
+    df = specs["q01_pricing_summary"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: unused lineitem columns never read
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    # partial + final hash aggregation (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q04_dimension_join_broadcasts(spark, sf_dir, specs):
+    plan = _plan(specs["q04_join_revenue_by_segment"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must not shuffle for the join
+
+
+def test_q13_topk_is_take_ordered(spark, sf_dir, specs):
+    plan = _plan(specs["q13_global_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort
+
+
+def test_q45_fact_join_adapts_to_side_sizes(spark, sf_dir, specs):
+    # at test SF everything fits under the broadcast threshold and
+    # Catalyst broadcasts the whole tree — the plan we want locally
+    plan_small = _plan(specs["q45_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan_small
+    # at 100 TB neither fact fits; with broadcasting off the same query
+    # must degrade to a shuffle join, NOT a nested loop
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_big = _plan(specs["q45_shipping_priority"].fn(spark, sf_dir))
+        assert ("SortMergeJoin" in plan_big) or ("ShuffledHashJoin" in plan_big)
+        assert "NestedLoop" not in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_snort_flatten_is_narrow(spark):
+    from event_stream_aggr_spark.plans.snort import with_kafka_envelope
+
+    events = spark.createDataFrame([], schema=SENSOR_EVENT_SCHEMA)
+    plan = _plan(with_kafka_envelope(events))
+    assert "Exchange" not in plan  # the whole reference pipeline: zero shuffles
+    assert "Generate" in plan  # the posexplode
+
+
+def test_q38_enrichment_keeps_fact_unshuffled(spark, sf_dir, specs):
+    plan = _plan(specs["q38_enrichment_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
