@@ -129,3 +129,49 @@ def running_totals_with_state(df: DataFrame, key_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _build_running_total_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total long")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._total.get()
+            total = (prev[0] if prev is not None else 0) + n
+            self._total.update((total,))
+            yield pd.DataFrame(
+                {"key": [key[0]], "batch_events": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _Processor()
+
+
+def running_totals_transform_with_state(df: DataFrame, key_col: str) -> DataFrame:
+    """W5 via the Spark 4 ``transformWithStateInPandas`` API — typed
+    ValueState + explicit lifecycle, the modern replacement for
+    applyInPandasWithState. Environment requirements (gated — this
+    container lacks them, the test importorskips): ``google.protobuf``
+    on workers (the state protocol is proto-serialized) and the RocksDB
+    state store provider for bounded off-heap keyed state at scale
+    (spark.sql.streaming.stateStore.providerClass=
+    ...state.RocksDBStateStoreProvider)."""
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=_build_running_total_processor(),
+            outputStructType=RUNNING_TOTAL_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

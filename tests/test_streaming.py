@@ -236,3 +236,39 @@ def test_foreach_batch_sink_and_available_now_trigger(spark, tmp_path):
     written = spark.read.parquet(f"{out_dir}/epoch=*")
     assert written.count() == 4
     assert written.select("key").distinct().count() == 4
+
+
+@pytest.mark.slow
+def test_running_totals_transform_with_state(spark, tmp_path):
+    """W5 on the modern Spark 4 API (typed ValueState + RocksDB).
+    Requires google.protobuf for the state protocol — absent in this
+    container, so this skips (the applyInPandasWithState variant above
+    covers W5 here)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from event_stream_aggr_spark.streaming.stats import (
+        running_totals_transform_with_state,
+    )
+
+    src = str(tmp_path / "tws_src")
+    spark.createDataFrame(
+        [(f"s{i % 2}",) for i in range(6)], "sensor string"
+    ).coalesce(1).write.parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema("sensor string").parquet(src)
+        out = running_totals_transform_with_state(stream, "sensor")
+        q = (out.writeStream.format("memory").queryName("tws_out")
+             .outputMode("update").start())
+        q.processAllAvailable()
+        q.stop()
+        rows = {r.key: r.total for r in spark.sql("SELECT * FROM tws_out").collect()}
+        assert rows == {"s0": 3, "s1": 3}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
