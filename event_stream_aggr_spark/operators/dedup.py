@@ -437,3 +437,40 @@ def qd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = qd02_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+@register(
+    "qd09_edit_distance_near_dup",
+    tags=("dedup", "text"),
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def qd09_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup (the character-level complement of
+    Jaccard/MinHash): Levenshtein <= 3 within brand blocks. Levenshtein
+    is O(len^2) per pair, so the blocking key does the scale work —
+    at 100 TB the block would be (brand, simhash band) rather than
+    brand alone, the same candidate-generation story as qd04."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", dist.cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 3)
+    )
