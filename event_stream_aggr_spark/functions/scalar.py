@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 #: reference internal/app/app.go:195).
 SNORT_TS_FORMAT = "yy/MM/dd-HH:mm:ss.SSSSSS"
 
+#: Go's ``.999999`` fraction layout accepts 0-6 fraction digits (trailing
+#: zeros omitted, or the whole fraction absent). Java patterns pin the
+#: digit count, so parsing tries each width, longest first.
+SNORT_TS_FORMATS = [
+    f"yy/MM/dd-HH:mm:ss.{'S' * n}" for n in range(6, 0, -1)
+] + ["yy/MM/dd-HH:mm:ss"]
+
 
 def iso_micro_timestamp(micros: Column | str) -> Column:
     """µs epoch → UTC ISO-8601 string, ms precision, trailing zeros
@@ -73,11 +80,16 @@ def parse_snort_event_time(ts: Column | str, fallback_seconds: Column | str) -> 
     else ``time.Unix(event.GetSnortSeconds(), 0)``. ``try_to_timestamp``
     keeps this ANSI-safe (malformed input → NULL → coalesce), exactly
     the reference's error path, with no exception handling in the plan.
+
+    Go's ``.999999`` accepts 0-6 fraction digits; a coalesce over the
+    fixed-width Java patterns (6 → 0 digits) reproduces that, so
+    ``...ss.9`` or a fraction-less clock parses instead of silently
+    falling back to epoch seconds.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
     fb = F.col(fallback_seconds) if isinstance(fallback_seconds, str) else fallback_seconds
-    parsed = F.try_to_timestamp(c, F.lit(SNORT_TS_FORMAT))
-    return F.coalesce(parsed, F.timestamp_seconds(fb))
+    attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in SNORT_TS_FORMATS]
+    return F.coalesce(*attempts, F.timestamp_seconds(fb))
 
 
 def sha256_hex(data: Column | str) -> Column:

@@ -48,6 +48,17 @@ def asof_join(
     right_cols = list(right_cols)
     carry = [c for c in right_cols if c != right_ts]
 
+    # The internal tagging columns would silently clobber same-named
+    # input columns — refuse instead of producing wrong joins.
+    reserved = {"_ts", "_is_left", "_r_ts", "_asof_ts"}
+    reserved |= {f"_r_{c}" for c in carry} | {f"_asof_{c}" for c in carry}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(clash)}; "
+            "rename these input columns before joining"
+        )
+
     left_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_is_left", F.lit(1))
     for c in ["_r_ts", *[f"_r_{c}" for c in carry]]:
         left_tagged = left_tagged.withColumn(c, F.lit(None))

@@ -51,13 +51,19 @@ def enrich_with_lookup(
     lookup output (key column included).
     """
 
+    # Parse the DDL driver-side: naive comma-splitting breaks on types
+    # that contain commas (decimal(10,2), map<string,long>, struct<...>).
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_cols = _parse_datatype_string(result_schema).fieldNames()
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keys = pdf[key_col].tolist()
             out: list[dict] = []
             for i in range(0, len(keys), max_batch):
                 out.extend(lookup(keys[i : i + max_batch]))
-            yield pd.DataFrame(out, columns=[f.split()[0] for f in result_schema.split(",")])
+            yield pd.DataFrame(out, columns=out_cols)
 
     resolved = fact.select(key_col).distinct().mapInPandas(op, schema=result_schema)
     return fact.join(F.broadcast(resolved), key_col, "left")

@@ -88,14 +88,32 @@ def decode_protobuf(df: DataFrame, message_name: str, desc_file_path: str) -> Da
     ).select("event.*")
 
 
+#: columns that ride the Kafka envelope, never the Avro record body.
+_ENVELOPE_COLS = ("key", "headers", "event_time", "topic")
+#: engine-internal columns absent from the reference's SnortAlert Avro
+#: record (schema.go:36-43): metric_idx is the synthetic explode ordinal.
+_INTERNAL_COLS = ("metric_idx",)
+
+
+def avro_payload_columns(columns: list[str]) -> list[str]:
+    """The subset of ``columns`` that belongs in the Avro record body:
+    everything except the Kafka envelope, engine-internal ordinals, and
+    underscore-prefixed temporaries."""
+    return [
+        c
+        for c in columns
+        if c not in _ENVELOPE_COLS and c not in _INTERNAL_COLS and not c.startswith("_")
+    ]
+
+
 def encode_avro(df: DataFrame, json_format_schema: str) -> DataFrame:
     """S4: alert struct → Avro binary ``value`` via to_avro
     (schema.go:36-43 analogue), keeping key/headers for the sink."""
     from pyspark.sql import functions as F
     from pyspark.sql.avro.functions import to_avro
 
-    payload_cols = [c for c in df.columns if c not in ("key", "headers", "event_time")]
-    keep = [c for c in ("key", "headers", "event_time") if c in df.columns]
+    payload_cols = avro_payload_columns(df.columns)
+    keep = [c for c in _ENVELOPE_COLS if c in df.columns]
     return df.select(
         *keep, to_avro(F.struct(*payload_cols), json_format_schema).alias("value")
     )

@@ -37,3 +37,13 @@ def test_left_columns_survive(spark):
                     right_cols=["val"])
     tags = {r.tag for r in out.collect()}
     assert tags == {"a", "b", "c", "d", "e"}
+
+
+def test_reserved_internal_names_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 0)], "k int, ts int, _is_left int")
+    right = spark.createDataFrame([(1, 10, 100.0)], "k int, rts int, val double")
+    with pytest.raises(ValueError, match="reserves internal column names"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  right_cols=["rts", "val"])

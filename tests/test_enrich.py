@@ -39,3 +39,19 @@ def test_dim_enrichment_broadcast(spark):
     got = {r.v: r.label for r in out.collect()}
     assert got == {"a": "one", "b": "two", "c": None}
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lookup_schema_with_commas_in_types(spark):
+    # decimal(10,2) would break naive comma-splitting of the DDL
+    def price_lookup(skus: list) -> list[dict]:
+        from decimal import Decimal
+
+        return [{"sku": s, "price": Decimal(f"{len(s)}.50"), "tags": {"t": 1}} for s in skus]
+
+    df = spark.createDataFrame([("ab",), ("abc",), ("ab",)], "sku string")
+    out = enrich_with_lookup(
+        df, "sku", price_lookup, "sku string, price decimal(10,2), tags map<string,int>"
+    )
+    assert out.columns == ["sku", "price", "tags"]
+    got = {r.sku: (str(r.price), dict(r.tags)) for r in out.collect()}
+    assert got == {"ab": ("2.50", {"t": 1}), "abc": ("3.50", {"t": 1})}

@@ -82,3 +82,30 @@ def test_sha256_hex(spark):
 def test_round_time(spark, t, n, expected):
     # processor.go:105-107: (t / n) * n integer floor
     assert _eval(spark, round_time("t", n), t=t) == expected
+
+
+@pytest.mark.parametrize(
+    ("ts", "expected"),
+    [
+        # Go's ".999999" layout accepts 0-6 fraction digits
+        ("25/01/31-04:15:06.927463", "2025-01-31 04:15:06.927463"),
+        ("25/01/31-04:15:06.9274", "2025-01-31 04:15:06.927400"),
+        ("25/01/31-04:15:06.9", "2025-01-31 04:15:06.900000"),
+        ("25/01/31-04:15:06", "2025-01-31 04:15:06.000000"),
+    ],
+)
+def test_snort_event_time_variable_fraction(spark, ts, expected):
+    out = _eval(
+        spark,
+        F.date_format(parse_snort_event_time("ts", "fb"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        ts=ts,
+        fb=0,
+    )
+    assert out == expected
+
+
+def test_avro_payload_columns_exclude_internal():
+    from event_stream_aggr_spark.sources.kafka import avro_payload_columns
+
+    cols = ["key", "headers", "event_time", "metric_idx", "_tmp", "sid", "message"]
+    assert avro_payload_columns(cols) == ["sid", "message"]

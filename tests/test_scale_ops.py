@@ -93,3 +93,20 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
     s = stratified_sample(d, "lang", {"en": 1.0, "de": 0.0}, seed=7)
     langs = {r.lang for r in s.select("lang").distinct().collect()}
     assert "en" in langs and "de" not in langs
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(1, "one"), (2, "two")], "k int, label string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", salt=3, how=how)
+
+
+def test_salted_anti_join_matches_plain(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "one")], "k int, label string")
+    got = {r.k for r in salted_join(left, right, "k", salt=3, how="left_anti").collect()}
+    assert got == {99}
