@@ -253,13 +253,61 @@ def qd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(d)
 
 
-@register("qd04_minhash_lsh_pairs", tags=("dedup",))
+def _lsh_oracle(bands: int = 2, threshold: float = 0.8, max_chars: int = 160) -> str:
+    """SQL mirror of ``minhash_lsh_pairs``: same md5-derived signatures
+    (as ``_minhash_oracle``), banded candidate condition as an OR of
+    per-band equalities, exact-Jaccard verification on candidates."""
+    rows = MINHASH_K // bands
+    sig_exprs = ",\n         ".join(
+        f"CAST(MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS BIGINT)"
+        f" AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.sig_{b * rows + r} = b.sig_{b * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH short_docs AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+  FROM documents WHERE n_chars <= {max_chars}),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM short_docs)),
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM h GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id AND ({band_conds}))
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+         AS jaccard
+FROM cand c
+JOIN short_docs ta ON c.doc_a = ta.doc_id
+JOIN short_docs tb ON c.doc_b = tb.doc_id
+WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+      >= {threshold}
+"""
+
+
+@register("qd04_minhash_lsh_pairs", tags=("dedup",), oracle=_lsh_oracle())
 def qd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate pairs + exact-Jaccard verification.
 
-    Rows-only driver check (the banding dataflow isn't one SQL query);
-    tests/test_dedup.py verifies recall against the brute-force qd02
-    pairs at sf0.001.
+    The signatures are deterministic md5 arithmetic, so the oracle
+    reproduces the full banding dataflow in SQL (same signatures, same
+    band agreement condition, same exact-Jaccard verification) —
+    hash-checked, not rows-only. tests/test_dedup.py additionally
+    verifies recall against the brute-force qd02 pairs at sf0.001.
 
     Restricted to short documents: the synthetic corpus draws from a
     ~30-word vocabulary, so long docs all share (nearly) the full

@@ -84,14 +84,37 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
-@register("qm01_multimodal_features", tags=("multimodal",))
+@register(
+    "qm01_multimodal_features",
+    tags=("multimodal",),
+    oracle="""
+SELECT 'text/plain' AS mime,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(length(text)) AS DOUBLE) AS sum_feat_len,
+       CAST(SUM(ascii(text)) AS DOUBLE) AS sum_feat_head,
+       CAST(SUM(length(text) % 257) AS DOUBLE) AS sum_feat_lenmod,
+       CAST(SUM(ascii(text) % 17) AS DOUBLE) AS sum_feat_headmod
+FROM documents
+""",
+)
 def qm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline (L5): binary payload + metadata → Arrow-batch
-    decode → per-mime feature stats. Rows-only driver check; the
-    decode output values are unit-tested in tests/test_multimodal.py."""
+    decode → per-mime feature stats.
+
+    The fake featureizer emits [n_bytes, first_byte, n%257, head%17] —
+    integer-valued doubles, so their sums are exact and order-free, and
+    the oracle recomputes the whole decode in SQL (documents are ASCII:
+    octet length == char length, ascii() == first payload byte). This
+    hash-checks the Arrow decode path end-to-end, not just row counts.
+    """
     d = load_table(spark, sf_dir, "documents")
     feats = decode_features(attach_binary(d))
     return feats.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.element_at("features", 1)).alias("sum_feat_len"),
+        F.sum(F.element_at("features", 2)).alias("sum_feat_head"),
+        F.sum(F.element_at("features", 3)).alias("sum_feat_lenmod"),
+        F.sum(F.element_at("features", 4)).alias("sum_feat_headmod"),
     )

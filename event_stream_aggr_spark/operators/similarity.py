@@ -229,10 +229,70 @@ def qe02_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("qe03_ann_lsh_topk", tags=("similarity", "approx"))
+def _ann_oracle(dim: int = 64, k: int = 5, planes: int = 4, tables: int = 4) -> str:
+    """SQL mirror of ``ann_lsh_topk``: the md5-derived hyperplanes are
+    embedded as literals (``repr(float)`` round-trips to the identical
+    double), buckets recomputed per (vector, table), candidates joined
+    on (table, bucket), exact rerank on candidates as in qe01.
+
+    Sign-of-projection is the only unrounded float comparison; the
+    projections are O(0.1-1) magnitudes, far from the ~1e-16
+    accumulation-order noise, so the bucket bits agree across engines.
+    """
+    rows = []
+    for t in range(tables):
+        for p in range(planes):
+            w = _hyperplane(dim, t * planes + p)
+            rows.extend(
+                f"({t}, {p}, {d}, {w[d]!r})" for d in range(dim)
+            )
+    plane_values = ",\n  ".join(rows)
+    return f"""
+WITH planes(t, p, d, w) AS (VALUES
+  {plane_values}),
+vd AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+proj AS (
+  SELECT vd.vec_id, planes.t, planes.p, SUM(vd.x * planes.w) AS s
+  FROM vd JOIN planes ON vd.d = planes.d
+  GROUP BY vd.vec_id, planes.t, planes.p),
+buck AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS b
+  FROM proj GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM buck q JOIN buck c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+pairs AS (
+  SELECT cand.qid, cand.cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a,
+                                         unnest(ec.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(ec.embedding)::DOUBLE AS b)) AS nc
+  FROM cand
+  JOIN embeddings eq ON cand.qid = eq.vec_id
+  JOIN embeddings ec ON cand.cid = ec.vec_id),
+ranked AS (
+  SELECT qid, cid, ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS BIGINT)
+           AS rank
+  FROM pairs)
+SELECT qid, cid, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("qe03_ann_lsh_topk", tags=("similarity", "approx"), oracle=_ann_oracle())
 def qe03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH (L3 scale path). Rows-only check;
-    tests/test_similarity.py measures recall vs the exact baseline."""
+    """ANN via random-hyperplane LSH (L3 scale path). The hyperplanes
+    are deterministic md5 arithmetic, so the oracle replays the exact
+    bucketing + candidate join + rerank in SQL — hash-checked.
+    tests/test_similarity.py additionally measures recall vs the exact
+    baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")

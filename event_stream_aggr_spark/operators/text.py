@@ -150,10 +150,32 @@ def qt03_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("qt04_quality_scores", tags=("text",))
+@register(
+    "qt04_quality_scores",
+    tags=("text",),
+    oracle=f"""
+WITH per_doc AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_len,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN {STOPWORDS_EN!r})) AS BIGINT) AS sw
+  FROM documents),
+scored AS (
+  SELECT CAST(
+           CASE WHEN (CAST(n_len - n_tok + 1 AS DOUBLE) / n_tok) >= 3
+                 AND (CAST(n_len - n_tok + 1 AS DOUBLE) / n_tok) <= 10
+                THEN 0.5 ELSE 0.0 END
+         + CASE WHEN sw > 0 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS quality
+  FROM per_doc)
+SELECT quality, COUNT(*) AS n_docs FROM scored GROUP BY quality
+""",
+)
 def qt04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-score distribution (rows-only; the score recipe is
-    engine-internal, unit-tested in tests/test_text.py)."""
+    """Quality-score distribution. The score is pure rational math
+    (mean token length in [3, 10] + stopword-ratio > 0, each worth
+    0.5), so the oracle recomputes it exactly; per-score doc counts
+    hash-compare."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", quality_score(F.col("text")).alias("quality"))
