@@ -319,7 +319,9 @@ def qd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, bands=2, threshold=0.8)
 
 
-def _simhash_oracle() -> str:
+def _simhash_sig_ctes(table: str, id_col: str, text_col: str) -> str:
+    """CTE chain recomputing ``simhash_signatures`` in SQL for any
+    (table, id, text) triple; ends with ``sigs(id, simhash)``."""
     bit_sums = ",\n       ".join(
         f"SUM(CASE WHEN (h // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
         for i in range(SIMHASH_BITS)
@@ -327,15 +329,20 @@ def _simhash_oracle() -> str:
     sig = " + ".join(
         f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(SIMHASH_BITS)
     )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
-  FROM (SELECT doc_id,
-               unnest(list_distinct(list_filter(string_split(text, ' '),
+    return f"""toks AS (
+  SELECT {id_col} AS id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM (SELECT {id_col},
+               unnest(list_distinct(list_filter(string_split({text_col}, ' '),
                                                 x -> x <> ''))) AS tok
-        FROM documents)),
-sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
-SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+        FROM {table})),
+sums AS (SELECT id, {bit_sums} FROM toks GROUP BY id),
+sigs AS (SELECT id, CAST({sig} AS BIGINT) AS simhash FROM sums)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH {_simhash_sig_ctes("documents", "doc_id", "text")}
+SELECT id AS doc_id, simhash FROM sigs
 """
 
 
@@ -347,57 +354,52 @@ def qd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(d)
 
 
+def _embedding_near_dup_oracle(
+    dim: int = 64, threshold: float = 0.35, planes: int = 4, tables: int = 4
+) -> str:
+    """SQL mirror of ``embedding_near_dup_lsh``: shared LSH bucket CTEs
+    (similarity.lsh_bucket_ctes), self-join on (table, bucket), exact
+    cosine only on candidate pairs."""
+    from event_stream_aggr_spark.operators.similarity import lsh_bucket_ctes
+
+    return f"""
+WITH {lsh_bucket_ctes(dim, planes, tables)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buck a JOIN buck b
+    ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT cand.vec_a, cand.vec_b,
+         (SELECT SUM(x * y) FROM (SELECT unnest(ea.embedding)::DOUBLE AS x,
+                                         unnest(eb.embedding)::DOUBLE AS y)) AS dp,
+         (SELECT SUM(x * x) FROM (SELECT unnest(ea.embedding)::DOUBLE AS x)) AS na,
+         (SELECT SUM(y * y) FROM (SELECT unnest(eb.embedding)::DOUBLE AS y)) AS nb
+  FROM cand
+  JOIN embeddings ea ON cand.vec_a = ea.vec_id
+  JOIN embeddings eb ON cand.vec_b = eb.vec_id)
+SELECT vec_a, vec_b, ROUND(dp / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM pairs
+WHERE ROUND(dp / (SQRT(na) * SQRT(nb)), 6) >= {threshold}
+"""
+
+
 @register(
     "qd06_embedding_near_dup",
     tags=("dedup", "similarity"),
-    oracle="""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         (SELECT SUM(x * y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
-                                         unnest(b.embedding)::DOUBLE AS y)) AS dp,
-         (SELECT SUM(x * x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x)) AS na,
-         (SELECT SUM(y * y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y)) AS nb
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT vec_a, vec_b, ROUND(dp / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
-FROM pairs
-WHERE ROUND(dp / (SQRT(na) * SQRT(nb)), 6) >= 0.35
-""",
+    oracle=_embedding_near_dup_oracle(),
 )
 def qd06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (L2's semantic variant): exact
-    pairwise cosine above threshold.
-
-    Correctness baseline is the exact all-pairs form (the embeddings
-    table is a fixed 500-vector panel at every SF); the 100 TB path is
-    the same threshold applied to LSH candidates (similarity.py
-    ``ann_lsh_topk`` dataflow) instead of the cross join.
-    """
-    from event_stream_aggr_spark.operators.similarity import dot, norm
+    """Embedding-cosine near-dup pairs (L2's semantic variant), routed
+    through LSH candidates — the 100 TB dataflow: bucket every vector
+    (narrow map), self-equi-join on (table, bucket), exact cosine only
+    on candidates. No cross join anywhere in the plan; the oracle
+    replays the identical bucketing in SQL, so the check is exact.
+    tests/test_similarity.py measures candidate recall vs the exact
+    all-pairs baseline."""
+    from event_stream_aggr_spark.operators.similarity import embedding_near_dup_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.35)
-    )
+    return embedding_near_dup_lsh(emb, dim=64, threshold=0.35)
 
 
 @register(
@@ -487,38 +489,85 @@ def qd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@register(
-    "qd09_edit_distance_near_dup",
-    tags=("dedup", "text"),
-    oracle="""
-SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 3
-""",
-)
+#: qd09 banding: 32-bit name SimHash split into 4 bands of 8 bits.
+EDIT_DUP_BANDS = 4
+EDIT_DUP_BAND_BITS = 8
+
+
+def _edit_distance_oracle(max_dist: int = 3) -> str:
+    mask = (1 << EDIT_DUP_BAND_BITS) - 1
+    band_values = ", ".join(f"({b})" for b in range(EDIT_DUP_BANDS))
+    return f"""
+WITH {_simhash_sig_ctes("part", "p_partkey", "p_name")},
+banded AS (
+  SELECT p.p_partkey, p.p_brand, bb.b AS band,
+         (s.simhash >> ({EDIT_DUP_BAND_BITS} * bb.b)) & {mask} AS v
+  FROM part p JOIN sigs s ON p.p_partkey = s.id
+  CROSS JOIN (VALUES {band_values}) AS bb(b)),
+cand AS (
+  SELECT DISTINCT a.p_partkey AS key_a, b.p_partkey AS key_b
+  FROM banded a JOIN banded b
+    ON a.p_brand = b.p_brand AND a.band = b.band AND a.v = b.v
+   AND a.p_partkey < b.p_partkey)
+SELECT c.key_a, c.key_b,
+       CAST(levenshtein(pa.p_name, pb.p_name) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN part pa ON c.key_a = pa.p_partkey
+JOIN part pb ON c.key_b = pb.p_partkey
+WHERE levenshtein(pa.p_name, pb.p_name) <= {max_dist}
+"""
+
+
+@register("qd09_edit_distance_near_dup", tags=("dedup", "text"), oracle=_edit_distance_oracle())
 def qd09_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup (the character-level complement of
-    Jaccard/MinHash): Levenshtein <= 3 within brand blocks. Levenshtein
-    is O(len^2) per pair, so the blocking key does the scale work —
-    at 100 TB the block would be (brand, simhash band) rather than
-    brand alone, the same candidate-generation story as qd04."""
+    Jaccard/MinHash): Levenshtein <= 3 on composite-blocked candidates.
+
+    Levenshtein is O(len^2) per pair, so candidate generation does the
+    scale work: blocks are (brand, SimHash band of the name) — brand
+    alone grows linearly with the corpus, but the 8-bit SimHash band
+    splits each brand block ~256-ways while near-identical names (edit
+    distance <= 3 ⇒ nearly identical token sets ⇒ nearly identical
+    SimHash) still collide on at least one band with high probability.
+    The oracle replays the identical banding in SQL, so the check is
+    exact-match, not approximate."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_brand").alias("brand"),
-        F.col("p_name").alias("name_a"),
+    sig = simhash_signatures(p, id_col="p_partkey", text_col="p_name")
+    mask = (1 << EDIT_DUP_BAND_BITS) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), EDIT_DUP_BAND_BITS * b)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("v"),
+            )
+            for b in range(EDIT_DUP_BANDS)
+        ]
     )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_brand").alias("brand"),
-        F.col("p_name").alias("name_b"),
+    banded = p.join(sig, "p_partkey").select(
+        "p_partkey", "p_brand", F.explode(band_arr).alias("bk")
     )
-    dist = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, "brand")
+    a = banded.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"), "bk"
+    )
+    b = banded.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand"), "bk"
+    )
+    cand = (
+        a.join(b, ["brand", "bk"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", dist.cast("long").alias("edit_dist"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    na = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    nb = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        cand.join(na, "key_a")
+        .join(nb, "key_b")
+        .select(
+            "key_a", "key_b", F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist")
+        )
         .filter(F.col("edit_dist") <= 3)
     )

@@ -86,6 +86,80 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
+def bucket_structs(vec: str, dim: int, planes: int, tables: int) -> Column:
+    """Per-row LSH bucket array: ``tables`` structs of (table id,
+    ``planes``-bit sign-of-projection bucket). Pure fold/zip_with
+    arithmetic — codegen'd, deterministic."""
+    tbls = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            plane = _hyperplane(dim, t * planes + p)
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, w_: x.cast("double") * w_,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        tbls.append(F.struct(F.lit(t).alias("t"), bucket.cast("long").alias("b")))
+    return F.array(*tbls)
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    planes: int = 4,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs routed through LSH candidates — the
+    100 TB dataflow: hash every vector into ``tables`` buckets (narrow
+    map), self-equi-join on (table, bucket), dedupe pairs, exact cosine
+    only on candidates. Never an all-pairs cross join."""
+    b = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(bucket_structs(vec_col, dim, planes, tables)).alias("tb"),
+    )
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), on="tb")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )
+    n = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
+    a_side = n.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_ea"), F.col("_n").alias("_na")
+    )
+    b_side = n.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_eb"), F.col("_n").alias("_nb")
+    )
+    return (
+        cand.join(a_side, "vec_a")
+        .join(b_side, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -109,33 +183,12 @@ def ann_lsh_topk(
     shuffle-hash/broadcast join, never a nested loop. Candidates are
     deduped on (q, c) before the (expensive) exact rerank.
     """
-
-    def bucket_structs(vec: str) -> Column:
-        tbls = []
-        for t in range(tables):
-            bits = []
-            for p in range(planes):
-                plane = _hyperplane(dim, t * planes + p)
-                proj = F.aggregate(
-                    F.zip_with(
-                        F.col(vec),
-                        F.array(*[F.lit(v) for v in plane]),
-                        lambda x, w_: x.cast("double") * w_,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
-            bucket = bits[0]
-            for b in bits[1:]:
-                bucket = bucket + b
-            tbls.append(
-                F.struct(F.lit(t).alias("t"), bucket.cast("long").alias("b"))
-            )
-        return F.array(*tbls)
-
-    qb = queries.select(q_id, q_vec, F.explode(bucket_structs(q_vec)).alias("tb"))
-    cb = corpus.select(c_id, c_vec, F.explode(bucket_structs(c_vec)).alias("tb"))
+    qb = queries.select(
+        q_id, q_vec, F.explode(bucket_structs(q_vec, dim, planes, tables)).alias("tb")
+    )
+    cb = corpus.select(
+        c_id, c_vec, F.explode(bucket_structs(c_vec, dim, planes, tables)).alias("tb")
+    )
     cand = (
         cb.join(F.broadcast(qb.select(q_id, "tb")), "tb")
         .filter(F.col(c_id) != F.col(q_id))
@@ -229,11 +282,11 @@ def qe02_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_oracle(dim: int = 64, k: int = 5, planes: int = 4, tables: int = 4) -> str:
-    """SQL mirror of ``ann_lsh_topk``: the md5-derived hyperplanes are
-    embedded as literals (``repr(float)`` round-trips to the identical
-    double), buckets recomputed per (vector, table), candidates joined
-    on (table, bucket), exact rerank on candidates as in qe01.
+def lsh_bucket_ctes(dim: int = 64, planes: int = 4, tables: int = 4) -> str:
+    """The shared SQL CTE chain recomputing ``bucket_structs`` in
+    DuckDB: hyperplane literals (``repr(float)`` round-trips to the
+    identical double) → per-(vector, table, plane) projection →
+    per-(vector, table) bucket.
 
     Sign-of-projection is the only unrounded float comparison; the
     projections are O(0.1-1) magnitudes, far from the ~1e-16
@@ -243,12 +296,9 @@ def _ann_oracle(dim: int = 64, k: int = 5, planes: int = 4, tables: int = 4) -> 
     for t in range(tables):
         for p in range(planes):
             w = _hyperplane(dim, t * planes + p)
-            rows.extend(
-                f"({t}, {p}, {d}, {w[d]!r})" for d in range(dim)
-            )
+            rows.extend(f"({t}, {p}, {d}, {w[d]!r})" for d in range(dim))
     plane_values = ",\n  ".join(rows)
-    return f"""
-WITH planes(t, p, d, w) AS (VALUES
+    return f"""planes(t, p, d, w) AS (VALUES
   {plane_values}),
 vd AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -262,7 +312,14 @@ buck AS (
   SELECT vec_id, t,
          CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END)
               AS BIGINT) AS b
-  FROM proj GROUP BY vec_id, t),
+  FROM proj GROUP BY vec_id, t)"""
+
+
+def _ann_oracle(dim: int = 64, k: int = 5, planes: int = 4, tables: int = 4) -> str:
+    """SQL mirror of ``ann_lsh_topk``: shared bucket CTEs, candidates
+    joined on (table, bucket), exact rerank on candidates as in qe01."""
+    return f"""
+WITH {lsh_bucket_ctes(dim, planes, tables)},
 cand AS (
   SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
   FROM buck q JOIN buck c ON q.t = c.t AND q.b = c.b

@@ -53,3 +53,42 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     # OR-amplified LSH (6 tables x 4 planes): p=0.9-neighbors collide
     # in >=1 table w.p. ~1-(1-0.9^4)^6 ~ 0.9
     assert recall >= 0.5, f"ANN recall collapsed: {recall}"
+
+
+def test_embedding_near_dup_lsh_recalls_identical_vectors(spark):
+    from event_stream_aggr_spark.operators.similarity import embedding_near_dup_lsh
+
+    # identical vectors always share every bucket → guaranteed candidates
+    base = [0.5, -0.25, 0.125, 1.0]
+    rows = [
+        (0, base),
+        (1, base),                              # exact dup of 0
+        (2, [x + 0.01 for x in base]),          # near dup of 0
+        (3, [-x for x in base]),                # anti-parallel: cos = -1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in embedding_near_dup_lsh(emb, dim=4, threshold=0.9).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) in out and out[(0, 2)] > 0.99
+    assert all(k != (0, 3) and k != (1, 3) for k in out)  # threshold excludes
+
+
+def test_edit_distance_banding_keeps_identical_names(spark, sf_dir):
+    # every exact-duplicate name pair within a brand must survive the
+    # (brand, simhash band) banding: identical text → identical simhash
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    q = load_all()["qd09_edit_distance_near_dup"]
+    got = {(r.key_a, r.key_b) for r in q.fn(spark, sf_dir).collect()}
+    from event_stream_aggr_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(F.col("p_partkey").alias("key_a"), "p_brand", F.col("p_name").alias("n"))
+    b = p.select(F.col("p_partkey").alias("key_b"), "p_brand", F.col("p_name").alias("n"))
+    exact = {
+        (r.key_a, r.key_b)
+        for r in a.join(b, ["p_brand", "n"]).filter(F.col("key_a") < F.col("key_b")).collect()
+    }
+    assert exact <= got
