@@ -26,6 +26,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import DataStreamWriter
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    include_headers: bool = True,
+) -> dict[str, str]:
+    """S1 source options, mirroring consumer.go:5-22 (earliest offsets,
+    6 s session timeout); exposed as a dict so tests can assert parity
+    without a Kafka jar in the container."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "includeHeaders": str(include_headers).lower(),
+        "kafka.session.timeout.ms": "6000",  # consumer.go:7
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -35,17 +57,31 @@ def read_kafka_stream(
     include_headers: bool = True,
 ) -> DataFrame:
     """S1: Kafka source (value: binary, key: binary, headers, timestamp)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("includeHeaders", str(include_headers).lower())
-        .option("kafka.session.timeout.ms", "6000")  # consumer.go:7
+    reader = spark.readStream.format("kafka").options(
+        **kafka_source_options(
+            bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger, include_headers
+        )
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load()
+
+
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_location: str,
+    linger_ms: int = 10,
+    batch_size: int = 65536,
+) -> dict[str, str]:
+    """S2 sink options, mirroring producer.go:7-27 option-for-option."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_location,
+        "kafka.linger.ms": str(linger_ms),  # producer.go:12
+        "kafka.batch.size": str(batch_size),  # producer.go:13
+        "kafka.acks": "all",  # producer.go:14
+        "kafka.enable.idempotence": "true",  # producer.go:10
+    }
 
 
 def write_kafka_stream(
@@ -62,25 +98,35 @@ def write_kafka_stream(
     source tracking via the checkpoint + at-least-once produce matches
     the reference's delivery contract (SURVEY.md §2.1 S6).
     """
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_location)
-        .option("kafka.linger.ms", str(linger_ms))  # producer.go:12
-        .option("kafka.batch.size", str(batch_size))  # producer.go:13
-        .option("kafka.acks", "all")  # producer.go:14
-        .option("kafka.enable.idempotence", "true")  # producer.go:10
+    return df.writeStream.format("kafka").options(
+        **kafka_sink_options(
+            bootstrap_servers, topic, checkpoint_location, linger_ms, batch_size
+        )
     )
 
 
-def decode_protobuf(df: DataFrame, message_name: str, desc_file_path: str) -> DataFrame:
-    """S3: value binary → SensorEvent struct via from_protobuf
-    (schema.go:23-34 analogue; needs a compiled descriptor for
-    protos/sensor_event.proto)."""
+def decode_protobuf(
+    df: DataFrame, message_name: str = "pb.SensorEvent", desc_file_path: str | None = None
+) -> DataFrame:
+    """S3 JVM fast path: value binary → SensorEvent struct via
+    from_protobuf (schema.go:23-34 analogue). The compiled descriptor
+    ships in-repo (tests/fixtures/sensor_event.desc, hand-encoded by
+    sources/protobuf_wire.build_file_descriptor_set — byte-for-byte
+    asserted in tests); this container lacks the spark-protobuf jar, so
+    tests execute the same contract through
+    protobuf_wire.decode_sensor_events_py instead."""
     from pyspark.sql import functions as F
     from pyspark.sql.protobuf.functions import from_protobuf
 
+    if desc_file_path is None:
+        import os
+
+        desc_file_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "tests",
+            "fixtures",
+            "sensor_event.desc",
+        )
     return df.select(
         from_protobuf(F.col("value"), message_name, descFilePath=desc_file_path).alias(
             "event"
