@@ -58,9 +58,36 @@ def main() -> None:
                 "queries": timings,
                 "sf": infer_sf(SF_DIR),
                 "streaming": stream_bench(spark),
+                "deltas_vs_prev_round": prev_round_deltas(timings),
             }
         )
     )
+
+
+def prev_round_deltas(timings: dict[str, float]) -> dict:
+    """Per-query change vs the most recent driver-recorded BENCH_r*.json
+    (positive pct = slower than last round). Run-to-run variance on this
+    box is ~±25%, so only large deltas are signal."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not rounds:
+        return {}
+    try:
+        with open(rounds[-1]) as f:
+            prev = json.load(f).get("parsed", {}).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+    out = {"baseline": os.path.basename(rounds[-1]), "pct": {}}
+    for name, sec in timings.items():
+        if name in prev and prev[name] > 0:
+            out["pct"][name] = round(100.0 * (sec - prev[name]) / prev[name], 1)
+    return out
 
 
 def stream_bench(spark, n_events: int = 20_000, metrics_per_event: int = 3) -> dict:

@@ -299,7 +299,7 @@ WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
 """
 
 
-@register("qd04_minhash_lsh_pairs", tags=("dedup",), oracle=_lsh_oracle())
+@register("qd04_minhash_lsh_pairs", bench=True, tags=("dedup",), oracle=_lsh_oracle())
 def qd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate pairs + exact-Jaccard verification.
 

@@ -343,7 +343,7 @@ SELECT qid, cid, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
-@register("qe03_ann_lsh_topk", tags=("similarity", "approx"), oracle=_ann_oracle())
+@register("qe03_ann_lsh_topk", bench=True, tags=("similarity", "approx"), oracle=_ann_oracle())
 def qe03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (L3 scale path). The hyperplanes
     are deterministic md5 arithmetic, so the oracle replays the exact

@@ -325,6 +325,7 @@ def q09_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_running_totals",
+    bench=True,
     tags=("window",),
     oracle=f"""
 SELECT o_custkey, o_orderkey,
