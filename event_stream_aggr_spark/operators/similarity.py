@@ -160,6 +160,57 @@ def embedding_near_dup_lsh(
     )
 
 
+def ann_lsh_topk_self(
+    emb: DataFrame,
+    query_pred: Column,
+    dim: int,
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ann_lsh_topk`` for the common self-search shape (queries are a
+    predicate over the corpus): the corpus is bucketed ONCE and the
+    query side is a filter of the bucketed frame, halving both the
+    bucketing work and the codegen'd expression size. Result is
+    identical to ``ann_lsh_topk(corpus.filter(pred), corpus, ...)``."""
+    b = emb.select(
+        F.col(id_col),
+        F.explode(bucket_structs(vec_col, dim, planes, tables)).alias("tb"),
+    )
+    qb = b.filter(query_pred).select(F.col(id_col).alias("qid"), "tb")
+    cand = (
+        b.join(F.broadcast(qb), "tb")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", F.col(id_col).alias("cid"))
+        .distinct()
+    )
+    n = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
+    qn = n.filter(query_pred).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qe"), F.col("_n").alias("_qnorm")
+    )
+    cn = n.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_ce"), F.col("_n").alias("_cnorm")
+    )
+    scored = (
+        cand.join(F.broadcast(qn), "qid")
+        .join(cn, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("_qe"), F.col("_ce")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -349,10 +400,7 @@ def qe03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deterministic md5 arithmetic, so the oracle replays the exact
     bucketing + candidate join + rerank in SQL — hash-checked.
     tests/test_similarity.py additionally measures recall vs the exact
-    baseline."""
+    baseline. Uses the self-search form (queries ⊂ corpus): the corpus
+    is bucketed once and reused for both sides."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    return ann_lsh_topk(q, c, dim=64, k=5, planes=4, tables=4)
+    return ann_lsh_topk_self(emb, F.col("vec_id") < 8, dim=64, k=5, planes=4, tables=4)

@@ -72,3 +72,20 @@ def test_snort_flatten_is_narrow(spark):
 def test_q38_enrichment_keeps_fact_unshuffled(spark, sf_dir, specs):
     plan = _plan(specs["q38_enrichment_join"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_lsh_dataflows_never_cartesian(spark, sf_dir):
+    # the L2/L3 scale criticism from round 1: candidate generation must
+    # be bucketed equi-joins, never an all-pairs product
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    specs = load_all()
+    for name in (
+        "qd04_minhash_lsh_pairs",
+        "qd06_embedding_near_dup",
+        "qd09_edit_distance_near_dup",
+        "qe03_ann_lsh_topk",
+    ):
+        plan = specs[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
