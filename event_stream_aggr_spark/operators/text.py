@@ -216,3 +216,106 @@ def qt05_bpe_style_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_subword_tokens"),
         (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_subword_tokens"),
     )
+
+
+@register(
+    "qt06_repetition_stats",
+    tags=("text",),
+    oracle="""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tok,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT) AS n_dist
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_dist) AS BIGINT) AS total_distinct,
+       1 - CAST(SUM(n_dist) AS DOUBLE) / SUM(n_tok) AS corpus_repetition,
+       MAX(1 - CAST(n_dist AS DOUBLE) / n_tok) AS max_doc_repetition
+FROM per_doc GROUP BY lang
+""",
+)
+def qt06_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (L4): repeated-token ratio per document
+    (1 - distinct/total), aggregated per language — the signal used to
+    drop boilerplate/spam from training corpora.
+
+    Determinism: the corpus ratio is ONE division of two exact integer
+    sums; the per-doc max is a max over single-division doubles —
+    both order-independent, so no rounding is needed anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        token_count(F.col("text")).alias("n_tok"),
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("n_dist"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_dist").alias("total_distinct"),
+        (
+            F.lit(1) - F.sum("n_dist").cast("double") / F.sum("n_tok")
+        ).alias("corpus_repetition"),
+        F.max(
+            F.lit(1) - F.col("n_dist").cast("double") / F.col("n_tok")
+        ).alias("max_doc_repetition"),
+    )
+
+
+VOCAB_K = 20
+
+
+@register(
+    "qt07_vocab_oov_rate",
+    tags=("text",),
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT {VOCAB_K})),
+flagged AS (
+  SELECT lang,
+         CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END AS iv
+  FROM toks)
+SELECT lang,
+       COUNT(*) AS total_tokens,
+       CAST(SUM(iv) AS BIGINT) AS in_vocab_tokens,
+       CAST(COUNT(*) - SUM(iv) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM flagged GROUP BY lang
+""",
+)
+def qt07_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning (L4): build the top-K corpus vocabulary
+    (count desc, token asc — unique tiebreak), broadcast it back, and
+    measure the out-of-vocabulary occurrence rate per language — the
+    tokenizer-coverage metric of a training pipeline.
+
+    Scale shape: the vocab is a K-row broadcast; the token stream never
+    shuffles for the membership test (map-side join), only the tiny
+    per-lang partial sums shuffle. The OOV rate is one division of
+    exact integer sums → deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_K)
+        .select("token", F.lit(1).alias("iv"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "token", "left").select(
+        "lang", F.coalesce(F.col("iv"), F.lit(0)).alias("iv")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum("iv").cast("long").alias("in_vocab_tokens"),
+        (
+            (F.count(F.lit(1)) - F.sum("iv")).cast("double") / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
