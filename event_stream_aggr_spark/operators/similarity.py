@@ -404,3 +404,143 @@ def qe03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bucketed once and reused for both sides."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk_self(emb, F.col("vec_id") < 8, dim=64, k=5, planes=4, tables=4)
+
+
+IVF_NPROBE = 2
+
+
+def ivf_assignments(emb: DataFrame, nprobe: int = 1) -> DataFrame:
+    """IVF coarse quantization: per-label centroids (the qe02
+    computation) as the cell list, every vector assigned to its
+    ``nprobe`` nearest cells by squared L2 distance.
+
+    Scale shape: centroids are a |cells|-row broadcast; assignment is a
+    narrow map over the corpus (|N| x |cells| distance folds, no
+    shuffle of the vectors); only (vec_id, cell) pairs shuffle.
+    Distances are sequential-fold doubles rounded to 6 with the cell id
+    as tiebreak — the qe01/qe02-proven determinism recipe.
+    """
+    dims = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+    centroid = dims.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("cx"))
+    cent_arr = centroid.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+        ).alias("cvec")
+    )
+    sq_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cvec"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", F.col("label").alias("cell"), sq_dist.alias("d"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "cell")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= nprobe)
+        .select("vec_id", "cell", "rnk")
+    )
+
+
+def _ivf_oracle(k: int = 5, nprobe: int = IVF_NPROBE) -> str:
+    return f"""
+WITH vd AS (
+  SELECT vec_id, label, u.pos, u.x::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u),
+centroid AS (
+  SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM vd GROUP BY label, pos),
+dist AS (
+  SELECT v.vec_id, c.label AS cell,
+         ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6) AS d
+  FROM vd v JOIN centroid c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.label),
+cells AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rnk
+  FROM dist),
+corpus_cell AS (SELECT vec_id AS cid, cell FROM cells WHERE rnk = 1),
+query_cells AS (SELECT vec_id AS qid, cell FROM cells
+                WHERE rnk <= {nprobe} AND vec_id < 8),
+cand AS (
+  SELECT DISTINCT q.qid, c.cid
+  FROM query_cells q JOIN corpus_cell c USING (cell)
+  WHERE c.cid <> q.qid),
+pairs AS (
+  SELECT cand.qid, cand.cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a,
+                                         unnest(ec.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(ec.embedding)::DOUBLE AS b)) AS nc
+  FROM cand
+  JOIN embeddings eq ON cand.qid = eq.vec_id
+  JOIN embeddings ec ON cand.cid = ec.vec_id),
+ranked AS (
+  SELECT qid, cid, ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS BIGINT)
+           AS rank
+  FROM pairs)
+SELECT qid, cid, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("qe04_ivf_topk", tags=("similarity", "approx"), oracle=_ivf_oracle())
+def qe04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (L3's second scale path, complementing qe03's LSH):
+    per-label centroids as the coarse quantizer, corpus vectors
+    assigned to their nearest cell, queries probing the nprobe=2
+    nearest cells, exact cosine rerank on cell-collided candidates
+    only. The oracle replays centroids, assignment, probing, and rerank
+    in SQL — exact-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one assignment pass with the FULL-corpus centroids; corpus keeps
+    # its nearest cell, queries keep the nprobe nearest
+    cells = ivf_assignments(emb, nprobe=IVF_NPROBE)
+    corpus_cell = cells.filter(F.col("rnk") == 1).select(
+        F.col("vec_id").alias("cid"), "cell"
+    )
+    query_cells = cells.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+    cand = (
+        query_cells.join(corpus_cell, "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    n = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("_n"))
+    qn = n.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qe"),
+                  F.col("_n").alias("_qnorm"))
+    cn = n.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("_ce"),
+                  F.col("_n").alias("_cnorm"))
+    scored = (
+        cand.join(F.broadcast(qn), "qid")
+        .join(cn, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("_qe"), F.col("_ce")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= 5)
+    )

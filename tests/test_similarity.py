@@ -92,3 +92,17 @@ def test_edit_distance_banding_keeps_identical_names(spark, sf_dir):
         for r in a.join(b, ["p_brand", "n"]).filter(F.col("key_a") < F.col("key_b")).collect()
     }
     assert exact <= got
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    specs = load_all()
+    exact = {(r.qid, r.cid) for r in specs["qe01_cosine_topk"].fn(spark, sf_dir).collect()}
+    ivf = {(r.qid, r.cid) for r in specs["qe04_ivf_topk"].fn(spark, sf_dir).collect()}
+    recall = len(exact & ivf) / len(exact)
+    # nprobe=2 of 10 cells probes ~20% of the corpus; random candidates
+    # would land ~0.2 recall — require clearly better than chance (the
+    # synthetic embeddings are only loosely label-clustered at sf0.001)
+    assert recall >= 0.3, recall
+    assert len(ivf) == 40  # 8 queries x top-5
