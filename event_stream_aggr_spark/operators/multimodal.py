@@ -118,3 +118,34 @@ def qm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.element_at("features", 3)).alias("sum_feat_lenmod"),
         F.sum(F.element_at("features", 4)).alias("sum_feat_headmod"),
     )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """L5 ingest: a directory of media files → multimodal rows via the
+    built-in ``binaryFile`` source (path/length/content bound by the
+    format, predicate pushdown on path/length works at the source).
+
+    ``pathGlobFilter`` prunes by extension BEFORE reading content —
+    at 100 TB the filter must act on file listings, not loaded bytes.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.element_at(F.split(F.col("path"), r"\."), -1)
+    mime = (
+        F.when(ext == "txt", F.lit("text/plain"))
+        .when(ext.isin("jpg", "jpeg"), F.lit("image/jpeg"))
+        .when(ext == "png", F.lit("image/png"))
+        .when(ext == "wav", F.lit("audio/wav"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return raw.select(
+        F.abs(F.xxhash64("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("path").alias("uri"),
+            mime.alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

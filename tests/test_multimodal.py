@@ -43,3 +43,24 @@ def test_metadata_scan_prunes_payload_column(spark, tmp_path):
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "payload" not in read_schema[0]
+
+
+def test_binaryfile_ingest_to_features(spark, tmp_path):
+    from event_stream_aggr_spark.operators.multimodal import (
+        decode_features,
+        read_binary_files,
+    )
+
+    (tmp_path / "a.txt").write_bytes(b"hello world")
+    (tmp_path / "b.png").write_bytes(b"\x89PNG fake")
+    (tmp_path / "skip.bin").write_bytes(b"xx")
+    mm = read_binary_files(spark, str(tmp_path), glob="*.{txt,png}")
+    rows = {r.meta.uri.rsplit("/", 1)[-1]: r for r in mm.collect()}
+    assert set(rows) == {"a.txt", "b.png"}  # pathGlobFilter pruned skip.bin
+    assert rows["a.txt"].meta.mime == "text/plain"
+    assert rows["b.png"].meta.mime == "image/png"
+    assert rows["a.txt"].meta.n_bytes == 11
+    assert bytes(rows["b.png"].payload) == b"\x89PNG fake"
+    feats = {r.mime: r.features for r in decode_features(mm).collect()}
+    assert feats["text/plain"][0] == 11.0          # n_bytes feature
+    assert feats["image/png"][1] == float(0x89)    # first-byte feature

@@ -89,3 +89,12 @@ def test_lsh_dataflows_never_cartesian(spark, sf_dir):
         plan = specs[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_vocab_membership_join_is_broadcast(spark, sf_dir):
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    q = load_all()["qt07_vocab_oov_rate"]
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan      # vocab rides the broadcast
+    assert "SortMergeJoin" not in plan      # token stream never shuffles to join
