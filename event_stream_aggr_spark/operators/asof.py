@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -36,6 +36,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str],
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Left as-of-backward join: for each left row, the right row with the
     greatest ``right_ts`` <= ``left_ts`` within the same ``on`` keys.
@@ -43,6 +44,11 @@ def asof_join(
     ``right_cols`` are the right-side columns to carry (may include
     ``right_ts`` itself). Left rows with no prior right row keep NULLs
     (LEFT ASOF semantics).
+
+    ``tolerance`` (same numeric unit as the ts columns, e.g. epoch
+    seconds) rejects matches older than ``left_ts - tolerance`` — the
+    ``pd.merge_asof(tolerance=...)`` contract: too-stale matches become
+    NULLs, the left row is kept.
     """
     on = list(on)
     right_cols = list(right_cols)
@@ -95,11 +101,17 @@ def asof_join(
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}") for c in carry],
     )
 
+    def gate(col: Column) -> Column:
+        if tolerance is None:
+            return col
+        fresh = (F.col("_ts") - F.col("_asof_ts")) <= F.lit(tolerance)
+        return F.when(F.col("_asof_ts").isNotNull() & fresh, col)
+
     out_cols = (
         on
         + [F.col("_ts").alias(left_ts)]
         + [c for c in left.columns if c not in on and c != left_ts]
-        + [F.col("_asof_ts").alias(right_ts)]
-        + [F.col(f"_asof_{c}").alias(c) for c in carry]
+        + [gate(F.col("_asof_ts")).alias(right_ts)]
+        + [gate(F.col(f"_asof_{c}")).alias(c) for c in carry]
     )
     return filled.filter(F.col("_is_left") == 1).select(out_cols)

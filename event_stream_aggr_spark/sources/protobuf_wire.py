@@ -241,20 +241,37 @@ def decode_sensor_event(buf: bytes) -> dict:
     return _decode_fields(buf, SENSOR_EVENT_FIELDS)
 
 
-def decode_sensor_events_py(df: DataFrame, value_col: str = "value") -> DataFrame:
+def decode_sensor_events_py(
+    df: DataFrame, value_col: str = "value", on_error: str = "drop"
+) -> DataFrame:
     """S3 executable path: ``value BINARY`` → SENSOR_EVENT_SCHEMA columns
     via Arrow-batched ``mapInPandas`` (the jar-free analogue of
-    ``sources.kafka.decode_protobuf``; schema.go:23-34 semantics)."""
+    ``sources.kafka.decode_protobuf``; schema.go:23-34 semantics).
+
+    ``on_error="drop"`` skips undecodable values (a poison message must
+    not kill an at-least-once pipeline — the reference logs the
+    deserialize error and moves on); ``on_error="fail"`` re-raises for
+    tests/batch audits.
+    """
     import pandas as pd
 
     from event_stream_aggr_spark.schemas import SENSOR_EVENT_SCHEMA
 
+    if on_error not in ("drop", "fail"):
+        raise ValueError(f"on_error must be 'drop' or 'fail', got {on_error!r}")
     names = [f.name for f in SENSOR_EVENT_SCHEMA.fields]
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            decoded = [decode_sensor_event(bytes(b)) for b in pdf[value_col]]
-            yield pd.DataFrame({n: [d[n] for d in decoded] for n in names})
+            decoded = []
+            for b in pdf[value_col]:
+                try:
+                    decoded.append(decode_sensor_event(bytes(b)))
+                except (ValueError, IndexError, UnicodeDecodeError):
+                    if on_error == "fail":
+                        raise
+            if decoded:  # an all-dropped batch must not emit typeless columns
+                yield pd.DataFrame({n: [d[n] for d in decoded] for n in names})
 
     return df.mapInPandas(op, schema=SENSOR_EVENT_SCHEMA)
 

@@ -47,3 +47,17 @@ def test_reserved_internal_names_rejected(spark):
     with pytest.raises(ValueError, match="reserves internal column names"):
         asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
                   right_cols=["rts", "val"])
+
+
+def test_tolerance_rejects_stale_matches(spark):
+    left, right = _dfs(spark)
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    right_cols=["rts", "val"], tolerance=5)
+    got = {(r.k, r.ts): (r.rts, r.val) for r in out.collect()}
+    assert got[(1, 10)] == (10, 100.0)    # gap 0 <= 5: kept
+    assert got[(1, 20)] == (15, 150.0)    # gap 5 <= 5: kept (inclusive)
+    out2 = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                     right_cols=["rts", "val"], tolerance=4)
+    got2 = {(r.k, r.ts): (r.rts, r.val) for r in out2.collect()}
+    assert got2[(1, 20)] == (None, None)  # gap 5 > 4: stale -> NULL, row kept
+    assert len(got2) == 5

@@ -111,3 +111,18 @@ def test_bytes_to_flatten_alerts_roundtrip(spark):
     env = with_kafka_envelope(decoded)
     assert env.filter(F.col("key").isNull()).count() == 0
     assert env.count() == 10
+
+
+def test_poison_message_drop_and_fail(spark):
+    import pytest
+
+    good = encode_sensor_event(make_sensor_event(0, n_metrics=2))
+    poison = b"\x0f\xff\xff"  # wire type 7: undecodable
+    df = spark.createDataFrame(
+        [(bytearray(good),), (bytearray(poison),)], "value binary"
+    )
+    decoded = decode_sensor_events_py(df)  # default: drop
+    assert decoded.count() == 1
+    assert flatten_alerts(decoded).count() == 2
+    with pytest.raises(Exception, match="unsupported wire type"):
+        decode_sensor_events_py(df, on_error="fail").count()

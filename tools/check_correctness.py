@@ -6,7 +6,11 @@ order-insensitive values (strict: exact equality after sorting columns
 by name and rows by all columns; floats compared bit-exactly, with a
 max-abs-diff report when they mismatch).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--tz ZONE] [sf_dir] [query ...]
+
+``--tz Pacific/Kiritimati`` runs Spark under a hostile session timezone
+with driver-like vanilla settings (the driver does NOT use our session
+factory) — the probe that catches tz-dependent expressions.
 """
 
 from __future__ import annotations
@@ -80,14 +84,32 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    tz = None
+    if args and args[0] == "--tz":
+        tz = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from event_stream_aggr_spark.plans.registry import load_all
-    from event_stream_aggr_spark.session import get_spark
 
     specs = load_all()
-    spark = get_spark(app_name="check_correctness", shuffle_partitions=8)
+    if tz:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_correctness_hostile_tz")
+            .config("spark.sql.session.timeZone", tz)
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from event_stream_aggr_spark.session import get_spark
+
+        spark = get_spark(app_name="check_correctness", shuffle_partitions=8)
     con = load_duck(sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
