@@ -272,3 +272,38 @@ def test_running_totals_transform_with_state(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_protobuf_decode_pipeline(spark, tmp_path):
+    # S1-stand-in → S3 decode → envelope, as one streaming query: raw
+    # protobuf VALUE bytes arrive in micro-batches, alerts come out
+    from pyspark.sql import types as T
+
+    from event_stream_aggr_spark.plans.snort import with_kafka_envelope
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.sources.protobuf_wire import (
+        decode_sensor_events_py,
+        encode_sensor_event,
+    )
+    from tests.fixtures import make_sensor_event
+
+    src = str(tmp_path / "pb_stream")
+    events = [make_sensor_event(i, n_metrics=2) for i in range(10)]
+    schema = T.StructType([T.StructField("value", T.BinaryType(), False)])
+    spark.createDataFrame(
+        [(bytearray(encode_sensor_event(e)),) for e in events], schema
+    ).repartition(4).write.parquet(src)
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=2)
+    alerts = with_kafka_envelope(decode_sensor_events_py(stream))
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("pb_alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("pb_alerts").collect()
+    assert len(out) == 20  # 10 events x 2 metrics
+    assert all(r.key is not None and r.sid >= 1000000 for r in out)
