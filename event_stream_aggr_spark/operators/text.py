@@ -319,3 +319,51 @@ def qt07_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("iv")).cast("double") / F.count(F.lit(1))
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "qt08_bigram_counts",
+    tags=("text",),
+    oracle="""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks)
+SELECT bigram, COUNT(*) AS n
+FROM bi GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 50
+""",
+)
+def qt08_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model statistics (L4): top-50 corpus bigrams.
+    The bigram construction is a pure array expression (sequence +
+    transform over the token array — narrow, codegen'd, no shuffle);
+    only per-bigram partial counts shuffle, proportional to vocab² at
+    worst, not corpus size. Counts are integers → fully deterministic,
+    with the bigram string as the unique tiebreaker."""
+    d = load_table(spark, sf_dir, "documents")
+    # size(t) < 2 guard: Spark's sequence(1, 0) DESCENDS (it is not
+    # empty like DuckDB's generate_series), which would index t[0] and
+    # throw under ANSI — single-token docs must be filtered out, which
+    # also matches the oracle (empty list → no rows).
+    bigrams = (
+        d.select(tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )

@@ -307,3 +307,43 @@ def test_streaming_protobuf_decode_pipeline(spark, tmp_path):
     out = spark.table("pb_alerts").collect()
     assert len(out) == 20  # 10 events x 2 metrics
     assert all(r.key is not None and r.sid >= 1000000 for r in out)
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    # S6: source progress lives in the checkpoint — a restarted query
+    # must process only NEW files, never re-deliver consumed ones
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("k", T.LongType(), False)])
+
+    def run_once():
+        stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(i,) for i in range(5)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    spark.createDataFrame([(i,) for i in range(5, 10)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()  # same checkpoint: must pick up ONLY the new file
+
+    got = spark.read.parquet(out)
+    assert got.count() == 10                       # nothing lost...
+    assert got.select("k").distinct().count() == 10  # ...nothing re-delivered
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(10))

@@ -39,3 +39,21 @@ def test_fingerprint_order_and_case_invariant(spark):
     f3 = _one(spark, fingerprint(F.col("text")), "alpha beta delta")
     assert f1 == f2
     assert f1 != f3
+
+
+def test_bigrams_single_token_doc_is_safe(spark):
+    from event_stream_aggr_spark.plans.registry import load_all  # noqa: F401
+    from pyspark.sql import functions as F
+    from event_stream_aggr_spark.operators.text import tokens
+
+    d = spark.createDataFrame([("one",), ("",), ("a b a",)], "text string")
+    bigrams = (
+        d.select(tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        )).alias("bigram"))
+    )
+    got = sorted(r.bigram for r in bigrams.collect())
+    assert got == ["a b", "b a"]  # 1-token and empty docs contribute nothing
