@@ -72,12 +72,14 @@ def prev_round_deltas(timings: dict[str, float]) -> dict:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
-    if not rounds:
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:  # ignore stray non-round files (BENCH_rerun.json etc.)
+            numbered.append((int(m.group(1)), p))
+    if not numbered:
         return {}
+    rounds = [p for _, p in sorted(numbered)]
     try:
         with open(rounds[-1]) as f:
             prev = json.load(f).get("parsed", {}).get("queries", {})

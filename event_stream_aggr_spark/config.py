@@ -72,5 +72,10 @@ def load_config(
 
 def _coerce(raw: object, current: object) -> object:
     if isinstance(current, int) and not isinstance(raw, int):
-        return int(str(raw))
+        # viper GetInt parity: unparsable/empty values coerce to the
+        # zero value instead of crashing startup (cast.ToInt semantics)
+        try:
+            return int(str(raw))
+        except ValueError:
+            return 0
     return raw

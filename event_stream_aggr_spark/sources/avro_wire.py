@@ -105,9 +105,26 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _is_null(value: Any) -> bool:
+    """Null under Arrow→pandas conventions: None, pd.NA, or NaN (a
+    nullable int64 column crossing mapInPandas becomes float64 with
+    NaN for the nulls — the dtype Spark hands us, so NaN in a union
+    column means SQL NULL, not a float payload)."""
+    if value is None:
+        return True
+    if isinstance(value, float) and value != value:
+        return True
+    try:
+        import pandas as pd
+
+        return value is pd.NA
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def _encode(value: Any, schema: Any) -> bytes:
     if isinstance(schema, list):  # union: zigzag index then value
-        if value is None:
+        if _is_null(value):
             idx = schema.index("null")
             return _write_long(idx)
         idx = next(i for i, s in enumerate(schema) if s != "null")
@@ -186,6 +203,11 @@ def _decode(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
         width, fmt = (8, "<d") if schema == "double" else (4, "<f")
         return _s.unpack(fmt, buf[pos : pos + width])[0], pos + width
     raise TypeError(f"unsupported Avro type {schema!r}")
+
+
+#: Public alias: Confluent's protobuf message-index framing uses this
+#: same zigzag-varint encoding (sources/registry.py imports it).
+write_zigzag_varint = _write_long
 
 
 def encode_record(value: dict, schema: dict) -> bytes:

@@ -110,7 +110,7 @@ def decode_protobuf(
 ) -> DataFrame:
     """S3 JVM fast path: value binary → SensorEvent struct via
     from_protobuf (schema.go:23-34 analogue). The compiled descriptor
-    ships in-repo (tests/fixtures/sensor_event.desc, hand-encoded by
+    ships as package data (resources/sensor_event.desc, hand-encoded by
     sources/protobuf_wire.build_file_descriptor_set — byte-for-byte
     asserted in tests); this container lacks the spark-protobuf jar, so
     tests execute the same contract through
@@ -122,9 +122,8 @@ def decode_protobuf(
         import os
 
         desc_file_path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "tests",
-            "fixtures",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
             "sensor_event.desc",
         )
     return df.select(

@@ -168,12 +168,21 @@ def iter_fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
             yield field, wt, v
         elif wt == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > len(buf):  # slice would clamp: corrupt data must FAIL
+                raise ValueError(
+                    f"truncated length-delimited field {field}: declares {ln} bytes, "
+                    f"{len(buf) - pos} remain"
+                )
             yield field, wt, buf[pos : pos + ln]
             pos += ln
         elif wt == 1:
+            if pos + 8 > len(buf):
+                raise ValueError(f"truncated fixed64 field {field}")
             yield field, wt, buf[pos : pos + 8]
             pos += 8
         elif wt == 5:
+            if pos + 4 > len(buf):
+                raise ValueError(f"truncated fixed32 field {field}")
             yield field, wt, buf[pos : pos + 4]
             pos += 4
         else:
@@ -267,7 +276,11 @@ def decode_sensor_events_py(
             for b in pdf[value_col]:
                 try:
                     decoded.append(decode_sensor_event(bytes(b)))
-                except (ValueError, IndexError, UnicodeDecodeError):
+                except Exception:
+                    # any malformation counts as poison (wrong wire type
+                    # raises TypeError/AttributeError, truncation
+                    # ValueError, short varint IndexError, bad utf-8
+                    # UnicodeDecodeError): drop mode must survive all
                     if on_error == "fail":
                         raise
             if decoded:  # an all-dropped batch must not emit typeless columns

@@ -26,33 +26,21 @@ import struct
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from event_stream_aggr_spark.sources.avro_wire import write_zigzag_varint
+
 MAGIC_BYTE = 0
-
-
-def _zigzag(n: int) -> int:
-    return (n << 1) ^ (n >> 63)
-
-
-def _varint_bytes(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
 
 
 def protobuf_message_index_bytes(indexes: list[int]) -> bytes:
     """Confluent protobuf message-index encoding: zigzag varint count
-    then zigzag varint indexes; [0] compresses to the single byte 0."""
+    then zigzag varint indexes ([0] compresses to the single byte 0) —
+    the same zigzag-varint primitive Avro uses, so it is shared with
+    avro_wire rather than re-implemented."""
     if indexes == [0]:
         return b"\x00"
-    out = _varint_bytes(_zigzag(len(indexes)))
+    out = write_zigzag_varint(len(indexes))
     for i in indexes:
-        out += _varint_bytes(_zigzag(i))
+        out += write_zigzag_varint(i)
     return out
 
 

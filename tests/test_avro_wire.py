@@ -76,3 +76,26 @@ def test_alert_avro_roundtrip_through_spark(spark):
         assert d["metadata"]["sensor_id"] == orig.metadata.sensor_id
         assert d["metadata"]["sent_at"] == orig.metadata.sent_at
         assert d["src_addr"] == orig.src_addr
+
+
+def test_nullable_long_with_nulls_survives_arrow_nan(spark):
+    # Arrow→pandas turns nullable int64 into float64+NaN; NaN in a
+    # union column must encode as Avro null, not crash int()
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "y", 7)], "sid long, msg string, ttl long"
+    )
+    from pyspark.sql import types as T
+
+    schema = avro_schema_of(
+        T.StructType([
+            T.StructField("sid", T.LongType(), True),
+            T.StructField("msg", T.StringType(), True),
+            T.StructField("ttl", T.LongType(), True),
+        ])
+    )
+    decoded = {
+        d["sid"]: d
+        for d in (decode_record(bytes(r.value), schema) for r in encode_avro_py(df).collect())
+    }
+    assert decoded[1] == {"sid": 1, "msg": "x", "ttl": None}
+    assert decoded[2] == {"sid": 2, "msg": "y", "ttl": 7}

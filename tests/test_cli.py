@@ -70,3 +70,11 @@ def test_module_entry_smoke(tmp_path):
     assert conf["input_kafka_topic"] == "events_in"       # flag
     assert conf["output_kafka_topic"] == "alerts_override"  # env
     assert conf["kafka_brokers"] == "localhost:9092"        # default
+
+
+def test_unparsable_int_coerces_to_zero_like_viper(tmp_path):
+    c = load_config(
+        environ={"MAX_WORKERS": "", "LOG_INTERVAL": "ten"},
+        dotenv_path=str(tmp_path / "none.env"),
+    )
+    assert c.max_workers == 0 and c.log_interval == 0

@@ -20,7 +20,11 @@ from event_stream_aggr_spark.sources.protobuf_wire import (
 )
 from tests.fixtures import make_sensor_event
 
-DESC_PATH = os.path.join(os.path.dirname(__file__), "fixtures", "sensor_event.desc")
+import event_stream_aggr_spark
+
+DESC_PATH = os.path.join(
+    os.path.dirname(event_stream_aggr_spark.__file__), "resources", "sensor_event.desc"
+)
 
 
 def test_wire_golden_bytes_handcrafted():
@@ -126,3 +130,28 @@ def test_poison_message_drop_and_fail(spark):
     assert flatten_alerts(decoded).count() == 2
     with pytest.raises(Exception, match="unsupported wire type"):
         decode_sensor_events_py(df, on_error="fail").count()
+
+
+def test_wrong_wire_type_is_poison_not_crash(spark):
+    import pytest
+
+    good = encode_sensor_event(make_sensor_event(0, n_metrics=1))
+    cases = [
+        b"\x10\x01",    # event_hash_sha256 (string field) sent as varint
+        b"\x1a\x02hi",  # event_metrics_count (int64 field) sent as len-delim
+        b"\x2a\x0ahi",  # sensor_id declares len 10, only 2 bytes present
+    ]
+    df = spark.createDataFrame(
+        [(bytearray(good),)] + [(bytearray(c),) for c in cases], "value binary"
+    )
+    assert decode_sensor_events_py(df).count() == 1  # drop mode survives all
+    for c in cases:
+        with pytest.raises(Exception):
+            decode_sensor_event(c)  # and none decodes silently
+
+
+def test_truncated_field_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_sensor_event(b"\x2a\x0ahi")
