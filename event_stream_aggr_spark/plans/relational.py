@@ -1500,3 +1500,70 @@ def q47_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         """
     )
+
+
+@register(
+    "q48_event_funnel",
+    tags=("agg", "time", "sequence"),
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT CAST(1 + (CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_stage,
+       COUNT(*) AS n_users
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+GROUP BY reached_stage
+""",
+)
+def q48_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence (funnel) detection: view → later click → later
+    purchase per user, reporting how many users reach each stage — the
+    MATCH_RECOGNIZE-style pattern query of product analytics.
+
+    Scale shape: every stage joins and aggregates on user_id, so the
+    three stages reuse ONE hash partitioning (Catalyst's exchange reuse
+    — no extra shuffles per stage); event-time minima are exact, counts
+    are integers → fully deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = (
+        s1.join(s2.select("user_id", F.lit(1).alias("_r2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("_r3")), "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.coalesce(F.col("_r2"), F.lit(0))
+                + F.coalesce(F.col("_r3"), F.lit(0))
+            ).cast("long").alias("reached_stage")
+        )
+    )
+    return funnel.groupBy("reached_stage").agg(F.count(F.lit(1)).alias("n_users"))
