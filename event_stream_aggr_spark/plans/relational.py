@@ -1530,40 +1530,58 @@ def q48_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase per user, reporting how many users reach each stage — the
     MATCH_RECOGNIZE-style pattern query of product analytics.
 
-    Scale shape: every stage joins and aggregates on user_id, so the
-    three stages reuse ONE hash partitioning (Catalyst's exchange reuse
-    — no extra shuffles per stage); event-time minima are exact, counts
-    are integers → fully deterministic.
+    Scale shape: ONE shuffle. Events group once by user_id; the staged
+    minima come from a sequential fold over the time-sorted per-user
+    array (first qualifying element == minimum qualifying timestamp, so
+    the fold is semantically identical to the oracle's three staged
+    MIN-joins, which would shuffle the event table three times). The
+    per-user array is session-scale (bounded per user); a pathological
+    hot user would be handled by salting, like any skewed key.
+    Timestamps compare exactly and counts are integers → deterministic.
     """
     e = load_table(spark, sf_dir, "events")
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    ev = e.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", F.struct("ts", "event_type").alias("s")
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("arr")
     )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    ts_t = e.schema["ts"].dataType.simpleString()
+    state0 = F.struct(
+        F.lit(None).cast(ts_t).alias("t1"),
+        F.lit(None).cast(ts_t).alias("t2"),
+        F.lit(None).cast(ts_t).alias("t3"),
     )
-    funnel = (
-        s1.join(s2.select("user_id", F.lit(1).alias("_r2")), "user_id", "left")
-        .join(s3.select("user_id", F.lit(1).alias("_r3")), "user_id", "left")
-        .select(
-            (
-                F.lit(1)
-                + F.coalesce(F.col("_r2"), F.lit(0))
-                + F.coalesce(F.col("_r3"), F.lit(0))
-            ).cast("long").alias("reached_stage")
-        )
+    folded = F.aggregate(
+        F.col("arr"),
+        state0,
+        lambda st, x: F.struct(
+            F.when(
+                st.t1.isNull() & (x.event_type == "view"), x.ts
+            ).otherwise(st.t1).alias("t1"),
+            F.when(
+                st.t2.isNull()
+                & st.t1.isNotNull()
+                & (x.event_type == "click")
+                & (x.ts > st.t1),
+                x.ts,
+            ).otherwise(st.t2).alias("t2"),
+            F.when(
+                st.t3.isNull()
+                & st.t2.isNotNull()
+                & (x.event_type == "purchase")
+                & (x.ts > st.t2),
+                x.ts,
+            ).otherwise(st.t3).alias("t3"),
+        ),
     )
-    return funnel.groupBy("reached_stage").agg(F.count(F.lit(1)).alias("n_users"))
+    staged = per_user.select(folded.alias("f")).filter(F.col("f.t1").isNotNull())
+    reached = (
+        F.when(F.col("f.t3").isNotNull(), 3)
+        .when(F.col("f.t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    return staged.select(reached.alias("reached_stage")).groupBy("reached_stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

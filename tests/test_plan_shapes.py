@@ -98,3 +98,16 @@ def test_vocab_membership_join_is_broadcast(spark, sf_dir):
     plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan      # vocab rides the broadcast
     assert "SortMergeJoin" not in plan      # token stream never shuffles to join
+
+
+def test_funnel_single_event_shuffle(spark, sf_dir):
+    # q48 folds staged minima from one per-user array: the event table
+    # shuffles ONCE (plus the tiny final stage-count agg) — not once
+    # per funnel stage
+    import re
+
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    q = load_all()["q48_event_funnel"]
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
