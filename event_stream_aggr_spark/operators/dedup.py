@@ -571,3 +571,93 @@ def qd09_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+#: 13-gram overlap is the GPT-3/PaLM decontamination convention.
+DECONTAM_NGRAM = 13
+#: Deterministic held-out "benchmark" slice: every 50th document.
+DECONTAM_EVAL_MOD = 50
+
+
+def ngram_hashes(text: Column, n: int = DECONTAM_NGRAM) -> Column:
+    """md5 hashes of the positional word n-grams of ``text``.
+
+    Pure array expression (split -> sequence -> slice -> md5): narrow,
+    codegen'd, no shuffle. Guarded for short docs because Spark's
+    ``sequence(1, 0)`` DESCENDS instead of returning empty (unlike
+    DuckDB's generate_series).
+    """
+    t = F.filter(F.split(text, " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _decontam_oracle(n: int = DECONTAM_NGRAM, mod: int = DECONTAM_EVAL_MOD) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> md5(array_to_string(t[i:i + {n - 1}], ' ')))) AS g
+  FROM toks),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % {mod} = 0),
+train AS (SELECT * FROM grams WHERE doc_id % {mod} <> 0)
+SELECT train.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS contaminated_ngrams,
+       CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS contamination_rate
+FROM train LEFT JOIN eval_grams e ON train.g = e.g
+GROUP BY train.doc_id
+HAVING SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
+@register("qd10_ngram_decontamination", tags=("dedup", "text"), oracle=_decontam_oracle())
+def qd10_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (L2): flag training documents sharing
+    any 13-gram with a held-out eval slice — the standard pre-training
+    hygiene pass (GPT-3 appendix C uses exactly this shape).
+
+    Scale dataflow: the eval slice is a fixed small fraction of the
+    corpus, so its distinct n-gram hash set broadcasts; the training
+    side streams through a map-side hash probe — NO shuffle of the
+    13-gram stream (which is ~13x corpus size and must never hit the
+    wire). Only the tiny per-doc partial counts shuffle. At 100 TB the
+    eval set of a real pipeline is a few GB of hashes — still broadcast
+    range, or a bucketed join if not. Counts and one division: exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(ngram_hashes(F.col("text"))).alias("g")
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    train = grams.filter(~is_eval)
+    hit = F.when(F.col("eg").isNotNull(), 1).otherwise(0)
+    return (
+        train.join(
+            F.broadcast(eval_grams.withColumn("eg", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(hit).cast("long").alias("contaminated_ngrams"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias(
+                "contamination_rate"
+            ),
+        )
+        .filter(F.col("contaminated_ngrams") > 0)
+        .orderBy("doc_id")
+    )

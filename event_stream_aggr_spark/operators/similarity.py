@@ -544,3 +544,98 @@ def qe04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: per-dimension scalar quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qe05_scalar_quantization",
+    tags=("similarity",),
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, label, u.pos, u.x::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u),
+stats AS (
+  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos),
+coded AS (
+  SELECT label,
+         CAST(FLOOR(((x - mn) / (mx - mn)) * 255) AS BIGINT) AS code,
+         x, mn, mx
+  FROM dims JOIN stats USING (pos)),
+recon AS (
+  SELECT label, code,
+         ABS(x - (mn + (code + 0.5) * ((mx - mn) / 256))) AS err
+  FROM coded)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(MIN(code) AS BIGINT) AS min_code,
+       CAST(MAX(code) AS BIGINT) AS max_code,
+       ROUND(AVG(err), 6) AS mean_abs_err
+FROM recon GROUP BY label ORDER BY label
+""",
+)
+def qe05_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus (L3 storage
+    path): per-dimension min/max calibration -> 8-bit codes -> per-label
+    reconstruction-error report. This is the 4x compression every
+    100 TB vector store applies before ANN serving.
+
+    Scale dataflow: calibration aggregates (pos, min, max) — output is
+    dims-sized (64 rows), computed with partial aggregation, then
+    BROADCAST back onto the dimension stream, so vectors are encoded in
+    a single narrow pass with no vector data shuffled. Determinism: the
+    quantizer is floor() over an identically-ordered IEEE expression
+    ((x-mn)/(mx-mn))*255 — bit-exact cross-engine; only the error MEAN
+    (order-dependent accumulation) is rounded to 6 (the qe02 recipe).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = dims.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = dims.join(F.broadcast(stats), "pos").select(
+        "label",
+        "x",
+        "mn",
+        "mx",
+        F.floor(
+            ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 255
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    recon = coded.select(
+        "label",
+        "code",
+        F.abs(
+            F.col("x")
+            - (
+                F.col("mn")
+                + (F.col("code") + 0.5) * ((F.col("mx") - F.col("mn")) / 256)
+            )
+        ).alias("err"),
+    )
+    return (
+        recon.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+            F.round(F.avg("err"), 6).alias("mean_abs_err"),
+        )
+        .orderBy("label")
+    )

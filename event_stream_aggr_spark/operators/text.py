@@ -367,3 +367,73 @@ def qt08_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "qt09_tfidf_top_terms",
+    tags=("text",),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+""",
+)
+def qt09_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (L4): top-3 characteristic terms per
+    document — the classic relevance/topic signal a curation pipeline
+    attaches before filtering or clustering.
+
+    Scale dataflow: one shuffle builds per-(doc, term) counts; document
+    frequency re-aggregates THAT relation (vocab-sized, tiny) and
+    broadcasts back, so the token stream shuffles exactly once. The
+    corpus size N joins as a broadcast 1-row literal. Per-doc top-k is
+    a window over the (doc, term) relation — partitioned by doc_id, no
+    global sort. ln() is the one transcendental: rounded to 6 decimals
+    in both engines (the qe01/qe02 float recipe), term as tiebreaker.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select(
+            "*", F.row_number().over(w).cast("long").alias("rank")
+        ).filter(F.col("rank") <= TFIDF_TOP_K)
+    )
