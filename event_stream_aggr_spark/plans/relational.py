@@ -1585,3 +1585,191 @@ def q48_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(reached.alias("reached_stage")).groupBy("reached_stage").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery suite (TPC-H Q17/Q21/Q22 shapes on the reduced schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q49_small_quantity_revenue",
+    tags=("join", "agg", "subquery"),
+    oracle=f"""
+WITH pl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#4' AND p_size < 15),
+thr AS (
+  SELECT l_partkey,
+         0.2 * ({_osum('l_quantity')} / COUNT(*)) AS max_qty
+  FROM pl GROUP BY l_partkey)
+SELECT {_osum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM pl JOIN thr USING (l_partkey)
+WHERE l_quantity < max_qty
+""",
+)
+def q49_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated aggregate subquery): revenue from
+    small-quantity orders of one brand's small parts, where "small" is
+    defined relative to each part's own average order quantity.
+
+    Plan: the brand/size filter prunes part to a broadcastable dim; the
+    per-part threshold re-aggregates the already-joined lineitem slice
+    (so lineitem is scanned once, the threshold relation is parts-sized
+    and broadcasts back). The threshold is 0.2*(decimal-sum/count) —
+    the identical expression order in both engines, so the comparison
+    is bit-deterministic. Final sum is DECIMAL -> /7.0 in DOUBLE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 15)
+    )
+    pl = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = pl.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (_dsum(F.col("l_quantity")) / F.count(F.lit(1)))).alias(
+            "max_qty"
+        )
+    )
+    return (
+        pl.join(F.broadcast(thr), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("max_qty"))
+        .agg((_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q50_sole_late_supplier",
+    tags=("join", "subquery", "agg"),
+    oracle="""
+SELECT s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q50_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS correlated subqueries):
+    suppliers who were the ONLY late shipper on finished multi-supplier
+    orders. "Late" adapts to the reduced schema: shipped more than 60
+    days after the order date.
+
+    Plan: both correlated subqueries compile to one left-semi and one
+    left-anti join against the same lineitem relation, each equi on
+    l_orderkey with the <> predicate as a residual — shuffle-hash/SMJ
+    on orderkey, never a nested loop. The orders and supplier dims
+    broadcast. Counts are integers; s_name is the unique tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.join(
+            F.broadcast(
+                load_table(spark, sf_dir, "orders").select(
+                    "o_orderkey", "o_orderdate"
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(late)
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    sole_late = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q51_idle_wealthy_customers",
+    tags=("join", "subquery", "agg"),
+    oracle=f"""
+WITH pos_avg AS (
+  SELECT {_osum('c_acctbal')} / COUNT(*) AS thr
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {_osum('c_acctbal')} AS totacctbal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+CROSS JOIN pos_avg
+WHERE c_acctbal > thr
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q51_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar subquery + NOT EXISTS): customers richer
+    than the positive-balance average with no order since 2000-01-01
+    (lapsed high-value accounts), rolled up by nation.
+
+    Plan: the global average is a 1-row broadcast (scalar subquery ==
+    crossJoin(broadcast(agg))); the lapsed test is a left-anti join
+    shuffled on custkey, with the date predicate pushed into the orders
+    parquet scan so the anti side carries only recent custkeys; nation
+    broadcasts. The threshold is decimal-sum/count in identical
+    expression order both sides; group sums are DECIMAL."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01 00:00:00")
+        .select("o_custkey")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("thr")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
