@@ -1,0 +1,171 @@
+"""Unit + plan-shape tests for the round-2 training-pipeline additions:
+n-gram decontamination (qd10), TF-IDF (qt09), sequence packing (qp01),
+scalar quantization (qe05), and the correlated-subquery suite
+(q49/q50/q51). Value-level correctness is covered by the DuckDB oracle
+harness; these tests pin edge-case semantics and the physical-plan
+properties the 100 TB design depends on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.dedup import DECONTAM_NGRAM, ngram_hashes
+from event_stream_aggr_spark.operators.packing import pack_assignments
+from event_stream_aggr_spark.plans.registry import load_all
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+# -- n-gram decontamination -------------------------------------------------
+
+
+def test_ngram_hashes_short_doc_is_empty(spark):
+    # fewer than n tokens must yield an empty array, not a descending
+    # sequence() blowup (Spark's sequence(1, 0) descends)
+    df = spark.createDataFrame(
+        [Row(text=" ".join(["w"] * (DECONTAM_NGRAM - 1)))]
+    ).select(F.size(ngram_hashes(F.col("text"))).alias("n"))
+    assert df.collect()[0].n == 0
+
+
+def test_ngram_hashes_count_and_positionality(spark):
+    toks = [f"t{i}" for i in range(DECONTAM_NGRAM + 2)]
+    df = spark.createDataFrame([Row(text=" ".join(toks))]).select(
+        ngram_hashes(F.col("text")).alias("g")
+    )
+    grams = df.collect()[0].g
+    assert len(grams) == 3  # n+2 tokens -> 3 positional n-grams
+    assert len(set(grams)) == 3  # distinct positions -> distinct hashes
+
+
+def test_decontam_eval_stream_broadcasts(spark, sf_dir, specs):
+    plan = _plan(specs["qd10_ngram_decontamination"].fn(spark, sf_dir))
+    # the eval n-gram set must be the broadcast side: the 13x-sized
+    # training n-gram stream never shuffles for the probe
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# -- TF-IDF -----------------------------------------------------------------
+
+
+def test_tfidf_df_and_corpus_size_broadcast(spark, sf_dir, specs):
+    plan = _plan(specs["qt09_tfidf_top_terms"].fn(spark, sf_dir))
+    # doc-frequency (vocab-sized) and N (1 row) join map-side
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    rows = [
+        Row(doc_id=1, text="apple apple banana"),
+        Row(doc_id=2, text="banana cherry"),
+        Row(doc_id=3, text="banana date"),
+    ]
+    df = spark.createDataFrame(rows)
+    df.createOrReplaceTempView("_tfidf_docs")
+    toks = df.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(3.0) / F.col("df")))
+        .filter(F.col("doc_id") == 2)
+        .orderBy(F.col("tfidf").desc())
+        .collect()
+    )
+    # 'banana' appears in all docs -> idf ln(1) = 0; 'cherry' is unique
+    assert scored[0].term == "cherry" and scored[-1].tfidf == 0.0
+
+
+# -- sequence packing -------------------------------------------------------
+
+
+def test_pack_assignment_boundaries(spark):
+    # budget 10; doc sizes 4,4,4 -> offsets 0,4,8 -> packs 0,0,0 within
+    # budget semantics (doc starting before the boundary stays in pack 0
+    # even if it straddles); next doc starts at 12 -> pack 1
+    rows = [
+        Row(source="s", doc_id=i, text=" ".join(["w"] * 4)) for i in range(4)
+    ]
+    placed = pack_assignments(
+        spark.createDataFrame(rows), budget=10
+    ).select("doc_id", "start_offset", "pack_id")
+    got = {r.doc_id: (r.start_offset, r.pack_id) for r in placed.collect()}
+    assert got == {0: (0, 0), 1: (4, 0), 2: (8, 0), 3: (12, 1)}
+
+
+def test_pack_partitions_are_independent(spark):
+    rows = [
+        Row(source=s, doc_id=i, text=" ".join(["w"] * 7))
+        for s in ("a", "b")
+        for i in range(3)
+    ]
+    placed = pack_assignments(spark.createDataFrame(rows), budget=8)
+    # each source restarts at offset 0 — no cross-partition coupling
+    firsts = (
+        placed.filter(F.col("doc_id") == 0)
+        .select("source", "start_offset")
+        .collect()
+    )
+    assert all(r.start_offset == 0 for r in firsts) and len(firsts) == 2
+
+
+def test_packing_window_not_global_sort(spark, sf_dir, specs):
+    plan = _plan(specs["qp01_sequence_packing"].fn(spark, sf_dir))
+    # the running offset must be partitioned by source (hashpartitioning),
+    # never a single global ordering; the plan prints top-down, so the
+    # window's input distribution is everything BELOW the Window node
+    # (the rangepartitioning above it is the final presentation sort)
+    below_window = plan.split("Window", 1)[1]
+    assert "hashpartitioning(source" in below_window
+    assert "rangepartitioning" not in below_window
+
+
+# -- scalar quantization ----------------------------------------------------
+
+
+def test_quantization_codes_cover_full_range(spark, sf_dir, specs):
+    rows = specs["qe05_scalar_quantization"].fn(spark, sf_dir).collect()
+    assert rows, "no labels"
+    # per-dim min maps to code 0; per-dim max maps to 255 by floor(1.0*255)
+    assert min(r.min_code for r in rows) == 0
+    assert max(r.max_code for r in rows) == 255
+    for r in rows:
+        assert 0 <= r.mean_abs_err < 1.0
+
+
+def test_quantization_calibration_broadcasts(spark, sf_dir, specs):
+    plan = _plan(specs["qe05_scalar_quantization"].fn(spark, sf_dir))
+    # the 64-row per-dim stats join back map-side; the exploded vector
+    # stream shuffles only for the final label aggregate
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# -- correlated-subquery suite ---------------------------------------------
+
+
+def test_q50_semi_anti_never_nested_loop(spark, sf_dir, specs):
+    plan = _plan(specs["q50_sole_late_supplier"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert ("LeftSemi" in plan) and ("LeftAnti" in plan)
+
+
+def test_q49_threshold_joins_broadcast(spark, sf_dir, specs):
+    plan = _plan(specs["q49_small_quantity_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
