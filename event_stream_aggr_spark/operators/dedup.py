@@ -624,7 +624,7 @@ ORDER BY doc_id
 """
 
 
-@register("qd10_ngram_decontamination", tags=("dedup", "text"), oracle=_decontam_oracle())
+@register("qd10_ngram_decontamination", bench=True, tags=("dedup", "text"), oracle=_decontam_oracle())
 def qd10_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (L2): flag training documents sharing
     any 13-gram with a held-out eval slice — the standard pre-training

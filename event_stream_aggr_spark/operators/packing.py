@@ -57,6 +57,7 @@ def pack_assignments(
 
 @register(
     "qp01_sequence_packing",
+    bench=True,
     tags=("packing", "text"),
     oracle=f"""
 WITH sized AS (

@@ -553,6 +553,7 @@ def qe04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "qe05_scalar_quantization",
+    bench=True,
     tags=("similarity",),
     oracle="""
 WITH dims AS (

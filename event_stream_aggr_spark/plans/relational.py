@@ -1773,3 +1773,63 @@ def q51_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q52_cdc_upsert",
+    tags=("join", "window", "cdc"),
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_type, value, ts, event_id
+  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+changes AS (
+  SELECT user_id, event_type, value, ts, event_id
+  FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+unioned AS (
+  SELECT *, 0 AS src FROM base UNION ALL SELECT *, 1 AS src FROM changes),
+ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM unioned)
+SELECT user_id,
+       event_type AS last_event_type,
+       value AS last_value,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts,
+       event_id AS last_event_id
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def q52_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot upsert (the MERGE-INTO / latest-wins shape without
+    a table format): merge a change stream into a per-key snapshot,
+    keeping the newest row per key by (ts, event_id) — event_id breaks
+    timestamp ties deterministically.
+
+    Plan: union is free (no shuffle); one hash shuffle on user_id feeds
+    the row_number window. At 100 TB the snapshot side is already
+    bucketed by key, so only the (much smaller) change stream shuffles
+    — the union+window shape is identical, the exchange is one-sided.
+    Timestamps leave as formatted strings (cross-engine dtype rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-20 00:00:00"
+    cols = ["user_id", "event_type", "value", "ts", "event_id"]
+    base = ev.filter(F.col("ts") < cutoff).select(cols)
+    changes = ev.filter(F.col("ts") >= cutoff).select(cols)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.unionAll(changes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
