@@ -95,3 +95,160 @@ def qs01_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_eval", F.lit(0)).alias("n_eval"),
         )
     )
+
+
+@register(
+    "qs02_leakage_safe_split",
+    tags=("sampling", "dedup"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        FROM documents) a
+  JOIN (SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        FROM documents) b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+  SELECT a, b FROM r),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+flagged AS (
+  SELECT doc_id, group_key,
+         CASE WHEN ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 7))::BIGINT
+                   < {int(0.9 * _HASH_SPACE)} THEN 1 ELSE 0 END AS is_train
+  FROM keyed),
+docs_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(is_train) AS BIGINT) AS n_train,
+         CAST(COUNT(*) - SUM(is_train) AS BIGINT) AS n_eval
+  FROM flagged),
+grp AS (
+  SELECT group_key, MAX(is_train) AS mx, MIN(is_train) AS mn
+  FROM flagged GROUP BY group_key),
+grp_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN mx <> mn THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_crossing_split
+  FROM grp)
+SELECT n_docs, n_train, n_eval, n_groups, groups_crossing_split
+FROM docs_agg CROSS JOIN grp_agg
+""",
+)
+def qs02_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: near-duplicate documents must land
+    in the SAME split, or eval leaks training data. Split by the hash of
+    the dedup-cluster representative (qd08's connected components;
+    singleton docs are their own group) instead of the doc id.
+
+    The output proves the property in-data: ``groups_crossing_split``
+    counts dedup groups with members in both splits — 0 by
+    construction, and the oracle recomputes it from the recursive-CTE
+    components. Scale: the split adds ONE broadcast-sized join (the
+    component map covers only clustered docs, a tiny fraction of the
+    corpus) on top of qd08's iterative components."""
+    from event_stream_aggr_spark.operators.cluster import connected_components
+    from event_stream_aggr_spark.operators.dedup import qd02_near_dup_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = qd02_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    keyed = d.select("doc_id").join(
+        F.broadcast(comp), d["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("group_key")
+    )
+    cut = int(0.9 * _HASH_SPACE)
+    flagged = keyed.select(
+        "doc_id",
+        "group_key",
+        F.when(_key_hash(F.col("group_key")) < cut, 1).otherwise(0).alias("is_train"),
+    )
+    docs_agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_train").cast("long").alias("n_train"),
+        (F.count(F.lit(1)) - F.sum("is_train")).cast("long").alias("n_eval"),
+    )
+    grp = flagged.groupBy("group_key").agg(
+        F.max("is_train").alias("mx"), F.min("is_train").alias("mn")
+    )
+    grp_agg = grp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("mx") != F.col("mn"), 1).otherwise(0))
+        .cast("long")
+        .alias("groups_crossing_split"),
+    )
+    return docs_agg.crossJoin(grp_agg)
+
+
+@register(
+    "qs03_mixture_rebalance",
+    tags=("sampling",),
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+floor_n AS (SELECT MIN(n_docs) AS n_min FROM counts),
+thresholds AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR((CAST(n_min AS DOUBLE) / n_docs) * {_HASH_SPACE}) AS BIGINT)
+           AS cut
+  FROM counts CROSS JOIN floor_n),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                   < t.cut THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN thresholds t USING (lang))
+SELECT k.lang, t.n_docs, CAST(SUM(k.keep) AS BIGINT) AS n_kept
+FROM kept k JOIN thresholds t USING (lang)
+GROUP BY k.lang, t.n_docs
+ORDER BY k.lang
+""",
+)
+def qs03_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every language to the
+    smallest language's size by per-language content-hash thresholds —
+    the deterministic version of "balance the domain mix before
+    training". Each doc's keep/drop decision depends only on
+    (doc_id, its language's threshold), so the sample is reproducible
+    across engines, runs, and partitionings.
+
+    Scale: per-language counts are a tiny aggregate broadcast back onto
+    the corpus scan — the data itself never shuffles; the keep filter
+    is a map-side predicate. The thresholds use floor((n_min/n_s) *
+    2^28) — integer-anchored double math, bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            (F.col("n_min").cast("double") / F.col("n_docs")) * _HASH_SPACE
+        )
+        .cast("long")
+        .alias("cut"),
+    )
+    kept = d.join(F.broadcast(thresholds), "lang").select(
+        "lang",
+        "n_docs",
+        F.when(_key_hash(F.col("doc_id")) < F.col("cut"), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        kept.groupBy("lang", "n_docs")
+        .agg(F.sum("keep").cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )
