@@ -437,3 +437,83 @@ def qt09_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "*", F.row_number().over(w).cast("long").alias("rank")
         ).filter(F.col("rank") <= TFIDF_TOP_K)
     )
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "qt10_overlap_chunks",
+    tags=("text",),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         CAST(s.i AS BIGINT) AS chunk_idx,
+         t[(s.i * {CHUNK_STRIDE} + 1):
+           (s.i * {CHUNK_STRIDE} + {CHUNK_SIZE})] AS chunk
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+           0, CAST(FLOOR(GREATEST(len(t) - {CHUNK_SIZE}, 0)
+                         / {CHUNK_STRIDE}.0) AS BIGINT)
+           + CASE WHEN (GREATEST(len(t) - {CHUNK_SIZE}, 0)
+                        % {CHUNK_STRIDE}) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN len(t) = 0 THEN -1 ELSE 0 END)) AS i) s)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def qt10_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / pretraining
+    chunker): 64-token windows with stride 48 (16-token overlap), each
+    chunk addressed by (doc_id, chunk_idx) and content-hashed.
+
+    Chunk count per doc is ceil(max(len-size,0)/stride)+1 — every token
+    is covered and the final window is allowed to be short. The window
+    construction is a pure array expression (sequence -> slice): narrow,
+    codegen'd, zero shuffle; only the ordered output presentation
+    shuffles. The md5 chunk hash doubles as the dedup identity for
+    chunk-level exact dedup downstream (feed to qd01's hash-groupBy).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_full = F.floor(
+        F.greatest(F.size(t) - CHUNK_SIZE, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+    )
+    has_tail = F.when(
+        (F.greatest(F.size(t) - CHUNK_SIZE, F.lit(0)) % CHUNK_STRIDE) > 0, 1
+    ).otherwise(0)
+    last_idx = (n_full + has_tail).cast("long")
+    # size(t) > 0 guard: Spark's sequence(0, -1) DESCENDS instead of
+    # returning empty (unlike DuckDB's generate_series), so token-less
+    # docs must be filtered out — which matches the oracle (its
+    # len(t)=0 branch yields an empty series -> no rows).
+    chunks = d.select(
+        "doc_id", t.alias("t"), last_idx.alias("last_idx")
+    ).filter(F.size("t") > 0).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("last_idx"))
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            F.col("t"),
+            (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+            CHUNK_SIZE,
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")

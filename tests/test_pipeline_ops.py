@@ -169,3 +169,73 @@ def test_q49_threshold_joins_broadcast(spark, sf_dir, specs):
     plan = _plan(specs["q49_small_quantity_revenue"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- overlap chunking --------------------------------------------------------
+
+
+def test_chunking_empty_and_short_docs(spark, specs):
+    from pyspark.sql import Row
+
+    from event_stream_aggr_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        tokens,
+    )
+
+    rows = [
+        Row(doc_id=1, text=""),  # no tokens -> no chunks (not a blowup)
+        Row(doc_id=2, text=" ".join(["w"] * 10)),  # < size -> one short chunk
+        Row(doc_id=3, text=" ".join([f"w{i}" for i in range(CHUNK_SIZE + 1)])),
+    ]
+    df = spark.createDataFrame(rows)
+    t = tokens(F.col("text"))
+    n_full = F.floor(
+        F.greatest(F.size(t) - CHUNK_SIZE, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+    )
+    has_tail = F.when(
+        (F.greatest(F.size(t) - CHUNK_SIZE, F.lit(0)) % CHUNK_STRIDE) > 0, 1
+    ).otherwise(0)
+    got = (
+        df.select("doc_id", t.alias("t"), (n_full + has_tail).alias("last_idx"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("last_idx").cast("long"))
+            ).alias("i"),
+        )
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    counts = {r.doc_id: r["count"] for r in got}
+    # doc 1 absent (empty), doc 2 one chunk, doc 3 = 65 tokens -> 2 chunks
+    assert counts == {2: 1, 3: 2}
+
+
+def test_chunks_cover_every_token(spark, sf_dir, specs):
+    from event_stream_aggr_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        token_count,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    chunks = specs["qt10_overlap_chunks"].fn(spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("last_idx"),
+        F.sum("n_tokens").alias("sum_chunk_tokens"),
+        F.min("n_tokens").alias("min_chunk"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    j = per_doc.join(docs, "doc_id").collect()
+    for r in j:
+        # last chunk reaches the final token: stride*last + chunk len == n_tok
+        assert r.last_idx * CHUNK_STRIDE < r.n_tok
+        covered = r.last_idx * CHUNK_STRIDE + min(
+            CHUNK_SIZE, r.n_tok - r.last_idx * CHUNK_STRIDE
+        )
+        assert covered == r.n_tok
