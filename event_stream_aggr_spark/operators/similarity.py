@@ -565,12 +565,16 @@ stats AS (
   SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos),
 coded AS (
   SELECT label,
-         CAST(FLOOR(((x - mn) / (mx - mn)) * 255) AS BIGINT) AS code,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(FLOOR(((x - mn) / (mx - mn)) * 255) AS BIGINT)
+         END AS code,
          x, mn, mx
   FROM dims JOIN stats USING (pos)),
 recon AS (
   SELECT label, code,
-         ABS(x - (mn + (code + 0.5) * ((mx - mn) / 256))) AS err
+         CASE WHEN mx = mn THEN 0.0
+              ELSE ABS(x - (mn + (code + 0.5) * ((mx - mn) / 256)))
+         END AS err
   FROM coded)
 SELECT CAST(label AS BIGINT) AS label,
        CAST(COUNT(*) AS BIGINT) AS n_values,
@@ -608,27 +612,38 @@ def qe05_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dims.groupBy("pos").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )
+    # mx == mn guard (constant dimension): the quantizer would divide by
+    # zero -> NaN -> ANSI cast error; a constant dim carries no
+    # information, so code 0 / error 0, mirrored in the oracle CASE
+    const_dim = F.col("mx") == F.col("mn")
     coded = dims.join(F.broadcast(stats), "pos").select(
         "label",
         "x",
         "mn",
         "mx",
-        F.floor(
-            ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 255
+        F.when(const_dim, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 255
+            ).cast("long")
         )
-        .cast("long")
         .alias("code"),
     )
     recon = coded.select(
         "label",
         "code",
-        F.abs(
-            F.col("x")
-            - (
-                F.col("mn")
-                + (F.col("code") + 0.5) * ((F.col("mx") - F.col("mn")) / 256)
+        F.when(const_dim, F.lit(0.0))
+        .otherwise(
+            F.abs(
+                F.col("x")
+                - (
+                    F.col("mn")
+                    + (F.col("code") + 0.5)
+                    * ((F.col("mx") - F.col("mn")) / 256)
+                )
             )
-        ).alias("err"),
+        )
+        .alias("err"),
     )
     return (
         recon.groupBy(F.col("label").cast("long").alias("label"))
