@@ -35,6 +35,28 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="resolve config (defaults < .env < env < flags), print JSON, exit",
     )
+    p.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="print the registered query names (one per line) and exit",
+    )
+    p.add_argument(
+        "--run-query",
+        metavar="NAME",
+        help="run one registered query on the batch tables and print "
+        "rows as JSON lines (the engine's ad-hoc batch mode)",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="parquet table directory for --run-query",
+    )
+    p.add_argument(
+        "--limit",
+        type=int,
+        default=100,
+        help="max rows to print for --run-query",
+    )
     return p
 
 
@@ -56,6 +78,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.print_config:
         print(json.dumps(conf.as_dict(), sort_keys=True))
+        return 0
+
+    if args.list_queries or args.run_query:
+        from event_stream_aggr_spark.plans.registry import load_all
+
+        specs = load_all()
+        if args.list_queries:
+            for name in specs:
+                print(name)
+            return 0
+        if args.run_query not in specs:
+            print(f"unknown query {args.run_query!r}; see --list-queries", file=sys.stderr)
+            return 2
+        from event_stream_aggr_spark.session import get_spark
+
+        spark = get_spark(app_name=f"query:{args.run_query}")
+        df = specs[args.run_query].fn(spark, args.sf_dir)
+        for row in df.limit(args.limit).toJSON().collect():
+            print(row)
         return 0
 
     from event_stream_aggr_spark.plans.snort import with_kafka_envelope

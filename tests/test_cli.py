@@ -78,3 +78,29 @@ def test_unparsable_int_coerces_to_zero_like_viper(tmp_path):
         dotenv_path=str(tmp_path / "none.env"),
     )
     assert c.max_workers == 0 and c.log_interval == 0
+
+
+def test_list_and_run_query_modes():
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-m", "event_stream_aggr_spark", "--list-queries"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    names = out.stdout.split()
+    assert out.returncode == 0 and "q01_pricing_summary" in names
+
+    run = subprocess.run(
+        [sys.executable, "-m", "event_stream_aggr_spark",
+         "--run-query", "qd01_exact_dedup",
+         "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert run.returncode == 0
+    rows = [json.loads(line) for line in run.stdout.strip().splitlines()]
+    assert 0 < len(rows) <= 5 and "keeper_doc_id" in rows[0]
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "event_stream_aggr_spark", "--run-query", "nope"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert bad.returncode == 2 and "unknown query" in bad.stderr
