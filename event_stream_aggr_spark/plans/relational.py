@@ -1833,3 +1833,75 @@ def q52_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q53_numeric_profile",
+    tags=("agg", "profiling"),
+    oracle="""
+WITH long_form AS (
+  SELECT 'l_quantity' AS col, l_quantity::DOUBLE AS x FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount::DOUBLE FROM lineitem),
+stats AS (
+  SELECT col, MIN(x) AS mn, MAX(x) AS mx FROM long_form GROUP BY col),
+bucketed AS (
+  SELECT l.col,
+         CAST(LEAST(9, FLOOR(((x - mn) / (mx - mn)) * 10)) AS BIGINT) AS bucket
+  FROM long_form l JOIN stats USING (col))
+SELECT b.col AS col, bucket,
+       ROUND(mn + bucket * ((mx - mn) / 10), 6) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM bucketed b JOIN stats s ON b.col = s.col
+GROUP BY b.col, bucket, mn, mx
+ORDER BY b.col, bucket
+""",
+)
+def q53_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: fixed-width 10-bucket histograms over numeric
+    columns — the distribution fingerprint an ingestion pipeline
+    records per batch to catch drift before training on it.
+
+    Plan: one scan melts the columns to (col, value) long form via
+    stack() — a narrow generator, no shuffle; per-column min/max is a
+    6-row aggregate broadcast back; the bucket id is floor() over the
+    identically-ordered IEEE expression in both engines (exact), so
+    only bucket_lo needs display rounding. Everything else is integer
+    counts. One shuffle total (the per-(col,bucket) count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long_form = li.select(
+        F.expr(
+            "stack(3, 'l_quantity', CAST(l_quantity AS DOUBLE),"
+            " 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),"
+            " 'l_discount', CAST(l_discount AS DOUBLE)) AS (col, x)"
+        )
+    )
+    stats = long_form.groupBy("col").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    bucketed = long_form.join(F.broadcast(stats), "col").select(
+        "col",
+        "mn",
+        "mx",
+        F.least(
+            F.lit(9),
+            F.floor(((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 10),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("col", "bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "col",
+            "bucket",
+            F.round(
+                F.col("mn") + F.col("bucket") * ((F.col("mx") - F.col("mn")) / 10), 6
+            ).alias("bucket_lo"),
+            "n",
+        )
+        .orderBy("col", "bucket")
+    )
