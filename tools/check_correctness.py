@@ -86,15 +86,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     args = sys.argv[1:]
     tz = None
-    if args and args[0] == "--tz":
-        tz = args[1]
-        args = args[2:]
+    if "--tz" in args:  # position-independent: [--tz ZONE] anywhere
+        i = args.index("--tz")
+        tz = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     from event_stream_aggr_spark.plans.registry import load_all
 
     specs = load_all()
+    unknown = only - set(specs)
+    if unknown:
+        # a typo'd name silently matching nothing would report
+        # "0 pass, 0 fail" and read as success — fail loudly instead
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     if tz:
         from pyspark.sql import SparkSession
 
