@@ -111,13 +111,18 @@ def main(argv: list[str] | None = None) -> int:
     raw = read_kafka_stream(spark, conf.kafka_brokers, conf.input_kafka_topic)
     alerts = with_kafka_envelope(decode_sensor_events_py(raw))
     # value: JSON here; on a registry-enabled cluster swap in
-    # sources.kafka.encode_avro + the Schema Registry wire format
+    # sources.kafka.encode_avro + the Schema Registry wire format.
+    # Both sink encodings share the avro_payload_columns() contract so
+    # the JSON record matches the reference's SnortAlert field set
+    # (schema.go:36-43) — no engine-internal columns leak.
     from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.sources.kafka import avro_payload_columns
 
     payload = alerts.select(
         "key",
         "headers",
-        F.to_json(F.struct(*[c for c in alerts.columns if c not in ("key", "headers", "event_time")]))
+        F.to_json(F.struct(*avro_payload_columns(alerts.columns)))
         .cast("binary")
         .alias("value"),
     )
