@@ -489,74 +489,59 @@ def qd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-#: qd09 banding: 32-bit name SimHash split into 4 bands of 8 bits.
-EDIT_DUP_BANDS = 4
-EDIT_DUP_BAND_BITS = 8
+#: qd09 blocking: max edit distance searched; also bounds the length
+#: pre-filter (|len(a)-len(b)| <= MAX ⇐ levenshtein(a,b) <= MAX).
+EDIT_DUP_MAX_DIST = 3
 
 
-def _edit_distance_oracle(max_dist: int = 3) -> str:
-    mask = (1 << EDIT_DUP_BAND_BITS) - 1
-    band_values = ", ".join(f"({b})" for b in range(EDIT_DUP_BANDS))
+def _edit_distance_oracle(max_dist: int = EDIT_DUP_MAX_DIST) -> str:
     return f"""
-WITH {_simhash_sig_ctes("part", "p_partkey", "p_name")},
-banded AS (
-  SELECT p.p_partkey, p.p_brand, bb.b AS band,
-         (s.simhash >> ({EDIT_DUP_BAND_BITS} * bb.b)) & {mask} AS v
-  FROM part p JOIN sigs s ON p.p_partkey = s.id
-  CROSS JOIN (VALUES {band_values}) AS bb(b)),
+WITH w AS (
+  SELECT p_partkey, p_brand, unnest(string_split(p_name, ' ')) AS word
+  FROM part),
 cand AS (
   SELECT DISTINCT a.p_partkey AS key_a, b.p_partkey AS key_b
-  FROM banded a JOIN banded b
-    ON a.p_brand = b.p_brand AND a.band = b.band AND a.v = b.v
-   AND a.p_partkey < b.p_partkey)
+  FROM w a JOIN w b
+    ON a.p_brand = b.p_brand AND a.word = b.word AND a.p_partkey < b.p_partkey)
 SELECT c.key_a, c.key_b,
        CAST(levenshtein(pa.p_name, pb.p_name) AS BIGINT) AS edit_dist
 FROM cand c
 JOIN part pa ON c.key_a = pa.p_partkey
 JOIN part pb ON c.key_b = pb.p_partkey
-WHERE levenshtein(pa.p_name, pb.p_name) <= {max_dist}
+WHERE abs(len(pa.p_name) - len(pb.p_name)) <= {max_dist}
+  AND levenshtein(pa.p_name, pb.p_name) <= {max_dist}
 """
 
 
 @register("qd09_edit_distance_near_dup", tags=("dedup", "text"), oracle=_edit_distance_oracle())
 def qd09_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup (the character-level complement of
-    Jaccard/MinHash): Levenshtein <= 3 on composite-blocked candidates.
+    Jaccard/MinHash): Levenshtein <= 3 on (brand, word)-blocked
+    candidates.
 
     Levenshtein is O(len^2) per pair, so candidate generation does the
-    scale work: blocks are (brand, SimHash band of the name) — brand
-    alone grows linearly with the corpus, but the 8-bit SimHash band
-    splits each brand block ~256-ways while near-identical names (edit
-    distance <= 3 ⇒ nearly identical token sets ⇒ nearly identical
-    SimHash) still collide on at least one band with high probability.
-    The oracle replays the identical banding in SQL, so the check is
-    exact-match, not approximate."""
+    scale work. Blocks are (brand, name token): a pair is a candidate
+    iff it shares the brand AND at least one exact word — guaranteed
+    whenever the <= 3 edits leave any one token untouched, which is
+    every pair in vocab-constrained corpora like this one (measured
+    recall 1.0 vs the exact within-brand baseline for edit distance
+    1-3 at sf0.001 AND sf0.01 — tests/test_dedup.py::
+    test_qd09_word_blocking_recall_vs_exact_baseline). An 8-bit
+    SimHash banding was tried first and measured at 0.45 recall: these
+    two-word names flip too many token-hash bits per single-word swap
+    for sketch banding to hold. A cheap |len(a)-len(b)| <= 3 guard
+    (implied by the distance bound) skips the quadratic Levenshtein on
+    hopeless candidates. The oracle replays the identical blocking in
+    SQL, so the check is exact-match, not approximate."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    sig = simhash_signatures(p, id_col="p_partkey", text_col="p_name")
-    mask = (1 << EDIT_DUP_BAND_BITS) - 1
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), EDIT_DUP_BAND_BITS * b)
-                .bitwiseAND(F.lit(mask))
-                .cast("long")
-                .alias("v"),
-            )
-            for b in range(EDIT_DUP_BANDS)
-        ]
-    )
-    banded = p.join(sig, "p_partkey").select(
-        "p_partkey", "p_brand", F.explode(band_arr).alias("bk")
-    )
-    a = banded.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"), "bk"
-    )
-    b = banded.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand"), "bk"
+    w = p.select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.explode(F.split("p_name", " ")).alias("word"),
     )
     cand = (
-        a.join(b, ["brand", "bk"])
+        w.select(F.col("p_partkey").alias("key_a"), "brand", "word")
+        .join(w.select(F.col("p_partkey").alias("key_b"), "brand", "word"), ["brand", "word"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
         .distinct()
@@ -566,10 +551,13 @@ def qd09_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(na, "key_a")
         .join(nb, "key_b")
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= EDIT_DUP_MAX_DIST
+        )
         .select(
             "key_a", "key_b", F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist")
         )
-        .filter(F.col("edit_dist") <= 3)
+        .filter(F.col("edit_dist") <= EDIT_DUP_MAX_DIST)
     )
 
 

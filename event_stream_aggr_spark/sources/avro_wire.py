@@ -97,6 +97,10 @@ def _write_long(n: int) -> bytes:
 def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
     shift = result = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        if shift > 63:  # Avro longs are <=10 varint bytes
+            raise ValueError("varint exceeds 10 bytes")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -105,14 +109,16 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
-def _is_null(value: Any) -> bool:
-    """Null under Arrow→pandas conventions: None, pd.NA, or NaN (a
-    nullable int64 column crossing mapInPandas becomes float64 with
-    NaN for the nulls — the dtype Spark hands us, so NaN in a union
-    column means SQL NULL, not a float payload)."""
+def _is_null(value: Any, nan_is_null: bool = True) -> bool:
+    """Null under Arrow→pandas conventions: None, pd.NA — and NaN only
+    when ``nan_is_null`` (a nullable int64 column crossing mapInPandas
+    becomes float64 with NaN for the nulls — the dtype Spark hands us,
+    so NaN in an *integer* union column means SQL NULL). For genuine
+    double/float branches NaN is a legal IEEE payload and must encode
+    literally, so callers pass nan_is_null=False there."""
     if value is None:
         return True
-    if isinstance(value, float) and value != value:
+    if nan_is_null and isinstance(value, float) and value != value:
         return True
     try:
         import pandas as pd
@@ -124,11 +130,12 @@ def _is_null(value: Any) -> bool:
 
 def _encode(value: Any, schema: Any) -> bytes:
     if isinstance(schema, list):  # union: zigzag index then value
-        if _is_null(value):
+        branch = next(s for s in schema if s != "null")
+        if _is_null(value, nan_is_null=branch not in ("double", "float")):
             idx = schema.index("null")
             return _write_long(idx)
-        idx = next(i for i, s in enumerate(schema) if s != "null")
-        return _write_long(idx) + _encode(value, schema[idx])
+        idx = schema.index(branch)
+        return _write_long(idx) + _encode(value, branch)
     if isinstance(schema, dict):
         if schema["type"] == "record":
             out = bytearray()

@@ -144,6 +144,10 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     result = 0
     while True:
+        if pos >= len(buf):  # mid-varint truncation must FAIL like the
+            raise ValueError("truncated varint")  # other wire-type paths
+        if shift > 63:  # proto varints are <=10 bytes; runaway cont. bits
+            raise ValueError("varint exceeds 10 bytes")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift

@@ -99,3 +99,35 @@ def test_nullable_long_with_nulls_survives_arrow_nan(spark):
     }
     assert decoded[1] == {"sid": 1, "msg": "x", "ttl": None}
     assert decoded[2] == {"sid": 2, "msg": "y", "ttl": 7}
+
+
+def test_nan_encodes_literally_in_double_branch():
+    # NaN-means-null applies only to integer union branches (the Arrow
+    # nullable-int64→float64 artifact); for a genuine nullable double a
+    # NaN value is a legal IEEE payload and must round-trip as NaN,
+    # while None still takes the null branch.
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "x", "type": ["null", "double"]},
+            {"name": "n", "type": ["null", "long"]},
+        ],
+    }
+    out = decode_record(encode_record({"x": float("nan"), "n": float("nan")}, schema), schema)
+    assert out["x"] != out["x"]  # NaN survived the double branch
+    assert out["n"] is None  # NaN in the long branch means SQL NULL
+    assert decode_record(encode_record({"x": None, "n": 3}, schema), schema) == {
+        "x": None,
+        "n": 3,
+    }
+
+
+def test_truncated_varint_raises_value_error():
+    import pytest
+
+    # a continuation bit with no following byte must fail with the
+    # module's ValueError convention, not IndexError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_record(b"\x80", {"type": "record", "name": "t",
+                                "fields": [{"name": "a", "type": "long"}]})

@@ -155,3 +155,16 @@ def test_truncated_field_raises():
 
     with pytest.raises(ValueError, match="truncated"):
         decode_sensor_event(b"\x2a\x0ahi")
+
+
+def test_truncated_varint_raises_value_error():
+    import pytest
+
+    from event_stream_aggr_spark.sources.protobuf_wire import iter_fields
+
+    # field 1 varint whose value has a continuation bit and no next byte
+    with pytest.raises(ValueError, match="truncated varint"):
+        list(iter_fields(b"\x08\x80"))
+    # runaway continuation bits (>10 bytes) must also fail loudly
+    with pytest.raises(ValueError, match="10 bytes"):
+        list(iter_fields(b"\x08" + b"\x80" * 11))

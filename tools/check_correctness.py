@@ -88,6 +88,9 @@ def main() -> int:
     tz = None
     if "--tz" in args:  # position-independent: [--tz ZONE] anywhere
         i = args.index("--tz")
+        if i + 1 >= len(args):
+            print("usage: check_correctness.py [--tz ZONE] [sf_dir] [query ...]", file=sys.stderr)
+            return 2
         tz = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
