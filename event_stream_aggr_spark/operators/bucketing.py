@@ -5,7 +5,8 @@ fact table on the same join key every query. Bucketing pays the
 shuffle ONCE at write time: `bucketBy(n, key)` hash-partitions files
 on disk; a join of two tables bucketed on the same key with the same n
 plans as a sort-merge join with NO Exchange on either side (verified
-in tests/test_bucketing.py by asserting the plan is Exchange-free).
+in tests/test_scale_ops.py::test_bucketed_join_has_no_shuffle by
+asserting the plan is Exchange-free).
 
 Spark's bucketed layout lives in the session catalog (`saveAsTable`),
 so these helpers wrap table-name I/O rather than raw paths.

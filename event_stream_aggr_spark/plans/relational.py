@@ -683,8 +683,10 @@ def q29_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (A4, HyperLogLog++) — constant memory per
     group at 100 TB where exact distinct would shuffle every key.
     No SQL oracle (sketch internals are engine-specific) → driver runs
-    the weaker rows-only check; tests/test_relational.py bounds the
-    estimate against the exact count instead.
+    the weaker rows-only check;
+    tests/test_relational.py::test_q29_approx_bounds bounds the
+    estimates instead (distinct within rsd=0.05 of exact; median inside
+    the exact [p45, p55] neighborhood).
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

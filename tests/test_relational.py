@@ -1,0 +1,45 @@
+"""Bounds for the sketch-backed relational queries (the registry's only
+rows-only entries — HLL++/KLL internals are engine-specific, so the
+DuckDB oracle can't hash-match them; these tests supply the missing
+correctness evidence by bounding each estimate against its exact
+counterpart)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.plans.relational import q29_approx_distinct
+from event_stream_aggr_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_q29_approx_bounds(spark):
+    """approx_count_distinct within HLL++'s default relative error
+    (rsd=0.05; measured 2.65% on this data) of the exact distinct
+    count, and approx_percentile(0.5) inside the exact [p45, p55]
+    value neighborhood — per group."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        )
+        .collect()
+    }
+    rows = q29_approx_distinct(spark, SF_DIR).collect()
+    assert len(rows) == len(exact) > 0
+    for r in rows:
+        e = exact[r.l_returnflag]
+        rel_err = abs(r.approx_parts - e.exact_parts) / e.exact_parts
+        assert rel_err <= 0.05, (
+            f"group {r.l_returnflag}: approx {r.approx_parts} vs exact "
+            f"{e.exact_parts} (rel_err {rel_err:.4f} > rsd 0.05)"
+        )
+        assert e.p45 <= r.approx_median_price <= e.p55, (
+            f"group {r.l_returnflag}: approx median {r.approx_median_price} "
+            f"outside exact [p45={e.p45}, p55={e.p55}]"
+        )
