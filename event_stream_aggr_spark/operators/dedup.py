@@ -253,10 +253,13 @@ def qd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(d)
 
 
-def _lsh_oracle(bands: int = 2, threshold: float = 0.8, max_chars: int = 160) -> str:
-    """SQL mirror of ``minhash_lsh_pairs``: same md5-derived signatures
+def _lsh_pairs_ctes(bands: int = 2, threshold: float = 0.8, max_chars: int = 160) -> str:
+    """CTE chain replaying ``minhash_lsh_pairs`` in SQL, ending in
+    ``lsh_pairs(doc_a, doc_b, jaccard)``: same md5-derived signatures
     (as ``_minhash_oracle``), banded candidate condition as an OR of
-    per-band equalities, exact-Jaccard verification on candidates."""
+    per-band equalities, exact-Jaccard verification on candidates.
+    Shared by the qd04 oracle and every oracle whose lineage consumes
+    the package-default ``operators.near_dup_pairs`` (qd08, qs02)."""
     rows = MINHASH_K // bands
     sig_exprs = ",\n         ".join(
         f"CAST(MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS BIGINT)"
@@ -271,8 +274,7 @@ def _lsh_oracle(bands: int = 2, threshold: float = 0.8, max_chars: int = 160) ->
         + ")"
         for b in range(bands)
     )
-    return f"""
-WITH short_docs AS (
+    return f"""short_docs AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
   FROM documents WHERE n_chars <= {max_chars}),
@@ -285,17 +287,24 @@ sigs AS (
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b
-    ON a.doc_id < b.doc_id AND ({band_conds}))
-SELECT c.doc_a, c.doc_b,
-       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
-         AS jaccard
-FROM cand c
-JOIN short_docs ta ON c.doc_a = ta.doc_id
-JOIN short_docs tb ON c.doc_b = tb.doc_id
-WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-      / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
-      >= {threshold}
+    ON a.doc_id < b.doc_id AND ({band_conds})),
+lsh_pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+           AS jaccard
+  FROM cand c
+  JOIN short_docs ta ON c.doc_a = ta.doc_id
+  JOIN short_docs tb ON c.doc_b = tb.doc_id
+  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+        >= {threshold})"""
+
+
+def _lsh_oracle(bands: int = 2, threshold: float = 0.8, max_chars: int = 160) -> str:
+    return f"""
+WITH {_lsh_pairs_ctes(bands, threshold, max_chars)}
+SELECT doc_a, doc_b, jaccard FROM lsh_pairs
 """
 
 
@@ -448,44 +457,48 @@ def qd07_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "qd08_dedup_clusters",
-    tags=("dedup", "cluster"),
-    oracle="""
-WITH pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
-               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-        FROM documents) a
-  JOIN (SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
-               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-        FROM documents) b
-    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
+def _cc_ctes() -> str:
+    """CTE chain: ``lsh_pairs`` → ``comp(node, component)`` via a
+    recursive-CTE transitive closure (min reachable id)."""
+    return """edges AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+          UNION SELECT doc_b, doc_a FROM lsh_pairs),
 reach AS (
   WITH RECURSIVE r(a, b) AS (
     SELECT a, b FROM edges
     UNION
     SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
-  SELECT a, b FROM r)
-SELECT a AS node, LEAST(a, MIN(b)) AS component
-FROM reach GROUP BY a
+  SELECT a, b FROM r),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component
+  FROM reach GROUP BY a)"""
+
+
+@register(
+    "qd08_dedup_clusters",
+    tags=("dedup", "cluster"),
+    oracle=f"""
+WITH {_lsh_pairs_ctes()},
+{_cc_ctes()}
+SELECT node, component FROM comp
 """,
 )
 def qd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components (dedup clusters).
 
-    Spark side: iterative min-label propagation (operators/cluster.py,
-    one shuffle per iteration, O(graph diameter) iterations). Oracle:
-    the same components via a recursive-CTE transitive closure — two
-    totally different dataflows, identical fixpoint.
+    The pair generator is the package-default banded MinHash LSH
+    (``operators.near_dup_pairs`` — sub-quadratic; never the
+    single-attribute-blocked baseline qd02, whose within-block join
+    grows quadratically with corpus size). Spark side: iterative
+    min-label propagation (operators/cluster.py, one shuffle per
+    iteration, O(graph diameter) iterations). Oracle: the identical
+    banding replayed in SQL, then components via a recursive-CTE
+    transitive closure — two totally different dataflows, identical
+    fixpoint.
     """
     from event_stream_aggr_spark.operators.cluster import connected_components
 
-    pairs = qd02_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
+    pairs = minhash_lsh_pairs(d, bands=2, threshold=0.8).select("doc_a", "doc_b")
     return connected_components(pairs)
 
 

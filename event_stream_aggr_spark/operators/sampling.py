@@ -97,31 +97,18 @@ def qs01_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from event_stream_aggr_spark.operators.dedup import (  # noqa: E402
+    _cc_ctes,
+    _lsh_pairs_ctes,
+)
+
+
 @register(
     "qs02_leakage_safe_split",
     tags=("sampling", "dedup"),
     oracle=f"""
-WITH pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
-               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-        FROM documents) a
-  JOIN (SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS bucket,
-               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-        FROM documents) b
-    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-reach AS (
-  WITH RECURSIVE r(a, b) AS (
-    SELECT a, b FROM edges
-    UNION
-    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
-  SELECT a, b FROM r),
-comp AS (
-  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+WITH {_lsh_pairs_ctes()},
+{_cc_ctes()},
 keyed AS (
   SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
@@ -156,14 +143,18 @@ def qs02_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     The output proves the property in-data: ``groups_crossing_split``
     counts dedup groups with members in both splits — 0 by
     construction, and the oracle recomputes it from the recursive-CTE
-    components. Scale: the split adds ONE broadcast-sized join (the
+    components. The pair generator is the package-default banded
+    MinHash LSH (``operators.near_dup_pairs``), never the
+    single-attribute-blocked qd02 baseline, so the whole lineage stays
+    sub-quadratic. Scale: the split adds ONE broadcast-sized join (the
     component map covers only clustered docs, a tiny fraction of the
     corpus) on top of qd08's iterative components."""
     from event_stream_aggr_spark.operators.cluster import connected_components
-    from event_stream_aggr_spark.operators.dedup import qd02_near_dup_jaccard
+    from event_stream_aggr_spark.operators.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = qd02_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    short = d.filter(F.col("n_chars") <= 160)
+    pairs = minhash_lsh_pairs(short, bands=2, threshold=0.8).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     keyed = d.select("doc_id").join(
         F.broadcast(comp), d["doc_id"] == comp["node"], "left"

@@ -111,3 +111,25 @@ def test_funnel_single_event_shuffle(spark, sf_dir):
     q = load_all()["q48_event_funnel"]
     plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_cluster_and_split_pair_lineage_never_cartesian(spark, sf_dir, specs):
+    # r2 ask: qd08/qs02 must consume the banded-LSH pair generator, so
+    # no registered query's lineage keeps the single-attribute-blocked
+    # quadratic pair join. qd08's executed plan and the shared
+    # near_dup_pairs dataflow both stay equi-join-bucketed. (qs02's
+    # final stats join is 1 row x 1 row — O(1), not data-scaled — so
+    # its pair lineage is asserted via the shared generator.)
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators import near_dup_pairs
+    from event_stream_aggr_spark.tables import load_table
+
+    plan = _plan(specs["qd08_dedup_clusters"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    short = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
+    pair_plan = _plan(near_dup_pairs(short, bands=2, threshold=0.8))
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
