@@ -84,3 +84,46 @@ def test_older_change_never_overwrites_newer(spark, tmp_path):
     } & before
     merged_expected = latest_wins(newest_first.unionByName(oldest), KEYS, ORDER)
     assert _snapshot_rows(after) == _snapshot_rows(merged_expected)
+
+
+def test_torn_epoch_invisible_to_readers_and_healed_on_replay(spark, tmp_path, monkeypatch):
+    """Chaos: kill between the v{epoch} snapshot write and the _LATEST
+    pointer swap. The torn epoch's directory exists on disk but readers
+    must keep resolving the previous committed version; replaying the
+    epoch (at-least-once) rewrites the version deterministically and
+    completes the swap."""
+    import event_stream_aggr_spark.streaming.upsert as up
+
+    root = str(tmp_path / "snap3")
+    sink = snapshot_upsert_sink(root, KEYS, ORDER)
+    events = load_table(spark, SF, "events").cache()
+    first = events.limit(60)
+    second = events.limit(120)
+
+    sink(first, 0)  # epoch 0 commits cleanly
+    committed = _snapshot_rows(read_snapshot(spark, root))
+
+    real_replace = os.replace
+
+    def crash_at_swap(src, dst):
+        if os.path.basename(dst) == "_LATEST":
+            raise OSError("simulated kill between snapshot write and pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(up.os, "replace", crash_at_swap)
+    import pytest
+
+    with pytest.raises(OSError, match="simulated kill"):
+        sink(second, 1)
+    monkeypatch.undo()
+
+    # torn state: v1 fully written, pointer still -> v0
+    assert os.path.isdir(os.path.join(root, "v1"))
+    assert open(os.path.join(root, "_LATEST")).read() == "v0"
+    # readers see only the committed epoch
+    assert _snapshot_rows(read_snapshot(spark, root)) == committed
+
+    sink(second, 1)  # replay heals: rewrites v1, completes the swap
+    assert open(os.path.join(root, "_LATEST")).read() == "v1"
+    expected = latest_wins(second.unionByName(first), KEYS, ORDER)
+    assert _snapshot_rows(read_snapshot(spark, root)) == _snapshot_rows(expected)
