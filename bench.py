@@ -57,11 +57,36 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": infer_sf(SF_DIR),
+                "scaling": scaling_probe(spark, specs, headline, timings),
                 "streaming": stream_bench(spark),
                 "deltas_vs_prev_round": prev_round_deltas(timings),
             }
         )
     )
+
+
+def scaling_probe(spark, specs, headline, primary_timings) -> dict:
+    """Empirical scale-killer detector: re-time the headline set at a
+    second (smaller) scale factor and report t(primary)/t(secondary)
+    per query. The SFs differ 10x in data, so after subtracting fixed
+    per-query overhead a linear operator shows a ratio well under 10;
+    a ratio approaching or exceeding the data ratio flags super-linear
+    work (e.g. a quadratic candidate join) that the plan audit can't
+    measure. Ratios are noisy for sub-100ms queries — read large
+    ratios on large timings as signal, the rest as startup noise."""
+    secondary = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(secondary) or os.path.samefile(
+        secondary, SF_DIR
+    ):
+        return {}
+    out = {"secondary_sf": infer_sf(secondary), "queries": {}}
+    for name in headline:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, secondary).write.mode("overwrite").format("noop").save()
+        sec = round(time.perf_counter() - t0, 4)
+        ratio = round(primary_timings[name] / sec, 2) if sec > 0 else None
+        out["queries"][name] = {"sec": sec, "ratio_vs_primary": ratio}
+    return out
 
 
 def prev_round_deltas(timings: dict[str, float]) -> dict:
