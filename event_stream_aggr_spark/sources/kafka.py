@@ -151,6 +151,133 @@ def avro_payload_columns(columns: list[str]) -> list[str]:
     ]
 
 
+def kafka_record_schema():
+    """The exact column set Spark's Kafka source yields with
+    ``includeHeaders=true`` — the record shape the hermetic broker
+    stand-in must reproduce so pipeline code written against the real
+    source runs unmodified against the simulator."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("key", T.BinaryType(), True),
+            T.StructField("value", T.BinaryType(), True),
+            T.StructField("topic", T.StringType(), True),
+            T.StructField("partition", T.IntegerType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("timestampType", T.IntegerType(), True),
+            T.StructField(
+                "headers",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("key", T.StringType(), True),
+                            T.StructField("value", T.BinaryType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+        ]
+    )
+
+
+def to_kafka_records(
+    df: DataFrame,
+    topic: str,
+    n_partitions: int = 4,
+    order_cols: list[str] | None = None,
+    continue_from: DataFrame | None = None,
+) -> DataFrame:
+    """Producer-side record binding (batch): a sink frame carrying
+    ``key``/``value`` (and optionally ``headers``/``event_time``) →
+    the records a broker would append, with Kafka's observable
+    semantics reproduced:
+
+    - **partition = hash(key) % n** — every record with one key lands
+      on one partition, the ordering guarantee the reference relies on
+      by keying on the event hash (app.go:182,189,209). xxhash64
+      stands in for Kafka's murmur2: only the key→partition stability
+      matters, not the exact placement.
+    - **offset** — contiguous per-partition append sequence (window
+      ``row_number`` over a deterministic order; real brokers use
+      arrival order, which Kafka only defines per key anyway). Pass
+      the already-appended records as ``continue_from`` and offsets
+      continue from each partition's high-water mark, the way a broker
+      appends across produce batches.
+    - **timestamp = event_time** (CreateTime, timestampType=0): the
+      producer stamps the record with the parsed Snort event time
+      (app.go:211), which the consumer side then reads back.
+
+    Used by the broker stand-in in tests (sink side of the
+    envelope→bytes→decode loop); a real deployment hands the same
+    frame to ``write_kafka_stream`` instead.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ts = (
+        F.col("event_time")
+        if "event_time" in df.columns
+        else F.current_timestamp()
+    )
+    hdrs = (
+        F.col("headers")
+        if "headers" in df.columns
+        else F.lit(None).cast("array<struct<key:string,value:binary>>")
+    )
+    order = order_cols or [c for c in ("key", "metric_idx") if c in df.columns]
+    if not order:
+        order = ["key"]
+    rec = df.withColumn(
+        "partition",
+        F.pmod(F.xxhash64(F.col("key").cast("binary")), F.lit(n_partitions)).cast("int"),
+    ).withColumn(
+        "offset",
+        (
+            F.row_number().over(
+                Window.partitionBy("partition").orderBy(*[F.col(c) for c in order])
+            )
+            - 1
+        ).cast("long"),
+    )
+    if continue_from is not None:
+        high_water = continue_from.groupBy("partition").agg(
+            (F.max("offset") + 1).alias("_base")
+        )
+        rec = (
+            rec.join(F.broadcast(high_water), "partition", "left")
+            .withColumn("offset", F.col("offset") + F.coalesce("_base", F.lit(0)))
+            .drop("_base")
+        )
+    return rec.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        "partition",
+        "offset",
+        ts.alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+        hdrs.alias("headers"),
+    )
+
+
+def read_kafka_records_sim(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """S1 broker stand-in: stream a directory of Kafka-record-shaped
+    parquet files with the EXACT source schema (`kafka_record_schema`),
+    so key/headers/timestamp binding executes against real record
+    semantics without a broker. maxFilesPerTrigger bounds batch size
+    the way maxOffsetsPerTrigger does on the real source."""
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+
+    return stream_parquet_dir(
+        spark, path, kafka_record_schema(), max_files_per_trigger=max_files_per_trigger
+    )
+
+
 def encode_avro(df: DataFrame, json_format_schema: str) -> DataFrame:
     """S4: alert struct → Avro binary ``value`` via to_avro
     (schema.go:36-43 analogue), keeping key/headers for the sink."""
