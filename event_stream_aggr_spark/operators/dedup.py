@@ -68,6 +68,38 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-MinHash candidate pairs ``(doc_a, doc_b)``: explode each
+    signature into band structs, bucket-join on band equality, dedup.
+    The shared sub-quadratic candidate generator behind
+    ``minhash_lsh_pairs`` (Jaccard) and ``containment_pairs``
+    (asymmetric containment)."""
+    rows = MINHASH_K // bands
+    sigs = minhash_signatures(docs, id_col, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"sig_{b * rows + r}").alias(f"v{r}") for r in range(rows)],
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -83,25 +115,7 @@ def minhash_lsh_pairs(
     verified with exact distinct-token Jaccard (array_intersect math,
     no Python).
     """
-    rows = MINHASH_K // bands
-    sigs = minhash_signatures(docs, id_col, text_col)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            *[F.col(f"sig_{b * rows + r}").alias(f"v{r}") for r in range(rows)],
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), on="bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = lsh_candidates(docs, id_col, text_col, bands)
     toks = docs.select(
         F.col(id_col), distinct_tokens(F.col(text_col)).alias("toks")
     )
@@ -662,3 +676,64 @@ def qd10_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contaminated_ngrams") > 0)
         .orderBy("doc_id")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric containment near-dup (the Dolma/Gopher sub-document
+    rule): C(A->B) = |A∩B| / |A| flags A as (nearly) contained in B
+    even when Jaccard is low because B is much larger — the case
+    symmetric Jaccard dedup misses (boilerplate wrapping, quoted
+    reposts, prefix crawls). Candidates come from the shared banded
+    LSH generator; both directions are computed on each candidate and
+    a pair survives if either reaches ``threshold``."""
+    cand = lsh_candidates(docs, id_col, text_col, bands)
+    toks = docs.select(F.col(id_col), distinct_tokens(F.col(text_col)).alias("toks"))
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    c_ab = F.round(inter / F.size("toks_a"), 6)
+    c_ba = F.round(inter / F.size("toks_b"), 6)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", c_ab.alias("cont_a_in_b"), c_ba.alias("cont_b_in_a"))
+        .filter(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
+@register(
+    "qd11_containment_near_dup",
+    tags=("dedup",),
+    oracle=f"""
+WITH {_lsh_pairs_ctes()}
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / len(ta.toks), 6) AS cont_a_in_b,
+       ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / len(tb.toks), 6) AS cont_b_in_a
+FROM cand c
+JOIN short_docs ta ON c.doc_a = ta.doc_id
+JOIN short_docs tb ON c.doc_b = tb.doc_id
+WHERE ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+            / len(ta.toks), 6) >= 0.9
+   OR ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+            / len(tb.toks), 6) >= 0.9
+""",
+)
+def qd11_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup over the short-doc corpus slice (same slice
+    as qd04 — see its degenerate-vocabulary note). The oracle replays
+    the identical banding via the shared _lsh_pairs_ctes chain, so the
+    check is exact-match. Scale: same dataflow as qd04 (bucketed
+    candidates, never all-pairs); the containment math is the same
+    array_intersect arithmetic with a different normalizer."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
+    return containment_pairs(d, bands=2, threshold=0.9)

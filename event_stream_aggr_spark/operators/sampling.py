@@ -243,3 +243,62 @@ def qs03_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("keep").cast("long").alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@register(
+    "qs04_temperature_mixture",
+    tags=("sampling",),
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+floor_n AS (SELECT MIN(n_docs) AS n_min FROM counts),
+thresholds AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(sqrt(CAST(n_min AS DOUBLE) / n_docs) * {_HASH_SPACE}) AS BIGINT)
+           AS cut
+  FROM counts CROSS JOIN floor_n),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                   < t.cut THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN thresholds t USING (lang))
+SELECT k.lang, t.n_docs, CAST(SUM(k.keep) AS BIGINT) AS n_kept
+FROM kept k JOIN thresholds t USING (lang)
+GROUP BY k.lang, t.n_docs
+ORDER BY k.lang
+""",
+)
+def qs04_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (alpha = 0.5): keep rate per
+    language = sqrt(n_min / n_lang) — the multilingual-training
+    compromise between natural frequency (alpha=1) and qs03's full
+    equalization (alpha=0). High-resource languages are downsampled
+    sub-linearly, so they stay over-represented but no longer dominate.
+
+    Determinism: the cut is floor(sqrt(n_min/n) * 2^28) — one sqrt of
+    a ratio of two exact integers, the identical IEEE expression in
+    both engines, floored to an integer threshold (the qs03 recipe).
+    Scale: identical dataflow to qs03 — a tiny per-language aggregate
+    broadcast back onto the scan; the corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")) * _HASH_SPACE
+        )
+        .cast("long")
+        .alias("cut"),
+    )
+    kept = d.join(F.broadcast(thresholds), "lang").select(
+        "lang",
+        "n_docs",
+        F.when(_key_hash(F.col("doc_id")) < F.col("cut"), 1).otherwise(0).alias("keep"),
+    )
+    return (
+        kept.groupBy("lang", "n_docs")
+        .agg(F.sum("keep").cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )

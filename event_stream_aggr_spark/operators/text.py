@@ -517,3 +517,58 @@ def qt10_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "qt11_char_entropy",
+    tags=("text", "quality"),
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+counts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n_c) AS BIGINT) AS n,
+         SUM(n_c * ln(n_c)) AS s
+  FROM counts GROUP BY doc_id)
+SELECT doc_id,
+       ROUND(ln(CAST(n AS DOUBLE)) - s / n, 6) AS char_entropy
+FROM per_doc
+ORDER BY char_entropy, doc_id LIMIT 20
+""",
+)
+def qt11_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality score (L4): Shannon entropy of the
+    per-document character distribution, lowest-20 (the repetitive /
+    degenerate docs a quality filter would drop — the cheap proxy for
+    a perplexity filter).
+
+    H = ln(n) - sum(n_c ln n_c)/n from exact integer char counts, so
+    the only float work is one ln per distinct char; rounded to 6
+    (registry float rule — the sum over <=alphabet-size terms is
+    order-dependent in the last bits only). Scale: the shuffle carries
+    (doc_id, char) counts — bounded by alphabet size per doc, ~100
+    bytes/doc regardless of document length; top-k plans as
+    TakeOrderedAndProject, never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n_c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n_c").alias("n"),
+        F.sum(F.col("n_c") * F.log("n_c")).alias("s"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n").cast("double")) - F.col("s") / F.col("n"), 6
+            ).alias("char_entropy"),
+        )
+        .orderBy("char_entropy", "doc_id")
+        .limit(20)
+    )

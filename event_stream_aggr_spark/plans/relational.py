@@ -1907,3 +1907,144 @@ def q53_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-share / max-by-group / distinct-count-with-exclusion shapes
+# (TPC-H Q11 / Q15 / Q16 analogues on the available tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q54_nation_value_share",
+    tags=("join", "agg", "subquery"),
+    oracle="""
+WITH v AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS vdec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name),
+tot AS (SELECT SUM(vdec) AS tot FROM v)
+SELECT n_name, CAST(vdec AS DOUBLE) AS nation_value
+FROM v CROSS JOIN tot
+WHERE vdec * 20 > tot
+""",
+)
+def q54_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a fraction of the global
+    total (nations contributing > 5% of world revenue). The global
+    total is a one-row aggregate broadcast back — the fact table is
+    scanned and shuffled exactly once, to the per-nation grain.
+
+    Determinism: both the per-nation values and the global total stay
+    DECIMAL through the comparison (the total is the sum of the
+    per-nation decimals — associative, order-independent), and the 5%
+    threshold is applied as ``vdec * 20 > tot`` in exact integer-scaled
+    decimal arithmetic; only the output casts to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vdec = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    )
+    per = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(vdec.alias("vdec"))
+    )
+    tot = per.agg(F.sum("vdec").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("vdec") * 20 > F.col("tot"))
+        .select("n_name", F.col("vdec").cast("double").alias("nation_value"))
+    )
+
+
+@register(
+    "q55_top_revenue_supplier",
+    tags=("join", "agg", "subquery"),
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT MAX(r) AS m FROM rev)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier ON s_suppkey = l_suppkey
+CROSS JOIN mx
+WHERE r = m
+""",
+)
+def q55_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over a year, keep the
+    max-revenue supplier(s) — ties preserved, which is why the compare
+    must be exact: revenue stays DECIMAL through the MAX and the
+    equality, so a tie is a true tie in both engines (a double
+    accumulation could break a tie differently per engine). The
+    supplier dim rides a broadcast; the max is a one-row broadcast
+    back onto the per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("r")
+        )
+    )
+    mx = rev.agg(F.max("r").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("m"))
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q56_supplier_variety",
+    tags=("join", "agg", "subquery"),
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q56_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part descriptor
+    with a NOT IN exclusion subquery (suppliers with negative balance
+    stand in for Q16's complaint filter). The exclusion is a left-anti
+    join against a broadcast-sized dim; the distinct count shuffles
+    (part-desc, suppkey) pairs once — no second shuffle for the
+    distinct because Catalyst plans partial de-dup map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li["l_suppkey"] == excluded["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
