@@ -149,3 +149,70 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
             F.col("length").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame_md5 string"
+
+
+def sample_frames(multimodal: DataFrame, frame_bytes: int = FRAME_BYTES,
+                  stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling stage (the video analogue of decode_features):
+    treat the payload as a sequence of fixed-size frames, emit every
+    ``stride``-th frame's digest — a 1-row → N-row Arrow-batched
+    generator, the batch shape a real keyframe extractor has. A
+    production build swaps the md5 for an ffmpeg/PIL call on the same
+    path; the digest keeps this container's stand-in deterministic."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i in range(0, len(buf) // frame_bytes, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(
+                            buf[i * frame_bytes : (i + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(op, schema=FRAMES_SCHEMA)
+
+
+@register(
+    "qm02_frame_samples",
+    tags=("multimodal",),
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+                CAST(floor(n_chars / {FRAME_BYTES}) AS BIGINT) - 1,
+                {FRAME_STRIDE})) AS frame_idx
+  FROM documents WHERE n_chars >= {FRAME_BYTES})
+SELECT doc_id, frame_idx,
+       md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                  {FRAME_BYTES})) AS frame_md5
+FROM f
+""",
+)
+def qm02_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (L5, the video-shaped op): every 4th 32-byte
+    frame of each payload, digested. The oracle replays the identical
+    framing in SQL (documents are ASCII, so byte slices == substr) —
+    the Arrow generator stage is hash-checked row-for-row, including
+    the variable fan-out (docs shorter than one frame emit nothing).
+
+    Scale: the only stage that touches payload bytes is the sampler
+    itself; its output is (id, idx, digest) — frames never re-enter
+    the plan, mirroring how a keyframe index is built once and joined
+    thereafter."""
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary(d))

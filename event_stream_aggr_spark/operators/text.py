@@ -572,3 +572,58 @@ def qt11_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("char_entropy", "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "qt12_unigram_logprob",
+    tags=("text", "quality"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+per_doc AS (
+  SELECT doc_id,
+         SUM(ln(CAST(c AS DOUBLE) / t)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens, ROUND(s / n, 6) AS avg_logp
+FROM per_doc ORDER BY avg_logp, doc_id LIMIT 20
+""",
+)
+def qt12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score (L4): per-document mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheap, trainable-model-free stand-in for a perplexity quality
+    filter (low avg_logp = rare-token-heavy docs). Lowest-20 reported.
+
+    Two-pass broadcast-calibration dataflow (ARCHITECTURE rule 11):
+    pass 1 aggregates the corpus unigram counts (vocab-sized — KBs even
+    at 100 TB for whitespace tokens worth keeping); pass 2 joins the
+    broadcast counts back onto the token stream map-side and reduces to
+    the document grain — the token stream shuffles exactly once, to
+    doc_id. Per-doc float sums rounded to 6 (registry float rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    per_doc = (
+        toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.log(F.col("c").cast("double") / F.col("t"))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(F.col("s") / F.col("n"), 6).alias("avg_logp"),
+        )
+        .orderBy("avg_logp", "doc_id")
+        .limit(20)
+    )
