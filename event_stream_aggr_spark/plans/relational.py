@@ -2048,3 +2048,49 @@ def q56_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q57_daily_gap_fill",
+    tags=("time", "join"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds)
+SELECT strftime(s.day, '%Y-%m-%d') AS day, COALESCE(d.n, 0) AS n_events
+FROM spine s LEFT JOIN daily d USING (day)
+""",
+)
+def q57_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill over a generated date spine: daily event
+    counts with zero rows materialized for days that recorded nothing —
+    the completeness guarantee downstream forecasting/monitoring needs
+    (a missing day is silently absent from a plain groupBy).
+
+    The spine is sequence(min_day, max_day) exploded from a one-row
+    bounds aggregate — O(days), broadcast to the left join, so the
+    event table shuffles once to the daily grain and the fill itself
+    is broadcast-sized at any corpus scale. Dates are NTZ-derived
+    (tz-proof) and output as strings (registry timestamp rule)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
