@@ -133,3 +133,36 @@ def test_cluster_and_split_pair_lineage_never_cartesian(spark, sf_dir, specs):
     pair_plan = _plan(near_dup_pairs(short, bands=2, threshold=0.8))
     assert "CartesianProduct" not in pair_plan
     assert "BroadcastNestedLoopJoin" not in pair_plan
+
+
+def test_q63_disjunction_derives_pushable_predicates(spark, sf_dir, specs):
+    # the OR-of-ANDs must still yield a pushed quantity envelope on the
+    # lineitem scan and a brand/size restriction before the join
+    plan = _plan(specs["q63_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400] if "PushedFilters" in plan else ""
+    assert "l_quantity" in pushed  # derived envelope reaches the parquet scan
+
+
+def test_q61_aggregates_before_customer_join_and_takes_topk(spark, sf_dir, specs):
+    plan = _plan(specs["q61_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # aggregate-then-join: the per-customer HashAggregate appears below
+    # the customer join, so the join input is customer-grain not line-grain
+    agg_pos = plan.rindex("HashAggregate")
+    join_pos = plan.index("Join")
+    assert agg_pos > join_pos  # deepest aggregate sits under the top joins
+
+
+def test_q64_correlated_min_reuses_one_shuffle_no_nested_loop(spark, sf_dir, specs):
+    plan = _plan(specs["q64_cheapest_supplier"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q58_nation_filter_prunes_before_fact_join(spark, sf_dir, specs):
+    plan = _plan(specs["q58_volume_shipping"].fn(spark, sf_dir))
+    # shipdate range pushed to the lineitem scan
+    pushed = plan.split("PushedFilters", 1)[1][:300] if "PushedFilters" in plan else ""
+    assert "l_shipdate" in pushed
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
