@@ -737,3 +737,91 @@ def qd11_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect arithmetic with a different normalizer."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
     return containment_pairs(d, bands=2, threshold=0.9)
+
+
+SPAN_TOKENS = 10
+
+
+@register(
+    "qd12_span_dedup",
+    tags=("dedup", "text"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(list_slice(ts, i*{SPAN_TOKENS}+1, i*{SPAN_TOKENS}+{SPAN_TOKENS}), ' ') AS span
+  FROM base,
+       LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/{SPAN_TOKENS}.0) AS BIGINT))) AS i) g),
+ranked AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn
+  FROM spans)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '')
+         AS clean_text
+FROM ranked GROUP BY doc_id
+""",
+)
+def qd12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (L2, the C4/CCNet "remove duplicated
+    substrings" rule): each document is segmented into fixed
+    10-token spans; a span whose text already occurred anywhere
+    earlier in the corpus (canonical occurrence = lowest (doc_id,
+    span_idx)) is dropped, and the document is reassembled from the
+    surviving spans. Output per doc: span counts and the cleaned text.
+
+    Scale shape (100 TB): span construction is a zero-shuffle
+    array-slice transform on the token array (no explode of raw
+    tokens); the only wide exchange hash-partitions spans by their
+    md5 — ~30 bytes/span of payload, and the canonical-first
+    window within each hash partition touches only colliding spans
+    (duplicate groups are tiny; a pathological viral span would be
+    the one skew key and is bounded by group size, not corpus size).
+    Reassembly shuffles surviving (doc_id, span) pairs once back to
+    the document grain. All hashes are md5 (engine-portable) so the
+    DuckDB oracle replays the identical canonicalization."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
+    spans_arr = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS)
+            ),
+        )
+    )
+    spans = d.select(
+        "doc_id", F.posexplode(spans_arr).alias("span_idx", "span")
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx")
+    )
+    ranked = spans.withColumn("rn", rn)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("span_idx", "span"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

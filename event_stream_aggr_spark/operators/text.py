@@ -627,3 +627,191 @@ def qt12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("avg_logp", "doc_id")
         .limit(20)
     )
+
+
+#: Literal char-bigram profiles for the n-gram language-ID heuristic.
+#: Integer weights → exact scores, replayable verbatim in the SQL
+#: oracle. Real pipelines swap in trained profiles (fastText etc. via
+#: the pandas-UDF edge); the *dataflow* is what this operator pins.
+LANGID_PROFILES: tuple[tuple[str, str, int], ...] = (
+    ("en", "th", 5), ("en", "he", 4), ("en", "in", 3), ("en", "er", 2),
+    ("en", "an", 2), ("en", "re", 2),
+    ("de", "ch", 5), ("de", "en", 4), ("de", "ei", 3), ("de", "de", 2),
+    ("de", "un", 2), ("de", "ge", 2),
+    ("fr", "le", 5), ("fr", "es", 4), ("fr", "ou", 3), ("fr", "qu", 3),
+    ("fr", "ai", 2), ("fr", "nt", 2),
+    ("es", "la", 5), ("es", "el", 4), ("es", "os", 3), ("es", "ue", 3),
+    ("es", "ar", 2), ("es", "en", 2),
+)
+
+
+def _langid_profile_values_sql() -> str:
+    rows = ", ".join(f"('{l}', '{b}', {w})" for l, b, w in LANGID_PROFILES)
+    return f"(VALUES {rows}) profiles(lang, bigram, w)"
+
+
+@register(
+    "qt13_language_id",
+    tags=("text", "langid"),
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), 2) AS bigram
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, CAST(length(text) AS BIGINT))) AS i) g
+  WHERE length(text) >= 2),
+scored AS (
+  SELECT doc_id, lang, CAST(SUM(w) AS BIGINT) AS score
+  FROM grams JOIN {_langid_profile_values_sql()} USING (bigram)
+  GROUP BY doc_id, lang),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scored)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS pred_lang,
+       COALESCE(b.score, 0) AS score
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+)
+def qt13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language identification (L4): score each document's
+    char-bigram stream against small per-language profile tables and
+    emit the argmax language ('und' when no profiled bigram occurs).
+    The standard pre-fastText langid heuristic; on this synthetic
+    corpus the prediction is a deterministic function of the text,
+    which is exactly what the oracle pins.
+
+    Scale shape (100 TB): the profile table is a literal few-hundred-
+    byte broadcast; bigram extraction is a zero-shuffle array
+    transform; the scored stream shuffles once to (doc_id, lang)
+    grain (≤ n_languages rows per doc) and the argmax window runs
+    per-doc. Integer weights → exact scores, no float anywhere."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    profiles = F.broadcast(
+        spark.createDataFrame(list(LANGID_PROFILES), "lang string, bigram string, w long")
+    )
+    t = F.lower(F.col("text"))
+    grams_arr = F.when(
+        F.length(t) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr("transform(sequence(1, length(lower(text)) - 1), i -> substr(lower(text), i, 2))")
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("bigram"))
+    scored = (
+        grams.join(profiles, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+    return (
+        d.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("score", F.lit(0)).alias("score"),
+        )
+    )
+
+
+@register(
+    "qt14_quality_filter",
+    tags=("text", "quality"),
+    oracle="""
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+         CAST(length(array_to_string(ts, '')) AS BIGINT) AS sum_len,
+         CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(ts) AS u(tok) GROUP BY tok)) AS BIGINT) AS max_tok
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents)),
+flags AS (
+  SELECT doc_id, n_tokens,
+         (n_tokens BETWEEN 50 AND 100000) AS ok_length,
+         (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens) AS ok_mean_tok,
+         (n_stop * 50 >= 3 * n_tokens) AS ok_stopwords,
+         (max_tok * 5 <= n_tokens) AS ok_repetition
+  FROM stats WHERE n_tokens > 0)
+SELECT doc_id, n_tokens,
+       (ok_length AND ok_mean_tok AND ok_stopwords AND ok_repetition) AS keep,
+       concat_ws(',',
+         CASE WHEN NOT ok_length THEN 'length' END,
+         CASE WHEN NOT ok_mean_tok THEN 'mean_tok' END,
+         CASE WHEN NOT ok_stopwords THEN 'stopwords' END,
+         CASE WHEN NOT ok_repetition THEN 'repetition' END) AS reject_reasons
+FROM flags
+""",
+)
+def qt14_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality filter (L4, the Gopher-rules shape):
+    length window, mean-token-length window, minimum stopword ratio,
+    and a max-single-token-frequency repetition cap — emitted as a
+    keep/reject decision plus the list of violated rules (the audit
+    trail a curation pipeline keeps alongside the drop).
+
+    Every rule is evaluated in exact integer arithmetic (e.g. the
+    6% stopword floor is ``n_stop * 50 >= 3 * n_tokens``) — no float
+    thresholds, so both engines agree bit-for-bit. Scale shape: all
+    stats except the repetition cap are zero-shuffle array
+    expressions; the max-token-frequency needs one (doc_id, token)
+    aggregate — the token stream's single shuffle — then reduces to
+    doc grain. The filter emits every doc with its verdict; the
+    downstream pipeline applies ``WHERE keep``."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = tokens(F.col("text"))
+    stats = d.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(ts, lambda x: x.isin(list(STOPWORDS_EN)))
+        ).cast("long").alias("n_stop"),
+        F.length(F.concat_ws("", ts)).cast("long").alias("sum_len"),
+        F.explode(ts).alias("tok"),
+    )
+    per_tok = (
+        stats.groupBy("doc_id", "n_tokens", "n_stop", "sum_len", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens", "n_stop", "sum_len")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    flags = per_tok.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_tokens").between(50, 100000).alias("ok_length"),
+        (
+            (F.col("sum_len") >= 3 * F.col("n_tokens"))
+            & (F.col("sum_len") <= 10 * F.col("n_tokens"))
+        ).alias("ok_mean_tok"),
+        (F.col("n_stop") * 50 >= 3 * F.col("n_tokens")).alias("ok_stopwords"),
+        (F.col("max_tok") * 5 <= F.col("n_tokens")).alias("ok_repetition"),
+    )
+    reason = F.concat_ws(
+        ",",
+        F.when(~F.col("ok_length"), F.lit("length")),
+        F.when(~F.col("ok_mean_tok"), F.lit("mean_tok")),
+        F.when(~F.col("ok_stopwords"), F.lit("stopwords")),
+        F.when(~F.col("ok_repetition"), F.lit("repetition")),
+    )
+    return flags.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("ok_length")
+            & F.col("ok_mean_tok")
+            & F.col("ok_stopwords")
+            & F.col("ok_repetition")
+        ).alias("keep"),
+        reason.alias("reject_reasons"),
+    )
