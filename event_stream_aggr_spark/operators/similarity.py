@@ -655,3 +655,181 @@ def qe05_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: subspace codebooks + asymmetric distance (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces (64-d embeddings → 4 dims per subspace)
+PQ_SUBDIM = 4
+PQ_LLOYD_ITERS = 2  # codebook refinement rounds after label-mean init
+
+
+def _pq_oracle(k: int = 5) -> str:
+    # the CTE chain replays the exact Spark dataflow: label-mean init,
+    # two Lloyd rounds (empty cells keep their previous codeword), then
+    # encode + ADC. Distances round to 6dp then convert to integer
+    # micro-units so every cross-codeword comparison and the M-term ADC
+    # sum are exact integer arithmetic in both engines.
+    return f"""
+WITH vd AS (
+  SELECT vec_id, label, CAST((u.pos - 1) // {PQ_SUBDIM} AS BIGINT) AS m,
+         u.pos, u.x::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u),
+cb0 AS (
+  SELECT m, CAST(label AS BIGINT) AS code, pos, ROUND(AVG(x), 6) AS cx
+  FROM vd GROUP BY m, label, pos),
+d1 AS (
+  SELECT v.vec_id, v.m, c.code,
+         CAST(ROUND(ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6) * 1000000) AS BIGINT) AS d_us
+  FROM vd v JOIN cb0 c ON v.m = c.m AND v.pos = c.pos
+  GROUP BY v.vec_id, v.m, c.code),
+a1 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d_us, code) AS rnk
+    FROM d1) t WHERE rnk = 1),
+m1 AS (
+  SELECT v.m, a.code, v.pos, ROUND(AVG(v.x), 6) AS cx
+  FROM vd v JOIN a1 a ON v.vec_id = a.vec_id AND v.m = a.m
+  GROUP BY v.m, a.code, v.pos),
+cb1 AS (
+  SELECT c.m, c.code, c.pos, COALESCE(n.cx, c.cx) AS cx
+  FROM cb0 c LEFT JOIN m1 n ON c.m = n.m AND c.code = n.code AND c.pos = n.pos),
+d2 AS (
+  SELECT v.vec_id, v.m, c.code,
+         CAST(ROUND(ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6) * 1000000) AS BIGINT) AS d_us
+  FROM vd v JOIN cb1 c ON v.m = c.m AND v.pos = c.pos
+  GROUP BY v.vec_id, v.m, c.code),
+a2 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d_us, code) AS rnk
+    FROM d2) t WHERE rnk = 1),
+m2 AS (
+  SELECT v.m, a.code, v.pos, ROUND(AVG(v.x), 6) AS cx
+  FROM vd v JOIN a2 a ON v.vec_id = a.vec_id AND v.m = a.m
+  GROUP BY v.m, a.code, v.pos),
+cb2 AS (
+  SELECT c.m, c.code, c.pos, COALESCE(n.cx, c.cx) AS cx
+  FROM cb1 c LEFT JOIN m2 n ON c.m = n.m AND c.code = n.code AND c.pos = n.pos),
+dfin AS (
+  SELECT v.vec_id, v.m, c.code,
+         CAST(ROUND(ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6) * 1000000) AS BIGINT) AS d_us
+  FROM vd v JOIN cb2 c ON v.m = c.m AND v.pos = c.pos
+  GROUP BY v.vec_id, v.m, c.code),
+codes AS (
+  SELECT vec_id AS cid, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d_us, code) AS rnk
+    FROM dfin) t WHERE rnk = 1),
+lut AS (SELECT vec_id AS qid, m, code, d_us FROM dfin WHERE vec_id < 8),
+adc AS (
+  SELECT l.qid, c.cid, CAST(SUM(l.d_us) AS BIGINT) AS total_us
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  WHERE c.cid <> l.qid
+  GROUP BY l.qid, c.cid),
+ranked AS (
+  SELECT qid, cid, CAST(total_us AS DOUBLE) / 1000000 AS adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY total_us, cid) AS BIGINT)
+           AS rank
+  FROM adc)
+SELECT qid, cid, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _pq_dist(vd: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, d_us): µ-unit distance of every subvector to
+    every codeword of its subspace. One broadcast join, one aggregate —
+    vectors never shuffle as vectors, only (vec_id, m, code) triples."""
+    return (
+        vd.join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.round(
+                F.round(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))), 6)
+                * 1000000
+            )
+            .cast("long")
+            .alias("d_us")
+        )
+    )
+
+
+def _pq_argmin(dist: DataFrame) -> DataFrame:
+    w = W.partitionBy("vec_id", "m").orderBy("d_us", "code")
+    return (
+        dist.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
+def _pq_refine(vd: DataFrame, cb: DataFrame, assign: DataFrame) -> DataFrame:
+    """One Lloyd round: recompute codeword means from the assignment;
+    cells that lost every member keep their previous coordinates."""
+    means = (
+        vd.join(assign, ["vec_id", "m"])
+        .groupBy("m", "code", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("ncx"))
+    )
+    return cb.join(means, ["m", "code", "pos"], "left").select(
+        "m", "code", "pos", F.coalesce("ncx", "cx").alias("cx")
+    )
+
+
+@register("qe06_pq_topk", tags=("similarity", "approx"), oracle=_pq_oracle())
+def qe06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization (L3's memory-compression scale
+    path, complementing qe03 LSH and qe04 IVF): the 64-d space splits
+    into M=16 4-d subspaces; per-subspace codebooks initialize from
+    per-label subvector means and refine through two Lloyd rounds;
+    each corpus vector is encoded as 16 code ids (argmin subspace
+    distance); queries score candidates with the asymmetric-distance
+    (ADC) trick — a broadcast per-query lookup table of
+    query↔codeword distances, so scoring a candidate costs M integer
+    lookups instead of a 64-d float fold. This is the dataflow that
+    lets a 1000-executor cluster hold a 100 TB corpus as |N|×M byte
+    codes in memory; recall vs the exact-L2 baseline is asserted in
+    tests/test_similarity.py::test_pq_adc_recall_vs_exact_l2.
+
+    Determinism: per-codeword distances round to 6dp then convert to
+    exact integer micro-units, so every argmin (ties → lowest code)
+    and the M-term ADC totals are order-independent integer sums;
+    codebook means round to 6dp each Lloyd round; empty cells inherit
+    the previous round's codeword in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") / PQ_SUBDIM).cast("long").alias("m"),
+        F.col("pos0").alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cb = vd.groupBy(
+        "m", F.col("label").cast("long").alias("code"), "pos"
+    ).agg(F.round(F.avg("x"), 6).alias("cx"))
+    for _ in range(PQ_LLOYD_ITERS):
+        assign = _pq_argmin(_pq_dist(vd.drop("label"), cb))
+        cb = _pq_refine(vd.drop("label"), cb, assign)
+    dfin = _pq_dist(vd.drop("label"), cb)
+    codes = _pq_argmin(dfin).withColumnRenamed("vec_id", "cid")
+    lut = dfin.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "qid")
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum("d_us").alias("total_us"))
+    )
+    wr = W.partitionBy("qid").orderBy("total_us", "cid")
+    return adc.select(
+        "qid",
+        "cid",
+        (F.col("total_us").cast("double") / 1000000).alias("adc_dist"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= 5)

@@ -106,3 +106,33 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # synthetic embeddings are only loosely label-clustered at sf0.001)
     assert recall >= 0.3, recall
     assert len(ivf) == 40  # 8 queries x top-5
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    # PQ approximates L2 distance, so its recall baseline is the exact
+    # squared-L2 top-5 (not qe01's cosine ranking)
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    sq = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    from pyspark.sql import Window as W
+    pairs = (q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
+             .select("qid", "cid", sq.alias("d")))
+    w = W.partitionBy("qid").orderBy("d", "cid")
+    exact = {(r.qid, r.cid)
+             for r in pairs.select("*", F.row_number().over(w).alias("rn"))
+             .filter(F.col("rn") <= 5).collect()}
+    pq = {(r.qid, r.cid)
+          for r in load_all()["qe06_pq_topk"].fn(spark, sf_dir).collect()}
+    assert len(pq) == 40  # 8 queries x top-5
+    recall = len(exact & pq) / len(exact)
+    # 4 subspaces x 10 label-derived codewords is a coarse quantizer on
+    # loosely-clustered synthetic data — require clearly above chance
+    # (random top-5 of ~500 would land ~0.01)
+    assert recall >= 0.2, recall
