@@ -744,6 +744,7 @@ SPAN_TOKENS = 10
 
 @register(
     "qd12_span_dedup",
+    bench=True,
     tags=("dedup", "text"),
     oracle=f"""
 WITH base AS (
@@ -823,5 +824,118 @@ def qd12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["span"],
                 ),
             ).alias("clean_text"),
+        )
+    )
+
+
+@register(
+    "qd13_curation_pipeline",
+    tags=("dedup", "text", "pipeline"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+quality AS (
+  SELECT doc_id, ts FROM base
+  WHERE len(ts) BETWEEN 30 AND 100000
+    AND length(array_to_string(ts, '')) BETWEEN 3 * len(ts) AND 10 * len(ts)
+    AND len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is'))) * 50
+        >= 3 * len(ts)),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(list_slice(ts, i*{SPAN_TOKENS}+1, i*{SPAN_TOKENS}+{SPAN_TOKENS}), ' ') AS span
+  FROM quality,
+       LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/{SPAN_TOKENS}.0) AS BIGINT))) AS i) g),
+ranked AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn
+  FROM spans),
+cleaned AS (
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '')
+           AS clean_text
+  FROM ranked GROUP BY doc_id),
+survivors AS (
+  SELECT doc_id, clean_text,
+         row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS dup_rn
+  FROM cleaned WHERE clean_text <> '')
+SELECT doc_id,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars,
+       CAST(len(list_filter(string_split(clean_text, ' '), x -> x <> '')) AS BIGINT)
+         AS clean_tokens
+FROM survivors WHERE dup_rn = 1
+""",
+)
+def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (the composition the individual
+    L-operators exist for): quality gate (length window, mean-token
+    window, stopword floor — the zero-shuffle subset of qt14's rules)
+    → span-level dedup with document reassembly (qd12) → corpus-level
+    exact dedup of the cleaned text (qd01's rule, canonical = lowest
+    doc_id). Output: the surviving documents with post-clean sizes.
+
+    Composing in ONE lineage is the point at 100 TB: Catalyst fuses
+    the quality gate into the parquet scan (documents failing cheap
+    rules never reach the span shuffle), the span hash exchange is the
+    pipeline's first wide op, and the final exact-dedup shuffle
+    carries (md5, doc_id) pairs only. Three logical stages, two wide
+    exchanges + the reassembly shuffle — not three separate jobs with
+    materialized intermediates."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.filter(F.split("text", " "), lambda x: x != "")
+    quality = (
+        d.select("doc_id", "text", ts.alias("ts"))
+        .filter(
+            F.size("ts").between(30, 100000)
+            & (F.length(F.concat_ws("", F.col("ts"))) >= 3 * F.size("ts"))
+            & (F.length(F.concat_ws("", F.col("ts"))) <= 10 * F.size("ts"))
+            & (
+                F.size(
+                    F.filter(F.col("ts"), lambda x: x.isin(list(
+                        ("the", "a", "of", "and", "to", "in", "is")
+                    )))
+                )
+                * 50
+                >= 3 * F.size("ts")
+            )
+        )
+    )
+    n_spans = F.ceil(F.size("ts") / F.lit(SPAN_TOKENS)).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i * SPAN_TOKENS + 1, SPAN_TOKENS)),
+    )
+    spans = quality.select("doc_id", F.posexplode(spans_arr).alias("span_idx", "span"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx"))
+    cleaned = (
+        spans.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("span_idx", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("clean_text")
+        )
+        .filter(F.col("clean_text") != "")
+    )
+    dup_rn = F.row_number().over(W.partitionBy(F.md5("clean_text")).orderBy("doc_id"))
+    return (
+        cleaned.withColumn("dup_rn", dup_rn)
+        .filter(F.col("dup_rn") == 1)
+        .select(
+            "doc_id",
+            F.length("clean_text").cast("long").alias("clean_chars"),
+            F.size(F.filter(F.split("clean_text", " "), lambda x: x != ""))
+            .cast("long")
+            .alias("clean_tokens"),
         )
     )

@@ -2098,6 +2098,7 @@ def q57_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q58_volume_shipping",
+    bench=True,
     tags=("join", "agg"),
     oracle="""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -2620,4 +2621,61 @@ def q65_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty_dec").cast("double").alias("promo_qty"),
         )
         .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q66_large_volume_orders",
+    tags=("join", "agg", "subquery", "topk"),
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qdec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150),
+sel AS (
+  SELECT c_custkey, c_name, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         o_totalprice, CAST(qdec AS DOUBLE) AS total_qty
+  FROM big
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON o_custkey = c_custkey)
+SELECT * FROM sel ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def q66_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds a threshold, enriched with the customer and
+    ranked by order value.
+
+    Scale shape: the qualifying set comes from ONE lineitem aggregate
+    to order grain (Catalyst plans partial map-side sums, so the
+    shuffle carries per-order partials); the HAVING reduces it to a
+    small relation BEFORE the orders/customer joins — the classic
+    aggregate-then-join inversion of Q18's IN-subquery phrasing.
+    Top-20 plans as TakeOrderedAndProject. Quantity sums accumulate
+    as exact DECIMAL so the threshold cut is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qdec"))
+        .filter(F.col("qdec") > 150)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            F.col("qdec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
     )
