@@ -302,3 +302,65 @@ def qs04_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("keep").cast("long").alias("n_kept"))
         .orderBy("lang")
     )
+
+
+def weighted_sample_keys(key: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis exponential sort key for weighted sampling
+    without replacement: k = -ln(u) / w with u a content-derived
+    uniform in (0,1). Taking the n smallest keys draws a weighted
+    sample whose inclusion probabilities match successive weighted
+    draws — and because u comes from md5(key), the draw is
+    deterministic across runs, engines, partitionings, and cluster
+    sizes (the same reproducibility contract as ``hash_sample``)."""
+    u = (_key_hash(key).cast("double") + 0.5) / _HASH_SPACE
+    return F.round(-F.log(u) / weight, 6)
+
+
+@register(
+    "qs05_weighted_sample",
+    tags=("sampling",),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                    + 0.5) / {_HASH_SPACE}) / n_chars, 6) AS es_key
+  FROM documents WHERE n_chars > 0),
+ranked AS (
+  SELECT doc_id, lang, n_chars, es_key,
+         row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rn
+  FROM keyed)
+SELECT lang, doc_id, n_chars, es_key
+FROM ranked WHERE rn <= 25
+""",
+)
+def qs05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    quality-weighted subset draw a curation pipeline runs before
+    expensive stages): per language, the 25 documents drawn by
+    Efraimidis–Spirakis exponential keys with n_chars as the weight —
+    longer documents are proportionally likelier, yet the draw is
+    fully reproducible because the uniforms derive from md5(doc_id),
+    not an RNG.
+
+    Scale shape: the key is a narrow per-row expression (no shuffle);
+    the per-stratum top-k is one exchange on lang + a bounded window —
+    at 100 TB with few strata, per-stratum top-k skew is the known
+    hazard and the remedy is the two-phase top-k (per-partition
+    pre-top-k then merge) that TakeOrderedAndProject applies to the
+    global case; documented here, applied when strata are few.
+    Keys round to 6 (registry float rule) with doc_id tiebreak."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        weighted_sample_keys(F.col("doc_id"), F.col("n_chars")).alias("es_key"),
+    )
+    w = W.partitionBy("lang").orderBy("es_key", "doc_id")
+    return (
+        keyed.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 25)
+        .select("lang", "doc_id", "n_chars", "es_key")
+    )

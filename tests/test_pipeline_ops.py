@@ -239,3 +239,20 @@ def test_chunks_cover_every_token(spark, sf_dir, specs):
             CHUNK_SIZE, r.n_tok - r.last_idx * CHUNK_STRIDE
         )
         assert covered == r.n_tok
+
+
+def test_weighted_sample_is_deterministic_and_weight_skewed(spark, sf_dir):
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    fn = load_all()["qs05_weighted_sample"].fn
+    a = {(r.lang, r.doc_id) for r in fn(spark, sf_dir).collect()}
+    b = {(r.lang, r.doc_id) for r in fn(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0  # content-derived draw: run-stable
+    # weighting by n_chars must pull the sampled mean above the corpus mean
+    from event_stream_aggr_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = fn(spark, sf_dir).agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
