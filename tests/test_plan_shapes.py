@@ -166,3 +166,28 @@ def test_q58_nation_filter_prunes_before_fact_join(spark, sf_dir, specs):
     pushed = plan.split("PushedFilters", 1)[1][:300] if "PushedFilters" in plan else ""
     assert "l_shipdate" in pushed
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_qd12_span_construction_is_narrow_and_never_cartesian(spark, sf_dir, specs):
+    plan = _plan(specs["qd12_span_dedup"].fn(spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # span construction must be an array transform over the scan, not a
+    # token-level explode+groupBy: exactly one Generate (posexplode of
+    # the span array), no join anywhere in the plan
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+
+
+def test_qd13_pipeline_fuses_quality_gate_into_scan(spark, sf_dir, specs):
+    plan = _plan(specs["qd13_curation_pipeline"].fn(spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan and "Join" not in plan
+    # the quality gate is a Filter below the span Generate — documents
+    # failing cheap rules never produce spans
+    gen_pos = plan.index("Generate")
+    assert "Filter" in plan[gen_pos:], "quality gate not below span generation"
+
+
+def test_qe06_pq_scoring_joins_are_broadcast_only(spark, sf_dir, specs):
+    plan = _plan(specs["qe06_pq_topk"].fn(spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan  # codebook + LUT ride broadcasts
