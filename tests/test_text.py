@@ -57,3 +57,89 @@ def test_bigrams_single_token_doc_is_safe(spark):
     )
     got = sorted(r.bigram for r in bigrams.collect())
     assert got == ["a b", "b a"]  # 1-token and empty docs contribute nothing
+
+
+def test_language_id_und_fallback_and_determinism(spark):
+    from event_stream_aggr_spark.operators.text import LANGID_PROFILES
+    from pyspark.sql import functions as F
+
+    profiles = spark.createDataFrame(
+        list(LANGID_PROFILES), "lang string, bigram string, w long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the then there"), (2, "x"), (3, ""), (4, "zzzz qqqq")],
+        "doc_id long, text string",
+    )
+    grams_arr = F.when(
+        F.length(F.lower("text")) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, length(lower(text)) - 1),"
+            " i -> substr(lower(text), i, 2))"
+        )
+    )
+    grams = docs.select("doc_id", F.explode(grams_arr).alias("bigram"))
+    scored = (
+        grams.join(F.broadcast(profiles), "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    best = {r.doc_id: (r.lang, r.score) for r in scored.collect() if True}
+    # doc 1 is th/he-heavy → english must win its per-doc argmax
+    en = [r for r in scored.filter("doc_id = 1").collect()]
+    top = max(en, key=lambda r: (r.score, -ord(r.lang[0])))
+    assert top.lang == "en"
+    # docs 2 (single char), 3 (empty), 4 (no profiled bigram) produce
+    # no scored rows → the registered query's left join yields 'und'
+    assert not scored.filter("doc_id in (2, 3, 4)").collect()
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    """Each rule must be violable in isolation on crafted documents."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.text import STOPWORDS_EN, tokens
+
+    docs = spark.createDataFrame(
+        [
+            # 60 varied tokens incl. stopwords → keep
+            (1, " ".join(["the"] * 4 + [f"word{i}" for i in range(56)])),
+            # too short
+            (2, "the small doc"),
+            # mean token length too long (every token 12 chars)
+            (3, " ".join(["the"] * 4 + ["exceedinglyy"] * 56)),
+            # no stopwords at all
+            (4, " ".join(f"word{i}" for i in range(60))),
+            # one token is 40% of the doc → repetition cap
+            (5, " ".join(["the"] * 4 + ["spam"] * 24 + [f"w{i}" for i in range(32)])),
+        ],
+        "doc_id long, text string",
+    )
+    ts = tokens(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.size(F.filter(ts, lambda x: x.isin(list(STOPWORDS_EN)))).cast("long").alias("n_stop"),
+        F.length(F.concat_ws("", ts)).cast("long").alias("sum_len"),
+        F.explode(ts).alias("tok"),
+    )
+    per = (
+        stats.groupBy("doc_id", "n_tokens", "n_stop", "sum_len", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens", "n_stop", "sum_len")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    verdicts = {
+        r.doc_id: dict(
+            ok_length=50 <= r.n_tokens <= 100000,
+            ok_mean=3 * r.n_tokens <= r.sum_len <= 10 * r.n_tokens,
+            ok_stop=r.n_stop * 50 >= 3 * r.n_tokens,
+            ok_rep=r.max_tok * 5 <= r.n_tokens,
+        )
+        for r in per.collect()
+    }
+    assert all(verdicts[1].values())
+    assert not verdicts[2]["ok_length"] and verdicts[2]["ok_mean"]
+    assert not verdicts[3]["ok_mean"]
+    assert not verdicts[4]["ok_stop"]
+    assert not verdicts[5]["ok_rep"] and verdicts[5]["ok_stop"]
