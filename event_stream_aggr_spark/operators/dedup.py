@@ -798,25 +798,32 @@ def qd12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = d.select(
         "doc_id", F.posexplode(spans_arr).alias("span_idx", "span")
+    ).withColumn("h", F.md5("span"))
+    # canonical-first via a map-side-combinable MIN aggregate rather
+    # than a window: a viral span (one digest shared by a large slice
+    # of the corpus) would funnel every occurrence into a single
+    # window partition that AQE cannot split, while the aggregate
+    # pre-combines per upstream partition and the tagging equi-join
+    # below is exactly the shape AQE skew-join splitting handles.
+    canonical = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first_at")
     )
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(
-        W.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx")
+    is_first = (F.col("doc_id") == F.col("first_at.doc_id")) & (
+        F.col("span_idx") == F.col("first_at.span_idx")
     )
-    ranked = spans.withColumn("rn", rn)
+    tagged = spans.join(canonical, "h").withColumn("keep", is_first)
     return (
-        ranked.groupBy("doc_id")
+        tagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
             F.concat_ws(
                 " ",
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("rn") == 1,
+                                F.col("keep"),
                                 F.struct("span_idx", "span"),
                             )
                         )
@@ -905,12 +912,21 @@ def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i * SPAN_TOKENS + 1, SPAN_TOKENS)),
     )
-    spans = quality.select("doc_id", F.posexplode(spans_arr).alias("span_idx", "span"))
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(W.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx"))
+    spans = quality.select(
+        "doc_id", F.posexplode(spans_arr).alias("span_idx", "span")
+    ).withColumn("h", F.md5("span"))
+    # canonical-first via min-aggregate + skew-splittable join, same
+    # rationale as qd12 (a window over the span digest cannot be
+    # skew-split by AQE; this shape can)
+    canonical = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first_at")
+    )
+    keep = (F.col("doc_id") == F.col("first_at.doc_id")) & (
+        F.col("span_idx") == F.col("first_at.span_idx")
+    )
     cleaned = (
-        spans.withColumn("rn", rn)
+        spans.join(canonical, "h")
+        .withColumn("keep", keep)
         .groupBy("doc_id")
         .agg(
             F.concat_ws(
@@ -918,7 +934,7 @@ def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.when(F.col("rn") == 1, F.struct("span_idx", "span"))
+                            F.when(F.col("keep"), F.struct("span_idx", "span"))
                         )
                     ),
                     lambda s: s["span"],
@@ -927,10 +943,12 @@ def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("clean_text") != "")
     )
-    dup_rn = F.row_number().over(W.partitionBy(F.md5("clean_text")).orderBy("doc_id"))
+    dup_canon = cleaned.groupBy(F.md5("clean_text").alias("ch")).agg(
+        F.min("doc_id").alias("first_doc")
+    )
     return (
-        cleaned.withColumn("dup_rn", dup_rn)
-        .filter(F.col("dup_rn") == 1)
+        cleaned.join(dup_canon, F.md5(cleaned["clean_text"]) == dup_canon["ch"])
+        .filter(F.col("doc_id") == F.col("first_doc"))
         .select(
             "doc_id",
             F.length("clean_text").cast("long").alias("clean_chars"),
