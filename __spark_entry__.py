@@ -44,25 +44,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _sample_priority_order(names: list[str]) -> list[str]:
-    """Order query names so never-driver-checked ones come first.
+    """Order query names stalest-first so the driver's fixed-size sample
+    rotates through the whole registry.
 
-    The driver samples a fixed-size prefix of ``queries()`` per round, so
-    a registry larger than the sample would leave the newest registrations
-    perpetually unverified.  Reading the CORRECTNESS_r*.json artifacts the
-    driver leaves next to this module lets us rotate coverage: any name
-    without a green row in a prior round sorts to the front (registry
-    order preserved within each group).
+    The driver samples a prefix of ``queries()`` per round; the registry
+    (107) is larger than the sample (~50), so a static order would leave
+    most names perpetually unverified after code changes. Reading the
+    CORRECTNESS_r*.json artifacts the driver leaves next to this module,
+    each name sorts by the round it was last checked in (never-checked →
+    round 0, i.e. first; registry order breaks ties). With ~50 checks per
+    round over 107 names, every query is re-driver-checked at least every
+    ~3 rounds regardless of when it was first verified.
     """
     import json
+    import re
     from pathlib import Path
 
-    checked: set[str] = set()
+    last_checked: dict[str, int] = {}
     for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
-            checked.update(json.loads(path.read_text()))
+            for name in json.loads(path.read_text()):
+                last_checked[name] = max(last_checked.get(name, 0), rnd)
         except (OSError, ValueError):
             continue
-    return sorted(names, key=lambda n: (n in checked, names.index(n)))
+    return sorted(names, key=lambda n: (last_checked.get(n, 0), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

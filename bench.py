@@ -1,8 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+The LAST stdout line is ONE compact JSON line (the driver captures only
+a 2,000-char tail, so this line must stay small):
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Diagnostics that would blow that budget — the two-SF scaling probe,
+streaming throughput, per-query deltas vs the previous round — print as
+their OWN earlier JSON lines and are also written to BENCH_LOCAL.json
+next to this file for post-hoc reading.
 
 Execution is forced through the noop sink (full computation, all rows
 consumed, no driver collect overhead). A small warmup query runs first
@@ -49,20 +55,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": infer_sf(SF_DIR),
-                "scaling": scaling_probe(spark, specs, headline, timings),
-                "streaming": stream_bench(spark),
-                "deltas_vs_prev_round": prev_round_deltas(timings),
-            }
-        )
-    )
+    diagnostics = {
+        "scaling": scaling_probe(spark, specs, headline, timings),
+        "streaming": stream_bench(spark),
+        "deltas_vs_prev_round": prev_round_deltas(timings),
+    }
+    for key, payload in diagnostics.items():
+        print(json.dumps({key: payload}))
+    headline_line = {
+        "metric": "headline_queries_total",
+        "value": round(total, 2),
+        "unit": "sec",
+        "sf": infer_sf(SF_DIR),
+        "queries": {n: round(s, 2) for n, s in timings.items()},
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump({**headline_line, "queries_4dp": timings, **diagnostics}, f, indent=1)
+    except OSError:
+        pass
+    # the driver parses the LAST line only; keep it well under 2,000 chars
+    print(json.dumps(headline_line))
 
 
 def scaling_probe(spark, specs, headline, primary_timings) -> dict:
@@ -90,9 +104,12 @@ def scaling_probe(spark, specs, headline, primary_timings) -> dict:
 
 
 def prev_round_deltas(timings: dict[str, float]) -> dict:
-    """Per-query change vs the most recent driver-recorded BENCH_r*.json
-    (positive pct = slower than last round). Run-to-run variance on this
-    box is ~±25%, so only large deltas are signal."""
+    """Per-query change vs the most recent usable driver-recorded
+    BENCH_r*.json (positive pct = slower than last round). Rounds whose
+    ``parsed`` is null (e.g. r03's tail-truncated capture) are skipped
+    in favor of the newest round that actually has per-query numbers.
+    Run-to-run variance on this box is ~±25%, so only large deltas are
+    signal."""
     import glob
     import re
 
@@ -102,19 +119,20 @@ def prev_round_deltas(timings: dict[str, float]) -> dict:
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
         if m:  # ignore stray non-round files (BENCH_rerun.json etc.)
             numbered.append((int(m.group(1)), p))
-    if not numbered:
-        return {}
-    rounds = [p for _, p in sorted(numbered)]
-    try:
-        with open(rounds[-1]) as f:
-            prev = json.load(f).get("parsed", {}).get("queries", {})
-    except (OSError, json.JSONDecodeError):
-        return {}
-    out = {"baseline": os.path.basename(rounds[-1]), "pct": {}}
-    for name, sec in timings.items():
-        if name in prev and prev[name] > 0:
-            out["pct"][name] = round(100.0 * (sec - prev[name]) / prev[name], 1)
-    return out
+    for _, path in sorted(numbered, reverse=True):
+        try:
+            with open(path) as f:
+                prev = (json.load(f).get("parsed") or {}).get("queries") or {}
+        except (OSError, json.JSONDecodeError, AttributeError, TypeError):
+            continue
+        if not prev:
+            continue
+        out = {"baseline": os.path.basename(path), "pct": {}}
+        for name, sec in timings.items():
+            if name in prev and prev[name] > 0:
+                out["pct"][name] = round(100.0 * (sec - prev[name]) / prev[name], 1)
+        return out
+    return {}
 
 
 def stream_bench(spark, n_events: int = 20_000, metrics_per_event: int = 3) -> dict:

@@ -837,6 +837,7 @@ def qd12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "qd13_curation_pipeline",
+    bench=True,
     tags=("dedup", "text", "pipeline"),
     oracle=f"""
 WITH base AS (

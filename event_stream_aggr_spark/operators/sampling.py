@@ -318,6 +318,7 @@ def weighted_sample_keys(key: Column, weight: Column) -> Column:
 
 @register(
     "qs05_weighted_sample",
+    bench=True,
     tags=("sampling",),
     oracle=f"""
 WITH keyed AS (

@@ -652,6 +652,7 @@ def _langid_profile_values_sql() -> str:
 
 @register(
     "qt13_language_id",
+    bench=True,
     tags=("text", "langid"),
     oracle=f"""
 WITH grams AS (
@@ -727,6 +728,7 @@ def qt13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "qt14_quality_filter",
+    bench=True,
     tags=("text", "quality"),
     oracle="""
 WITH stats AS (
