@@ -877,7 +877,10 @@ FROM survivors WHERE dup_rn = 1
 def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline (the composition the individual
     L-operators exist for): quality gate (length window, mean-token
-    window, stopword floor — the zero-shuffle subset of qt14's rules)
+    window, stopword floor — the zero-shuffle subset of qt14's rule
+    FAMILY; the length floor here is intentionally looser, 30 tokens
+    vs qt14's 50, so the downstream dedup stages see a non-trivial
+    survivor population at small SF)
     → span-level dedup with document reassembly (qd12) → corpus-level
     exact dedup of the cleaned text (qd01's rule, canonical = lowest
     doc_id). Output: the surviving documents with post-clean sizes.
@@ -909,9 +912,15 @@ def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_spans = F.ceil(F.size("ts") / F.lit(SPAN_TOKENS)).cast("int")
-    spans_arr = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i * SPAN_TOKENS + 1, SPAN_TOKENS)),
+    # same empty-array guard as qd12: sequence(0, -1) yields a
+    # DESCENDING [0, -1] in Spark, so without the guard a 0-token doc
+    # (impossible today only because the quality gate floors at 30
+    # tokens) would silently produce garbage spans if the gate relaxed
+    spans_arr = F.when(F.size("ts") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i * SPAN_TOKENS + 1, SPAN_TOKENS)),
+        )
     )
     spans = quality.select(
         "doc_id", F.posexplode(spans_arr).alias("span_idx", "span")

@@ -311,9 +311,21 @@ def weighted_sample_keys(key: Column, weight: Column) -> Column:
     sample whose inclusion probabilities match successive weighted
     draws — and because u comes from md5(key), the draw is
     deterministic across runs, engines, partitionings, and cluster
-    sizes (the same reproducibility contract as ``hash_sample``)."""
+    sizes (the same reproducibility contract as ``hash_sample``).
+
+    Cross-engine exactness: ln is the one non-correctly-rounded IEEE
+    op here (Java Math.log vs libm log may differ in the last ULP),
+    and decimal ROUND semantics differ between engines, so the key is
+    NOT round(-ln(u)/w, 6). Instead -ln(u) is quantized to integer
+    micro-nats with floor(x*1e6 + 0.5) — plain IEEE multiply/add/floor,
+    bit-identical given the same ln — and the key is that integer
+    divided by the integer weight: a single correctly-rounded IEEE
+    division of identical integers, hence identical bits in Spark and
+    DuckDB. Residual risk is ln landing within 1 ULP of a micro-nat
+    boundary (~1e-9/row), vs systematic divergence for decimal ROUND."""
     u = (_key_hash(key).cast("double") + 0.5) / _HASH_SPACE
-    return F.round(-F.log(u) / weight, 6)
+    lnu_us = F.floor(-F.log(u) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return lnu_us.cast("double") / weight
 
 
 @register(
@@ -323,8 +335,9 @@ def weighted_sample_keys(key: Column, weight: Column) -> Column:
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id, lang, n_chars,
-         ROUND(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
-                    + 0.5) / {_HASH_SPACE}) / n_chars, 6) AS es_key
+         CAST(FLOOR(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                         + 0.5) / {_HASH_SPACE}) * 1000000.0 + 0.5) AS DOUBLE)
+           / n_chars AS es_key
   FROM documents WHERE n_chars > 0),
 ranked AS (
   SELECT doc_id, lang, n_chars, es_key,
@@ -349,7 +362,8 @@ def qs05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard and the remedy is the two-phase top-k (per-partition
     pre-top-k then merge) that TakeOrderedAndProject applies to the
     global case; documented here, applied when strata are few.
-    Keys round to 6 (registry float rule) with doc_id tiebreak."""
+    Keys are integer micro-nats / integer weight (exact cross-engine
+    IEEE division — see weighted_sample_keys) with doc_id tiebreak."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)

@@ -669,9 +669,13 @@ PQ_LLOYD_ITERS = 2  # codebook refinement rounds after label-mean init
 def _pq_oracle(k: int = 5) -> str:
     # the CTE chain replays the exact Spark dataflow: label-mean init,
     # two Lloyd rounds (empty cells keep their previous codeword), then
-    # encode + ADC. Distances round to 6dp then convert to integer
-    # micro-units so every cross-codeword comparison and the M-term ADC
-    # sum are exact integer arithmetic in both engines.
+    # encode + ADC. Each squared term converts to integer micro-units
+    # BEFORE the subspace sum (not sum-then-round: a double SUM's
+    # accumulation order is unspecified in DuckDB while Spark's
+    # zip_with fold is sequential, and FP non-associativity at a
+    # rounding boundary could shift d_us by 1µ cross-engine), so every
+    # distance, comparison, and the M-term ADC sum are exact integer
+    # arithmetic in both engines.
     return f"""
 WITH vd AS (
   SELECT vec_id, label, CAST((u.pos - 1) // {PQ_SUBDIM} AS BIGINT) AS m,
@@ -684,7 +688,7 @@ cb0 AS (
   FROM vd GROUP BY m, label, pos),
 d1 AS (
   SELECT v.vec_id, v.m, c.code,
-         CAST(ROUND(ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6) * 1000000) AS BIGINT) AS d_us
+         CAST(SUM(CAST(ROUND(((v.x - c.cx) * (v.x - c.cx)) * 1000000) AS BIGINT)) AS BIGINT) AS d_us
   FROM vd v JOIN cb0 c ON v.m = c.m AND v.pos = c.pos
   GROUP BY v.vec_id, v.m, c.code),
 a1 AS (
@@ -701,7 +705,7 @@ cb1 AS (
   FROM cb0 c LEFT JOIN m1 n ON c.m = n.m AND c.code = n.code AND c.pos = n.pos),
 d2 AS (
   SELECT v.vec_id, v.m, c.code,
-         CAST(ROUND(ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6) * 1000000) AS BIGINT) AS d_us
+         CAST(SUM(CAST(ROUND(((v.x - c.cx) * (v.x - c.cx)) * 1000000) AS BIGINT)) AS BIGINT) AS d_us
   FROM vd v JOIN cb1 c ON v.m = c.m AND v.pos = c.pos
   GROUP BY v.vec_id, v.m, c.code),
 a2 AS (
@@ -718,7 +722,7 @@ cb2 AS (
   FROM cb1 c LEFT JOIN m2 n ON c.m = n.m AND c.code = n.code AND c.pos = n.pos),
 dfin AS (
   SELECT v.vec_id, v.m, c.code,
-         CAST(ROUND(ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6) * 1000000) AS BIGINT) AS d_us
+         CAST(SUM(CAST(ROUND(((v.x - c.cx) * (v.x - c.cx)) * 1000000) AS BIGINT)) AS BIGINT) AS d_us
   FROM vd v JOIN cb2 c ON v.m = c.m AND v.pos = c.pos
   GROUP BY v.vec_id, v.m, c.code),
 codes AS (
@@ -754,23 +758,20 @@ def _cb_arrays(cb: DataFrame) -> DataFrame:
 def _pq_dist(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, m, code, d_us): µ-unit distance of every subvector to
     every codeword of its subspace. The codebook rides a broadcast
-    join on m and the distance is a sequential zip_with fold — NO wide
+    join on m and the distance is a zip_with fold over per-term
+    integer micro-units (each squared term quantized BEFORE the sum,
+    making the fold order-independent exact integer arithmetic that
+    any accumulation order in the DuckDB oracle reproduces) — NO wide
     shuffle: vectors never leave their scan partition for scoring."""
-    d_us = F.round(
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("subvec"),
-                    F.col("cvec"),
-                    lambda x, c: (x - c) * (x - c),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-        * 1000000
-    ).cast("long")
+    d_us = F.aggregate(
+        F.zip_with(
+            F.col("subvec"),
+            F.col("cvec"),
+            lambda x, c: F.round(((x - c) * (x - c)) * 1000000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
     return (
         subs.join(F.broadcast(_cb_arrays(cb)), "m")
         .select("vec_id", "m", "code", d_us.alias("d_us"))
@@ -790,15 +791,80 @@ def _pq_argmin(dist: DataFrame) -> DataFrame:
 
 def _pq_refine(vd: DataFrame, cb: DataFrame, assign: DataFrame) -> DataFrame:
     """One Lloyd round: recompute codeword means from the assignment;
-    cells that lost every member keep their previous coordinates."""
+    cells that lost every member keep their previous coordinates.
+
+    Scale note: the vd⋈assign join is fact-fact (|N|·D vs |N|·M rows)
+    — at 100 TB it is CORRECTLY a shuffle join on vec_id, never a
+    broadcast; the resulting means relation (codes × D rows, KB-scale)
+    is what gets broadcast back onto the previous codebook."""
     means = (
         vd.join(assign, ["vec_id", "m"])
         .groupBy("m", "code", "pos")
         .agg(F.round(F.avg("x"), 6).alias("ncx"))
     )
-    return cb.join(means, ["m", "code", "pos"], "left").select(
+    return cb.join(F.broadcast(means), ["m", "code", "pos"], "left").select(
         "m", "code", "pos", F.coalesce("ncx", "cx").alias("cx")
     )
+
+
+def _pq_views(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two shapes PQ consumes from the embeddings table: ``vd``
+    long-form (vec_id, label, m, pos, x) for codebook math and ``subs``
+    subvector arrays (vec_id, m, subvec) for distance folds. Both are
+    narrow transforms of the scan — no shuffle."""
+    vd = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") / PQ_SUBDIM).cast("long").alias("m"),
+        F.col("pos0").alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m0"),
+        "embedding",
+    ).select(
+        "vec_id",
+        F.col("m0").cast("long").alias("m"),
+        F.expr(
+            f"transform(slice(embedding, m0 * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+            " x -> cast(x as double))"
+        ).alias("subvec"),
+    )
+    return vd, subs
+
+
+def _pq_init(vd: DataFrame) -> DataFrame:
+    """Initial codebook: per-label subvector means (label-mean init)."""
+    return vd.groupBy(
+        "m", F.col("label").cast("long").alias("code"), "pos"
+    ).agg(F.round(F.avg("x"), 6).alias("cx"))
+
+
+def _pq_score(subs: DataFrame, cb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Encode + ADC scoring against a (final) codebook: corpus codes
+    from the argmin over broadcast codebook distances, per-query LUT
+    broadcast onto the codes — every join in this phase has a KB-scale
+    build side and MUST be a broadcast at any corpus size (plan-pinned
+    in tests/test_plan_shapes.py::test_qe06_pq_scoring_joins_are_broadcast_only)."""
+    dfin = _pq_dist(subs, cb).localCheckpoint(eager=False)
+    codes = _pq_argmin(dfin).withColumnRenamed("vec_id", "cid")
+    lut = dfin.filter(F.col("vec_id") < n_queries).withColumnRenamed("vec_id", "qid")
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum("d_us").alias("total_us"))
+    )
+    wr = W.partitionBy("qid").orderBy("total_us", "cid")
+    return adc.select(
+        "qid",
+        "cid",
+        (F.col("total_us").cast("double") / 1000000).alias("adc_dist"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)
 
 
 @register("qe06_pq_topk", bench=True, tags=("similarity", "approx"), oracle=_pq_oracle())
@@ -822,30 +888,8 @@ def qe06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook means round to 6dp each Lloyd round; empty cells inherit
     the previous round's codeword in both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vd = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("pos0") / PQ_SUBDIM).cast("long").alias("m"),
-        F.col("pos0").alias("pos"),
-        F.col("x").cast("double").alias("x"),
-    )
-    subs = emb.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m0"),
-        "embedding",
-    ).select(
-        "vec_id",
-        F.col("m0").cast("long").alias("m"),
-        F.expr(
-            f"transform(slice(embedding, m0 * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-            " x -> cast(x as double))"
-        ).alias("subvec"),
-    )
-    cb = vd.groupBy(
-        "m", F.col("label").cast("long").alias("code"), "pos"
-    ).agg(F.round(F.avg("x"), 6).alias("cx"))
+    vd, subs = _pq_views(emb)
+    cb = _pq_init(vd)
     # materialize each Lloyd round's codebook lazily (K×M codewords,
     # ~2.5 KB) so round t+1's distance pass doesn't replay every prior
     # round's lineage, and materialize the final distance relation once
@@ -857,19 +901,4 @@ def qe06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PQ_LLOYD_ITERS):
         assign = _pq_argmin(_pq_dist(subs, cb))
         cb = _pq_refine(vd.drop("label"), cb, assign).localCheckpoint(eager=False)
-    dfin = _pq_dist(subs, cb).localCheckpoint(eager=False)
-    codes = _pq_argmin(dfin).withColumnRenamed("vec_id", "cid")
-    lut = dfin.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "qid")
-    adc = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .filter(F.col("cid") != F.col("qid"))
-        .groupBy("qid", "cid")
-        .agg(F.sum("d_us").alias("total_us"))
-    )
-    wr = W.partitionBy("qid").orderBy("total_us", "cid")
-    return adc.select(
-        "qid",
-        "cid",
-        (F.col("total_us").cast("double") / 1000000).alias("adc_dist"),
-        F.row_number().over(wr).cast("long").alias("rank"),
-    ).filter(F.col("rank") <= 5)
+    return _pq_score(subs, cb)

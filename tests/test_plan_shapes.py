@@ -197,6 +197,32 @@ def test_qd13_pipeline_fuses_quality_gate_into_scan(spark, sf_dir, specs):
 
 
 def test_qe06_pq_scoring_joins_are_broadcast_only(spark, sf_dir, specs):
+    # full plan: never an all-pairs product anywhere
     plan = _plan(specs["qe06_pq_topk"].fn(spark, sf_dir))
     assert "Cartesian" not in plan and "NestedLoop" not in plan
-    assert "SortMergeJoin" not in plan  # codebook + LUT ride broadcasts
+    # The no-SortMergeJoin property is pinned on the SCORING subplan
+    # only: the Lloyd refine's vd⋈assign join is fact-fact (|N|·D vs
+    # |N|·M rows) and at scale is correctly a shuffle join, so a
+    # full-plan no-SMJ assertion would merely record that AQE
+    # broadcasts everything at tiny SF. The scoring phase's build
+    # sides (codebook, per-query LUT) are KB-scale and explicitly
+    # broadcast-hinted — that must hold at ANY corpus size and any
+    # autoBroadcastJoinThreshold, so assert it with broadcasting
+    # disabled entirely.
+    from event_stream_aggr_spark.operators.similarity import (
+        _pq_init,
+        _pq_score,
+        _pq_views,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    vd, subs = _pq_views(load_table(spark, sf_dir, "embeddings"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        scoring = _plan(_pq_score(subs, _pq_init(vd)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in scoring
+    assert "SortMergeJoin" not in scoring and "ShuffledHashJoin" not in scoring
+    assert "Cartesian" not in scoring and "NestedLoop" not in scoring
