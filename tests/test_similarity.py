@@ -51,8 +51,12 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     # OR-amplified LSH (6 tables x 4 planes): p=0.9-neighbors collide
-    # in >=1 table w.p. ~1-(1-0.9^4)^6 ~ 0.9
-    assert recall >= 0.5, f"ANN recall collapsed: {recall}"
+    # in >=1 table w.p. ~1-(1-0.9^4)^6 ~ 0.9. Measured recall on the
+    # deterministic sf0.001 fixture is 0.58 (hashes and data are both
+    # content-derived, so the value is exactly reproducible); a drift
+    # outside +-0.1 of that means the dataflow changed, not noise —
+    # re-measure and update the band deliberately.
+    assert 0.48 <= recall <= 0.68, f"LSH recall moved off measured 0.58: {recall}"
 
 
 def test_embedding_near_dup_lsh_recalls_identical_vectors(spark):
@@ -101,10 +105,12 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     exact = {(r.qid, r.cid) for r in specs["qe01_cosine_topk"].fn(spark, sf_dir).collect()}
     ivf = {(r.qid, r.cid) for r in specs["qe04_ivf_topk"].fn(spark, sf_dir).collect()}
     recall = len(exact & ivf) / len(exact)
-    # nprobe=2 of 10 cells probes ~20% of the corpus; random candidates
-    # would land ~0.2 recall — require clearly better than chance (the
-    # synthetic embeddings are only loosely label-clustered at sf0.001)
-    assert recall >= 0.3, recall
+    # nprobe=2 of 10 cells probes ~20% of the corpus; the synthetic
+    # embeddings are only loosely label-clustered at sf0.001. Measured
+    # recall on the deterministic fixture is 0.40 (exactly
+    # reproducible); outside +-0.1 of that means the dataflow changed —
+    # re-measure and update the band deliberately.
+    assert 0.3 <= recall <= 0.5, f"IVF recall moved off measured 0.40: {recall}"
     assert len(ivf) == 40  # 8 queries x top-5
 
 
@@ -132,7 +138,9 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
           for r in load_all()["qe06_pq_topk"].fn(spark, sf_dir).collect()}
     assert len(pq) == 40  # 8 queries x top-5
     recall = len(exact & pq) / len(exact)
-    # 4 subspaces x 10 label-derived codewords is a coarse quantizer on
-    # loosely-clustered synthetic data — require clearly above chance
-    # (random top-5 of ~500 would land ~0.01)
-    assert recall >= 0.2, recall
+    # 16 subspaces x label-derived codewords is a coarse quantizer on
+    # loosely-clustered synthetic data. Measured recall on the
+    # deterministic fixture is 0.35 (exactly reproducible; random
+    # top-5 of ~500 would land ~0.01); outside +-0.1 of that means the
+    # dataflow changed — re-measure and update the band deliberately.
+    assert 0.25 <= recall <= 0.45, f"PQ recall moved off measured 0.35: {recall}"
