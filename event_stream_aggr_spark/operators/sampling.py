@@ -379,3 +379,62 @@ def qs05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .select("lang", "doc_id", "n_chars", "es_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + sharding (the "shuffle the corpus and
+# write N shards" step before training)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def shard_shuffle(df: DataFrame, key_col: str, n_shards: int = N_SHARDS) -> DataFrame:
+    """(row, shard, pos): content-derived shard id + position within
+    shard — a full-corpus shuffle with NO randomness and NO global
+    sort. shard = md5-hash(key) mod n_shards (narrow, uniform); the
+    intra-shard order key is an independent salted md5, so the order
+    within a shard is decorrelated from the shard assignment.
+
+    Scale (100 TB): the only wide op is the per-shard window. Choose
+    n_shards ≈ corpus / target-shard-bytes (thousands), so one shard =
+    one writer task = one output file, and the per-shard sort is the
+    task-local sort a `repartition(shard).sortWithinPartitions(order)`
+    writer does anyway — never a global orderBy. Re-running with the
+    same key space reproduces byte-identical shards on any cluster
+    size or input layout."""
+    from pyspark.sql import Window as W
+
+    shard = F.pmod(_key_hash(F.col(key_col)), n_shards).cast("long")
+    order_key = F.md5(F.concat(F.lit("shuf:"), F.col(key_col).cast("string")))
+    w = W.partitionBy("shard").orderBy("order_key", key_col)
+    return (
+        df.select(key_col, shard.alias("shard"), order_key.alias("order_key"))
+        .select("*", F.row_number().over(w).cast("long").alias("pos"))
+        .drop("order_key")
+    )
+
+
+@register(
+    "qs06_shard_shuffle",
+    tags=("sampling", "shuffle"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % {N_SHARDS}
+           AS shard,
+         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS order_key
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+            AS BIGINT) AS pos
+FROM keyed
+""",
+)
+def qs06_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard shuffle (the step between curation
+    and tokenization): every document gets a reproducible (shard, pos)
+    — see shard_shuffle for the scale contract. Registered over the
+    documents table with doc_id as the content key."""
+    d = load_table(spark, sf_dir, "documents")
+    return shard_shuffle(d.select("doc_id"), "doc_id")

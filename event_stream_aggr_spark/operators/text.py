@@ -817,3 +817,95 @@ def qt14_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
         reason.alias("reject_reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (the scrubbing pass a public-web corpus runs
+# before anything else; Dolma/C4-style regex family)
+# ---------------------------------------------------------------------------
+
+#: Deliberately simple patterns that parse identically under Java regex
+#: (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) match counts — codegen'd regex over
+    the scan, no shuffle."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).cast("long"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).cast("long"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).cast("long"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/phone/IPv4 match with a typed placeholder.
+    Email first: its character class covers digits and dots, so a
+    consumed address can't partially re-match as an IP."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
+@register(
+    "qt15_pii_redaction",
+    tags=("text", "pii"),
+    oracle=f"""
+WITH contact AS (
+  SELECT c_custkey,
+         'Reach ' || c_name || ' at ' || lower(replace(c_name, '#', '')) ||
+         '@example.com or 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+         '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' ||
+         CAST(c_custkey % 100 AS VARCHAR) AS txt
+  FROM customer)
+SELECT c_custkey AS cust_id,
+       CAST(len(regexp_extract_all(txt, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(txt, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(txt, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+         '{PII_IPV4}', '<IP>', 'g') AS redacted
+FROM contact
+""",
+)
+def qt15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (L4): email / phone / IPv4 detection counts and typed
+    redaction. The synthetic corpus carries no organic PII, so the
+    fixture text is constructed deterministically from customer columns
+    — the regex machinery under test is exactly what a web corpus
+    scrub runs; real-PII-shaped inputs are unit-tested in
+    tests/test_text.py::test_redact_pii_on_real_shapes.
+
+    Scale shape: pure per-row regex over the scan — zero shuffle, whole
+    -stage codegen; the three patterns are literal-prefix-free so the
+    cost is one linear pass each over the row's bytes."""
+    c = load_table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("c_custkey") % 100).cast("string"),
+    )
+    base = c.select(F.col("c_custkey").alias("cust_id"), txt.alias("txt"))
+    n_emails, n_phones, n_ips = pii_counts(F.col("txt"))
+    return base.select(
+        "cust_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        redact_pii(F.col("txt")).alias("redacted"),
+    )

@@ -143,3 +143,57 @@ def test_quality_filter_rules_fire_individually(spark):
     assert not verdicts[3]["ok_mean"]
     assert not verdicts[4]["ok_stop"]
     assert not verdicts[5]["ok_rep"] and verdicts[5]["ok_stop"]
+
+
+def test_redact_pii_on_real_shapes(spark):
+    from event_stream_aggr_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+spam@mail.example.co.uk today"),
+        (2, "call 555-867-5309 or visit 192.168.10.1 now"),
+        (3, "no pii here, just 1.5 degrees and v2.0.1 notes"),
+        (4, "two mails: a@b.io c.d@e-f.org and 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    n_e, n_p, n_i = pii_counts(F.col("txt"))
+    got = {
+        r.id: (r.ne, r.np, r.ni, r.red)
+        for r in df.select(
+            "id",
+            n_e.alias("ne"),
+            n_p.alias("np"),
+            n_i.alias("ni"),
+            redact_pii(F.col("txt")).alias("red"),
+        ).collect()
+    }
+    assert got[1] == (1, 0, 0, "mail me at <EMAIL> today")
+    assert got[2] == (0, 1, 1, "call <PHONE> or visit <IP> now")
+    # version strings / decimals must NOT be flagged as IPs or phones
+    assert got[3] == (0, 0, 0, rows[2][1])
+    assert got[4] == (2, 0, 1, "two mails: <EMAIL> <EMAIL> and <IP>")
+
+
+def test_shard_shuffle_deterministic_uniform_and_layout_independent(spark):
+    from event_stream_aggr_spark.operators.sampling import N_SHARDS, shard_shuffle
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {(r.doc_id, r.shard, r.pos) for r in shard_shuffle(df, "doc_id").collect()}
+    # layout independence: a different partitioning yields identical output
+    b = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shard_shuffle(df.repartition(17), "doc_id").collect()
+    }
+    assert a == b
+    # positions are 1..n contiguous within each shard
+    by_shard: dict[int, list[int]] = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(N_SHARDS))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # hash sharding is roughly uniform (binomial: 2000/8 = 250 +- ~40)
+    assert all(180 <= len(ps) <= 320 for ps in by_shard.values())
+    # the shuffle actually permutes: within a shard, position order must
+    # not equal doc_id order
+    s0 = [d for d, s, _ in sorted(a, key=lambda t: (t[1], t[2])) if s == 0]
+    assert s0 != sorted(s0)
