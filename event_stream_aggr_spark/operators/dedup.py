@@ -967,3 +967,202 @@ def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clean_tokens"),
         )
     )
+
+
+#: A span is boilerplate when it occurs in at least this many DISTINCT
+#: documents (C4 removes any line repeated >= 3 times in the corpus).
+BOILERPLATE_MIN_DOCS = 3
+
+
+@register(
+    "qd14_boilerplate_spans",
+    tags=("dedup", "text"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(list_slice(ts, i*{SPAN_TOKENS}+1, i*{SPAN_TOKENS}+{SPAN_TOKENS}), ' ') AS span
+  FROM base,
+       LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/{SPAN_TOKENS}.0) AS BIGINT))) AS i) g),
+df AS (
+  SELECT md5(span) AS h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM spans GROUP BY 1),
+tagged AS (
+  SELECT s.doc_id, s.span_idx, s.span,
+         (d.n_docs >= {BOILERPLATE_MIN_DOCS}) AS bp
+  FROM spans s JOIN df d ON md5(s.span) = d.h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       COALESCE(string_agg(CASE WHEN NOT bp THEN span END, ' ' ORDER BY span_idx), '')
+         AS clean_text
+FROM tagged GROUP BY doc_id
+""",
+)
+def qd14_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (L2, the C4 "any line
+    occurring >= 3 times in the corpus is removed" rule, adapted to
+    fixed 10-token spans because the synthetic corpus has no newlines):
+    EVERY occurrence of a span present in >= BOILERPLATE_MIN_DOCS
+    distinct documents is dropped — unlike qd12, which keeps the
+    canonical first occurrence. This is the nav-chrome / cookie-banner
+    / license-header killer in a real crawl.
+
+    Scale shape (100 TB): span construction is the same zero-shuffle
+    array-slice transform as qd12. Doc-frequency needs distinct docs
+    per span digest: (h, doc_id).distinct() then count — both
+    exchanges carry ~40-byte digest+id pairs with map-side partial
+    combine, never span text. The boilerplate tag-back is a plain
+    equi-join on the digest (AQE broadcasts it when the >= 3-doc
+    subset is small, as it overwhelmingly is; left as a shuffle join
+    otherwise — NOT force-broadcast, because on a pathological corpus
+    the boilerplate set is not provably executor-memory-sized).
+    Reassembly is one shuffle back to document grain."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
+    spans_arr = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS)),
+        )
+    )
+    spans = d.select(
+        "doc_id", F.posexplode(spans_arr).alias("span_idx", "span")
+    ).withColumn("h", F.md5("span"))
+    doc_freq = (
+        spans.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tagged = spans.join(doc_freq, "h").withColumn(
+        "bp", F.col("n_docs") >= BOILERPLATE_MIN_DOCS
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("bp").cast("long")).alias("n_boilerplate"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("bp"), F.struct("span_idx", "span"))
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+#: Fuzzy-decontamination Jaccard floor: lower than qd04's 0.8 near-dup
+#: bar on purpose — eval contamination hides behind paraphrase-level
+#: overlap, so the hygiene pass errs toward recall.
+FUZZY_DECONTAM_THRESHOLD = 0.5
+
+
+def _fuzzy_decontam_oracle(
+    bands: int = 2,
+    threshold: float = FUZZY_DECONTAM_THRESHOLD,
+    max_chars: int = 160,
+    mod: int = DECONTAM_EVAL_MOD,
+) -> str:
+    rows = MINHASH_K // bands
+    sig_exprs = ",\n         ".join(
+        f"CAST(MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS BIGINT)"
+        f" AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"t.sig_{b * rows + r} = e.sig_{b * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH short_docs AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+  FROM documents WHERE n_chars <= {max_chars}),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM short_docs)),
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM h GROUP BY doc_id),
+cand AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id
+  FROM sigs t JOIN sigs e
+    ON t.doc_id % {mod} <> 0 AND e.doc_id % {mod} = 0 AND ({band_conds}))
+SELECT c.train_id, c.eval_id,
+       ROUND(CAST(len(list_intersect(tt.toks, te.toks)) AS DOUBLE)
+             / (len(tt.toks) + len(te.toks) - len(list_intersect(tt.toks, te.toks))),
+             6) AS jaccard
+FROM cand c
+JOIN short_docs tt ON c.train_id = tt.doc_id
+JOIN short_docs te ON c.eval_id = te.doc_id
+WHERE ROUND(CAST(len(list_intersect(tt.toks, te.toks)) AS DOUBLE)
+            / (len(tt.toks) + len(te.toks) - len(list_intersect(tt.toks, te.toks))),
+            6) >= {threshold}
+"""
+
+
+@register("qd15_fuzzy_decontamination", tags=("dedup", "text"), oracle=_fuzzy_decontam_oracle())
+def qd15_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (L2): training documents whose
+    token-set Jaccard against ANY held-out eval document clears a
+    recall-oriented 0.5 floor — the paraphrase-tolerant complement to
+    qd10's exact 13-gram rule (the Llama/GPT-4 eval-hygiene reports
+    pair exactly these two passes). Same eval slice as qd10
+    (doc_id % 50 = 0); same short-doc corpus slice as qd04 (see its
+    degenerate-vocabulary note).
+
+    Scale shape (100 TB): signatures are one narrow explode + one
+    digest-keyed aggregate per side; candidates come from a banded
+    equi-join where the EVAL side is the tiny one (a benchmark suite,
+    not a crawl), so the bucket join is eval-bounded — never
+    train x train, never a cross join. Exact-Jaccard verification
+    touches candidates only. The oracle replays the identical
+    signatures and banding in SQL, so the check is exact-match."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    bands, rows = 2, MINHASH_K // 2
+    sigs = minhash_signatures(d)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"sig_{b * rows + r}").alias(f"v{r}") for r in range(rows)],
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    cand = (
+        banded.filter(~is_eval)
+        .select(F.col("doc_id").alias("train_id"), "bucket")
+        .join(
+            banded.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "bucket"),
+            "bucket",
+        )
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    toks = d.select("doc_id", distinct_tokens(F.col("text")).alias("toks"))
+    t = toks.select(F.col("doc_id").alias("train_id"), F.col("toks").alias("toks_t"))
+    e = toks.select(F.col("doc_id").alias("eval_id"), F.col("toks").alias("toks_e"))
+    inter = F.size(F.array_intersect("toks_t", "toks_e"))
+    union = F.size("toks_t") + F.size("toks_e") - inter
+    return (
+        cand.join(t, "train_id")
+        .join(e, "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_DECONTAM_THRESHOLD)
+    )

@@ -902,3 +902,139 @@ def qe06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign = _pq_argmin(_pq_dist(subs, cb))
         cb = _pq_refine(vd.drop("label"), cb, assign).localCheckpoint(eager=False)
     return _pq_score(subs, cb)
+
+
+RERANK_SHORTLIST = 20  # stage-1 candidates per query (4x the final k)
+
+
+def _rerank_oracle(k: int = 5, shortlist: int = RERANK_SHORTLIST) -> str:
+    return f"""
+WITH dims AS (
+  SELECT vec_id, u.pos, u.x::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u),
+stats AS (
+  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos),
+recon AS (
+  SELECT vec_id, pos,
+         CASE WHEN mx = mn THEN mn
+              ELSE mn + (FLOOR(((x - mn) / (mx - mn)) * 255) + 0.5)
+                   * ((mx - mn) / 256)
+         END AS rx
+  FROM dims JOIN stats USING (pos)),
+qd AS (SELECT vec_id AS qid, pos, x AS qx FROM dims WHERE vec_id < 8),
+approx AS (
+  SELECT qd.qid, r.vec_id AS cid,
+         CAST(SUM(CAST(ROUND(qd.qx * r.rx * 1000000) AS BIGINT)) AS BIGINT)
+           AS adp_us
+  FROM qd JOIN recon r ON qd.pos = r.pos
+  WHERE r.vec_id <> qd.qid
+  GROUP BY qd.qid, r.vec_id),
+short AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adp_us DESC, cid)
+             AS srank
+    FROM approx) t WHERE srank <= {shortlist}),
+pairs AS (
+  SELECT s.qid, s.cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a,
+                                         unnest(ec.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(ec.embedding)::DOUBLE AS b)) AS nc
+  FROM short s
+  JOIN embeddings eq ON s.qid = eq.vec_id
+  JOIN embeddings ec ON s.cid = ec.vec_id),
+ranked AS (
+  SELECT qid, cid, ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS BIGINT)
+           AS rank
+  FROM pairs)
+SELECT qid, cid, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("qe07_rerank_topk", tags=("similarity", "approx"), oracle=_rerank_oracle())
+def qe07_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (L3, the serving pattern every production
+    vector store uses): stage 1 scores the WHOLE corpus against each
+    query with cheap int8-reconstructed dot products (qe05's
+    per-dimension min/max quantizer) and keeps a 4k shortlist; stage 2
+    reranks only the shortlist with exact full-precision cosine. The
+    approximate pass touches compressed bytes; the exact pass touches
+    RERANK_SHORTLIST·|Q| vectors instead of |corpus|·|Q|.
+
+    Scale shape (100 TB): calibration is a 64-row aggregate broadcast
+    back onto the scan (qe05's dataflow); stage-1 scoring is a narrow
+    zip_with fold per (corpus row × broadcast query) with no vector
+    shuffle; only (qid, cid, integer score) triples reach the top-k
+    exchange. Stage 2's exact scoring joins the shortlist back to the
+    corpus by id — shortlist-bounded, broadcastable.
+
+    Determinism: the reconstructed value is a fixed-shape IEEE
+    expression (bit-exact cross-engine, qe05's argument) and each
+    query·recon term converts to integer micro-units BEFORE the sum
+    (qe06's recipe), so stage-1 shortlists are exact integer ranking
+    in both engines; stage-2 reranks on 6dp-rounded cosine with cid
+    tiebreak (qe01's recipe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "xf")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("xf").cast("double").alias("x")
+    )
+    # per-dim calibration → ONE row of 64 (mn, mx) structs ordered by pos
+    stats = (
+        dims.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("mmx"))
+    )
+
+    def recon(x: Column, s: Column) -> Column:
+        mn, mx = s["mn"], s["mx"]
+        return F.when(mx == mn, mn).otherwise(
+            mn + (F.floor(((x - mn) / (mx - mn)) * 255) + 0.5) * ((mx - mn) / 256)
+        )
+
+    # corpus stays an array the whole way: cast → zip with the broadcast
+    # calibration structs → reconstructed int8 approximation, no explode
+    corpus = emb.crossJoin(F.broadcast(stats)).select(
+        F.col("vec_id").alias("cid"),
+        F.zip_with(F.col("embedding").cast("array<double>"), F.col("mmx"), recon).alias(
+            "rvec"
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    adp_us = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("rvec"), lambda q, r: F.round(q * r * 1000000).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    approx = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", adp_us.alias("adp_us"))
+    )
+    ws = W.partitionBy("qid").orderBy(F.col("adp_us").desc(), F.col("cid"))
+    short = (
+        approx.select("*", F.row_number().over(ws).alias("srank"))
+        .filter(F.col("srank") <= RERANK_SHORTLIST)
+        .select("qid", "cid")
+    )
+    # stage 2: exact cosine on the shortlist only (qe01's math)
+    eq = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ec = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = (
+        short.join(F.broadcast(eq), "qid")
+        .join(ec, "cid")
+        .select("qid", "cid", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return scored.select(
+        "qid", "cid", "cos_sim", F.row_number().over(wr).cast("long").alias("rank")
+    ).filter(F.col("rank") <= 5)

@@ -909,3 +909,90 @@ def qt15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ips.alias("n_ips"),
         redact_pii(F.col("txt")).alias("redacted"),
     )
+
+
+@register(
+    "qt16_data_card",
+    tags=("text", "report"),
+    oracle="""
+WITH sl AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_l,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS tok_l
+  FROM documents GROUP BY source, lang),
+per_source AS (
+  SELECT source,
+         CAST(SUM(n_l) AS BIGINT) AS n_docs,
+         CAST(SUM(tok_l) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         ROUND(ln(CAST(SUM(n_l) AS DOUBLE))
+               - SUM(n_l * ln(n_l)) / SUM(n_l), 6) AS lang_entropy
+  FROM sl GROUP BY source),
+top AS (
+  SELECT source, lang AS top_lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_l DESC, lang) AS rn
+  FROM sl),
+tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens FROM per_source)
+SELECT p.source, p.n_docs, p.total_tokens,
+       ROUND(CAST(p.total_tokens AS DOUBLE) / t.corpus_tokens, 6) AS token_share,
+       p.n_langs, tp.top_lang, p.lang_entropy
+FROM per_source p
+JOIN top tp ON p.source = tp.source AND tp.rn = 1
+CROSS JOIN tot t
+""",
+)
+def qt16_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card (L4 reporting): the mixture table a
+    training run is configured from — document and token counts, each
+    source's share of corpus tokens, language diversity (distinct
+    langs + Shannon entropy of the language mix), and the dominant
+    language. This is the "datasheet" aggregation every curation
+    pipeline publishes alongside the corpus.
+
+    Scale shape (100 TB): one shuffle to (source, lang) grain —
+    partial-aggregated map-side, output rows = |sources| x |langs|,
+    KB-scale — and everything downstream (per-source rollup, top-lang
+    window, corpus-total broadcast) operates on that tiny relation.
+    The corpus total rides the 1-row broadcast crossJoin (the
+    scalar-threshold pattern). Entropy follows qt11's recipe: ln over
+    exact integer counts, rounded to 6."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum(token_count(F.col("text"))).alias("tok_l"),
+    )
+    per_source = sl.groupBy("source").agg(
+        F.sum("n_l").alias("n_docs"),
+        F.sum("tok_l").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.log(F.sum("n_l").cast("double"))
+            - F.sum(F.col("n_l") * F.log("n_l")) / F.sum("n_l"),
+            6,
+        ).alias("lang_entropy"),
+    )
+    wt = W.partitionBy("source").orderBy(F.col("n_l").desc(), F.col("lang"))
+    top = (
+        sl.select("source", "lang", F.row_number().over(wt).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    tot = per_source.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    return (
+        per_source.join(top, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6
+            ).alias("token_share"),
+            "n_langs",
+            "top_lang",
+            "lang_entropy",
+        )
+    )

@@ -112,3 +112,41 @@ def test_qd09_word_blocking_recall_vs_exact_baseline(spark):
         p.groupBy("p_brand").count().select(F.sum(F.expr("count * (count - 1) / 2"))).first()[0]
     )
     assert len(got) < full_pairs
+
+
+def test_boilerplate_spans_drop_all_occurrences(spark, tmp_path):
+    """qd14 must remove EVERY occurrence of a >=3-doc span (including
+    the first), unlike qd12's keep-canonical rule, and leave unique
+    spans untouched."""
+    import event_stream_aggr_spark.operators.dedup as dd
+
+    boiler = " ".join(f"b{i}" for i in range(dd.SPAN_TOKENS))
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(dd.SPAN_TOKENS))
+    rows = [
+        (0, boiler + " " + uniq(0)),
+        (1, boiler + " " + uniq(1)),
+        (2, boiler + " " + uniq(2)),
+        (3, uniq(3)),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in dd.qd14_boilerplate_spans(spark, str(tmp_path)).collect()}
+    for d in (0, 1, 2):
+        assert out[d].n_boilerplate == 1 and out[d].clean_text == uniq(d)
+    assert out[3].n_boilerplate == 0 and out[3].clean_text == uniq(3)
+
+
+def test_fuzzy_decontamination_pairs_are_train_x_eval_only(spark):
+    """qd15 at sf0.01: every reported pair is (train, eval) across the
+    doc_id % 50 split, with verified Jaccard above the floor."""
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    import event_stream_aggr_spark.operators.dedup as dd
+
+    rows = dd.qd15_fuzzy_decontamination(spark, SF_DIR_CORRECTNESS).collect()
+    assert rows, "fixture should produce at least one contaminated pair"
+    for r in rows:
+        assert r.train_id % dd.DECONTAM_EVAL_MOD != 0
+        assert r.eval_id % dd.DECONTAM_EVAL_MOD == 0
+        assert r.jaccard >= dd.FUZZY_DECONTAM_THRESHOLD

@@ -144,3 +144,24 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     # top-5 of ~500 would land ~0.01); outside +-0.1 of that means the
     # dataflow changed — re-measure and update the band deliberately.
     assert 0.25 <= recall <= 0.45, f"PQ recall moved off measured 0.35: {recall}"
+
+
+def test_rerank_recall_vs_exact(spark):
+    """qe07's int8 shortlist must not lose true top-5 neighbors: with a
+    4x-k shortlist the exact rerank should recover (nearly) all of the
+    exact brute-force top-5. Measured on the deterministic sf0.01
+    fixture: recall 1.0 — the int8 grid is fine enough that the true
+    top-5 always survive a 20-deep shortlist there. A drop below 0.9
+    means the quantizer or the shortlist ordering broke, not noise."""
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    from event_stream_aggr_spark.operators.similarity import qe07_rerank_topk
+
+    emb = load_table(spark, SF_DIR_CORRECTNESS, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    exact = {(r.qid, r.cid) for r in cosine_topk(q, c, k=5).collect()}
+    approx = {(r.qid, r.cid) for r in qe07_rerank_topk(spark, SF_DIR_CORRECTNESS).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"rerank recall collapsed: {recall}"
