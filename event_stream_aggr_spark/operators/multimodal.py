@@ -216,3 +216,90 @@ def qm02_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     thereafter."""
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary(d))
+
+
+SEG_BYTES = 40
+SEG_HOP = 20  # 50% overlap — the STFT/VAD windowing shape
+
+SEGMENTS_SCHEMA = "doc_id long, seg_idx long, n_bytes long, energy long, peak long"
+
+
+def segment_audio(
+    multimodal: DataFrame, seg_bytes: int = SEG_BYTES, hop: int = SEG_HOP
+) -> DataFrame:
+    """Audio segmentation stage (the STFT/VAD-shaped op): overlapping
+    fixed-size windows over the payload, per-window integer energy
+    stats — a 1-row → N-row Arrow generator like ``sample_frames`` but
+    with overlap (hop < window), which is what distinguishes audio
+    windowing from video framing. A production build computes FFT bins
+    or VAD scores per window on this same path; the stand-in emits
+    only exact integers (sum/max of sample bytes) so the oracle can
+    hash-check the full fan-out."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, energies, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_seg = (len(buf) - seg_bytes) // hop + 1 if len(buf) >= seg_bytes else 0
+                for s in range(n_seg):
+                    w = buf[s * hop : s * hop + seg_bytes]
+                    ids.append(doc_id)
+                    idxs.append(s)
+                    ns.append(len(w))
+                    energies.append(sum(w))
+                    peaks.append(max(w))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "seg_idx": idxs,
+                    "n_bytes": ns,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(op, schema=SEGMENTS_SCHEMA)
+
+
+@register(
+    "qm03_audio_segments",
+    tags=("multimodal",),
+    oracle=f"""
+WITH segs AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+                CAST(floor((n_chars - {SEG_BYTES}) / {SEG_HOP}) AS BIGINT), 1))
+           AS seg_idx
+  FROM documents WHERE n_chars >= {SEG_BYTES}),
+win AS (
+  SELECT doc_id, seg_idx,
+         substr(text, CAST(seg_idx * {SEG_HOP} + 1 AS BIGINT), {SEG_BYTES}) AS w
+  FROM segs),
+chars AS (
+  SELECT doc_id, seg_idx, w, unnest(string_split(w, '')) AS ch FROM win)
+SELECT doc_id, seg_idx,
+       CAST(length(MIN(w)) AS BIGINT) AS n_bytes,
+       CAST(SUM(ascii(ch)) AS BIGINT) AS energy,
+       CAST(MAX(ascii(ch)) AS BIGINT) AS peak,
+       ROUND(CAST(SUM(ascii(ch)) AS DOUBLE) / {SEG_BYTES}, 6) AS mean_amp
+FROM chars GROUP BY doc_id, seg_idx
+""",
+)
+def qm03_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing (L5): 40-byte windows at 20-byte hop (50%
+    overlap) over each payload, per-window energy/peak, Arrow-batched.
+    The oracle replays the identical windowing in SQL (ASCII corpus:
+    byte == char == ascii()), hash-checking the overlap fan-out
+    row-for-row. The Python stage emits ONLY exact integers; the
+    rounded mean amplitude is a Spark-side expression (HALF_UP round,
+    matching DuckDB — Python's banker's rounding never touches data).
+
+    Scale: same contract as qm02 — payload bytes die inside the
+    sampler; only (id, idx, small ints) re-enter the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    segs = segment_audio(attach_binary(d))
+    return segs.select(
+        "*",
+        F.round(F.col("energy").cast("double") / SEG_BYTES, 6).alias("mean_amp"),
+    )

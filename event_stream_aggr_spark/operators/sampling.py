@@ -438,3 +438,80 @@ def qs06_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table with doc_id as the content key."""
     d = load_table(spark, sf_dir, "documents")
     return shard_shuffle(d.select("doc_id"), "doc_id")
+
+
+#: Length-curriculum phase boundaries (token counts): classic
+#: short-to-long ordering — phase 0 trains first.
+CURRICULUM_BOUNDS = (50, 200, 500)
+CURRICULUM_SHARDS_PER_PHASE = 4
+
+
+@register(
+    "qs07_curriculum_shards",
+    tags=("sampling", "shuffle"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           % {CURRICULUM_SHARDS_PER_PHASE} AS shard,
+         md5('cur:' || CAST(doc_id AS VARCHAR)) AS order_key
+  FROM documents),
+phased AS (
+  SELECT doc_id, n_tokens, shard, order_key,
+         CASE WHEN n_tokens < {CURRICULUM_BOUNDS[0]} THEN 0
+              WHEN n_tokens < {CURRICULUM_BOUNDS[1]} THEN 1
+              WHEN n_tokens < {CURRICULUM_BOUNDS[2]} THEN 2
+              ELSE 3 END AS phase
+  FROM keyed)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, phase, shard,
+       CAST(row_number() OVER (PARTITION BY phase, shard
+                               ORDER BY order_key, doc_id) AS BIGINT) AS pos
+FROM phased
+""",
+)
+def qs07_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum sharding (the short-docs-first training order):
+    every document gets (phase, shard, pos) where the phase comes from
+    fixed token-count bounds (NOT quantiles — a map-side CASE, no
+    global sort or distribution pass), the shard is a content-derived
+    hash bucket within the phase, and pos is the salted intra-shard
+    order (qs06's decorrelated order key, 'cur:' salt).
+
+    Scale shape (100 TB): phase+shard assignment is narrow; the only
+    wide op is the per-(phase, shard) window — with shards sized to
+    target file bytes that is exactly the task-local sort of a
+    partitioned writer, never a global orderBy. Quantile-based
+    curricula need a distribution pass first; fixed bounds are the
+    scale-correct choice when the tokenizer's length distribution is
+    known (it always is, from qt16's data card)."""
+    from pyspark.sql import Window as W
+
+    from event_stream_aggr_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    b0, b1, b2 = CURRICULUM_BOUNDS
+    n_tokens = token_count(F.col("text"))
+    keyed = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.pmod(_key_hash(F.col("doc_id")), CURRICULUM_SHARDS_PER_PHASE)
+        .cast("long")
+        .alias("shard"),
+        F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias(
+            "order_key"
+        ),
+        F.when(n_tokens < b0, 0)
+        .when(n_tokens < b1, 1)
+        .when(n_tokens < b2, 2)
+        .otherwise(3)
+        .alias("phase"),
+    )
+    w = W.partitionBy("phase", "shard").orderBy("order_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "n_tokens",
+        "phase",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -256,3 +256,47 @@ def test_weighted_sample_is_deterministic_and_weight_skewed(spark, sf_dir):
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     sample_mean = fn(spark, sf_dir).agg(F.avg("n_chars")).first()[0]
     assert sample_mean > corpus_mean
+
+
+def test_curriculum_phases_and_positions(spark):
+    """qs07: phase honors the fixed token bounds; pos is a contiguous
+    1..n permutation within each (phase, shard)."""
+    from collections import defaultdict
+
+    from event_stream_aggr_spark.operators.sampling import (
+        CURRICULUM_BOUNDS,
+        qs07_curriculum_shards,
+    )
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    rows = qs07_curriculum_shards(spark, SF_DIR_CORRECTNESS).collect()
+    b0, b1, b2 = CURRICULUM_BOUNDS
+    groups = defaultdict(list)
+    for r in rows:
+        expected = 0 if r.n_tokens < b0 else 1 if r.n_tokens < b1 else 2 if r.n_tokens < b2 else 3
+        assert r.phase == expected
+        groups[(r.phase, r.shard)].append(r.pos)
+    assert len(groups) > 1
+    for poss in groups.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_audio_segments_overlap_fanout(spark, tmp_path):
+    """qm03: 50%-overlap windowing — 40 chars → 1 segment, 60 → 2,
+    39 → 0; energies are exact byte sums of each overlapping window."""
+    from event_stream_aggr_spark.operators.multimodal import qm03_audio_segments
+
+    rows = [(0, "a" * 40), (1, "b" * 60), (2, "c" * 39)]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = qm03_audio_segments(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc.get(0, [])) == 1 and len(by_doc.get(1, [])) == 2
+    assert 2 not in by_doc
+    assert all(r.energy == 40 * ord("a") for r in by_doc[0])
+    assert all(r.energy == 40 * ord("b") and r.peak == ord("b") for r in by_doc[1])
