@@ -36,22 +36,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's converter
-        # rejects; read it as raw long nanos and truncate to µs — the
-        # same truncation DuckDB applies, so oracle comparisons agree.
-        # (Session-level legacy conf, safe to set at runtime.)
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+        # Spark's converter rejects — readable only as raw long nanos via
+        # the legacy conf) or plain TIMESTAMP(MICROS, ntz).  Normalise both
+        # encodings to TIMESTAMP_NTZ µs so every downstream query and the
+        # DuckDB oracle see identical values regardless of generator
+        # vintage.  (Session-level legacy conf, safe to set at runtime.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # timestampadd on a TIMESTAMP_NTZ epoch is session-timezone
-        # independent (timestamp_micros + cast would shift with the
-        # driver session's timezone).
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            # timestampadd on a TIMESTAMP_NTZ epoch is session-timezone
+            # independent (timestamp_micros + cast would shift with the
+            # driver session's timezone).
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        if ts_type == "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
