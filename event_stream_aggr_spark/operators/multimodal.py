@@ -303,3 +303,100 @@ def qm03_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.round(F.col("energy").cast("double") / SEG_BYTES, 6).alias("mean_amp"),
     )
+
+
+IMG_ROW_BYTES = 32  # treat payload as a 32-byte-wide raster
+PATCH = 8           # 8×8 patches → 4 patch columns per row-block
+
+PATCHES_SCHEMA = (
+    "doc_id long, patch_y long, patch_x long, energy long, peak long"
+)
+
+
+def extract_patches(
+    multimodal: DataFrame, row_bytes: int = IMG_ROW_BYTES, patch: int = PATCH
+) -> DataFrame:
+    """Image-patch extraction stage (the ViT-tokenizer-shaped op):
+    treat the payload as a ``row_bytes``-wide 2-D raster and emit one
+    row per non-overlapping ``patch``×``patch`` tile with integer
+    energy stats. Unlike qm02/qm03's 1-D framing, each output row
+    gathers STRIDED slices of the payload (8 non-contiguous runs) —
+    the access pattern a real patchifier/tokenizer has. A production
+    build swaps the stat for a projection of decoded pixels on this
+    same Arrow path; the stand-in emits only exact integers so the
+    oracle can hash-check the full 2-D fan-out."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pys, pxs, energies, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                h = len(buf) // row_bytes
+                for py in range(h // patch):
+                    for px in range(row_bytes // patch):
+                        vals = []
+                        for r in range(patch):
+                            start = (py * patch + r) * row_bytes + px * patch
+                            vals.extend(buf[start : start + patch])
+                        ids.append(doc_id)
+                        pys.append(py)
+                        pxs.append(px)
+                        energies.append(sum(vals))
+                        peaks.append(max(vals))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "patch_y": pys,
+                    "patch_x": pxs,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        op, schema=PATCHES_SCHEMA
+    )
+
+
+@register(
+    "qm04_image_patches",
+    tags=("multimodal",),
+    oracle=f"""
+WITH grid AS (
+  SELECT doc_id, text, py, unnest(generate_series(0, {IMG_ROW_BYTES // PATCH} - 1)) AS px
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+                  CAST(floor(floor(n_chars / {IMG_ROW_BYTES}) / {PATCH}) AS BIGINT) - 1))
+             AS py
+    FROM documents WHERE n_chars >= {IMG_ROW_BYTES * PATCH})),
+rows_ AS (
+  SELECT doc_id, py, px, text, unnest(generate_series(0, {PATCH} - 1)) AS r
+  FROM grid),
+cells AS (
+  SELECT doc_id, py, px,
+         substr(text,
+                CAST((py * {PATCH} + r) * {IMG_ROW_BYTES} + px * {PATCH} + 1 AS BIGINT),
+                {PATCH}) AS s
+  FROM rows_),
+ch AS (SELECT doc_id, py, px, unnest(string_split(s, '')) AS c FROM cells)
+SELECT doc_id, py AS patch_y, px AS patch_x,
+       CAST(SUM(ascii(c)) AS BIGINT) AS energy,
+       CAST(MAX(ascii(c)) AS BIGINT) AS peak
+FROM ch GROUP BY doc_id, py, px
+""",
+)
+def qm04_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D patch extraction (L5, the image-shaped op): the payload as a
+    32-byte-wide raster, tiled into non-overlapping 8×8 patches with
+    per-patch energy/peak. The oracle replays the identical strided
+    gather in SQL (ASCII corpus: byte == char == ascii()), so the 2-D
+    tiling arithmetic — row stride, patch origin, tail truncation (a
+    partial row-block emits nothing) — is hash-checked row-for-row.
+
+    Scale: same contract as qm02/qm03 — payload bytes die inside the
+    patchifier; only (id, grid coords, small ints) re-enter the plan,
+    which is exactly how a ViT-style preprocessor feeds a training
+    shard writer without ever shuffling media bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    return extract_patches(attach_binary(d))

@@ -515,3 +515,69 @@ def qs07_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qs08: cluster-balanced sampling (diversity-aware corpus selection)
+# ---------------------------------------------------------------------------
+
+BALANCED_PER_CLUSTER = 20  # draws per k-means cluster
+
+
+def _qs08_oracle() -> str:
+    from event_stream_aggr_spark.operators.similarity import km_assign_ctes
+
+    return f"""
+WITH {km_assign_ctes()},
+keyed AS (
+  SELECT code AS cluster, vec_id,
+         md5('bal:' || CAST(vec_id AS VARCHAR)) AS order_key
+  FROM assign)
+SELECT cluster, vec_id, draw_rank FROM (
+  SELECT cluster, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+              ORDER BY order_key, vec_id) AS BIGINT) AS draw_rank
+  FROM keyed) t
+WHERE draw_rank <= {BALANCED_PER_CLUSTER}
+"""
+
+
+@register(
+    "qs08_cluster_balanced_sample",
+    tags=("sampling", "clustering"),
+    oracle=_qs08_oracle(),
+)
+def qs08_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: up to BALANCED_PER_CLUSTER draws per
+    k-means cluster, ranked by a content-derived (salted-md5) order key
+    — the diversity-flattening mix step (equal representation per
+    learned topic, not per raw source) used to de-bias pretraining
+    mixtures. Composes qe08's assignment with qs06's reproducible
+    shuffle-order recipe: the draw is independent of partitioning,
+    cluster sizes, and engine.
+
+    Scale shape (100 TB): the assignment is qe08's broadcast-centroid
+    dataflow; the balanced draw adds one keyed exchange on cluster id
+    (bounded per-cluster state in the window — rank never looks past
+    BALANCED_PER_CLUSTER ordered rows with a top-k pushdown)."""
+    from pyspark.sql import Window as W
+
+    from event_stream_aggr_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keyed = kmeans_assign(emb).select(
+        F.col("code").alias("cluster"),
+        "vec_id",
+        F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))).alias(
+            "order_key"
+        ),
+    )
+    w = W.partitionBy("cluster").orderBy("order_key", "vec_id")
+    return (
+        keyed.select(
+            "cluster",
+            "vec_id",
+            F.row_number().over(w).cast("long").alias("draw_rank"),
+        )
+        .filter(F.col("draw_rank") <= BALANCED_PER_CLUSTER)
+    )

@@ -1038,3 +1038,226 @@ def qe07_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "qid", "cid", "cos_sim", F.row_number().over(wr).cast("long").alias("rank")
     ).filter(F.col("rank") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Full-vector k-means: corpus topic clustering (curation's workhorse)
+# ---------------------------------------------------------------------------
+
+KM_ITERS = 2  # Lloyd rounds after label-mean init (matches PQ_LLOYD_ITERS)
+
+
+def _km_views(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full-space twins of ``_pq_views``: one subspace (m = 0) spanning
+    all 64 dims, so the PQ distance/argmin/refine machinery runs
+    unchanged as ordinary k-means. Both shapes are narrow transforms of
+    the scan — no shuffle."""
+    vd = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        F.lit(0).cast("long").alias("m"),
+        F.col("pos0").alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    subs = emb.select(
+        "vec_id",
+        F.lit(0).cast("long").alias("m"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("subvec"),
+    )
+    return vd, subs
+
+
+def _km_dist(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, d_us): µ-unit distance of every vector to
+    every centroid. Unlike PQ's subspace join on ``m``, full-vector
+    k-means has no selective join key — every vector must score
+    against all K centroids — so this is a DELIBERATE broadcast
+    product with a K-row (KB-scale) build side, the plan any k-means
+    scoring pass has at any corpus size. (Expressing it as a join on
+    the constant m=0 would constant-fold to the same
+    BroadcastNestedLoopJoin; the explicit crossJoin states the
+    intent.) Distance math is _pq_dist's exact-integer fold."""
+    d_us = F.aggregate(
+        F.zip_with(
+            F.col("subvec"),
+            F.col("cvec"),
+            lambda x, c: F.round(((x - c) * (x - c)) * 1000000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        subs.drop("m")
+        .crossJoin(F.broadcast(_cb_arrays(cb).drop("m")))
+        .select(
+            "vec_id",
+            F.lit(0).cast("long").alias("m"),
+            "code",
+            d_us.alias("d_us"),
+        )
+    )
+
+
+def kmeans_assign(emb: DataFrame) -> DataFrame:
+    """K-means cluster assignment over the embedding column:
+    label-mean init, KM_ITERS Lloyd rounds (empty cells keep their
+    previous centroid), then the final (vec_id, code, d_us) assignment
+    where d_us is the exact integer micro-unit squared distance to the
+    winning centroid (ties → lowest code, via struct-min ordering).
+
+    Scale shape (100 TB): the K×D centroid relation (KB-scale)
+    broadcasts onto the scan for every distance pass (a deliberate
+    K-row broadcast product — see ``_km_dist``); the only wide
+    exchanges are the per-round mean recomputation (a
+    partial-aggregating groupBy on code) and the vd⋈assign refine
+    join, both keyed and AQE-splittable. Vectors never shuffle for
+    scoring. ``localCheckpoint`` truncates the iterative lineage so
+    round t+1 doesn't replay round t's DAG."""
+    vd, subs = _km_views(emb)
+    cb = _pq_init(vd)
+    for _ in range(KM_ITERS):
+        assign = _pq_argmin(_km_dist(subs, cb))
+        cb = _pq_refine(vd.drop("label"), cb, assign).localCheckpoint(eager=False)
+    dfin = _km_dist(subs, cb)
+    return (
+        dfin.groupBy("vec_id")
+        .agg(F.min(F.struct("d_us", "code")).alias("mn"))
+        .select(
+            "vec_id",
+            F.col("mn.code").alias("code"),
+            F.col("mn.d_us").alias("d_us"),
+        )
+    )
+
+
+def km_assign_ctes() -> str:
+    """The DuckDB CTE chain replaying ``kmeans_assign`` exactly —
+    shared by qe08's profile oracle and qs08's balanced-sample oracle.
+    Same determinism recipe as qe06: centroid means round to 6dp per
+    round, every squared term converts to integer micro-units BEFORE
+    the sum, argmin ties resolve to the lowest code."""
+    dist = (
+        "CAST(SUM(CAST(ROUND(((v.x - c.cx) * (v.x - c.cx)) * 1000000)"
+        " AS BIGINT)) AS BIGINT)"
+    )
+    return f"""
+vd AS (
+  SELECT vec_id, label, u.pos, u.x::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u),
+cb0 AS (
+  SELECT CAST(label AS BIGINT) AS code, pos, ROUND(AVG(x), 6) AS cx
+  FROM vd GROUP BY label, pos),
+d1 AS (
+  SELECT v.vec_id, c.code, {dist} AS d_us
+  FROM vd v JOIN cb0 c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.code),
+a1 AS (
+  SELECT vec_id, code FROM (
+    SELECT vec_id, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d_us, code) AS rnk
+    FROM d1) t WHERE rnk = 1),
+m1 AS (
+  SELECT a.code, v.pos, ROUND(AVG(v.x), 6) AS cx
+  FROM vd v JOIN a1 a ON v.vec_id = a.vec_id
+  GROUP BY a.code, v.pos),
+cb1 AS (
+  SELECT c.code, c.pos, COALESCE(n.cx, c.cx) AS cx
+  FROM cb0 c LEFT JOIN m1 n ON c.code = n.code AND c.pos = n.pos),
+d2 AS (
+  SELECT v.vec_id, c.code, {dist} AS d_us
+  FROM vd v JOIN cb1 c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.code),
+a2 AS (
+  SELECT vec_id, code FROM (
+    SELECT vec_id, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d_us, code) AS rnk
+    FROM d2) t WHERE rnk = 1),
+m2 AS (
+  SELECT a.code, v.pos, ROUND(AVG(v.x), 6) AS cx
+  FROM vd v JOIN a2 a ON v.vec_id = a.vec_id
+  GROUP BY a.code, v.pos),
+cb2 AS (
+  SELECT c.code, c.pos, COALESCE(n.cx, c.cx) AS cx
+  FROM cb1 c LEFT JOIN m2 n ON c.code = n.code AND c.pos = n.pos),
+dfin AS (
+  SELECT v.vec_id, c.code, {dist} AS d_us
+  FROM vd v JOIN cb2 c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.code),
+assign AS (
+  SELECT vec_id, code, d_us FROM (
+    SELECT vec_id, code, d_us,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d_us, code) AS rnk
+    FROM dfin) t WHERE rnk = 1)"""
+
+
+_KM_PROFILE_ORACLE = f"""
+WITH {km_assign_ctes()},
+lab AS (
+  SELECT a.code, a.d_us, CAST(e.label AS BIGINT) AS label
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+lc AS (
+  SELECT code, label, COUNT(*) AS cnt, CAST(SUM(d_us) AS BIGINT) AS sd
+  FROM lab GROUP BY code, label),
+prof AS (
+  SELECT code, CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+         CAST(SUM(sd) AS BIGINT) AS sum_d
+  FROM lc GROUP BY code),
+top AS (
+  SELECT code, label AS top_label, cnt AS top_cnt FROM (
+    SELECT code, label, cnt,
+           ROW_NUMBER() OVER (PARTITION BY code ORDER BY cnt DESC, label) AS rnk
+    FROM lc) t WHERE rnk = 1)
+SELECT p.code AS cluster, p.n_vecs, t.top_label,
+       ROUND(CAST(t.top_cnt AS DOUBLE) / p.n_vecs, 6) AS top_share,
+       ROUND(CAST(p.sum_d AS DOUBLE) / p.n_vecs / 1000000, 6) AS avg_dist
+FROM prof p JOIN top t ON p.code = t.code
+"""
+
+
+@register(
+    "qe08_kmeans_clusters",
+    bench=True,
+    tags=("similarity", "clustering"),
+    oracle=_KM_PROFILE_ORACLE,
+)
+def qe08_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic clustering via full-vector k-means (the curation
+    workhorse behind cluster-balanced mixing, topic pruning, and
+    diversity audits): label-mean init, two Lloyd rounds, then a
+    per-cluster profile — size, dominant label + its share (cluster
+    purity), and mean squared distance to the centroid (cluster
+    tightness). Reuses the PQ machinery as the degenerate one-subspace
+    case, so the iterative dataflow is tested twice from two angles.
+
+    Determinism: assignment distances are exact integer micro-units
+    (qe06's recipe), so SUM(d_us) is order-free; purity/tightness are
+    single IEEE divisions of identical integers in both engines,
+    rounded to 6dp; dominant-label ties resolve to the lowest label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb)
+    lab = assign.join(
+        emb.select("vec_id", F.col("label").cast("long").alias("label")), "vec_id"
+    )
+    lc = lab.groupBy("code", "label").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("d_us").alias("sd")
+    )
+    prof = lc.groupBy("code").agg(
+        F.sum("cnt").alias("n_vecs"),
+        F.sum("sd").alias("sum_d"),
+        F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("top"),
+    )
+    return prof.select(
+        F.col("code").alias("cluster"),
+        "n_vecs",
+        (-F.col("top.nl")).alias("top_label"),
+        F.round(F.col("top.cnt").cast("double") / F.col("n_vecs"), 6).alias(
+            "top_share"
+        ),
+        F.round(
+            F.col("sum_d").cast("double") / F.col("n_vecs") / 1000000, 6
+        ).alias("avg_dist"),
+    )

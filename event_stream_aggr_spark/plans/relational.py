@@ -2679,3 +2679,50 @@ def q66_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "q67_customer_distribution",
+    tags=("join", "agg", "outer"),
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q67_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    OUTER join with a join-side (not WHERE-side) predicate on the
+    right input — customers with zero qualifying orders must survive
+    with c_count = 0 — followed by a second aggregation over the
+    first's result (a count-of-counts histogram).
+
+    Scale shape: the filter on orders is pushed below the join (it
+    prunes the probe side before the exchange, NOT after — a WHERE
+    would wrongly drop order-less customers). Both aggregations are
+    hash aggregates with map-side partials; the second one's input is
+    |customers| rows of two ints, and its output is tiny. COUNT of a
+    possibly-null column (o_orderkey) counts only matches, which is
+    what makes the outer join + COUNT idiom correct."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    ).filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

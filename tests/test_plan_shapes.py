@@ -226,3 +226,37 @@ def test_qe06_pq_scoring_joins_are_broadcast_only(spark, sf_dir, specs):
     assert "BroadcastHashJoin" in scoring
     assert "SortMergeJoin" not in scoring and "ShuffledHashJoin" not in scoring
     assert "Cartesian" not in scoring and "NestedLoop" not in scoring
+
+
+def test_qe08_kmeans_centroid_scoring_is_broadcast_product(spark, sf_dir, specs):
+    # Full-vector k-means scoring has no selective join key — every
+    # vector scores against all K centroids — so the CORRECT plan is a
+    # broadcast product with a K-row build side (_km_dist's explicit
+    # crossJoin+broadcast), never a non-broadcast CartesianProduct and
+    # never a shuffle of the vectors.
+    plan = _plan(specs["qe08_kmeans_clusters"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # Pin the broadcast with the threshold disabled entirely: the hint,
+    # not tiny-SF AQE behavior, must be what makes the build side
+    # broadcast. (The refine join is correctly shuffle-based at scale
+    # and is NOT asserted on — same scoping rationale as qe06 above.)
+    from event_stream_aggr_spark.operators.similarity import (
+        _km_dist,
+        _km_views,
+        _pq_init,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    vd, subs = _km_views(load_table(spark, sf_dir, "embeddings"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dist = _plan(_km_dist(subs, _pq_init(vd)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" in dist
+    assert "CartesianProduct" not in dist
+    assert "SortMergeJoin" not in dist and "ShuffledHashJoin" not in dist
+    # (the only exchange in this subplan is the K×D centroid aggregate
+    # on the KB-scale build side; the vector side stays scan-narrow)

@@ -165,3 +165,35 @@ def test_rerank_recall_vs_exact(spark):
     approx = {(r.qid, r.cid) for r in qe07_rerank_topk(spark, SF_DIR_CORRECTNESS).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"rerank recall collapsed: {recall}"
+
+
+def test_kmeans_assignment_complete_and_label_dominant(spark, sf_dir):
+    """qe08: every vector lands in exactly one cluster; label-mean init
+    keeps each cluster dominated by its seed label through both Lloyd
+    rounds on the deterministic fixture (top_label == cluster for all
+    10); purity is measured at 0.268-0.352 (~3x the 0.1 chance floor —
+    the synthetic embeddings are weakly label-structured). A drift
+    outside the band means the iterative dataflow changed, not noise."""
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qe08_kmeans_clusters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sum(r.n_vecs for r in rows) == 500
+    for r in rows:
+        assert r.top_label == r.cluster
+        assert 0.2 <= r.top_share <= 0.45, f"purity off band: {r}"
+        assert r.avg_dist > 0
+
+
+def test_cluster_balanced_sample_is_flat_and_disjoint(spark, sf_dir):
+    """qs08: exactly BALANCED_PER_CLUSTER draws per cluster (every
+    fixture cluster has >= 20 members) and no vector drawn twice."""
+    from event_stream_aggr_spark.operators.sampling import BALANCED_PER_CLUSTER
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qs08_cluster_balanced_sample"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per[r.cluster] = per.get(r.cluster, 0) + 1
+    assert set(per.values()) == {BALANCED_PER_CLUSTER}
+    assert len({r.vec_id for r in rows}) == len(rows)
