@@ -80,3 +80,115 @@ def write_pruned_layout(
         .partitionBy(*partition_cols)
         .parquet(out_path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-dimensional clustering for data skipping
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # bits per dimension → 16-bit z-values
+
+
+def zorder_key(x, y, bits: int = ZORDER_BITS):
+    """Bit-interleaved Morton key of two bucketized int columns: bit i
+    of y lands at position 2i, bit i of x at 2i+1. Exact integer
+    arithmetic — engine-portable by construction."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def zorder_layout(df: DataFrame, x_col: str, y_col: str, n_files: int) -> DataFrame:
+    """Cluster a table by the Morton curve over two columns so each
+    output file's (x, y) bounding box is tight in BOTH dimensions —
+    the OPTIMIZE ZORDER pattern: min/max row-group stats then prune
+    2-D predicates, where a single-column sort only prunes one.
+
+    One range exchange (sampled split points over the z-key), sort
+    within partitions, no global sort."""
+    from pyspark.sql import functions as F
+
+    mx = F.pmod(F.col(x_col), 1 << ZORDER_BITS)
+    my = F.pmod(F.col(y_col), 1 << ZORDER_BITS)
+    keyed = df.withColumn("_z", zorder_key(mx, my))
+    return (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+_Z_EXPR = (
+    "(((y >> 0) & 1) << 0) + (((x >> 0) & 1) << 1) + (((y >> 1) & 1) << 2)"
+    " + (((x >> 1) & 1) << 3) + (((y >> 2) & 1) << 4) + (((x >> 2) & 1) << 5)"
+    " + (((y >> 3) & 1) << 6) + (((x >> 3) & 1) << 7) + (((y >> 4) & 1) << 8)"
+    " + (((x >> 4) & 1) << 9) + (((y >> 5) & 1) << 10) + (((x >> 5) & 1) << 11)"
+    " + (((y >> 6) & 1) << 12) + (((x >> 6) & 1) << 13)"
+    " + (((y >> 7) & 1) << 14) + (((x >> 7) & 1) << 15)"
+)
+
+
+def _register_zorder_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qz01_zorder_locality",
+        tags=("maintenance", "layout"),
+        oracle=f"""
+WITH m AS (
+  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+z AS (
+  SELECT x, y, CAST({_Z_EXPR} AS BIGINT) AS zv FROM m)
+SELECT zv >> 10 AS z_tile, COUNT(*) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z GROUP BY zv >> 10
+""",
+    )
+    def qz01_zorder_locality(spark, sf_dir):
+        """Z-order (Morton-curve) locality audit: bucketize
+        (l_partkey, l_suppkey) to 8 bits each, interleave into a
+        16-bit z-value, and profile each 1024-cell z-tile. Because a
+        tile fixes the high 3 bits of BOTH dimensions, every tile's
+        bounding box is at most 32×32 — the property that makes
+        OPTIMIZE ZORDER layouts prune 2-D predicates from min/max
+        row-group stats where a single-column sort prunes only one.
+        ``zorder_layout`` applies the same key as a physical layout
+        (range-partition + sort-within-partitions);
+        tests/test_maintenance.py checks the file-level effect.
+
+        Exact integer bit arithmetic end-to-end — the oracle runs the
+        identical interleave expression."""
+        li = load_table(spark, sf_dir, "lineitem")
+        m = li.select(
+            F.pmod(F.col("l_partkey"), 256).alias("x"),
+            F.pmod(F.col("l_suppkey"), 256).alias("y"),
+        )
+        z = m.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("zv"))
+        return (
+            z.groupBy(F.shiftrightunsigned("zv", 10).alias("z_tile"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("x").alias("x_min"),
+                F.max("x").alias("x_max"),
+                F.min("y").alias("y_min"),
+                F.max("y").alias("y_max"),
+            )
+        )
+
+    return qz01_zorder_locality
+
+
+_register_zorder_query()

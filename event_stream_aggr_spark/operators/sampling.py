@@ -581,3 +581,61 @@ def qs08_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("draw_rank") <= BALANCED_PER_CLUSTER)
     )
+
+
+# ---------------------------------------------------------------------------
+# qs09: temporal split with embargo (time-series leakage control)
+# ---------------------------------------------------------------------------
+
+TEMPORAL_CUT = "2024-01-25 00:00:00"
+TEMPORAL_EMBARGO_START = "2024-01-24 00:00:00"  # 1-day gap before the cut
+
+
+@register(
+    "qs09_temporal_split",
+    tags=("sampling", "split"),
+    oracle=f"""
+WITH lab AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{TEMPORAL_EMBARGO_START}' THEN 'train'
+              WHEN ts < TIMESTAMP '{TEMPORAL_CUT}' THEN 'embargo'
+              ELSE 'eval' END AS split,
+         event_type, user_id, ts
+  FROM events)
+SELECT split, event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM lab GROUP BY split, event_type
+""",
+)
+def qs09_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split with an embargo gap (time-series
+    leakage control): rows before the embargo window train, rows after
+    the cut evaluate, and the gap between them is EXCLUDED from both —
+    the standard guard against boundary leakage through correlated
+    near-in-time rows (user sessions spanning the cut, duplicated
+    content republished hours apart). Complements qs02's group-wise
+    leakage-safe split with the time-axis version.
+
+    Scale shape: one scan, the split label is a narrow CASE on the
+    pushed-down timestamp column, and only the tiny per-(split, type)
+    aggregate shuffles. TIMESTAMP_NTZ comparisons against literal
+    cut points are session-timezone independent."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit(TEMPORAL_CUT).cast("timestamp_ntz")
+    emb0 = F.lit(TEMPORAL_EMBARGO_START).cast("timestamp_ntz")
+    lab = e.select(
+        F.when(F.col("ts") < emb0, "train")
+        .when(F.col("ts") < cut, "embargo")
+        .otherwise("eval")
+        .alias("split"),
+        "event_type",
+        "user_id",
+        "ts",
+    )
+    return lab.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

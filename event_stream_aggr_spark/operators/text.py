@@ -996,3 +996,96 @@ def qt16_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_entropy",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qt17: BM25 relevance scoring (the retrieval-side ranking function)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "vector", "stream")
+
+
+@register(
+    "qt17_bm25_scores",
+    tags=("text", "retrieval"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS dl,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM docs),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, dl, unnest(toks) AS term FROM docs) u
+  WHERE term IN ('join', 'vector', 'stream')
+  GROUP BY doc_id, dl, term),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+           * 1000000) AS BIGINT) AS score_us
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(score_us) AS DOUBLE) / 1000000 AS bm25
+FROM scored GROUP BY doc_id
+""",
+)
+def qt17_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (L4, the retrieval ranking function):
+    Lucene-style BM25 (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1))
+    of every document against a fixed query-term set — the scoring
+    half of a sparse retrieval stack (qe0x cover the dense half).
+
+    Scale dataflow: document length comes from ``size()`` on the token
+    array — no explode, no shuffle. The token stream is filtered to
+    QUERY TERMS BEFORE the tf shuffle, so the wide exchange carries
+    only |docs|·|query| rows, not the corpus token stream; corpus
+    stats (N, Σdl) and per-term df are KB-scale broadcasts back onto
+    it. Per-term scores convert to integer micro-units BEFORE the
+    per-doc sum (qe06's recipe) so the 3-term accumulation is
+    order-free; ln() is the one transcendental (qt09's precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = tokens(F.lower(F.col("text")))
+    docs = d.select(
+        "doc_id",
+        F.size(toks_arr).cast("long").alias("dl"),
+        toks_arr.alias("toks"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score_us = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+        * 1000000
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score_us.alias("score_us"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.sum("score_us").cast("double") / 1000000).alias("bm25"),
+    )

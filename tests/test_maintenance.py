@@ -92,3 +92,78 @@ def test_pruned_layout_sorts_within_files(spark, tmpdir):
     rows = spark.read.parquet(one).select("ts").collect()
     ts = [r.ts for r in rows]
     assert ts == sorted(ts)  # row-group min/max stats are tight
+
+
+def test_zorder_key_known_interleave(spark):
+    """Hand-checked Morton values: x=3 (011b), y=5 (101b) interleave to
+    z = y0<<0 + x0<<1 + y1<<2 + x1<<3 + y2<<4 + x2<<5 = 1+2+8+16 = 27."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.maintenance import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 5), (255, 255), (1, 0), (0, 1)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(3, 5)] == 27
+    assert got[(255, 255)] == 65535
+    assert got[(1, 0)] == 2  # x bits land at odd positions
+    assert got[(0, 1)] == 1  # y bits land at even positions
+
+
+def test_zorder_layout_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """The OPTIMIZE ZORDER effect, measured on actual files: after
+    zorder_layout, every file's (x, y) bounding box is tight in BOTH
+    dimensions (the 16-file split of the 256×256 z-space gives 64×64
+    boxes = 1/16 of each axis), while a round-robin layout's boxes
+    span essentially the full domain in both. Row content round-trips
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.maintenance import zorder_layout
+    from event_stream_aggr_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    out = str(tmp_path / "zorder")
+    zorder_layout(li, "l_partkey", "l_suppkey", n_files=16).write.parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    boxes = (
+        back.select(
+            F.input_file_name().alias("f"),
+            F.pmod("l_partkey", 256).alias("x"),
+            F.pmod("l_suppkey", 256).alias("y"),
+        )
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(boxes) >= 8
+    # every file tight in BOTH dims: a 16-way z-range split can span at
+    # most 2 adjacent 64x64 tiles per dim (range boundaries mid-tile)
+    for b in boxes:
+        assert b.xs <= 128 and b.ys <= 128, f"loose bbox: {b}"
+
+
+def test_zorder_tiles_bounded_32x32(spark, sf_dir):
+    """qz01's locality claim, asserted directly: every 1024-cell
+    z-tile's bounding box is at most 32×32."""
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qz01_zorder_locality"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.x_max - r.x_min <= 31 and r.y_max - r.y_min <= 31
