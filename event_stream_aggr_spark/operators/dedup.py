@@ -606,12 +606,22 @@ def ngram_hashes(text: Column, n: int = DECONTAM_NGRAM) -> Column:
     ``sequence(1, 0)`` DESCENDS instead of returning empty (unlike
     DuckDB's generate_series).
     """
-    t = F.filter(F.split(text, " "), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
-    )
-    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    # Bind the token array ONCE as an outer lambda variable: embedding
+    # the split expression directly in the slice lambda would re-split
+    # the document for every gram index (O(n²) characters per doc).
+    # transform over a 1-element array evaluates its input exactly
+    # once and hands the inner lambdas a bound value.
+    def grams_of(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
+        )
+        return F.when(F.size(t) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    toked = F.array(F.filter(F.split(text, " "), lambda x: x != ""))
+    return F.get(F.transform(toked, grams_of), 0)
 
 
 def _decontam_oracle(n: int = DECONTAM_NGRAM, mod: int = DECONTAM_EVAL_MOD) -> str:
@@ -786,17 +796,23 @@ def qd12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document grain. All hashes are md5 (engine-portable) so the
     DuckDB oracle replays the identical canonicalization."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
-    spans_arr = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+    # tokenize ONCE behind a projection boundary — a slice lambda that
+    # embeds the split expression would re-split the document for
+    # every span index (O(n²) characters per doc)
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+    )
+    n_spans = F.ceil(F.size("ts") / F.lit(SPAN_TOKENS)).cast("int")
+    spans_arr = F.when(F.size("ts") == 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_spans - 1),
             lambda i: F.concat_ws(
-                " ", F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS)
+                " ", F.slice(F.col("ts"), i * SPAN_TOKENS + 1, SPAN_TOKENS)
             ),
         )
     )
-    spans = d.select(
+    spans = toked.select(
         "doc_id", F.posexplode(spans_arr).alias("span_idx", "span")
     ).withColumn("h", F.md5("span"))
     # canonical-first via a map-side-combinable MIN aggregate rather
@@ -1021,15 +1037,20 @@ def qd14_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate set is not provably executor-memory-sized).
     Reassembly is one shuffle back to document grain."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
-    spans_arr = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+    # tokenize ONCE behind a projection boundary (same O(n²) guard as
+    # qd12 — the slice lambda must reference an attribute)
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+    )
+    n_spans = F.ceil(F.size("ts") / F.lit(SPAN_TOKENS)).cast("int")
+    spans_arr = F.when(F.size("ts") == 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i * SPAN_TOKENS + 1, SPAN_TOKENS)),
         )
     )
-    spans = d.select(
+    spans = toked.select(
         "doc_id", F.posexplode(spans_arr).alias("span_idx", "span")
     ).withColumn("h", F.md5("span"))
     doc_freq = (

@@ -247,10 +247,11 @@ def qt06_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums; the per-doc max is a max over single-division doubles —
     both order-independent, so no rounding is needed anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    per_doc = d.select(
+    # tokenize once; the two consumers below reference the attribute
+    per_doc = d.select("lang", tokens(F.col("text")).alias("ts")).select(
         "lang",
-        token_count(F.col("text")).alias("n_tok"),
-        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("n_dist"),
+        F.size("ts").cast("long").alias("n_tok"),
+        F.size(F.array_distinct("ts")).cast("long").alias("n_dist"),
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -482,20 +483,22 @@ def qt10_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-level exact dedup downstream (feed to qd01's hash-groupBy).
     """
     d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
+    # tokenize once behind a projection boundary; last_idx's two
+    # size() consumers then read the attribute instead of re-splitting
+    toked = d.select("doc_id", tokens(F.col("text")).alias("t"))
     n_full = F.floor(
-        F.greatest(F.size(t) - CHUNK_SIZE, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+        F.greatest(F.size("t") - CHUNK_SIZE, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
     )
     has_tail = F.when(
-        (F.greatest(F.size(t) - CHUNK_SIZE, F.lit(0)) % CHUNK_STRIDE) > 0, 1
+        (F.greatest(F.size("t") - CHUNK_SIZE, F.lit(0)) % CHUNK_STRIDE) > 0, 1
     ).otherwise(0)
     last_idx = (n_full + has_tail).cast("long")
     # size(t) > 0 guard: Spark's sequence(0, -1) DESCENDS instead of
     # returning empty (unlike DuckDB's generate_series), so token-less
     # docs must be filtered out — which matches the oracle (its
     # len(t)=0 branch yields an empty series -> no rows).
-    chunks = d.select(
-        "doc_id", t.alias("t"), last_idx.alias("last_idx")
+    chunks = toked.select(
+        "doc_id", "t", last_idx.alias("last_idx")
     ).filter(F.size("t") > 0).select(
         "doc_id",
         "t",
@@ -691,13 +694,18 @@ def qt13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles = F.broadcast(
         spark.createDataFrame(list(LANGID_PROFILES), "lang string, bigram string, w long")
     )
-    t = F.lower(F.col("text"))
+    # Materialize lower(text) behind a projection boundary FIRST: a
+    # lambda body like `i -> substr(lower(text), i, 2)` re-evaluates
+    # lower() for every sequence element — O(n²) characters per doc.
+    # Referencing the aliased attribute keeps it one evaluation per row
+    # (CollapseProject won't inline a non-trivial expr used 3×).
+    lowered = d.select("doc_id", F.lower(F.col("text")).alias("lt"))
     grams_arr = F.when(
-        F.length(t) < 2, F.array().cast("array<string>")
+        F.length("lt") < 2, F.array().cast("array<string>")
     ).otherwise(
-        F.expr("transform(sequence(1, length(lower(text)) - 1), i -> substr(lower(text), i, 2))")
+        F.expr("transform(sequence(1, length(lt) - 1), i -> substr(lt, i, 2))")
     )
-    grams = d.select("doc_id", F.explode(grams_arr).alias("bigram"))
+    grams = lowered.select("doc_id", F.explode(grams_arr).alias("bigram"))
     scored = (
         grams.join(profiles, "bigram")
         .groupBy("doc_id", "lang")
@@ -772,15 +780,19 @@ def qt14_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc grain. The filter emits every doc with its verdict; the
     downstream pipeline applies ``WHERE keep``."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ts = tokens(F.col("text"))
-    stats = d.select(
+    # Tokenize ONCE behind a projection boundary: the four consumers
+    # below would otherwise each re-split the document (4× the split
+    # cost per row; CollapseProject won't inline a non-trivial expr
+    # used this many times).
+    toked = d.select("doc_id", tokens(F.col("text")).alias("ts"))
+    stats = toked.select(
         "doc_id",
-        F.size(ts).cast("long").alias("n_tokens"),
+        F.size("ts").cast("long").alias("n_tokens"),
         F.size(
-            F.filter(ts, lambda x: x.isin(list(STOPWORDS_EN)))
+            F.filter("ts", lambda x: x.isin(list(STOPWORDS_EN)))
         ).cast("long").alias("n_stop"),
-        F.length(F.concat_ws("", ts)).cast("long").alias("sum_len"),
-        F.explode(ts).alias("tok"),
+        F.length(F.concat_ws("", F.col("ts"))).cast("long").alias("sum_len"),
+        F.explode("ts").alias("tok"),
     )
     per_tok = (
         stats.groupBy("doc_id", "n_tokens", "n_stop", "sum_len", "tok")
@@ -1057,12 +1069,10 @@ def qt17_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum (qe06's recipe) so the 3-term accumulation is
     order-free; ln() is the one transcendental (qt09's precedent)."""
     d = load_table(spark, sf_dir, "documents")
-    toks_arr = tokens(F.lower(F.col("text")))
+    # tokenize once; dl reads the attribute instead of re-splitting
     docs = d.select(
-        "doc_id",
-        F.size(toks_arr).cast("long").alias("dl"),
-        toks_arr.alias("toks"),
-    )
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
