@@ -1099,3 +1099,129 @@ def qt17_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         (F.sum("score_us").cast("double") / 1000000).alias("bm25"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qt18: BPE merge-step pair counting (tokenizer-training's inner loop)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+@register(
+    "qt18_bpe_pair_counts",
+    tags=("text", "tokenizer"),
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents),
+tok_counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+pairs AS (
+  SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, n
+  FROM tok_counts,
+       LATERAL (SELECT unnest(range(1, CAST(length(tok) AS BIGINT))) AS i) g
+  WHERE length(tok) >= 2),
+counted AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair)
+SELECT pair, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT)
+         AS rank
+FROM counted
+ORDER BY rank LIMIT {BPE_TOP_MERGES}
+""",
+)
+def qt18_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first merge step (L4): corpus-wide
+    counts of adjacent character pairs within words — the argmax pair
+    is the first merge a byte-pair-encoding tokenizer learns. Top-20
+    merge candidates reported.
+
+    Scale dataflow, rule 7 (distinct-before-expensive) + rule 19
+    (bind expensive exprs outside lambdas): the token stream first
+    reduces to the DISTINCT word list with counts — vocabulary-sized,
+    orders of magnitude smaller than the corpus — and pair extraction
+    runs per distinct word, weighted by its count. Real BPE iterates
+    this loop re-segmenting with each learned merge; each round is
+    this same dataflow, so the one-round dataflow is what's pinned.
+    Exact integer counts end-to-end; global top-k is
+    TakeOrderedAndProject, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        tok_counts.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(tok) - 1),"
+                       " i -> substr(tok, i, 2))")
+            ).alias("pair"),
+            "n",
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_occurrences"), "pair")
+    return (
+        counted.select(
+            "pair",
+            "n_occurrences",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= BPE_TOP_MERGES)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qt19: inverted-index construction (the retrieval index build)
+# ---------------------------------------------------------------------------
+
+INDEX_MIN_DF = 5
+
+
+@register(
+    "qt19_inverted_index",
+    tags=("text", "retrieval"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+             AS term
+    FROM documents) u)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
+HAVING COUNT(*) >= {INDEX_MIN_DF}
+""",
+)
+def qt19_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (L4, the index-build half of the
+    sparse retrieval stack — qt17 BM25 is the scoring half): per term,
+    document frequency and the sorted posting list of documents
+    containing it, for terms above a df floor.
+
+    Scale dataflow: (doc_id, term) pairs dedup FIRST (shuffle carries
+    distinct pairs, not the raw token stream — rule 7), then one
+    aggregation to term grain builds postings via collect_list →
+    array_sort; per-term state is bounded by df. At 100 TB posting
+    lists for stop-like terms are the skew keys — the df floor plus
+    AQE skew-split handle them; a production build would also shard
+    postings by doc-range per term (the standard segmented index),
+    which is this same dataflow keyed by (term, doc_id >> k)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+    )

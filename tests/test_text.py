@@ -197,3 +197,37 @@ def test_shard_shuffle_deterministic_uniform_and_layout_independent(spark):
     # not equal doc_id order
     s0 = [d for d, s, _ in sorted(a, key=lambda t: (t[1], t[2])) if s == 0]
     assert s0 != sorted(s0)
+
+
+def test_bpe_pair_counts_known_corpus(spark):
+    """Hand-checked merge counts: 'aba ab' + 'ab' → pairs ab:3 (2 from
+    aba? no — aba yields ab,ba; ab yields ab ×2 docs) = ab:3, ba:1."""
+    from event_stream_aggr_spark.operators.text import qt18_bpe_pair_counts  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("aba ab",), ("ab",)], "text string")
+    toks = df.select(F.explode(F.split("text", " ")).alias("tok"))
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    pairs = tok_counts.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    got = {
+        r.pair: r.s
+        for r in pairs.groupBy("pair").agg(F.sum("n").alias("s")).collect()
+    }
+    assert got == {"ab": 3, "ba": 1}
+
+
+def test_inverted_index_postings_sorted_and_df_consistent(spark, sf_dir):
+    from event_stream_aggr_spark.operators.text import INDEX_MIN_DF
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qt19_inverted_index"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.df >= INDEX_MIN_DF
+        assert len(r.postings) == r.df
+        assert list(r.postings) == sorted(set(r.postings))
