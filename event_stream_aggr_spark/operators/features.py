@@ -1,0 +1,190 @@
+"""Feature-engineering operators (SURVEY.md §2.10 extension): the
+materialization pass a feature store runs over an event stream to
+produce per-entity training feature matrices.
+
+The shape that matters at 100 TB: ONE aggregation to (entity, day)
+grain — conditional counts pivot event types into columns map-side, so
+the shuffle carries |entities|·|days| narrow rows, never raw events —
+then trailing-window features via RANGE frames over the day number
+(bounded per-entity state, no self-join; the naive "join the last 7
+days" phrasing shuffles the daily relation 7×).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+FEATURE_EPOCH = "2024-01-01"
+TRAILING_DAYS = 7
+
+
+@register(
+    "qf01_user_feature_matrix",
+    tags=("features", "window", "pivot"),
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         {" ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t},"
+            for t in EVENT_TYPES)}
+         SUM(CAST(value AS DECIMAL(18,6))) AS vdec
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d'))
+SELECT user_id, day,
+       {" ".join(f"n_{t}," for t in EVENT_TYPES)}
+       CAST(vdec AS DOUBLE) AS value_day,
+       CAST(SUM(vdec) OVER (
+         PARTITION BY user_id
+         ORDER BY date_diff('day', DATE '{FEATURE_EPOCH}', CAST(day AS DATE))
+         RANGE BETWEEN {TRAILING_DAYS - 1} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS value_{TRAILING_DAYS}d
+FROM daily
+""",
+)
+def qf01_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily feature matrix (the feature-store
+    materialization shape): event-type counts pivoted into columns,
+    daily value, and a trailing 7-day value via a RANGE frame — the
+    training-feature table a churn/propensity model reads.
+
+    Scale shape: conditional-count pivoting happens INSIDE the one
+    (user, day) aggregation (map-side partials carry 5 ints + a
+    decimal), so raw events shuffle once to entity-day grain and the
+    trailing window runs over that far smaller relation with bounded
+    per-user state. A calendar self-join would re-shuffle the daily
+    relation per offset; the RANGE frame does it in one pass.
+
+    Determinism: counts are exact ints; value sums accumulate as
+    DECIMAL and cast to DOUBLE only on output (registry float rule),
+    so the window's partial sums are order-free in both engines.
+    TIMESTAMP_NTZ day bucketing is session-timezone independent."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("vdec"),
+        )
+    )
+    day_num = F.datediff(
+        F.to_date("day"), F.to_date(F.lit(FEATURE_EPOCH))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(day_num)
+        .rangeBetween(-(TRAILING_DAYS - 1), W.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        *[f"n_{t}" for t in EVENT_TYPES],
+        F.col("vdec").cast("double").alias("value_day"),
+        F.sum("vdec").over(w).cast("double").alias(f"value_{TRAILING_DAYS}d"),
+    )
+
+
+_QF01_DAILY_CTE = f"""
+daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS vdec
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')),
+feats AS (
+  SELECT user_id, day,
+         CAST(SUM(vdec) OVER (
+           PARTITION BY user_id
+           ORDER BY date_diff('day', DATE '{FEATURE_EPOCH}', CAST(day AS DATE))
+           RANGE BETWEEN {TRAILING_DAYS - 1} PRECEDING AND CURRENT ROW
+         ) AS DOUBLE) AS value_7d
+  FROM daily)"""
+
+
+@register(
+    "qf02_point_in_time_features",
+    tags=("features", "asof"),
+    oracle=f"""
+WITH {_QF01_DAILY_CTE},
+labels AS (
+  SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS label_day
+  FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT l.event_id, f.day AS feat_day, f.value_7d,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY f.day DESC) AS rn
+  FROM labels l
+  JOIN feats f ON l.user_id = f.user_id AND f.day < l.label_day)
+SELECT l.event_id, l.user_id, l.label_day,
+       m.feat_day, m.value_7d AS feat_value_7d
+FROM labels l LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+""",
+)
+def qf02_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature store's
+    training-set construction): each purchase label joins the LATEST
+    feature row STRICTLY BEFORE its own day — same-day features are
+    excluded because they aggregate events at-and-after the label
+    (future leakage). Labels with no prior feature row keep NULLs
+    (left as-of semantics), so the training set's coverage is visible
+    rather than silently truncated.
+
+    Built on J5's union + sort-within-partition as-of dataflow
+    (operators/asof.py): one shuffle of labels+features on user_id,
+    no join explosion. The strict < comes from shifting the label's
+    day number by −1 before the inclusive as-of (f ≤ label−1 ⟺
+    f < label).
+
+    Determinism: day strings compare chronologically; the as-of pick
+    is the max prior day (unique per user-day), and value_7d is the
+    DECIMAL-windowed sum cast to DOUBLE — identical in both engines."""
+    from event_stream_aggr_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    feats = (
+        qf01_user_feature_matrix(spark, sf_dir)
+        .select(
+            "user_id",
+            "day",
+            "value_7d",
+            F.datediff(F.to_date("day"), F.to_date(F.lit(FEATURE_EPOCH)))
+            .cast("long")
+            .alias("fnum"),
+        )
+    )
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        day.alias("label_day"),
+        (
+            F.datediff(F.to_date(day), F.to_date(F.lit(FEATURE_EPOCH))) - 1
+        )
+        .cast("long")
+        .alias("lnum"),
+    )
+    joined = asof_join(
+        labels,
+        feats,
+        on=["user_id"],
+        left_ts="lnum",
+        right_ts="fnum",
+        right_cols=["fnum", "day", "value_7d"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "label_day",
+        F.col("day").alias("feat_day"),
+        F.col("value_7d").alias("feat_value_7d"),
+    )

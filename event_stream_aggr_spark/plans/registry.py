@@ -61,6 +61,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries; return the registry."""
     import event_stream_aggr_spark.operators.dedup  # noqa: F401
+    import event_stream_aggr_spark.operators.features  # noqa: F401
     import event_stream_aggr_spark.operators.maintenance  # noqa: F401
     import event_stream_aggr_spark.operators.multimodal  # noqa: F401
     import event_stream_aggr_spark.operators.packing  # noqa: F401

@@ -300,3 +300,18 @@ def test_audio_segments_overlap_fanout(spark, tmp_path):
     assert 2 not in by_doc
     assert all(r.energy == 40 * ord("a") for r in by_doc[0])
     assert all(r.energy == 40 * ord("b") and r.peak == ord("b") for r in by_doc[1])
+
+
+def test_point_in_time_features_never_leak(spark, sf_dir):
+    """qf02: every matched feature row is STRICTLY before the label
+    day (same-day features would aggregate the label event itself);
+    unmatched labels (first-ever-day purchases) surface as NULLs
+    rather than being dropped."""
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qf02_point_in_time_features"].fn(spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if r.feat_day is not None]
+    assert matched
+    for r in matched:
+        assert r.feat_day < r.label_day, f"leaked same/future day: {r}"
