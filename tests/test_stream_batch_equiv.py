@@ -55,3 +55,49 @@ def test_stream_batch_equivalence_hourly_rollup(spark, sf_dir, tmp_path):
     }
     assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
     assert streamed == batch and len(batch) > 0
+
+
+def _daily_features(df: DataFrame) -> DataFrame:
+    # the streaming-safe core of qf01: entity-day grain, pivoted
+    # conditional counts, DECIMAL value sum (the trailing RANGE window
+    # is batch-side post-processing over this far smaller relation)
+    return df.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("vdec"),
+    )
+
+
+def test_stream_batch_equivalence_daily_feature_matrix(spark, sf_dir, tmp_path):
+    """The feature-store ingestion contract: qf01's entity-day
+    aggregation computed over a multi-micro-batch file stream equals
+    the batch result exactly — so a streaming feature pipeline and a
+    batch backfill produce byte-identical feature rows (counts exact,
+    value sums DECIMAL → order-independent)."""
+    src = str(tmp_path / "events_feat_stream")
+    load_table(spark, sf_dir, "events").repartition(6).write.parquet(src)
+
+    stored = spark.read.parquet(src)
+    batch = {
+        (r.user_id, r.day): (r.n_click, r.n_purchase, r.vdec)
+        for r in _daily_features(stored).collect()
+    }
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
+    q = (
+        _daily_features(stream)
+        .writeStream.format("memory")
+        .queryName("sb_feat_equiv")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.day): (r.n_click, r.n_purchase, r.vdec)
+        for r in spark.table("sb_feat_equiv").collect()
+    }
+    assert q.lastProgress["batchId"] >= 1
+    assert streamed == batch and len(batch) > 0
