@@ -1187,3 +1187,92 @@ def qd15_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= FUZZY_DECONTAM_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# qd16: semantic dedup — cluster-then-dedup in embedding space
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # within-cluster cosine threshold (synthetic corpus)
+
+
+def _semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    from event_stream_aggr_spark.operators.similarity import km_assign_ctes
+
+    return f"""
+WITH {km_assign_ctes()},
+pairs0 AS (
+  SELECT a.code, a.vec_id AS va, b.vec_id AS vb
+  FROM assign a JOIN assign b ON a.code = b.code AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT p.code, p.va, p.vb,
+         (SELECT SUM(x * y) FROM (SELECT unnest(ea.embedding)::DOUBLE AS x,
+                                         unnest(eb.embedding)::DOUBLE AS y)) AS dp,
+         (SELECT SUM(x * x) FROM (SELECT unnest(ea.embedding)::DOUBLE AS x)) AS na,
+         (SELECT SUM(y * y) FROM (SELECT unnest(eb.embedding)::DOUBLE AS y)) AS nb
+  FROM pairs0 p
+  JOIN embeddings ea ON p.va = ea.vec_id
+  JOIN embeddings eb ON p.vb = eb.vec_id),
+drops AS (
+  SELECT DISTINCT vb AS vec_id FROM scored
+  WHERE ROUND(dp / (SQRT(na) * SQRT(nb)), 6) >= {tau})
+SELECT a.vec_id, a.code AS cluster, (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+
+@register(
+    "qd16_semantic_dedup",
+    tags=("dedup", "similarity", "clustering"),
+    oracle=_semantic_dedup_oracle(),
+)
+def qd16_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (L2's embedding-space rule):
+    k-means the corpus first (qe08's assignment), then compare pairs
+    ONLY within a cluster and drop every vector with a lower-id
+    same-cluster neighbor above the cosine threshold. The minimum id
+    of each duplicate group survives by construction (no id has a
+    lower qualifying partner), so one exemplar per group is kept.
+
+    Scale shape (100 TB): this is the published SemDeDup argument
+    made physical — the quadratic is WITHIN-cluster only, and K grows
+    with the corpus so per-cluster pair counts stay bounded; the
+    cluster assignment itself is qe08's broadcast-centroid dataflow.
+    The within-cluster self-join is a plain equi-join on the cluster
+    id (shuffle-partitioned, AQE-skew-splittable if one cluster goes
+    viral); qd06's LSH routing is the flat alternative when no
+    cluster structure is wanted.
+
+    Determinism: cosine rounds to 6dp in both engines (qe01 recipe);
+    the dominance rule is a set-membership decision, no iteration."""
+    from event_stream_aggr_spark.operators.similarity import (
+        cosine,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb).select("vec_id", "code")
+    ev = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = ev.select(
+        F.col("code"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    b = ev.select(
+        F.col("code"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    drops = (
+        a.join(b, "code")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= SEMDEDUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return assign.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("code").alias("cluster"),
+        F.col("dropped").isNull().alias("kept"),
+    )

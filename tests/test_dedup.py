@@ -150,3 +150,41 @@ def test_fuzzy_decontamination_pairs_are_train_x_eval_only(spark):
         assert r.train_id % dd.DECONTAM_EVAL_MOD != 0
         assert r.eval_id % dd.DECONTAM_EVAL_MOD == 0
         assert r.jaccard >= dd.FUZZY_DECONTAM_THRESHOLD
+
+
+def test_semantic_dedup_keeps_one_exemplar_per_group(spark, sf_dir):
+    """qd16: some drops occur at the fixture threshold; every dropped
+    vector has a qualifying LOWER-id same-cluster partner (the
+    dominance rule), so the minimum id of each duplicate group is
+    always kept — one exemplar survives per group."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.dedup import SEMDEDUP_TAU
+    from event_stream_aggr_spark.operators.similarity import cosine, kmeans_assign
+    from event_stream_aggr_spark.plans.registry import load_all
+    from event_stream_aggr_spark.tables import load_table
+
+    rows = load_all()["qd16_semantic_dedup"].fn(spark, sf_dir).collect()
+    assert len(rows) == 500
+    dropped = {r.vec_id for r in rows if not r.kept}
+    kept = {r.vec_id for r in rows if r.kept}
+    assert dropped and kept
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb).select("vec_id", "code")
+    ev = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = ev.select("code", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = ev.select("code", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    qual = (
+        a.join(b, "code")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= SEMDEDUP_TAU)
+        .select("va", "vb")
+        .collect()
+    )
+    partners = {}
+    for r in qual:
+        partners.setdefault(r.vb, set()).add(r.va)
+    assert set(partners) == dropped  # drops are exactly the dominated ids
+    for vb, vas in partners.items():
+        assert min(vas) < vb
