@@ -48,11 +48,22 @@ def main() -> None:
     load_table(spark, SF_DIR, "region").count()
     specs[headline[0]].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
+    # min-of-2 per query (new in round 4; earlier rounds were
+    # single-run): the min is the standard low-noise estimator of a
+    # query's true cost — single-run timings on this box swing ±25-65%
+    # with JIT/GC/IO timing, which drowned the per-query deltas.
+    # The methodology change is flagged in the output so cross-round
+    # comparisons read min-of-2 vs r≤3's single-run accordingly.
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     diagnostics = {
@@ -67,6 +78,7 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "sf": infer_sf(SF_DIR),
+        "method": "min_of_2",
         "queries": {n: round(s, 2) for n, s in timings.items()},
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -95,9 +107,14 @@ def scaling_probe(spark, specs, headline, primary_timings) -> dict:
         return {}
     out = {"secondary_sf": infer_sf(secondary), "queries": {}}
     for name in headline:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, secondary).write.mode("overwrite").format("noop").save()
-        sec = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(2):  # min-of-2, matching the primary timings
+            t0 = time.perf_counter()
+            specs[name].fn(spark, secondary).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        sec = round(min(runs), 4)
         ratio = round(primary_timings[name] / sec, 2) if sec > 0 else None
         out["queries"][name] = {"sec": sec, "ratio_vs_primary": ratio}
     return out
@@ -127,7 +144,12 @@ def prev_round_deltas(timings: dict[str, float]) -> dict:
             continue
         if not prev:
             continue
-        out = {"baseline": os.path.basename(path), "pct": {}}
+        out = {
+            "baseline": os.path.basename(path),
+            "method_note": "r4+ times are min-of-2; r<=3 were single-run"
+            " (negative deltas partly reflect the lower-noise estimator)",
+            "pct": {},
+        }
         for name, sec in timings.items():
             if name in prev and prev[name] > 0:
                 out["pct"][name] = round(100.0 * (sec - prev[name]) / prev[name], 1)
