@@ -188,3 +188,93 @@ def qf02_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("feat_day"),
         F.col("value_7d").alias("feat_value_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qf03: robust feature scaling (winsorize + min-max normalize)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "qf03_robust_scaling",
+    tags=("features", "normalize"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+ps AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = CEIL({WINSOR_LO} * n) THEN value END) AS p05,
+         MIN(CASE WHEN rn = CEIL({WINSOR_HI} * n) THEN value END) AS p95
+  FROM ranked GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value, ps.p05, ps.p95,
+       CASE WHEN ps.p95 = ps.p05 THEN 0.5
+            ELSE ROUND((LEAST(GREATEST(e.value, ps.p05), ps.p95) - ps.p05)
+                       / (ps.p95 - ps.p05), 6)
+       END AS value_norm
+FROM events e JOIN ps ON e.event_type = ps.event_type
+""",
+)
+def qf03_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling (the normalization pass before model
+    training): per event type, winsorize values at the 5th/95th
+    percentile and min-max normalize into [0, 1] — outlier-insensitive
+    scaling, the tabular-ML default.
+
+    The percentiles are NEAREST-RANK (the value at row_number =
+    ceil(q·n)), not interpolated: rank selection is pure value lookup,
+    so both engines pick the identical double where interpolated
+    quantiles differ in accumulation arithmetic beyond a few decimals
+    (why q39 rounds to 2dp; this operator needs thresholds exact
+    because clipping COMPARES against them). Ties in the rank window
+    don't matter — equal values make every tie order select the same
+    threshold.
+
+    Scale shape: one rank window per type (the per-type sort is the
+    honest cost of exact percentiles; swap in approx_percentile when
+    ±ε is acceptable — q29's documented trade), then the 5-row
+    threshold relation broadcasts back onto the unshuffled scan."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    wv = W.partitionBy("event_type").orderBy("value")
+    wc = W.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    ps = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(WINSOR_LO) * F.col("n")),
+                F.col("value"),
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(WINSOR_HI) * F.col("n")),
+                F.col("value"),
+            )
+        ).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    norm = F.when(F.col("p95") == F.col("p05"), F.lit(0.5)).otherwise(
+        F.round((clipped - F.col("p05")) / (F.col("p95") - F.col("p05")), 6)
+    )
+    return e.join(F.broadcast(ps), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "p05",
+        "p95",
+        norm.alias("value_norm"),
+    )

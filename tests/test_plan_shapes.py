@@ -260,3 +260,23 @@ def test_qe08_kmeans_centroid_scoring_is_broadcast_product(spark, sf_dir, specs)
     assert "SortMergeJoin" not in dist and "ShuffledHashJoin" not in dist
     # (the only exchange in this subplan is the K×D centroid aggregate
     # on the KB-scale build side; the vector side stays scan-narrow)
+
+
+def test_qf01_feature_matrix_single_agg_no_self_join(spark, sf_dir, specs):
+    # the trailing-7d feature comes from a RANGE frame over the daily
+    # relation, never a calendar self-join: no Join operator at all,
+    # and the only exchanges are the entity-day aggregation + the
+    # window's repartition on user_id
+    plan = _plan(specs["qf01_user_feature_matrix"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
+
+
+def test_qf02_point_in_time_join_is_single_union_shuffle(spark, sf_dir, specs):
+    # J5's as-of dataflow: labels+features union into ONE user_id
+    # partitioning with a running last() — no join explosion, no
+    # nested loop, no cartesian anywhere
+    plan = _plan(specs["qf02_point_in_time_features"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Union" in plan and "Window" in plan
