@@ -280,3 +280,14 @@ def test_qf02_point_in_time_join_is_single_union_shuffle(spark, sf_dir, specs):
     plan = _plan(specs["qf02_point_in_time_features"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Union" in plan and "Window" in plan
+
+
+def test_qp02_pipeline_gate_fuses_and_packs_shard_whole(spark, sf_dir, specs):
+    # one lineage: the quality gate is a Filter in the scan stage (no
+    # materialization between stages), the only wide exchange is the
+    # per-source packing window (+ the pack-grain agg), and shard
+    # assignment is a narrow expression on the pack-grain relation
+    plan = _plan(specs["qp02_training_batch_pipeline"].fn(spark, sf_dir))
+    assert "Join" not in plan  # no stage boundary re-reads the corpus
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Filter" in plan and "Window" in plan
