@@ -687,9 +687,12 @@ def qt13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (100 TB): the profile table is a literal few-hundred-
     byte broadcast; bigram extraction is a zero-shuffle array
-    transform; the scored stream shuffles once to (doc_id, lang)
-    grain (≤ n_languages rows per doc) and the argmax window runs
-    per-doc. Integer weights → exact scores, no float anywhere."""
+    transform; per-language scores fold into ONE doc-grain
+    aggregation via conditional sums (the language set is a
+    compile-time literal — no (doc, lang) grain, no argmax window),
+    and the argmax is a narrow array_max over per-language structs.
+    The one remaining doc-grain join recovers zero-hit docs as 'und'.
+    Integer weights → exact scores, no float anywhere."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     profiles = F.broadcast(
         spark.createDataFrame(list(LANGID_PROFILES), "lang string, bigram string, w long")
@@ -706,22 +709,44 @@ def qt13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(sequence(1, length(lt) - 1), i -> substr(lt, i, 2))")
     )
     grams = lowered.select("doc_id", F.explode(grams_arr).alias("bigram"))
+    # conditional-sum pivot: the language set is a compile-time literal,
+    # so per-language scores fold into ONE doc-grain aggregation — no
+    # (doc, lang) intermediate grain, no argmax window, one fewer
+    # doc-grain shuffle than the groupBy+row_number phrasing. Absent
+    # languages score 0 and can never beat a present one (weights are
+    # positive), so the winner matches the per-(doc,lang) argmax;
+    # zero-hit docs don't appear at all and fall to 'und' in the join.
+    langs = sorted({lang for lang, _b, _w in LANGID_PROFILES})
     scored = (
         grams.join(profiles, "bigram")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("w").alias("score"))
-    )
-    from pyspark.sql import Window as W
-
-    best = (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
-            ),
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("lang") == lg, F.col("w"))), F.lit(0)
+                ).alias(f"s_{lg}")
+                for lg in langs
+            ]
         )
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+    # argmax with ties → alphabetically-first language: max over
+    # (score, -ord) structs, ord = alphabetical position
+    cands = F.array(
+        *[
+            F.struct(
+                F.col(f"s_{lg}").alias("score"),
+                F.lit(-i).alias("nord"),
+                F.lit(lg).alias("lang"),
+            )
+            for i, lg in enumerate(langs)
+        ]
+    )
+    best = scored.select(
+        "doc_id", F.array_max(cands).alias("top")
+    ).select(
+        "doc_id",
+        F.col("top.lang").alias("pred_lang"),
+        F.col("top.score").alias("score"),
     )
     return (
         d.select("doc_id")
