@@ -798,32 +798,53 @@ def qt14_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every rule is evaluated in exact integer arithmetic (e.g. the
     6% stopword floor is ``n_stop * 50 >= 3 * n_tokens``) — no float
-    thresholds, so both engines agree bit-for-bit. Scale shape: all
-    stats except the repetition cap are zero-shuffle array
-    expressions; the max-token-frequency needs one (doc_id, token)
-    aggregate — the token stream's single shuffle — then reduces to
-    doc grain. The filter emits every doc with its verdict; the
-    downstream pipeline applies ``WHERE keep``."""
+    thresholds, so both engines agree bit-for-bit. Scale shape: a
+    ZERO-shuffle scan pass — every stat including the repetition cap
+    is an array expression (max token frequency = longest run in the
+    sorted token array, a run-length fold instead of exploding and
+    shuffling the token stream). The filter emits every doc with its
+    verdict; the downstream pipeline applies ``WHERE keep``."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Tokenize ONCE behind a projection boundary: the four consumers
     # below would otherwise each re-split the document (4× the split
     # cost per row; CollapseProject won't inline a non-trivial expr
     # used this many times).
     toked = d.select("doc_id", tokens(F.col("text")).alias("ts"))
-    stats = toked.select(
+    # max single-token frequency WITHOUT shuffling the token stream:
+    # sort the token array and fold a (prev, run, best) accumulator
+    # over it — equal tokens are adjacent after the sort, so the
+    # longest run IS the max frequency. O(n log n) CPU per row beats
+    # exploding and shuffling |tokens| rows twice at any corpus size;
+    # the whole filter becomes a zero-shuffle scan pass. (The lambda
+    # reads only its own arguments — rule 19 safe.)
+    run_state = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _runmax(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_tok = F.aggregate(
+        F.array_sort("ts"), run_state, _runmax, lambda acc: acc["best"]
+    )
+    per_tok = toked.select(
         "doc_id",
         F.size("ts").cast("long").alias("n_tokens"),
         F.size(
             F.filter("ts", lambda x: x.isin(list(STOPWORDS_EN)))
         ).cast("long").alias("n_stop"),
         F.length(F.concat_ws("", F.col("ts"))).cast("long").alias("sum_len"),
-        F.explode("ts").alias("tok"),
-    )
-    per_tok = (
-        stats.groupBy("doc_id", "n_tokens", "n_stop", "sum_len", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n_tokens", "n_stop", "sum_len")
-        .agg(F.max("c").alias("max_tok"))
+        max_tok.alias("max_tok"),
     )
     flags = per_tok.filter(F.col("n_tokens") > 0).select(
         "doc_id",
