@@ -639,3 +639,84 @@ def qs09_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qs10: fractional-epoch source upsampling (mixture epoching)
+# ---------------------------------------------------------------------------
+
+MAX_EPOCHS = 3.0  # repeat cap per source
+
+
+@register(
+    "qs10_epoch_expansion",
+    tags=("sampling", "mixture"),
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT MAX(n) AS max_n FROM counts),
+factors AS (
+  SELECT lang, LEAST({MAX_EPOCHS}, CAST(max_n AS DOUBLE) / n) AS factor
+  FROM counts CROSS JOIN tgt),
+perdoc AS (
+  SELECT d.doc_id, d.lang,
+         CAST(FLOOR(f.factor) AS BIGINT)
+         + CASE WHEN ('0x' || substr(md5('ep:' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                     < CAST(FLOOR((f.factor - FLOOR(f.factor)) * {_HASH_SPACE}) AS BIGINT)
+                THEN 1 ELSE 0 END AS reps
+  FROM documents d JOIN factors f USING (lang))
+SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+FROM perdoc, LATERAL (SELECT unnest(generate_series(1, reps)) AS epoch) g
+WHERE reps > 0
+""",
+)
+def qs10_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch source upsampling (the mixture-epoching step of
+    pretraining data prep): every source is repeated up to the size of
+    the largest source, capped at MAX_EPOCHS — whole epochs replicate
+    every document, and the fractional remainder takes a
+    content-derived (md5) subset, so e.g. factor 2.3 means each doc
+    appears twice and a reproducible 30% appear a third time. Output
+    is the expanded (doc_id, lang, epoch) stream a shard writer
+    consumes.
+
+    Scale shape: per-stratum counts are a tiny aggregate broadcast
+    back onto the unshuffled scan; expansion is a narrow
+    explode(sequence(1, reps)) — output volume is the mixture's
+    token budget, input is scanned once. The fractional draw compares
+    the 28-bit md5 bucket against floor(frac·2^28) — an exact integer
+    comparison, reproducible across engines and partitionings (qs01's
+    hash-band recipe)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tgt = counts.agg(F.max("n").alias("max_n"))
+    factors = counts.crossJoin(F.broadcast(tgt)).select(
+        "lang",
+        F.least(
+            F.lit(MAX_EPOCHS), F.col("max_n").cast("double") / F.col("n")
+        ).alias("factor"),
+    )
+    frac_cut = F.floor(
+        (F.col("factor") - F.floor(F.col("factor"))) * _HASH_SPACE
+    ).cast("long")
+    reps = (
+        F.floor("factor").cast("long")
+        + F.when(
+            _key_hash(F.concat(F.lit("ep:"), F.col("doc_id").cast("string")))
+            < frac_cut,
+            1,
+        ).otherwise(0)
+    )
+    perdoc = d.join(F.broadcast(factors), "lang").select(
+        "doc_id", "lang", reps.alias("reps")
+    )
+    return (
+        perdoc.filter(F.col("reps") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("reps"))).alias(
+                "epoch"
+            ),
+        )
+    )

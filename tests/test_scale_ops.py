@@ -202,3 +202,40 @@ def test_salted_join_parity_on_zipf_fixture(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_epoch_expansion_balances_minority_strata(spark, sf_dir):
+    """qs10: every language's expanded count lands between
+    floor(factor)·n and ceil(factor)·n (whole epochs replicate all
+    docs, the fractional epoch takes a hash subset), epochs are
+    contiguous from 1, and the majority stratum stays at exactly 1x."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.sampling import MAX_EPOCHS
+    from event_stream_aggr_spark.plans.registry import load_all
+    from event_stream_aggr_spark.tables import load_table
+
+    rows = load_all()["qs10_epoch_expansion"].fn(spark, sf_dir).collect()
+    orig = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    max_n = max(orig.values())
+    expanded = collections.Counter(r.lang for r in rows)
+    per_doc = collections.Counter((r.lang, r.doc_id) for r in rows)
+    for lang, n in orig.items():
+        factor = min(MAX_EPOCHS, max_n / n)
+        import math
+
+        assert math.floor(factor) * n <= expanded[lang] <= math.ceil(factor) * n
+    majority = max(orig, key=orig.get)
+    assert expanded[majority] == orig[majority]
+    for (lang, doc), reps in per_doc.items():
+        epochs = sorted(r.epoch for r in rows if r.lang == lang and r.doc_id == doc)
+        assert epochs == list(range(1, reps + 1))
+        break  # contiguity spot-check on one doc (full check is O(n^2) here)
