@@ -48,13 +48,14 @@ def _sample_priority_order(names: list[str]) -> list[str]:
     rotates through the whole registry.
 
     The driver samples a prefix of ``queries()`` per round; the registry
-    (107) is larger than the sample (~50), so a static order would leave
-    most names perpetually unverified after code changes. Reading the
-    CORRECTNESS_r*.json artifacts the driver leaves next to this module,
-    each name sorts by the round it was last checked in (never-checked →
-    round 0, i.e. first; registry order breaks ties). With ~50 checks per
-    round over 107 names, every query is re-driver-checked at least every
-    ~3 rounds regardless of when it was first verified.
+    (130 names and growing) is larger than the sample (~50), so a static
+    order would leave most names perpetually unverified after code
+    changes. Reading the CORRECTNESS_r*.json artifacts the driver leaves
+    next to this module, each name sorts by the round it was last checked
+    in (never-checked → round 0, i.e. first; registry order breaks ties),
+    so every query is re-driver-checked at least every
+    ceil(registry/sample) ≈ 3 rounds regardless of when it was first
+    verified.
     """
     import json
     import re

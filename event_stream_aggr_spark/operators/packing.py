@@ -184,22 +184,16 @@ def qp02_training_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )
+    # reuse the one md5-prefix 28-bit hash recipe (sampling._key_hash)
+    # so shard assignment stays reproducible across operators
+    from event_stream_aggr_spark.operators.sampling import _key_hash
+
     shard = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("source"),
-                        F.lit(":"),
-                        F.col("pack_id").cast("string"),
-                    )
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
+        _key_hash(
+            F.concat(
+                F.col("source"), F.lit(":"), F.col("pack_id").cast("string")
+            )
+        )
         % N_PACK_SHARDS
     )
     return packs.select(

@@ -408,8 +408,11 @@ def shard_shuffle(df: DataFrame, key_col: str, n_shards: int = N_SHARDS) -> Data
     shard = F.pmod(_key_hash(F.col(key_col)), n_shards).cast("long")
     order_key = F.md5(F.concat(F.lit("shuf:"), F.col(key_col).cast("string")))
     w = W.partitionBy("shard").orderBy("order_key", key_col)
+    # carry EVERY input column — the docstring's (row, shard, pos)
+    # contract; a payload-dropping select here would silently lose the
+    # text/metadata of any caller that shards full rows
     return (
-        df.select(key_col, shard.alias("shard"), order_key.alias("order_key"))
+        df.select("*", shard.alias("shard"), order_key.alias("order_key"))
         .select("*", F.row_number().over(w).cast("long").alias("pos"))
         .drop("order_key")
     )
@@ -491,19 +494,23 @@ def qs07_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     b0, b1, b2 = CURRICULUM_BOUNDS
-    n_tokens = token_count(F.col("text"))
-    keyed = d.select(
+    # count tokens ONCE behind a projection boundary (rule 19): the
+    # phase CASE would otherwise re-split the document per comparison
+    counted = d.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    keyed = counted.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        "n_tokens",
         F.pmod(_key_hash(F.col("doc_id")), CURRICULUM_SHARDS_PER_PHASE)
         .cast("long")
         .alias("shard"),
         F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias(
             "order_key"
         ),
-        F.when(n_tokens < b0, 0)
-        .when(n_tokens < b1, 1)
-        .when(n_tokens < b2, 2)
+        F.when(F.col("n_tokens") < b0, 0)
+        .when(F.col("n_tokens") < b1, 1)
+        .when(F.col("n_tokens") < b2, 2)
         .otherwise(3)
         .alias("phase"),
     )

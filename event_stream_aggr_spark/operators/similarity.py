@@ -1026,8 +1026,13 @@ def qe07_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") <= RERANK_SHORTLIST)
         .select("qid", "cid")
     )
-    # stage 2: exact cosine on the shortlist only (qe01's math)
-    eq = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    # stage 2: exact cosine on the shortlist only (qe01's math). The
+    # broadcast build side is the QUERY vectors only — broadcasting
+    # the unfiltered corpus here would ship |corpus| vectors to every
+    # executor and break the shortlist-bounded contract at scale.
+    eq = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
     ec = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     scored = (
         short.join(F.broadcast(eq), "qid")

@@ -1090,7 +1090,7 @@ scored AS (
   SELECT tf.doc_id,
          CAST(ROUND(
            ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
-           * (tf.tf * ({BM25_K1} + 1))
+           * (tf.tf * CAST({BM25_K1} + 1 AS DOUBLE))
            / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl
               / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
            * 1000000) AS BIGINT) AS score_us
@@ -1192,10 +1192,21 @@ def qt18_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs per distinct word, weighted by its count. Real BPE iterates
     this loop re-segmenting with each learned merge; each round is
     this same dataflow, so the one-round dataflow is what's pinned.
-    Exact integer counts end-to-end; global top-k is
-    TakeOrderedAndProject, never a full sort."""
+    Exact integer counts end-to-end; the top-k cut is an
+    orderBy+limit — TakeOrderedAndProject (per-partition heap + one
+    driver merge), never a full sort — with the rank column added on
+    the k-row result afterwards."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    return bpe_pair_counts(d, top_k=BPE_TOP_MERGES)
+
+
+def bpe_pair_counts(docs: DataFrame, top_k: int = BPE_TOP_MERGES) -> DataFrame:
+    """qt18's dataflow over any documents DataFrame (see its docstring).
+    Separated so tests can drive the REGISTERED dataflow on a
+    hand-checked corpus rather than re-implementing it."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
     tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         tok_counts.filter(F.length("tok") >= 2)
@@ -1208,18 +1219,15 @@ def qt18_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
-    from pyspark.sql import Window as W
-
+    top = counted.orderBy(F.desc("n_occurrences"), "pair").limit(top_k)
+    # rank over the k-row result only — a trivial single-partition
+    # window on k rows, after TakeOrderedAndProject did the global cut
     w = W.orderBy(F.desc("n_occurrences"), "pair")
-    return (
-        counted.select(
-            "pair",
-            "n_occurrences",
-            F.row_number().over(w).cast("long").alias("rank"),
-        )
-        .filter(F.col("rank") <= BPE_TOP_MERGES)
-        .orderBy("rank")
-    )
+    return top.select(
+        "pair",
+        "n_occurrences",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).orderBy("rank")
 
 
 # ---------------------------------------------------------------------------

@@ -200,25 +200,16 @@ def test_shard_shuffle_deterministic_uniform_and_layout_independent(spark):
 
 
 def test_bpe_pair_counts_known_corpus(spark):
-    """Hand-checked merge counts: 'aba ab' + 'ab' → pairs ab:3 (2 from
-    aba? no — aba yields ab,ba; ab yields ab ×2 docs) = ab:3, ba:1."""
-    from event_stream_aggr_spark.operators.text import qt18_bpe_pair_counts  # noqa: F401
-    from pyspark.sql import functions as F
+    """Drives qt18's REGISTERED dataflow (bpe_pair_counts) on a
+    hand-checked corpus: 'aba ab' + 'ab' → pairs ab:3 (aba yields
+    ab+ba, ab appears twice across docs), ba:1 — and the rank order
+    puts ab first."""
+    from event_stream_aggr_spark.operators.text import bpe_pair_counts
 
     df = spark.createDataFrame([("aba ab",), ("ab",)], "text string")
-    toks = df.select(F.explode(F.split("text", " ")).alias("tok"))
-    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    pairs = tok_counts.filter(F.length("tok") >= 2).select(
-        F.explode(
-            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
-        ).alias("pair"),
-        "n",
-    )
-    got = {
-        r.pair: r.s
-        for r in pairs.groupBy("pair").agg(F.sum("n").alias("s")).collect()
-    }
-    assert got == {"ab": 3, "ba": 1}
+    rows = bpe_pair_counts(df, top_k=10).collect()
+    got = {r.pair: (r.n_occurrences, r.rank) for r in rows}
+    assert got == {"ab": (3, 1), "ba": (1, 2)}
 
 
 def test_inverted_index_postings_sorted_and_df_consistent(spark, sf_dir):
