@@ -222,3 +222,19 @@ def test_inverted_index_postings_sorted_and_df_consistent(spark, sf_dir):
         assert r.df >= INDEX_MIN_DF
         assert len(r.postings) == r.df
         assert list(r.postings) == sorted(set(r.postings))
+
+
+def test_shard_shuffle_carries_payload_columns(spark):
+    """shard_shuffle's (row, shard, pos) contract: every input column
+    survives — sharding (doc_id, text) keeps the text."""
+    from event_stream_aggr_spark.operators.sampling import shard_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(40)], "doc_id long, text string"
+    )
+    rows = shard_shuffle(df, "doc_id", n_shards=4).collect()
+    assert len(rows) == 40
+    assert {r.text for r in rows} == {f"payload {i}" for i in range(40)}
+    assert {r.shard for r in rows} <= set(range(4))
+    for r in rows:
+        assert r.pos >= 1
