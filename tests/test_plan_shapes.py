@@ -291,3 +291,19 @@ def test_qp02_pipeline_gate_fuses_and_packs_shard_whole(spark, sf_dir, specs):
     assert "Join" not in plan  # no stage boundary re-reads the corpus
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Filter" in plan and "Window" in plan
+
+
+def test_qt14_quality_filter_is_zero_shuffle(spark, sf_dir, specs):
+    # rule 20: every stat including the repetition cap is an array
+    # expression (run-length fold over the sorted token array) — the
+    # token stream must never hit an exchange
+    plan = _plan(specs["qt14_quality_filter"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_qt13_language_id_pivots_without_window(spark, sf_dir, specs):
+    # rule 20: literal language domain pivots into conditional sums in
+    # ONE doc-grain aggregation — no (doc, lang) grain, no argmax window
+    plan = _plan(specs["qt13_language_id"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
