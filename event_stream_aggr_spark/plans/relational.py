@@ -2726,3 +2726,95 @@ def q67_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "q68_event_cooccurrence",
+    tags=("agg", "array", "basket"),
+    oracle="""
+WITH b AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM b),
+p AS (
+  SELECT types[i] AS a, types[j] AS b
+  FROM b,
+       LATERAL (SELECT unnest(generate_series(1, len(types))) AS i) gi,
+       LATERAL (SELECT unnest(generate_series(1, len(types))) AS j) gj
+  WHERE i < j),
+pair_counts AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM p GROUP BY a, b),
+singles AS (
+  SELECT t AS typ, CAST(COUNT(*) AS BIGINT) AS n_t FROM (
+    SELECT unnest(types) AS t FROM b) u GROUP BY t)
+SELECT pc.a, pc.b, pc.n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+       ROUND(CAST(pc.n_ab * tot.n_baskets AS DOUBLE) / (sa.n_t * sb.n_t), 6)
+         AS lift
+FROM pair_counts pc
+JOIN singles sa ON pc.a = sa.typ
+JOIN singles sb ON pc.b = sb.typ
+CROSS JOIN tot
+""",
+)
+def q68_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: which event types happen
+    together within a (user, day) basket more than chance predicts —
+    the association-mining shape behind recommendation and
+    funnel-anomaly analysis.
+
+    Scale shape: pair generation is SELF-JOIN-FREE — each basket's
+    sorted distinct type array emits its own ordered pairs via a
+    nested array transform (narrow, bounded by |types|² per basket,
+    tiny for categorical domains), so the only exchanges are the
+    basket aggregation and the small pair/single counts. The
+    alternative (event-table self-join on user-day) shuffles the fact
+    twice and explodes on hot users; this never does. Lift is an
+    exact-integer ratio (n_ab·N / n_a·n_b) in one rounded division."""
+    e = load_table(spark, sf_dir, "events")
+    baskets = (
+        e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("types"), i + F.lit(2), F.size(F.col("types"))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    singles = (
+        baskets.select(F.explode("types").alias("typ"))
+        .groupBy("typ")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    sa = singles.select(F.col("typ").alias("a"), F.col("n_t").alias("n_a"))
+    sb = singles.select(F.col("typ").alias("b"), F.col("n_t").alias("n_b"))
+    return (
+        pair_counts.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
