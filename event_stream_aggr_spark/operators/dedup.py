@@ -1223,6 +1223,7 @@ FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
 
 @register(
     "qd16_semantic_dedup",
+    bench=True,
     tags=("dedup", "similarity", "clustering"),
     oracle=_semantic_dedup_oracle(),
 )

@@ -25,6 +25,7 @@ TRAILING_DAYS = 7
 
 @register(
     "qf01_user_feature_matrix",
+    bench=True,
     tags=("features", "window", "pivot"),
     oracle=f"""
 WITH daily AS (

@@ -107,6 +107,7 @@ N_PACK_SHARDS = 8
 
 @register(
     "qp02_training_batch_pipeline",
+    bench=True,
     tags=("packing", "pipeline", "text"),
     oracle=f"""
 WITH gated AS (

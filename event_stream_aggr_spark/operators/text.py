@@ -1239,6 +1239,7 @@ INDEX_MIN_DF = 5
 
 @register(
     "qt19_inverted_index",
+    bench=True,
     tags=("text", "retrieval"),
     oracle=f"""
 WITH pairs AS (
