@@ -56,13 +56,22 @@ def _sample_priority_order(names: list[str]) -> list[str]:
     so every query is re-driver-checked at least every
     ceil(registry/sample) ≈ 3 rounds regardless of when it was first
     verified.
+
+    A green row only vouches for the SOURCE it ran against, so a query
+    whose (fn source + oracle) hash no longer matches the committed
+    QUERY_HASHES.json snapshot (regenerated at end of round by
+    tools/update_query_hashes.py, i.e. at the state the driver last
+    verified) is demoted to never-checked — rewrites re-enter the
+    sample immediately instead of inheriting pre-rewrite status.
     """
     import json
     import re
     from pathlib import Path
 
+    here = Path(__file__).resolve().parent
+
     last_checked: dict[str, int] = {}
-    for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+    for path in sorted(here.glob("CORRECTNESS_r*.json")):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
         if not m:
             continue
@@ -72,6 +81,17 @@ def _sample_priority_order(names: list[str]) -> list[str]:
                 last_checked[name] = max(last_checked.get(name, 0), rnd)
         except (OSError, ValueError):
             continue
+
+    try:
+        snapshot = json.loads((here / "QUERY_HASHES.json").read_text())
+        from event_stream_aggr_spark.plans.registry import source_hashes
+
+        for name, live in source_hashes().items():
+            if snapshot.get(name) != live:
+                last_checked[name] = 0
+    except (OSError, ValueError, ImportError):
+        pass  # no snapshot → pure staleness order, the pre-r5 behavior
+
     return sorted(names, key=lambda n: (last_checked.get(n, 0), names.index(n)))
 
 

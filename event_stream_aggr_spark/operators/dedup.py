@@ -207,6 +207,12 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 def qd02_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/token Jaccard near-dup with blocking (L2 baseline).
 
+    ORACLE-ONLY QUADRATIC BASELINE: within-block all-pairs is O(n²)
+    per block by design — it is the exact ground truth the
+    sub-quadratic paths (qd04 MinHash/LSH, qd05 SimHash) are measured
+    against, and nothing else may build on its lineage
+    (tests/test_plan_shapes.py::test_quadratic_oracle_baselines_stay_isolated).
+
     Candidates are blocked on (lang, n_chars/16) so the join is
     per-bucket, not |D|^2; the Jaccard is exact integer arithmetic
     (distinct-token sets) → bit-identical across engines.
@@ -446,7 +452,11 @@ def qd07_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 5-gram shingle Jaccard (the classic n-gram dedup unit,
     robust to token-boundary edits). Shingling is a pure array
     expression (sequence + transform + substring) — no UDF; blocking
-    as in qd02 keeps the candidate join sub-quadratic."""
+    as in qd02 keeps the candidate join sub-quadratic per block.
+
+    ORACLE-ONLY QUADRATIC BASELINE like qd02: within-block all-pairs
+    ground truth for the sketch paths; isolated by the same lint test,
+    no other registered query consumes its lineage."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") <= 200)

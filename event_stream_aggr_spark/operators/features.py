@@ -205,7 +205,8 @@ WINSOR_HI = 0.95
     oracle=f"""
 WITH ranked AS (
   SELECT event_type, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value NULLS LAST) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events),
 ps AS (
@@ -245,7 +246,10 @@ def qf03_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    wv = W.partitionBy("event_type").orderBy("value")
+    # NULLS LAST pinned explicitly: Spark's default is ASC NULLS FIRST
+    # while DuckDB's is NULLS LAST, so an unpinned order would shift rn
+    # (hence the p05/p95 thresholds) on any NULL value.
+    wv = W.partitionBy("event_type").orderBy(F.col("value").asc_nulls_last())
     wc = W.partitionBy("event_type")
     ranked = e.select(
         "event_type",

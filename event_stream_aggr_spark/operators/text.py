@@ -1249,7 +1249,7 @@ WITH pairs AS (
              AS term
     FROM documents) u)
 SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
 FROM pairs GROUP BY term
 HAVING COUNT(*) >= {INDEX_MIN_DF}
 """,
@@ -1263,7 +1263,10 @@ def qt19_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale dataflow: (doc_id, term) pairs dedup FIRST (shuffle carries
     distinct pairs, not the raw token stream — rule 7), then one
     aggregation to term grain builds postings via collect_list →
-    array_sort; per-term state is bounded by df. At 100 TB posting
+    array_sort (emitted space-joined as a string column: the driver's
+    cross-engine hash canonicalizer requires flat scalar columns, and
+    a serialized posting list is the on-disk index format anyway);
+    per-term state is bounded by df. At 100 TB posting
     lists for stop-like terms are the skew keys — the df floor plus
     AQE skew-split handle them; a production build would also shard
     postings by doc-range per term (the standard segmented index),
@@ -1276,7 +1279,9 @@ def qt19_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), " ").alias(
+                "postings"
+            ),
         )
         .filter(F.col("df") >= INDEX_MIN_DF)
     )

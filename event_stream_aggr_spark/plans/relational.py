@@ -678,20 +678,46 @@ def q22_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q29_approx_distinct", tags=("agg", "approx"))
+@register(
+    "q29_approx_distinct",
+    tags=("agg", "approx"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       ABS(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+           / COUNT(DISTINCT l_partkey) - 1) <= 0.05 AS approx_parts_ok,
+       approx_quantile(l_extendedprice, 0.5)
+         BETWEEN quantile_cont(l_extendedprice, 0.45)
+             AND quantile_cont(l_extendedprice, 0.55) AS approx_median_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q29_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (A4, HyperLogLog++) — constant memory per
     group at 100 TB where exact distinct would shuffle every key.
-    No SQL oracle (sketch internals are engine-specific) → driver runs
-    the weaker rows-only check;
-    tests/test_relational.py::test_q29_approx_bounds bounds the
-    estimates instead (distinct within rsd=0.05 of exact; median inside
-    the exact [p45, p55] neighborhood).
+
+    Sketch estimates are engine-specific (Spark HLL++ vs DuckDB's HLL
+    differ in the low bits), so raw estimates can never hash-match a
+    cross-engine oracle.  Instead the hashed output carries (a) the
+    EXACT distinct count as a twin column — value-checkable — and
+    (b) booleans asserting each engine's own sketch lands within the
+    exact bound (rel-err ≤ rsd for the distinct; inside the exact
+    [p45, p55] neighborhood for the median), which are deterministic
+    and true in both engines.  The sketches still execute in the plan
+    (ObjectHashAggregate over HLL buffers — the 100 TB path);
+    tests/test_relational.py::test_q29_approx_bounds additionally
+    bounds the raw estimates in-engine.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey")
+    med = F.expr("approx_percentile(l_extendedprice, 0.5)")
+    p45 = F.expr("percentile(l_extendedprice, 0.45)")
+    p55 = F.expr("percentile(l_extendedprice, 0.55)")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+        exact.alias("exact_parts"),
+        (F.abs(approx.cast("double") / exact - 1) <= 0.05).alias("approx_parts_ok"),
+        med.between(p45, p55).alias("approx_median_ok"),
     )
 
 

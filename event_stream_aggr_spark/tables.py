@@ -57,7 +57,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         if ts_type == "timestamp":
-            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # A direct LTZ->NTZ cast renders the wall clock in the
+            # SESSION timezone (spark.sql.session.timeZone) — matching
+            # DuckDB's raw-micros read only when the session happens to
+            # be UTC.  unix_micros() extracts the tz-independent epoch
+            # micros, so this normalization holds under any driver
+            # session timezone (the hostile-tz probe in
+            # tools/check_correctness.py exercises this).
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

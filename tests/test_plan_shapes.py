@@ -307,3 +307,47 @@ def test_qt13_language_id_pivots_without_window(spark, sf_dir, specs):
     plan = _plan(specs["qt13_language_id"].fn(spark, sf_dir))
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_registry_outputs_are_driver_hashable(spark, sf_dir, specs):
+    # The driver's cross-engine comparator canonicalizes results via
+    # pandas sort/hash, which crashes on unhashable cells (r4's qt19:
+    # "unhashable type: 'list'" on an array<long> postings column). A
+    # registered query's OUTPUT schema must therefore be flat scalars
+    # only — nested values get serialized (array_join / to_json) before
+    # they leave the query. Schema derivation is analysis-only; no job
+    # runs for the non-iterative queries.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, spec in specs.items():
+        for f in spec.fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "driver-unhashable output columns (serialize them, q35 pattern): "
+        + "; ".join(bad)
+    )
+
+
+def test_quadratic_oracle_baselines_stay_isolated():
+    # qd02/qd07 are DELIBERATE within-block quadratic Jaccard baselines
+    # kept as cross-engine ground truth for the sub-quadratic paths
+    # (MinHash/LSH, SimHash). Nothing else may build on their lineage:
+    # the only call sites of either function must be their own
+    # @register decoration. Grep-level lint so a future refactor can't
+    # quietly promote the O(n^2)-per-block shape into a dependency.
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "event_stream_aggr_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for fn in ("qd02_near_dup_jaccard", "qd07_char_shingle_jaccard"):
+            for m in re.finditer(rf"{fn}\s*\(", src):
+                line = src[: m.start()].count("\n") + 1
+                defline = f"def {fn}" in src[max(0, m.start() - 4): m.start() + len(fn) + 4]
+                if not defline:
+                    offenders.append(f"{py.name}:{line} calls {fn}")
+    assert not offenders, offenders

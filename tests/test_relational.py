@@ -30,16 +30,31 @@ def test_q29_approx_bounds(spark):
         )
         .collect()
     }
-    rows = q29_approx_distinct(spark, SF_DIR).collect()
-    assert len(rows) == len(exact) > 0
-    for r in rows:
-        e = exact[r.l_returnflag]
+    raw = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias(
+                "approx_median_price"
+            ),
+        )
+        .collect()
+    }
+    assert len(raw) == len(exact) > 0
+    for flag, r in raw.items():
+        e = exact[flag]
         rel_err = abs(r.approx_parts - e.exact_parts) / e.exact_parts
         assert rel_err <= 0.05, (
-            f"group {r.l_returnflag}: approx {r.approx_parts} vs exact "
+            f"group {flag}: approx {r.approx_parts} vs exact "
             f"{e.exact_parts} (rel_err {rel_err:.4f} > rsd 0.05)"
         )
         assert e.p45 <= r.approx_median_price <= e.p55, (
-            f"group {r.l_returnflag}: approx median {r.approx_median_price} "
+            f"group {flag}: approx median {r.approx_median_price} "
             f"outside exact [p45={e.p45}, p55={e.p55}]"
         )
+    # the registered query emits the same bounds as hashable booleans
+    # (plus the exact twin) — all must hold
+    for r in q29_approx_distinct(spark, SF_DIR).collect():
+        assert r.exact_parts == exact[r.l_returnflag].exact_parts
+        assert r.approx_parts_ok and r.approx_median_ok, r

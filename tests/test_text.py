@@ -220,8 +220,10 @@ def test_inverted_index_postings_sorted_and_df_consistent(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.df >= INDEX_MIN_DF
-        assert len(r.postings) == r.df
-        assert list(r.postings) == sorted(set(r.postings))
+        # postings serialize space-joined (driver-hashable contract)
+        ids = [int(x) for x in r.postings.split(" ")]
+        assert len(ids) == r.df
+        assert ids == sorted(set(ids))
 
 
 def test_shard_shuffle_carries_payload_columns(spark):
