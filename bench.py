@@ -69,6 +69,7 @@ def main() -> None:
     diagnostics = {
         "scaling": scaling_probe(spark, specs, headline, timings),
         "streaming": stream_bench(spark),
+        "streaming_curation": curation_stream_bench(spark),
         "deltas_vs_prev_round": prev_round_deltas(timings),
     }
     for key, payload in diagnostics.items():
@@ -79,6 +80,14 @@ def main() -> None:
         "unit": "sec",
         "sf": infer_sf(SF_DIR),
         "method": "min_of_2",
+        # both streaming rates ride the (driver-captured) final line,
+        # compactly: alert flattening + the curation foreachBatch path
+        "stream": {
+            "alerts_per_sec": diagnostics["streaming"].get("alerts_per_sec"),
+            "curation_docs_per_sec": diagnostics["streaming_curation"].get(
+                "docs_per_sec"
+            ),
+        },
         "queries": {n: round(s, 2) for n, s in timings.items()},
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -200,6 +209,63 @@ def stream_bench(spark, n_events: int = 20_000, metrics_per_event: int = 3) -> d
             "alerts_out": alerts,
             "sec": round(elapsed, 4),
             "alerts_per_sec": round(alerts / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def curation_stream_bench(spark) -> dict:
+    """Streaming-curation throughput: documents through the registered
+    gate → span-dedup → reassembly → exact-dedup dataflow
+    (operators.dedup.curation_clean, qd13's lineage) plus qp01's pack
+    assignment, per micro-batch via foreachBatch — the ingest-time
+    curation shape where each arriving shard is gated, span-deduped
+    and packed before landing. Within-batch dedup scope is the
+    micro-batch (cross-batch exact dedup is the streaming/dedup.py
+    watermarked operator's job); docs/s counts INPUT documents so the
+    gate's drop rate doesn't inflate the number."""
+    import shutil
+    import tempfile
+
+    from event_stream_aggr_spark.operators.dedup import curation_clean
+    from event_stream_aggr_spark.operators.packing import pack_assignments
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.tables import load_table
+
+    src = tempfile.mkdtemp(prefix="bench_curation_")
+    try:
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "source", "text"
+        )
+        docs.repartition(16).write.mode("overwrite").parquet(src)
+        n_docs = spark.read.parquet(src).count()
+        stored_schema = spark.read.parquet(src).schema
+
+        def run_batch(batch_df, _batch_id):
+            cleaned = curation_clean(batch_df.select("doc_id", "text"))
+            packed = pack_assignments(
+                cleaned.join(
+                    batch_df.select("doc_id", "source"), "doc_id"
+                ).withColumnRenamed("clean_text", "text")
+            )
+            packed.write.mode("overwrite").format("noop").save()
+
+        stream = stream_parquet_dir(
+            spark, src, stored_schema, max_files_per_trigger=8
+        )
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(run_batch)
+            .option("checkpointLocation", os.path.join(src, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        return {
+            "input_docs": n_docs,
+            "sec": round(elapsed, 4),
+            "docs_per_sec": round(n_docs / elapsed, 1),
         }
     finally:
         shutil.rmtree(src, ignore_errors=True)

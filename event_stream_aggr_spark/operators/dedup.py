@@ -919,6 +919,22 @@ def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges + the reassembly shuffle — not three separate jobs with
     materialized intermediates."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation_clean(d).select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.size(F.filter(F.split("clean_text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("clean_tokens"),
+    )
+
+
+def curation_clean(d: DataFrame) -> DataFrame:
+    """qd13's gate → span-dedup → reassembly → corpus-exact-dedup
+    dataflow over any (doc_id, text) DataFrame; returns the surviving
+    ``(doc_id, clean_text)``. Separated so the streaming curation path
+    (bench.py's foreachBatch docs/s metric,
+    tests/test_streaming_curation.py) drives the REGISTERED dataflow
+    instead of re-implementing it."""
     ts = F.filter(F.split("text", " "), lambda x: x != "")
     quality = (
         d.select("doc_id", "text", ts.alias("ts"))
@@ -985,13 +1001,7 @@ def qd13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cleaned.join(dup_canon, F.md5(cleaned["clean_text"]) == dup_canon["ch"])
         .filter(F.col("doc_id") == F.col("first_doc"))
-        .select(
-            "doc_id",
-            F.length("clean_text").cast("long").alias("clean_chars"),
-            F.size(F.filter(F.split("clean_text", " "), lambda x: x != ""))
-            .cast("long")
-            .alias("clean_tokens"),
-        )
+        .select("doc_id", "clean_text")
     )
 
 
@@ -1206,12 +1216,11 @@ def qd15_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.4  # within-cluster cosine threshold (synthetic corpus)
 
 
-def _semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
-    from event_stream_aggr_spark.operators.similarity import km_assign_ctes
-
-    return f"""
-WITH {km_assign_ctes()},
-pairs0 AS (
+def semdedup_drop_ctes(tau: float = SEMDEDUP_TAU) -> str:
+    """CTE chain ``pairs0 → scored → drops`` deriving the semantic-dup
+    drop set from the ``assign`` CTE; shared with qp03's composed
+    pipeline oracle."""
+    return f"""pairs0 AS (
   SELECT a.code, a.vec_id AS va, b.vec_id AS vb
   FROM assign a JOIN assign b ON a.code = b.code AND a.vec_id < b.vec_id),
 scored AS (
@@ -1225,7 +1234,15 @@ scored AS (
   JOIN embeddings eb ON p.vb = eb.vec_id),
 drops AS (
   SELECT DISTINCT vb AS vec_id FROM scored
-  WHERE ROUND(dp / (SQRT(na) * SQRT(nb)), 6) >= {tau})
+  WHERE ROUND(dp / (SQRT(na) * SQRT(nb)), 6) >= {tau})"""
+
+
+def _semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    from event_stream_aggr_spark.operators.similarity import km_assign_ctes
+
+    return f"""
+WITH {km_assign_ctes()},
+{semdedup_drop_ctes(tau)}
 SELECT a.vec_id, a.code AS cluster, (d.vec_id IS NULL) AS kept
 FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
 """
@@ -1258,11 +1275,11 @@ def qd16_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dominance rule is a set-membership decision, no iteration."""
     from event_stream_aggr_spark.operators.similarity import (
         cosine,
-        kmeans_assign,
+        kmeans_assign_shared,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(emb).select("vec_id", "code")
+    assign = kmeans_assign_shared(emb).select("vec_id", "code")
     ev = assign.join(emb.select("vec_id", "embedding"), "vec_id")
     a = ev.select(
         F.col("code"),

@@ -207,3 +207,96 @@ def qp02_training_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qp03: clustered-curation pipeline — one shared assignment, three consumers
+# ---------------------------------------------------------------------------
+
+
+def _qp03_oracle() -> str:
+    from event_stream_aggr_spark.operators.dedup import semdedup_drop_ctes
+    from event_stream_aggr_spark.operators.sampling import balanced_sample_ctes
+    from event_stream_aggr_spark.operators.similarity import (
+        km_assign_ctes,
+        km_profile_ctes,
+    )
+
+    return f"""
+WITH {km_assign_ctes()},
+{km_profile_ctes()},
+{semdedup_drop_ctes()},
+{balanced_sample_ctes()},
+dupc AS (
+  SELECT a.code AS cluster, CAST(COUNT(*) AS BIGINT) AS n_dropped
+  FROM assign a JOIN drops d ON a.vec_id = d.vec_id GROUP BY a.code),
+sampc AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM draws GROUP BY cluster)
+SELECT p.code AS cluster, p.n_vecs, t.top_label,
+       ROUND(CAST(t.top_cnt AS DOUBLE) / p.n_vecs, 6) AS top_share,
+       ROUND(CAST(p.sum_d AS DOUBLE) / p.n_vecs / 1000000, 6) AS avg_dist,
+       COALESCE(dc.n_dropped, 0) AS n_dropped,
+       COALESCE(sc.n_sampled, 0) AS n_sampled
+FROM prof p
+JOIN top t ON p.code = t.code
+LEFT JOIN dupc dc ON p.code = dc.cluster
+LEFT JOIN sampc sc ON p.code = sc.cluster
+"""
+
+
+@register(
+    "qp03_clustered_curation_pipeline",
+    bench=True,
+    tags=("pipeline", "clustering", "dedup", "sampling"),
+    oracle=_qp03_oracle(),
+)
+def qp03_clustered_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed clustered-curation pipeline (the r4 VERDICT's shared-
+    stage ask): k-means-assign the corpus ONCE (the materialized
+    ``kmeans_assign_shared`` stage), then fan three curation consumers
+    off that one artifact — qe08's cluster profile, qd16's semantic-dup
+    drop counts, qs08's balanced-sample draw counts — joined at cluster
+    grain into one per-cluster curation report.
+
+    Scale shape (100 TB): this is the pipeline form the three
+    standalone queries imply — the expensive stage (iterative Lloyd
+    assignment over every vector) is computed once and persisted
+    (localCheckpoint here; a parquet/Delta assignment table per corpus
+    snapshot in production), and every downstream stage consumes it
+    without recomputation. The three consumers' own wide work
+    (within-cluster pair join, per-cluster window) is unchanged; the
+    final report joins are cluster-grain (K rows) — negligible.
+    Composes the registered fns directly so the pipeline can never
+    drift from the standalone semantics."""
+    from event_stream_aggr_spark.operators.dedup import qd16_semantic_dedup
+    from event_stream_aggr_spark.operators.sampling import (
+        qs08_cluster_balanced_sample,
+    )
+    from event_stream_aggr_spark.operators.similarity import qe08_kmeans_clusters
+
+    prof = qe08_kmeans_clusters(spark, sf_dir)
+    dups = (
+        qd16_semantic_dedup(spark, sf_dir)
+        .filter(~F.col("kept"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    samp = (
+        qs08_cluster_balanced_sample(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        prof.join(dups, "cluster", "left")
+        .join(samp, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vecs",
+            "top_label",
+            "top_share",
+            "avg_dist",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )

@@ -531,21 +531,29 @@ def qs07_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 BALANCED_PER_CLUSTER = 20  # draws per k-means cluster
 
 
+def balanced_sample_ctes() -> str:
+    """CTE chain ``keyed → draws`` deriving the balanced draw from the
+    ``assign`` CTE; shared with qp03's composed pipeline oracle."""
+    return f"""keyed AS (
+  SELECT code AS cluster, vec_id,
+         md5('bal:' || CAST(vec_id AS VARCHAR)) AS order_key
+  FROM assign),
+draws AS (
+  SELECT cluster, vec_id, draw_rank FROM (
+    SELECT cluster, vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                ORDER BY order_key, vec_id) AS BIGINT) AS draw_rank
+    FROM keyed) t
+  WHERE draw_rank <= {BALANCED_PER_CLUSTER})"""
+
+
 def _qs08_oracle() -> str:
     from event_stream_aggr_spark.operators.similarity import km_assign_ctes
 
     return f"""
 WITH {km_assign_ctes()},
-keyed AS (
-  SELECT code AS cluster, vec_id,
-         md5('bal:' || CAST(vec_id AS VARCHAR)) AS order_key
-  FROM assign)
-SELECT cluster, vec_id, draw_rank FROM (
-  SELECT cluster, vec_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY cluster
-              ORDER BY order_key, vec_id) AS BIGINT) AS draw_rank
-  FROM keyed) t
-WHERE draw_rank <= {BALANCED_PER_CLUSTER}
+{balanced_sample_ctes()}
+SELECT cluster, vec_id, draw_rank FROM draws
 """
 
 
@@ -569,10 +577,10 @@ def qs08_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     BALANCED_PER_CLUSTER ordered rows with a top-k pushdown)."""
     from pyspark.sql import Window as W
 
-    from event_stream_aggr_spark.operators.similarity import kmeans_assign
+    from event_stream_aggr_spark.operators.similarity import kmeans_assign_shared
 
     emb = load_table(spark, sf_dir, "embeddings")
-    keyed = kmeans_assign(emb).select(
+    keyed = kmeans_assign_shared(emb).select(
         F.col("code").alias("cluster"),
         "vec_id",
         F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))).alias(

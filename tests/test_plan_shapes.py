@@ -233,8 +233,14 @@ def test_qe08_kmeans_centroid_scoring_is_broadcast_product(spark, sf_dir, specs)
     # vector scores against all K centroids — so the CORRECT plan is a
     # broadcast product with a K-row build side (_km_dist's explicit
     # crossJoin+broadcast), never a non-broadcast CartesianProduct and
-    # never a shuffle of the vectors.
-    plan = _plan(specs["qe08_kmeans_clusters"].fn(spark, sf_dir))
+    # never a shuffle of the vectors. Asserted on the assignment
+    # dataflow itself (kmeans_assign): qe08's executed plan reads the
+    # SHARED materialized assignment (kmeans_assign_shared), which
+    # hides the scoring subplan behind the checkpoint scan.
+    from event_stream_aggr_spark.operators.similarity import kmeans_assign
+    from event_stream_aggr_spark.tables import load_table as _lt
+
+    plan = _plan(kmeans_assign(_lt(spark, sf_dir, "embeddings")))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     # Pin the broadcast with the threshold disabled entirely: the hint,

@@ -197,3 +197,22 @@ def test_cluster_balanced_sample_is_flat_and_disjoint(spark, sf_dir):
         per[r.cluster] = per.get(r.cluster, 0) + 1
     assert set(per.values()) == {BALANCED_PER_CLUSTER}
     assert len({r.vec_id for r in rows}) == len(rows)
+
+
+def test_kmeans_assign_shared_memoizes_and_matches_direct(spark, sf_dir):
+    """The shared assignment stage returns ONE materialized DataFrame
+    per (session, corpus plan) and is value-identical to the direct
+    iterative computation it caches."""
+    from event_stream_aggr_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_shared,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assign_shared(emb)
+    b = kmeans_assign_shared(load_table(spark, sf_dir, "embeddings"))
+    assert a is b  # memo hit across separately-loaded plans of one corpus
+    direct = {r.vec_id: (r.code, r.d_us) for r in kmeans_assign(emb).collect()}
+    shared = {r.vec_id: (r.code, r.d_us) for r in a.collect()}
+    assert shared == direct
