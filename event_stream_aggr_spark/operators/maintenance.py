@@ -192,3 +192,83 @@ FROM z GROUP BY zv >> 10
 
 
 _register_zorder_query()
+
+
+#: qz02 target "file" size in chars — sized so the synthetic corpus
+#: yields several bins per source at test SFs.
+COMPACTION_TARGET_CHARS = 1000
+
+
+def _register_compaction_plan_query():
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qz02_compaction_plan",
+        tags=("maintenance", "layout"),
+        oracle=f"""
+WITH placed AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_chars
+  FROM documents),
+binned AS (
+  SELECT source, doc_id, n_chars,
+         offset_chars // {COMPACTION_TARGET_CHARS} AS bin_id
+  FROM placed)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_file,
+       CAST(MAX(doc_id) AS BIGINT) AS last_file
+FROM binned GROUP BY source, bin_id
+""",
+    )
+    def qz02_compaction_plan(spark, sf_dir):
+        """Small-file compaction PLANNER (the metadata half of
+        ``compact_parquet``): given a file listing — modeled here as
+        (source, doc_id, n_chars), i.e. one "file" per document with
+        its byte size — assign files to target-sized compaction bins
+        with the deterministic greedy-by-offset rule (running size
+        before me, integer-divided by the target; qp01's packing
+        recipe at file grain) and emit the per-bin manifest a
+        compaction executor would consume: file count, total bytes,
+        and the contiguous id range.
+
+        Scale rationale: a 100 TB lakehouse plans compaction from the
+        FILE LISTING (millions of rows of metadata), never by reading
+        data — this whole query is metadata-grain. The running-offset
+        window partitions by table partition (``source``), so no
+        single global ordering serializes planning; bins are
+        contiguous id ranges by construction, which keeps the rewrite
+        jobs' reads sequential. Exact integer arithmetic end-to-end."""
+        d = load_table(spark, sf_dir, "documents")
+        w = (
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        placed = d.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("offset_chars"),
+        )
+        binned = placed.withColumn(
+            "bin_id",
+            F.expr(f"offset_chars div {COMPACTION_TARGET_CHARS}").cast("long"),
+        )
+        return binned.groupBy("source", "bin_id").agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").cast("long").alias("bin_chars"),
+            F.min("doc_id").alias("first_file"),
+            F.max("doc_id").alias("last_file"),
+        )
+
+    return qz02_compaction_plan
+
+
+_register_compaction_plan_query()

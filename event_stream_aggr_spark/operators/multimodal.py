@@ -400,3 +400,53 @@ def qm04_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard writer without ever shuffling media bytes."""
     d = load_table(spark, sf_dir, "documents")
     return extract_patches(attach_binary(d))
+
+
+# ---------------------------------------------------------------------------
+# qm05: modality alignment / coverage audit (docs ↔ embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qm05_modality_coverage",
+    tags=("multimodal", "audit"),
+    oracle="""
+WITH j AS (
+  SELECT d.source, d.doc_id, e.vec_id, e.label
+  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(vec_id) AS BIGINT) AS n_with_embedding,
+       CAST(COUNT(*) - COUNT(vec_id) AS BIGINT) AS n_missing,
+       ROUND(CAST(COUNT(vec_id) AS DOUBLE) / COUNT(*), 6) AS coverage,
+       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+FROM j GROUP BY source
+""",
+)
+def qm05_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality alignment audit (L5 plumbing every multimodal
+    pipeline runs before training: "does every text sample have its
+    paired embedding/image, and where are the holes?"): per source,
+    document count, how many docs have a paired vector (doc_id =
+    vec_id), the missing count, coverage ratio, and the label
+    diversity among the matched vectors.
+
+    Scale shape: the pairing is one equi-join on the shared id (fact ⋈
+    fact — shuffle-keyed on the id, AQE-splittable); everything after
+    is source-grain. The LEFT join keeps unmatched docs so the audit
+    counts holes rather than silently dropping them (the anti-join
+    failure mode this audit exists to catch)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    j = d.select("source", "doc_id").join(
+        e.select("vec_id", "label"), d["doc_id"] == e["vec_id"], "left"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("vec_id").alias("n_with_embedding"),
+        (F.count(F.lit(1)) - F.count("vec_id")).alias("n_missing"),
+        F.round(F.count("vec_id").cast("double") / F.count(F.lit(1)), 6).alias(
+            "coverage"
+        ),
+        F.countDistinct("label").alias("n_labels"),
+    )

@@ -735,3 +735,101 @@ def qs10_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qs11: fixed-budget stratified sample via largest-remainder quotas
+# ---------------------------------------------------------------------------
+
+STRATIFIED_BUDGET = 100  # total docs to draw across all strata
+
+
+@register(
+    "qs11_stratified_quota_sample",
+    tags=("sampling",),
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM counts),
+alloc AS (
+  SELECT lang, n_docs,
+         (n_docs * {STRATIFIED_BUDGET}) // total AS floor_q,
+         n_docs * {STRATIFIED_BUDGET} - ((n_docs * {STRATIFIED_BUDGET}) // total)
+           * total AS rem
+  FROM counts CROSS JOIN tot),
+deficit AS (
+  SELECT {STRATIFIED_BUDGET} - CAST(SUM(floor_q) AS BIGINT) AS d FROM alloc),
+quotas AS (
+  SELECT lang, CAST(floor_q + CASE WHEN rnk <= d THEN 1 ELSE 0 END AS BIGINT)
+           AS quota
+  FROM (SELECT lang, floor_q, rem,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk
+        FROM alloc) a CROSS JOIN deficit),
+ranked AS (
+  SELECT d.doc_id, d.lang, q.quota,
+         CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+              ORDER BY md5('strat:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS BIGINT) AS draw_rank
+  FROM documents d JOIN quotas q USING (lang))
+SELECT doc_id, lang, quota, draw_rank FROM ranked WHERE draw_rank <= quota
+""",
+)
+def qs11_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget stratified sampling with largest-remainder (Hamilton)
+    quota allocation: draw EXACTLY STRATIFIED_BUDGET documents total,
+    each language stratum getting floor(n_s·Q/N) draws plus one of the
+    leftover units by descending fractional remainder (ties →
+    alphabetical) — the eval-set construction rule when "100 docs,
+    proportionally representative" must mean exactly 100, which
+    per-stratum rate rounding (qs03's shape) cannot guarantee.
+
+    Determinism: the allocation is pure integer arithmetic (n_s·Q
+    integer-divided by N; remainders are integers), and the
+    within-stratum draw reuses the content-hash order recipe (qs06) —
+    bit-exact cross-engine, partition-independent.
+
+    Scale shape (100 TB): stratum counts are a tiny aggregate; the
+    remainder-ranking window runs on the STRATA relation (metadata
+    grain — the single-partition window holds K strata, not data);
+    quotas broadcast back onto the scan and the per-stratum top-quota
+    is the bounded-state rank window (top-k pushdown caps it)."""
+    from pyspark.sql import Window as W
+
+    q = STRATIFIED_BUDGET
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"(n_docs * {q}) div total").alias("floor_q"),
+        F.expr(f"n_docs * {q} - ((n_docs * {q}) div total) * total").alias("rem"),
+    )
+    deficit = alloc.agg((F.lit(q) - F.sum("floor_q")).alias("d"))
+    wr = W.orderBy(F.desc("rem"), "lang")  # strata-grain: K rows
+    quotas = (
+        alloc.select("lang", "floor_q", "rem", F.row_number().over(wr).alias("rnk"))
+        .crossJoin(F.broadcast(deficit))
+        .select(
+            "lang",
+            (
+                F.col("floor_q")
+                + F.when(F.col("rnk") <= F.col("d"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    wd = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(quotas), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "quota",
+            F.row_number().over(wd).cast("long").alias("draw_rank"),
+        )
+        .filter(F.col("draw_rank") <= F.col("quota"))
+    )

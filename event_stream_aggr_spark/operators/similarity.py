@@ -1312,3 +1312,125 @@ def qe08_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_d").cast("double") / F.col("n_vecs") / 1000000, 6
         ).alias("avg_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qe09: cluster separation report (silhouette-style diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def _qe09_oracle() -> str:
+    dist = (
+        "CAST(SUM(CAST(ROUND(((m.x - c.cx) * (m.x - c.cx)) * 1000000)"
+        " AS BIGINT)) AS BIGINT)"
+    )
+    cdist = (
+        "CAST(SUM(CAST(ROUND(((a.cx - b.cx) * (a.cx - b.cx)) * 1000000)"
+        " AS BIGINT)) AS BIGINT)"
+    )
+    return f"""
+WITH {km_assign_ctes()},
+member AS (
+  SELECT a.code, v.vec_id, v.pos, v.x
+  FROM assign a JOIN vd v ON a.vec_id = v.vec_id),
+cent AS (
+  SELECT code, pos, ROUND(AVG(x), 6) AS cx FROM member GROUP BY code, pos),
+wd AS (
+  SELECT m.vec_id, m.code, {dist} AS d_us
+  FROM member m JOIN cent c ON m.code = c.code AND m.pos = c.pos
+  GROUP BY m.vec_id, m.code),
+within AS (
+  SELECT code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(d_us) AS BIGINT) AS sum_d
+  FROM wd GROUP BY code),
+bet AS (
+  SELECT a.code AS ca, b.code AS cb, {cdist} AS d
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.code <> b.code
+  GROUP BY a.code, b.code),
+near AS (
+  SELECT ca AS code, cb AS nearest_cluster, d FROM (
+    SELECT ca, cb, d,
+           ROW_NUMBER() OVER (PARTITION BY ca ORDER BY d, cb) AS rn
+    FROM bet) t WHERE rn = 1)
+SELECT w.code AS cluster, w.n_vecs,
+       ROUND(CAST(w.sum_d AS DOUBLE) / w.n_vecs / 1000000, 6) AS avg_within,
+       n.nearest_cluster,
+       ROUND(CAST(n.d AS DOUBLE) / 1000000, 6) AS nearest_dist,
+       ROUND(CAST(n.d AS DOUBLE) / (CAST(w.sum_d AS DOUBLE) / w.n_vecs), 6)
+         AS separation
+FROM within w JOIN near n ON w.code = n.code
+"""
+
+
+@register(
+    "qe09_cluster_separation",
+    tags=("similarity", "clustering", "stats"),
+    oracle=_qe09_oracle(),
+)
+def qe09_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster separation report (the Davies-Bouldin-style diagnostic
+    run after clustering, before trusting cluster-balanced sampling or
+    semantic dedup): per cluster, its post-assignment centroid's mean
+    within-cluster squared distance (tightness), the nearest OTHER
+    centroid and its distance, and the separation ratio
+    nearest-between / mean-within (higher = cleaner clustering).
+
+    Consumes the SHARED assignment stage (kmeans_assign_shared), so in
+    the composed pipeline the Lloyd iteration is not re-paid; centroids
+    are recomputed from the final assignment (the standard post-fit
+    diagnostic convention — one refine step past cb2).
+
+    Determinism: centroid components round to 6dp; every squared term
+    converts to integer micro-units before summation (the km recipe),
+    so all ratios divide identical integers.
+
+    Scale shape (100 TB): member = assign⋈vd is the refine join (keyed
+    on vec_id, AQE-splittable); centroids are K×D rows — the wd join
+    broadcasts them back onto member; the K² centroid-pair product is
+    metadata-scale. No vector ever shuffles for the diagnostics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign_shared(emb)
+    vd = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "pos", F.col("xf").cast("double").alias("x")
+    )
+    member = assign.select("vec_id", "code").join(vd, "vec_id")
+    cent = member.groupBy("code", "pos").agg(F.round(F.avg("x"), 6).alias("cx"))
+    sq_us = F.round(
+        (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) * 1000000
+    ).cast("long")
+    wd = (
+        member.join(F.broadcast(cent), ["code", "pos"])
+        .groupBy("vec_id", "code")
+        .agg(F.sum(sq_us).alias("d_us"))
+    )
+    within = wd.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("d_us").alias("sum_d")
+    )
+    ca = cent.select(F.col("code").alias("ca"), "pos", F.col("cx").alias("cxa"))
+    cb = cent.select(F.col("code").alias("cb"), "pos", F.col("cx").alias("cxb"))
+    csq_us = F.round(
+        (F.col("cxa") - F.col("cxb")) * (F.col("cxa") - F.col("cxb")) * 1000000
+    ).cast("long")
+    bet = (
+        ca.join(cb, "pos")
+        .filter(F.col("ca") != F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.sum(csq_us).alias("d"))
+    )
+    near = bet.groupBy("ca").agg(F.min(F.struct("d", "cb")).alias("mn"))
+    return (
+        within.join(near, within["code"] == near["ca"])
+        .select(
+            F.col("code").alias("cluster"),
+            "n_vecs",
+            F.round(F.col("sum_d").cast("double") / F.col("n_vecs") / 1000000, 6)
+              .alias("avg_within"),
+            F.col("mn.cb").alias("nearest_cluster"),
+            F.round(F.col("mn.d").cast("double") / 1000000, 6).alias("nearest_dist"),
+            F.round(
+                F.col("mn.d").cast("double")
+                / (F.col("sum_d").cast("double") / F.col("n_vecs")),
+                6,
+            ).alias("separation"),
+        )
+    )

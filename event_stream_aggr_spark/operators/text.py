@@ -1285,3 +1285,190 @@ def qt19_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= INDEX_MIN_DF)
     )
+
+
+# ---------------------------------------------------------------------------
+# qt20: topic tagging via broadcast keyword dictionary (multi-label)
+# ---------------------------------------------------------------------------
+
+#: Literal topic → keyword dictionary (alphabetical topic order is the
+#: tie-break everywhere). Real pipelines swap in a curated taxonomy;
+#: the dictionary rides the plan as literals (rule 20), so tagging is
+#: a zero-shuffle scan at any corpus size.
+TOPIC_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "exec": ("join", "hash", "merge", "sort", "agg", "group"),
+    "perf": ("fast", "slow", "big", "small"),
+    "storage": ("scan", "table", "column", "row", "part", "key"),
+    "streaming": ("stream", "batch", "window"),
+}
+TOPIC_MIN_HITS = 3
+
+
+def _qt20_oracle() -> str:
+    cnt = {
+        t: "len(list_filter(ts, x -> x IN ({})))".format(
+            ", ".join(f"'{w}'" for w in ws)
+        )
+        for t, ws in TOPIC_KEYWORDS.items()
+    }
+    mx = "GREATEST({})".format(", ".join(cnt.values()))
+    first_max = "CASE " + " ".join(
+        f"WHEN {cnt[t]} = mx THEN '{t}'" for t in sorted(cnt)
+    ) + " END"
+    tags = ", ".join(
+        f"CASE WHEN {cnt[t]} >= {TOPIC_MIN_HITS} THEN '{t}' END"
+        for t in sorted(cnt)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents),
+scored AS (
+  SELECT doc_id, ts, {mx} AS mx FROM base)
+SELECT doc_id,
+       concat_ws(',', {tags}) AS topics,
+       CASE WHEN mx = 0 THEN 'none' ELSE {first_max} END AS top_topic,
+       CAST(mx AS BIGINT) AS top_hits
+FROM scored
+"""
+
+
+@register(
+    "qt20_topic_tagging",
+    tags=("text", "classify"),
+    oracle=_qt20_oracle(),
+)
+def qt20_topic_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-label topic tagging from a broadcast keyword dictionary
+    (L4 — the cheap taxonomy labeling pass run before mixture
+    balancing; swap the literal dictionary for a curated taxonomy or a
+    model-scored variant via the same dataflow). Per document: every
+    topic whose keyword-hit count clears a floor (comma-joined,
+    alphabetical), the dominant topic (max hits, ties → alphabetical),
+    and its hit count.
+
+    Scale dataflow (rule 20): the dictionary is plan literals, so the
+    whole query is conditional size(filter(...)) folds over the token
+    array — one codegen'd scan projection, ZERO shuffles, no join
+    against a keyword table (broadcast-dictionary degenerate case).
+    At a real taxonomy's size the same shape holds via a broadcast
+    map; only if keywords stop fitting in a task binary does this
+    become qt07's broadcast-join shape."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.lower(F.col("text")))
+
+    def hit_count(ws: tuple[str, ...]) -> Column:
+        # closure factory: pyspark materializes one lambda ARG per
+        # python parameter, so a `ws=ws` default would be bound to a
+        # Column — capture the keyword list via closure instead
+        wl = list(ws)
+        return F.size(F.filter(ts, lambda x: x.isin(wl)))
+
+    cnt = {t: hit_count(ws) for t, ws in TOPIC_KEYWORDS.items()}
+    mx = F.greatest(*cnt.values())
+    first_max = F.lit(None).cast("string")
+    # build the CASE in reverse so the ALPHABETICALLY FIRST max wins
+    for t in sorted(cnt, reverse=True):
+        first_max = F.when(cnt[t] == mx, F.lit(t)).otherwise(first_max)
+    tags = [
+        F.when(cnt[t] >= TOPIC_MIN_HITS, F.lit(t)) for t in sorted(cnt)
+    ]
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.array(*tags)).alias("topics"),
+        F.when(mx == 0, F.lit("none")).otherwise(first_max).alias("top_topic"),
+        mx.cast("long").alias("top_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qt21: Zipf fit — corpus rank/frequency power-law slope per language
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_RANKS = 50
+
+
+@register(
+    "qt21_zipf_fit",
+    tags=("text", "stats"),
+    oracle=f"""
+WITH tc AS (
+  SELECT lang, tok, COUNT(*) AS n FROM (
+    SELECT lang, unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+             AS tok
+    FROM documents) u
+  GROUP BY lang, tok),
+ranked AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+  FROM tc),
+pts AS (
+  SELECT lang,
+         CAST(ROUND(LN(rnk), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(LN(n), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked WHERE rnk <= {ZIPF_TOP_RANKS}),
+s AS (
+  SELECT lang, COUNT(*) AS cnt,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(ROUND(x * y, 6) AS DECIMAL(18,6))) AS sxy,
+         SUM(CAST(ROUND(x * x, 6) AS DECIMAL(18,6))) AS sxx
+  FROM pts GROUP BY lang)
+SELECT lang, CAST(cnt AS BIGINT) AS n_points,
+       ROUND((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - ((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)) * sx) / cnt, 4)
+         AS zipf_intercept
+FROM s
+""",
+)
+def qt21_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit per language (L4 corpus statistics): the
+    least-squares slope of ln(frequency) against ln(rank) over the top
+    ranks — natural text sits near −1; a slope far off flags synthetic,
+    templated, or boilerplate-heavy corpora (a standard data-quality
+    audit signal alongside qt11's entropy).
+
+    Determinism: ln() terms round to 6dp and accumulate as exact
+    DECIMAL sums (the registry's order-free recipe), so the closed-form
+    slope/intercept divide identical integers in both engines; final
+    rounding 4dp.
+
+    Scale dataflow: token counts reduce corpus→vocabulary grain first
+    (the qt18 move); the rank window runs per language over vocab-sized
+    input, and the fit is a 5-sum aggregate — nothing downstream of
+    the first groupBy touches corpus-scale data."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "tok")
+    pts = (
+        tc.select("lang", "n", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= ZIPF_TOP_RANKS)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rnk")), 6).cast("decimal(18,6)").alias("x"),
+            F.round(F.log(F.col("n")), 6).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(18,6)")).alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(18,6)")).alias("sxx"),
+    )
+    slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "lang",
+        F.col("cnt").cast("long").alias("n_points"),
+        F.round(slope.cast("double"), 4).alias("zipf_slope"),
+        F.round(
+            ((F.col("sy") - slope * F.col("sx")) / F.col("cnt")).cast("double"), 4
+        ).alias("zipf_intercept"),
+    )

@@ -2844,3 +2844,93 @@ def q68_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q69: trailing-window EWMA smoothing (time-series analytics)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_W = 20  # trailing window length — bounds per-row state AND keeps
+#              the (1-α)^k weights representable at any stream length
+_EWMA_WEIGHTS = [round((1 - EWMA_ALPHA) ** k, 6) for k in range(EWMA_W)]
+
+
+def _q69_oracle() -> str:
+    warr = "[" + ", ".join(repr(w) for w in _EWMA_WEIGHTS) + "]"
+    return f"""
+WITH framed AS (
+  SELECT event_id, user_id, value,
+         list_reverse(list(value) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN {EWMA_W - 1} PRECEDING AND CURRENT ROW)) AS rarr
+  FROM events)
+SELECT event_id, user_id, value,
+       CAST(len(rarr) AS BIGINT) AS n_window,
+       ROUND(
+         CAST(list_sum(list_transform(rarr,
+           (x, i) -> CAST(ROUND(x * ({warr})[i] * 1000000) AS BIGINT))) AS BIGINT)
+         / CAST(list_sum(list_transform(rarr,
+           (x, i) -> CAST(ROUND(({warr})[i] * 1000000) AS BIGINT))) AS BIGINT),
+         4) AS ewma
+FROM framed
+"""
+
+
+@register(
+    "q69_ewma_smoothing",
+    tags=("window", "timeseries"),
+    oracle=_q69_oracle(),
+)
+def q69_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window exponentially-weighted moving average per user
+    (§2.6 analytic-window extension — the smoothing pass behind
+    anomaly thresholds and rate dashboards): for each event, the
+    EWMA of the user's last EWMA_W values with weights (1-α)^k.
+
+    The window is deliberately TRAILING-BOUNDED, not
+    since-start-of-stream: an unbounded adjusted EWMA needs
+    (1-α)^(-t) terms that overflow doubles after a few thousand
+    events per key, so the bounded form is what survives at stream
+    scale — per-row state is a fixed W values (the same reasoning as
+    W5's bounded keyed state), and weights are plan literals shared
+    verbatim with the oracle (no cross-engine pow() drift).
+
+    Determinism: every product rounds to integer micro-units before
+    the fold; numerator and denominator are exact integers, the final
+    division is one IEEE op rounded to 4dp.
+
+    Scale shape: ONE exchange on user_id for the window sort; the
+    weighted fold is a codegen'd array expression over the frame —
+    no self-join against W shifted copies (the naive lag-chain
+    formulation), no UDF."""
+    from pyspark.sql import Window as W
+
+    warr = "array({})".format(", ".join(repr(w) for w in _EWMA_WEIGHTS))
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_W - 1), 0)
+    )
+    framed = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.reverse(F.collect_list("value").over(w)).alias("rarr"),
+    )
+    num = (
+        f"aggregate(transform(rarr, (x, i) -> cast(round(x * element_at({warr},"
+        " i + 1) * 1000000) as bigint)), cast(0 as bigint), (a, t) -> a + t)"
+    )
+    den = (
+        f"aggregate(transform(rarr, (x, i) -> cast(round(element_at({warr},"
+        " i + 1) * 1000000) as bigint)), cast(0 as bigint), (a, t) -> a + t)"
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.size("rarr").cast("long").alias("n_window"),
+        F.round(F.expr(num) / F.expr(den), 4).alias("ewma"),
+    )

@@ -167,3 +167,30 @@ def test_zorder_tiles_bounded_32x32(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.x_max - r.x_min <= 31 and r.y_max - r.y_min <= 31
+
+
+def test_compaction_plan_bins_are_contiguous_and_sized(spark, sf_dir):
+    from event_stream_aggr_spark.operators.maintenance import (
+        COMPACTION_TARGET_CHARS,
+    )
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qz02_compaction_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r.bin_id)
+        # bin ids dense from 0; id ranges non-overlapping and ordered
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_file < b.first_file
+        # greedy-by-offset: files are contiguous, so the cumulative
+        # size through bin b must reach bin b+1's offset boundary
+        # (individual bins can under-fill when a file straddles into
+        # their offset range — that's the deterministic rule, not a bug)
+        running = 0
+        for b in bins[:-1]:
+            running += b.bin_chars
+            assert running >= (b.bin_id + 1) * COMPACTION_TARGET_CHARS

@@ -357,3 +357,21 @@ def test_quadratic_oracle_baselines_stay_isolated():
                 if not defline:
                     offenders.append(f"{py.name}:{line} calls {fn}")
     assert not offenders, offenders
+
+
+def test_qt20_topic_tagging_is_zero_shuffle(spark, sf_dir, specs):
+    # rule 20: the dictionary is plan literals — tagging must be one
+    # codegen'd scan projection, no Exchange, no join
+    plan = _plan(specs["qt20_topic_tagging"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_q69_ewma_single_window_exchange(spark, sf_dir, specs):
+    import re
+
+    plan = _plan(specs["q69_ewma_smoothing"].fn(spark, sf_dir))
+    # one hash exchange for the per-user window; the weighted fold is
+    # an array expression, never a self-join of W shifted copies
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan

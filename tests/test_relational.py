@@ -58,3 +58,35 @@ def test_q29_approx_bounds(spark):
     for r in q29_approx_distinct(spark, SF_DIR).collect():
         assert r.exact_parts == exact[r.l_returnflag].exact_parts
         assert r.approx_parts_ok and r.approx_median_ok, r
+
+
+def test_ewma_handchecked(spark):
+    import tempfile
+
+    from event_stream_aggr_spark.plans.relational import (
+        _EWMA_WEIGHTS,
+        q69_ewma_smoothing,
+    )
+
+    vals = [10.0, 20.0, 30.0]
+    d = spark.createDataFrame(
+        [
+            (i, f"2024-01-01 00:0{i}:00", 1, "click", v, "{}")
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.parquet(f"{tmp}/events.parquet")
+        got = {r.event_id: r for r in q69_ewma_smoothing(spark, tmp).collect()}
+
+    def expected(rarr):
+        num = sum(round(x * _EWMA_WEIGHTS[k] * 1e6) for k, x in enumerate(rarr))
+        den = sum(round(_EWMA_WEIGHTS[k] * 1e6) for k in range(len(rarr)))
+        return round(num / den, 4)
+
+    assert got[0].ewma == expected([10.0]) == 10.0
+    assert got[1].ewma == expected([20.0, 10.0])
+    assert got[2].ewma == expected([30.0, 20.0, 10.0])
+    assert got[2].n_window == 3

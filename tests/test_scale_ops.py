@@ -239,3 +239,19 @@ def test_epoch_expansion_balances_minority_strata(spark, sf_dir):
         epochs = sorted(r.epoch for r in rows if r.lang == lang and r.doc_id == doc)
         assert epochs == list(range(1, reps + 1))
         break  # contiguity spot-check on one doc (full check is O(n^2) here)
+
+
+def test_stratified_quota_sample_hits_budget_exactly(spark, sf_dir):
+    from event_stream_aggr_spark.operators.sampling import STRATIFIED_BUDGET
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qs11_stratified_quota_sample"].fn(spark, sf_dir).collect()
+    # Hamilton allocation: the draw total equals the budget EXACTLY
+    # (the property per-stratum rate rounding cannot guarantee)
+    assert len(rows) == STRATIFIED_BUDGET
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r)
+        assert r.draw_rank <= r.quota
+    for lang, rs in per.items():
+        assert len(rs) == rs[0].quota, lang

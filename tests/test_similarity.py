@@ -216,3 +216,17 @@ def test_kmeans_assign_shared_memoizes_and_matches_direct(spark, sf_dir):
     direct = {r.vec_id: (r.code, r.d_us) for r in kmeans_assign(emb).collect()}
     shared = {r.vec_id: (r.code, r.d_us) for r in a.collect()}
     assert shared == direct
+
+
+def test_cluster_separation_report_consistency(spark, sf_dir):
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qe09_cluster_separation"].fn(spark, sf_dir).collect()
+    assert rows
+    clusters = {r.cluster for r in rows}
+    for r in rows:
+        assert r.n_vecs > 0 and r.avg_within >= 0
+        assert r.nearest_cluster in clusters and r.nearest_cluster != r.cluster
+        assert r.nearest_dist > 0
+        if r.avg_within > 0:
+            assert abs(r.separation - r.nearest_dist / r.avg_within) < 1e-3

@@ -240,3 +240,54 @@ def test_shard_shuffle_carries_payload_columns(spark):
     assert {r.shard for r in rows} <= set(range(4))
     for r in rows:
         assert r.pos >= 1
+
+
+def test_topic_tagging_handchecked(spark):
+    from event_stream_aggr_spark.operators.text import (
+        TOPIC_MIN_HITS,
+        qt20_topic_tagging,
+    )
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    load_all()
+    # drive the registered dataflow over a hand-built frame via a temp
+    # parquet dir shaped like the documents table
+    assert TOPIC_MIN_HITS == 3
+    rows = {
+        # 3 exec hits + 3 storage hits, equal max -> tie breaks to 'exec'
+        0: "join hash merge scan table row",
+        # 4 perf hits only
+        1: "fast slow big small other words here",
+        # nothing topical
+        2: "lorem ipsum dolor",
+        # 3 streaming hits, 2 perf hits (below floor)
+        3: "stream batch window fast slow",
+    }
+    import tempfile
+
+    d = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.doc_id: (r.topics, r.top_topic, r.top_hits)
+            for r in qt20_topic_tagging(spark, tmp).collect()
+        }
+    assert got[0] == ("exec,storage", "exec", 3)
+    assert got[1] == ("perf", "perf", 4)
+    assert got[2] == ("", "none", 0)
+    assert got[3] == ("streaming", "streaming", 3)
+
+
+def test_zipf_fit_is_negative_power_law(spark, sf_dir):
+    from event_stream_aggr_spark.operators.text import ZIPF_TOP_RANKS
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qt21_zipf_fit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_points <= ZIPF_TOP_RANKS
+        # frequencies are non-increasing in rank -> slope can't be > 0
+        assert r.zipf_slope <= 0
