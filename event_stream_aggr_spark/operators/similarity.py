@@ -1434,3 +1434,174 @@ def qe09_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("separation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qe10: sparse TF-IDF cosine top-k via rare-term candidate routing
+# ---------------------------------------------------------------------------
+
+SPARSE_DF_CAP_FRAC = 0.1  # candidate terms must hit <= 10% of the corpus
+SPARSE_TOP_K = 5
+
+
+def _qe10_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(ROUND(tf.tf * LN(n.n_docs / dfreq.df), 6) * 1000)
+           AS BIGINT) AS wm
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+norms AS (
+  SELECT doc_id, CAST(SUM(wm * wm) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+rare AS (
+  SELECT term FROM dfreq CROSS JOIN n
+  WHERE df <= {SPARSE_DF_CAP_FRAC} * n.n_docs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, term FROM tf WHERE term IN (SELECT term FROM rare)) a
+  JOIN (SELECT doc_id, term FROM tf WHERE term IN (SELECT term FROM rare)) b
+    ON a.term = b.term AND a.doc_id < b.doc_id),
+dots AS (
+  SELECT c.doc_a, c.doc_b, CAST(SUM(wa.wm * wb.wm) AS BIGINT) AS dot
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.doc_a
+  JOIN w wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
+  GROUP BY c.doc_a, c.doc_b),
+scored AS (
+  SELECT d.doc_a, d.doc_b,
+         ROUND(d.dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b),
+mirrored AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, cos_sim FROM scored
+  UNION ALL
+  SELECT doc_b, doc_a, cos_sim FROM scored)
+SELECT doc_id, neighbor_id, cos_sim, rank FROM (
+  SELECT doc_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM mirrored) t
+WHERE rank <= {SPARSE_TOP_K}
+"""
+
+
+@register(
+    "qe10_sparse_cosine_topk",
+    tags=("similarity", "text", "retrieval"),
+    oracle=_qe10_oracle(),
+)
+def qe10_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-k neighbors WITHOUT embeddings (L3's
+    lexical half — the retrieval stack qt17/qt19 score and index,
+    completed with pairwise similarity): candidate pairs come from
+    sharing a RARE term (document frequency ≤ 10% of the corpus — the
+    prefix-filter principle: frequent terms don't discriminate, so
+    they never generate candidates), then exact sparse cosine over the
+    full TF-IDF vectors of just those pairs, top-k per document.
+
+    Scale shape (100 TB): the candidate join is term-keyed and
+    df-capped — per-term fan-out is bounded by the cap, so the join is
+    sub-quadratic by construction (the same bound that makes qt19's
+    posting lists shard-able); frequent-term pairs are EXCLUDED, not
+    skew-split, which is the published prefix-filtering trade. Scoring
+    joins the weight relation (corpus-token-grain, shuffles once on
+    doc) onto candidate-pair grain; norms are doc-grain. No dense
+    vectors, no LSH parameters to tune — the lexical alternative when
+    recall on rare-vocabulary overlap is what matters.
+
+    Determinism: weights round ln() to 6dp then scale to integer
+    milli-units; dots and norms are exact integer sums; the final
+    cosine divides identical integers (one IEEE sqrt+div), rounded
+    6dp with neighbor_id tiebreaks."""
+    from pyspark.sql import Window as W
+
+    from event_stream_aggr_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+                * 1000
+            )
+            .cast("long")
+            .alias("wm"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wm") * F.col("wm")).alias("n2"))
+    rare = (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= SPARSE_DF_CAP_FRAC * F.col("n_docs"))
+        .select("term")
+    )
+    rare_tf = tf.join(F.broadcast(rare), "term").select("doc_id", "term")
+    cand = (
+        rare_tf.select("term", F.col("doc_id").alias("doc_a"))
+        .join(rare_tf.select("term", F.col("doc_id").alias("doc_b")), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wm").alias("wma"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wm").alias("wmb"))
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wma") * F.col("wmb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot") / (F.sqrt("n2a") * F.sqrt("n2b")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    mirrored = scored.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "cos_sim",
+    ).unionAll(
+        scored.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+    wrank = W.partitionBy("doc_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        mirrored.select(
+            "doc_id",
+            "neighbor_id",
+            "cos_sim",
+            F.row_number().over(wrank).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= SPARSE_TOP_K)
+    )

@@ -2934,3 +2934,77 @@ def q69_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("rarr").cast("long").alias("n_window"),
         F.round(F.expr(num) / F.expr(den), 4).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q70: as-of join with staleness tolerance (J5 variant)
+# ---------------------------------------------------------------------------
+
+ASOF_TOLERANCE_S = 3600  # match only clicks within 1h before the purchase
+
+
+@register(
+    "q70_asof_tolerance",
+    tags=("join", "asof"),
+    oracle=f"""
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '{TS_US_FMT_DUCK}') AS purchase_ts,
+       CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL {ASOF_TOLERANCE_S} SECOND
+            THEN strftime(c.ts, '{TS_US_FMT_DUCK}') END AS click_ts,
+       CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL {ASOF_TOLERANCE_S} SECOND
+            THEN (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 END AS gap_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q70_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (J5 variant — pd.merge_asof's
+    ``tolerance`` contract): each purchase matches the user's most
+    recent click, but only if it happened within the last hour;
+    staler matches become NULLs while the purchase row survives.
+    The attribution-window join every funnel/ads pipeline runs.
+
+    Times convert to epoch MICROSECONDS before the join (tz-independent
+    integers; the same reasoning as tables.py's NTZ normalization), so
+    the staleness gate is integer arithmetic — no interval types cross
+    the engine boundary. Same single-shuffle union+window dataflow as
+    q25 (operators/asof.py); the tolerance adds a per-row comparison,
+    not a second join."""
+    from event_stream_aggr_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    # NTZ-only arithmetic: unix_micros(cast ts as timestamp) would
+    # re-interpret the wall clock in the SESSION timezone (the
+    # hostile-tz trap the verify recipe probes); timestampdiff against
+    # the NTZ epoch never consults the session zone
+    tsm = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", tsm.alias("tsm")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", tsm.alias("click_tsm")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="tsm",
+        right_ts="click_tsm",
+        right_cols=["click_tsm"],
+        tolerance=ASOF_TOLERANCE_S * 1_000_000,
+    )
+    to_ts = (
+        lambda c: F.expr(
+            f"timestampadd(MICROSECOND, {c}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format(to_ts("tsm"), TS_US_FMT_SPARK).alias("purchase_ts"),
+        F.date_format(to_ts("click_tsm"), TS_US_FMT_SPARK).alias("click_ts"),
+        F.expr("(tsm - click_tsm) div 1000000").alias("gap_seconds"),
+    )

@@ -230,3 +230,28 @@ def test_cluster_separation_report_consistency(spark, sf_dir):
         assert r.nearest_dist > 0
         if r.avg_within > 0:
             assert abs(r.separation - r.nearest_dist / r.avg_within) < 1e-3
+
+
+def test_sparse_cosine_topk_contract(spark, sf_dir):
+    from event_stream_aggr_spark.operators.similarity import SPARSE_TOP_K
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qe10_sparse_cosine_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r.cos_sim <= 1.0 + 1e-9
+        assert r.neighbor_id != r.doc_id
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= SPARSE_TOP_K
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    # symmetry of the mirrored pair relation at rank grain: if b is a's
+    # neighbor, the (b, a) edge exists with the same similarity
+    sim = {(r.doc_id, r.neighbor_id): r.cos_sim for r in rows}
+    mutual = [k for k in sim if (k[1], k[0]) in sim]
+    for a, b in mutual:
+        assert sim[(a, b)] == sim[(b, a)]
