@@ -175,3 +175,79 @@ def running_totals_transform_with_state(df: DataFrame, key_col: str) -> DataFram
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (q69's streaming twin): trailing-window keyed state
+# ---------------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = (
+    "event_id long, user_id long, value double, n_window long, ewma double"
+)
+EWMA_STATE_SCHEMA = "vals array<double>"
+
+
+def _round_half_up(v: float) -> float:
+    """Spark's ROUND (BigDecimal HALF_UP) for the magnitudes used here —
+    Python's builtin round() is half-EVEN and would diverge from the
+    batch q69 exactly at .5 boundaries."""
+    import math
+
+    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+
+def ewma_with_state(df: DataFrame) -> DataFrame:
+    """W5 + q69: per-user trailing-window EWMA over an event stream via
+    ``applyInPandasWithState``. State per key is the last EWMA_W values
+    (bounded — the same reason q69's batch window is trailing-bounded);
+    each micro-batch's rows are processed in (ts, event_id) order, so
+    with in-order arrival (per-key monotone event time, e.g. a
+    ts-range-partitioned replay or a per-key-ordered Kafka partition)
+    the stream reproduces the batch q69 EXACTLY — asserted by
+    tests/test_stream_batch_equiv.py. Arithmetic replicates the batch
+    integer-microunit fold, including HALF_UP rounding.
+
+    This is the state-edge pandas exception of §2.9's UDF discipline:
+    the fold itself is a per-row loop over bounded state, the shape
+    ``applyInPandasWithState`` exists for."""
+    from event_stream_aggr_spark.plans.relational import _EWMA_WEIGHTS, EWMA_W
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hist: list[float] = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(batches))
+        rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for r in rows.itertuples():
+            hist.append(float(r.value))
+            if len(hist) > EWMA_W:
+                hist.pop(0)
+            rarr = hist[::-1]
+            num = sum(
+                _round_half_up(x * _EWMA_WEIGHTS[k] * 1e6)
+                for k, x in enumerate(rarr)
+            )
+            den = sum(
+                _round_half_up(_EWMA_WEIGHTS[k] * 1e6) for k in range(len(rarr))
+            )
+            ewma = _round_half_up(num / den * 1e4) / 1e4
+            out.append((r.event_id, key[0], r.value, len(rarr), ewma))
+        state.update((hist,))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "value", "n_window", "ewma"]
+        )
+
+    return (
+        df.select("event_id", "ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

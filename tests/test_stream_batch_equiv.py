@@ -101,3 +101,53 @@ def test_stream_batch_equivalence_daily_feature_matrix(spark, sf_dir, tmp_path):
     }
     assert q.lastProgress["batchId"] >= 1
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_batch_equivalence_ewma(spark, sf_dir, tmp_path):
+    """q69's streaming twin: the stateful trailing-window EWMA over an
+    in-order replay must equal the batch window computation row for
+    row (ids, window sizes, AND rounded values)."""
+    from event_stream_aggr_spark.plans.relational import q69_ewma_smoothing
+    from event_stream_aggr_spark.streaming.stats import ewma_with_state
+
+    src = str(tmp_path / "events_ordered")
+    # ts-range partitioning + sort = an in-order replay: each file holds
+    # a contiguous time slice, files arrive oldest-first
+    (
+        load_table(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(src)
+    )
+    stored = spark.read.parquet(src)
+
+    # batch side: run q69's registered dataflow over the SAME stored data
+    import os
+
+    tmp_sf = str(tmp_path / "sf_view")
+    os.makedirs(tmp_sf, exist_ok=True)
+    stored.write.mode("overwrite").parquet(f"{tmp_sf}/events.parquet")
+    batch = {
+        r.event_id: (r.n_window, r.ewma)
+        for r in q69_ewma_smoothing(spark, tmp_sf).collect()
+    }
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=1)
+    q = (
+        ewma_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_equiv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.event_id: (r.n_window, r.ewma) for r in spark.table("ewma_equiv").collect()
+    }
+    assert q.lastProgress["batchId"] >= 1  # genuinely multi-batch
+    assert len(streamed) == len(batch) > 0
+    mismatches = {
+        k: (streamed[k], batch[k]) for k in batch if streamed.get(k) != batch[k]
+    }
+    assert not mismatches, list(mismatches.items())[:5]
