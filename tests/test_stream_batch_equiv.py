@@ -111,14 +111,28 @@ def test_stream_batch_equivalence_ewma(spark, sf_dir, tmp_path):
     from event_stream_aggr_spark.streaming.stats import ewma_with_state
 
     src = str(tmp_path / "events_ordered")
-    # ts-range partitioning + sort = an in-order replay: each file holds
-    # a contiguous time slice, files arrive oldest-first
-    (
-        load_table(spark, sf_dir, "events")
-        .repartitionByRange(4, "ts")
-        .sortWithinPartitions("ts", "event_id")
-        .write.parquet(src)
-    )
+    # In-order replay: each file holds a contiguous time slice and the
+    # slices are written SEQUENTIALLY (the file source orders by
+    # modification time, so a single parallel write would arrive in
+    # task-completion order, not time order — the flake this replaces)
+    import time
+
+    tsm = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    events = load_table(spark, sf_dir, "events").withColumn("_tsm", F.expr(tsm))
+    cuts = events.selectExpr(
+        "percentile(_tsm, array(0.25, 0.5, 0.75)) AS c"
+    ).collect()[0].c
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        (
+            events.filter((F.col("_tsm") > lo) & (F.col("_tsm") <= hi))
+            .drop("_tsm")
+            .sortWithinPartitions("ts", "event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(0.1)  # tick mtime so arrival order is the slice order
     stored = spark.read.parquet(src)
 
     # batch side: run q69's registered dataflow over the SAME stored data
