@@ -85,3 +85,122 @@ def dedup_keepers(
     clustered = comp.select(F.col("node").alias(id_col))
     untouched = docs.select(id_col).join(clustered, id_col, "left_anti")
     return untouched.union(keepers_in_components)
+
+
+# ---------------------------------------------------------------------------
+# qg01: bipartite PageRank in integer fixed-point (graph analytics)
+# ---------------------------------------------------------------------------
+
+PR_DAMP_MU = 850_000   # 0.85 in micro-units
+PR_BASE_MU = 150_000   # (1 - 0.85)
+PR_ITERS = 2           # full cust->supp->cust alternations
+
+
+def _register_pagerank_query():
+    from pyspark.sql import SparkSession  # noqa: F401
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    def _step_sql(dst: str, src_rank: str, src_deg: str, edges: str,
+                  src: str, dstcol: str) -> str:
+        # rank(dst) = base + damp * SUM(rank(src) // deg(src)) // 1e6
+        return f"""
+  SELECT e.{dstcol} AS k,
+         CAST({PR_BASE_MU} + ({PR_DAMP_MU} *
+              CAST(SUM(r.rank_mu // d.deg) AS BIGINT)) // 1000000 AS BIGINT)
+           AS rank_mu
+  FROM {edges} e
+  JOIN {src_rank} r ON r.k = e.{src}
+  JOIN {src_deg} d ON d.k = e.{src}
+  GROUP BY e.{dstcol}"""
+
+    oracle = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+dc AS (SELECT c AS k, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY c),
+ds AS (SELECT s AS k, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY s),
+rc0 AS (SELECT k, CAST(1000000 AS BIGINT) AS rank_mu FROM dc),
+rs0 AS (SELECT k, CAST(1000000 AS BIGINT) AS rank_mu FROM ds),
+rs1 AS ({_step_sql('s', 'rc0', 'dc', 'edges', 'c', 's')}),
+rc1 AS ({_step_sql('c', 'rs1', 'ds', 'edges', 's', 'c')}),
+rs2 AS ({_step_sql('s', 'rc1', 'dc', 'edges', 'c', 's')}),
+rc2 AS ({_step_sql('c', 'rs2', 'ds', 'edges', 's', 'c')})
+SELECT r.k AS suppkey, d.deg AS n_customers, r.rank_mu
+FROM rs2 r JOIN ds d ON d.k = r.k
+"""
+
+    @register("qg01_supplier_pagerank", tags=("graph", "iterative"), oracle=oracle)
+    def qg01_supplier_pagerank(spark, sf_dir):
+        """Bipartite PageRank (graph analytics over the relational
+        tables): ranks suppliers by random-walk centrality on the
+        customer↔supplier purchase graph (distinct (custkey, suppkey)
+        edges from orders⋈lineitem) — the influence/importance score a
+        curation pipeline uses to weight sources, here expressed as the
+        Pregel-as-joins dataflow (each half-step: contributions =
+        rank/out-degree aggregated at the destination).
+
+        Determinism: ranks live in integer MICRO-UNITS; each
+        contribution is integer division rank_mu // degree, each
+        update base + damp·sum // 1e6 — no floats anywhere, so both
+        engines agree bit-for-bit (float PageRank would accumulate
+        order-dependent last-bit drift across iterations).
+
+        Scale shape (100 TB): each half-step is ONE keyed aggregation
+        over the edge list joined to a node-grain rank relation (the
+        node relation is orders-of-magnitude smaller than edges and
+        broadcast-eligible; at web scale it's the shuffle-keyed side
+        and AQE skew-splits celebrity nodes). K iterations = K chained
+        shuffles; past ~5 iterations localCheckpoint the rank relation
+        (operators/cluster.connected_components shows the recipe)."""
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        edges = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
+        )
+        dc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("deg_c"))
+        ds = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
+        rc = dc.select("c", F.lit(1_000_000).cast("long").alias("rank_mu"))
+        rs = None
+        for _ in range(PR_ITERS):
+            rs = (
+                edges.join(rc, "c")
+                .join(dc, "c")
+                .select("s", F.expr("rank_mu div deg_c").alias("contrib"))
+                .groupBy("s")
+                .agg(
+                    (
+                        F.lit(PR_BASE_MU)
+                        + F.expr(f"({PR_DAMP_MU} * sum(contrib)) div 1000000")
+                    )
+                    .cast("long")
+                    .alias("rank_mu")
+                )
+            )
+            rc = (
+                edges.join(rs, "s")
+                .join(ds, "s")
+                .select("c", F.expr("rank_mu div deg_s").alias("contrib"))
+                .groupBy("c")
+                .agg(
+                    (
+                        F.lit(PR_BASE_MU)
+                        + F.expr(f"({PR_DAMP_MU} * sum(contrib)) div 1000000")
+                    )
+                    .cast("long")
+                    .alias("rank_mu")
+                )
+            )
+        return rs.join(ds, "s").select(
+            F.col("s").alias("suppkey"),
+            F.col("deg_s").alias("n_customers"),
+            "rank_mu",
+        )
+
+    return qg01_supplier_pagerank
+
+
+_register_pagerank_query()

@@ -255,3 +255,27 @@ def test_stratified_quota_sample_hits_budget_exactly(spark, sf_dir):
         assert r.draw_rank <= r.quota
     for lang, rs in per.items():
         assert len(rs) == rs[0].quota, lang
+
+
+def test_pagerank_handchecked_tiny_graph(spark, tmp_path):
+    """Integer fixed-point PageRank on a 2x2 bipartite graph,
+    hand-computed: c1-{s1,s2}, c2-{s1}."""
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    orders = spark.createDataFrame(
+        [(1, 101), (2, 101), (3, 102)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 7), (2, 8), (3, 7)], "l_orderkey long, l_suppkey long"
+    )
+    sf = str(tmp_path)
+    orders.write.parquet(f"{sf}/orders.parquet")
+    lineitem.write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r.suppkey: (r.n_customers, r.rank_mu)
+        for r in load_all()["qg01_supplier_pagerank"].fn(spark, sf).collect()
+    }
+    # rs1: s7=1425000, s8=575000; rc1: c101=1244375, c102=755625
+    # rs2: s7 = 150000 + 850000*(622187 + 755625)//1e6 = 1321140
+    #      s8 = 150000 + 850000*622187//1e6            =  678858
+    assert got == {7: (2, 1321140), 8: (1, 678858)}
