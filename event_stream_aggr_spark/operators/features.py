@@ -283,3 +283,57 @@ def qf03_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p95",
         norm.alias("value_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qf04: leave-one-out target encoding (categorical feature engineering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qf04_loo_target_encoding",
+    tags=("features", "encode"),
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v,
+         CAST(COUNT(value) AS BIGINT) AS n_v
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value IS NULL OR g.n_v <= 1 THEN NULL
+            ELSE ROUND(CAST(g.sum_v - CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+                       / (g.n_v - 1), 6)
+       END AS loo_mean
+FROM events e JOIN g USING (event_type)
+""",
+)
+def qf04_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the categorical-feature encoder
+    tabular ML uses when plain mean-encoding would leak each row's own
+    target): for every event, the mean value of all OTHER events of
+    its type — (group sum − own value) / (group count − 1).
+
+    The naive formulation is a per-row anti-self window or a self-join;
+    this is the closed form: ONE group aggregate (map-side combinable)
+    broadcast back onto the unshuffled scan, then pure row-local
+    arithmetic. Determinism: group sums accumulate as exact DECIMALs
+    (the registry recipe) so the subtraction is exact; one IEEE
+    division rounded 6dp. Singleton groups and NULL targets encode as
+    NULL (no self-leakage fallback)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        F.count("value").alias("n_v"),
+    )
+    loo = F.when(
+        F.col("value").isNull() | (F.col("n_v") <= 1), F.lit(None)
+    ).otherwise(
+        F.round(
+            (F.col("sum_v") - F.col("value").cast("decimal(18,2)")).cast("double")
+            / (F.col("n_v") - 1),
+            6,
+        )
+    )
+    return e.join(F.broadcast(g), "event_type").select(
+        "event_id", "event_type", "value", loo.alias("loo_mean")
+    )

@@ -1,0 +1,131 @@
+"""Corpus snapshot diff (dataset versioning audit).
+
+Training corpora ship as versioned snapshots; before retraining on
+v(N+1) a pipeline audits WHAT changed — added / removed / changed /
+unchanged document counts and identity checksums — both to gate
+surprise regressions (a 40% "changed" rate between minor versions is a
+bug) and to drive incremental recomputation (only changed partitions
+re-enter dedup/scoring).
+
+``snapshot_diff`` is the generic operator: one full-outer equi-join on
+the document key, change classification from null-sides and a content
+comparison, then a metadata-grain rollup. At 100 TB the join is
+key-shuffled and AQE-splittable, and the rollup output is 4 rows —
+the audit never materializes doc-grain diff output unless asked.
+
+The registered qv01 derives version B from version A deterministically
+(content-hash bands: drop 5%, rewrite 10%, clone 5% under shifted ids)
+so the oracle can rebuild the identical pair of snapshots in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.sampling import _HASH_SPACE, _key_hash
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+#: Band edges over the 2^28 hash space (fractions of the corpus).
+V_REMOVED_HI = int(0.05 * _HASH_SPACE)   # [0, 5%): dropped in B
+V_CHANGED_HI = int(0.15 * _HASH_SPACE)   # [5%, 15%): text rewritten in B
+V_CLONED_LO = int(0.95 * _HASH_SPACE)    # [95%, 100%): cloned as new ids
+CLONE_ID_OFFSET = 10_000_000
+
+
+def snapshot_diff(
+    a: DataFrame, b: DataFrame, key: str, content: Column
+) -> DataFrame:
+    """Per-change-type rollup of two snapshots: full-outer join on
+    ``key``, classify (added/removed/changed/unchanged) by null-sides
+    and the ``content`` expression (applied to each side's columns via
+    the ``a_``/``b_`` prefixes), then count + id-checksum per class."""
+    ap = a.select(
+        F.col(key).alias("a_key"), content.alias("a_content")
+    )
+    bp = b.select(
+        F.col(key).alias("b_key"), content.alias("b_content")
+    )
+    j = ap.join(bp, ap["a_key"] == bp["b_key"], "full")
+    change = (
+        F.when(F.col("a_key").isNull(), F.lit("added"))
+        .when(F.col("b_key").isNull(), F.lit("removed"))
+        .when(F.col("a_content") != F.col("b_content"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            F.coalesce("a_key", "b_key").alias("k"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("k").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+_B_CTE = f"""
+h AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS hv
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN hv < {V_CHANGED_HI} THEN text || ' [v2]' ELSE text END AS text
+  FROM h WHERE hv >= {V_REMOVED_HI}
+  UNION ALL
+  SELECT doc_id + {CLONE_ID_OFFSET}, text FROM h WHERE hv >= {V_CLONED_LO})"""
+
+
+@register(
+    "qv01_snapshot_diff",
+    tags=("versioning", "audit"),
+    oracle=f"""
+WITH {_B_CTE},
+j AS (
+  SELECT a.doc_id AS a_key, a.text AS a_text, b.doc_id AS b_key, b.text AS b_text
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT CASE WHEN a_key IS NULL THEN 'added'
+            WHEN b_key IS NULL THEN 'removed'
+            WHEN a_text <> b_text THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(a_key, b_key)) AS BIGINT) AS id_checksum
+FROM j GROUP BY 1
+""",
+)
+def qv01_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit (see module docstring): version B is derived
+    from the documents table deterministically — the [0,5%) hash band
+    is dropped, [5%,15%) has its text rewritten, [95%,100%) is cloned
+    under shifted ids (the "new documents" of B) — and the diff
+    classifies every key across the full-outer join.
+
+    Scale shape: the only wide op is the key-shuffled full-outer join
+    (content compare is a row-local expression on the joined row — NOT
+    a md5-both-sides pre-aggregation, so the audit also works when
+    the content expression projects a subset of columns); output is
+    change-type grain."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _key_hash(F.col("doc_id"))
+    base = d.select("doc_id", "text", h.alias("hv"))
+    b = (
+        base.filter(F.col("hv") >= V_REMOVED_HI)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("hv") < V_CHANGED_HI, F.concat("text", F.lit(" [v2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            base.filter(F.col("hv") >= V_CLONED_LO).select(
+                (F.col("doc_id") + CLONE_ID_OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(d, b, "doc_id", F.col("text"))

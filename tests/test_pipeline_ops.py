@@ -315,3 +315,24 @@ def test_point_in_time_features_never_leak(spark, sf_dir):
     assert matched
     for r in matched:
         assert r.feat_day < r.label_day, f"leaked same/future day: {r}"
+
+
+def test_snapshot_diff_classifies_handbuilt_versions(spark):
+    from event_stream_aggr_spark.operators.versioning import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "old"), (3, "gone")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (9, "fresh")], "doc_id long, text string"
+    )
+    got = {
+        r.change_type: (r.n_docs, r.id_checksum)
+        for r in snapshot_diff(a, b, "doc_id", F.col("text")).collect()
+    }
+    assert got == {
+        "unchanged": (1, 1),
+        "changed": (1, 2),
+        "removed": (1, 3),
+        "added": (1, 9),
+    }
