@@ -1273,34 +1273,51 @@ def qd16_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: cosine rounds to 6dp in both engines (qe01 recipe);
     the dominance rule is a set-membership decision, no iteration."""
-    from event_stream_aggr_spark.operators.similarity import (
-        cosine,
-        kmeans_assign_shared,
-    )
+    from event_stream_aggr_spark.operators.similarity import kmeans_assign_shared
 
     emb = load_table(spark, sf_dir, "embeddings")
     assign = kmeans_assign_shared(emb).select("vec_id", "code")
-    ev = assign.join(emb.select("vec_id", "embedding"), "vec_id")
-    a = ev.select(
-        F.col("code"),
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-    )
-    b = ev.select(
-        F.col("code"),
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-    )
-    drops = (
-        a.join(b, "code")
-        .filter(F.col("va") < F.col("vb"))
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= SEMDEDUP_TAU)
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(1))
-    )
+    drops = semantic_drops_shared(emb).withColumn("dropped", F.lit(1))
     return assign.join(drops, "vec_id", "left").select(
         "vec_id",
         F.col("code").alias("cluster"),
         F.col("dropped").isNull().alias("kept"),
     )
+
+
+def semantic_drops_shared(emb: DataFrame) -> DataFrame:
+    """The SemDeDup drop set (vec_id of every vector with a lower-id
+    same-cluster neighbor at cosine >= tau), materialized ONCE per
+    (session, corpus) via operators.stagecache — qd16 and qp03 both
+    consume it, and the within-cluster pair join is the pipeline's
+    second most expensive stage after the assignment itself."""
+    from event_stream_aggr_spark.operators.similarity import (
+        cosine,
+        kmeans_assign_shared,
+    )
+    from event_stream_aggr_spark.operators.stagecache import memoized_stage
+
+    def build() -> DataFrame:
+        assign = kmeans_assign_shared(emb).select("vec_id", "code")
+        ev = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+        a = ev.select(
+            F.col("code"),
+            F.col("vec_id").alias("va"),
+            F.col("embedding").alias("ea"),
+        )
+        b = ev.select(
+            F.col("code"),
+            F.col("vec_id").alias("vb"),
+            F.col("embedding").alias("eb"),
+        )
+        return (
+            a.join(b, "code")
+            .filter(F.col("va") < F.col("vb"))
+            .filter(
+                F.round(cosine(F.col("ea"), F.col("eb")), 6) >= SEMDEDUP_TAU
+            )
+            .select(F.col("vb").alias("vec_id"))
+            .distinct()
+        )
+
+    return memoized_stage("semantic_drops", emb, build)

@@ -1137,9 +1137,6 @@ def kmeans_assign(emb: DataFrame) -> DataFrame:
     )
 
 
-_ASSIGN_MEMO: dict[tuple[str, int], DataFrame] = {}
-
-
 def kmeans_assign_shared(emb: DataFrame) -> DataFrame:
     """Session-memoized, eagerly materialized ``kmeans_assign``.
 
@@ -1158,19 +1155,12 @@ def kmeans_assign_shared(emb: DataFrame) -> DataFrame:
     Value-identical to calling ``kmeans_assign`` directly (the memo
     only changes where the blocks come from), so consumers' DuckDB
     oracles replay the same ``km_assign_ctes`` chain either way.
-    Entries live for the Spark application's lifetime — bounded (one
-    per corpus) and reclaimed with the session's block manager.
+    Memo mechanics live in ``operators.stagecache`` (shared with the
+    semantic-drop stage).
     """
-    spark = emb.sparkSession
-    key = (
-        spark.sparkContext.applicationId,
-        emb._jdf.queryExecution().analyzed().semanticHash(),
-    )
-    df = _ASSIGN_MEMO.get(key)
-    if df is None:
-        df = kmeans_assign(emb).localCheckpoint(eager=True)
-        _ASSIGN_MEMO[key] = df
-    return df
+    from event_stream_aggr_spark.operators.stagecache import memoized_stage
+
+    return memoized_stage("kmeans_assign", emb, lambda: kmeans_assign(emb))
 
 
 def km_assign_ctes() -> str:

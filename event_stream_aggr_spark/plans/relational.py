@@ -3008,3 +3008,76 @@ def q70_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(to_ts("click_tsm"), TS_US_FMT_SPARK).alias("click_ts"),
         F.expr("(tsm - click_tsm) div 1000000").alias("gap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q72: rolling exact median (robust trailing-window statistic)
+# ---------------------------------------------------------------------------
+
+MED_W = 10  # trailing window length
+
+
+@register(
+    "q72_rolling_median",
+    tags=("window", "timeseries"),
+    oracle=f"""
+WITH framed AS (
+  SELECT event_id, user_id, value,
+         list_sort(list(value) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN {MED_W - 1} PRECEDING AND CURRENT ROW)) AS arr
+  FROM events)
+SELECT event_id, user_id, value,
+       CAST(len(arr) AS BIGINT) AS n_window,
+       ROUND(CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+                  ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2
+             END, 4) AS rolling_median
+FROM framed
+""",
+)
+def q72_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median per user (q69's robust sibling — the
+    outlier-insensitive trailing statistic behind spike detectors and
+    SLO dashboards): median of the user's last MED_W values.
+
+    Exactness: the frame's values sort as an array and the median is
+    pure element selection (+ one exact halving for even windows) —
+    no approx sketch, no interpolation ambiguity, bit-identical
+    cross-engine. Bounded trailing window = bounded per-row state,
+    same scale reasoning as q69.
+
+    Scale shape: ONE exchange on user_id; the per-row sort is O(W log
+    W) on a constant W inside codegen'd array expressions — the naive
+    alternative (a lateral re-aggregation per row) re-shuffles the
+    stream W times."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MED_W - 1), 0)
+    )
+    framed = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("arr"),
+    )
+    s = F.size("arr")
+    med = F.when(
+        s % 2 == 1, F.element_at("arr", ((s + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("arr", (s / 2).cast("int"))
+            + F.element_at("arr", (s / 2).cast("int") + 1)
+        )
+        / 2
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        "value",
+        s.cast("long").alias("n_window"),
+        F.round(med, 4).alias("rolling_median"),
+    )
