@@ -272,3 +272,105 @@ FROM binned GROUP BY source, bin_id
 
 
 _register_compaction_plan_query()
+
+
+def _register_constraint_audit_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qa01_constraint_audit",
+        tags=("maintenance", "quality"),
+        oracle="""
+SELECT 'orders_custkey_not_null' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_fk', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_price_positive', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_unit_range', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+FROM lineitem
+""",
+    )
+    def qa01_constraint_audit(spark, sf_dir):
+        """Data-contract constraint audit (the Deequ/dbt-test shape —
+        the validation pass a lakehouse runs on every ingest before
+        publishing a snapshot): per named check, rows checked and rows
+        violating. Checks cover the contract families: NOT NULL,
+        referential integrity (FK orphans via LEFT-join null probe),
+        primary-key uniqueness (count − count distinct), value range, and
+        unit-interval bounds.
+
+        Scale shape: every check is a single-pass conditional
+        aggregate over its table's scan (map-side combinable, exact
+        integers); the FK probe is the one join — key-shuffled or
+        broadcast by dimension size, and at 100 TB the audit reads
+        each fact table ONCE per registered check family, never
+        row-materializing violations (a violation SAMPLE is a
+        follow-up filter query, deliberately not this rollup)."""
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        li = load_table(spark, sf_dir, "lineitem")
+
+        def check(name, df, cond_violation):
+            return df.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.when(cond_violation, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+            ).select(
+                F.lit(name).alias("check_name"), "n_checked", "n_violations"
+            )
+
+        fk = o.join(
+            c.select(F.col("c_custkey").alias("ck")),
+            o["o_custkey"] == F.col("ck"),
+            "left",
+        )
+        pk = o.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .cast("long")
+            .alias("n_violations"),
+        ).select(
+            F.lit("orders_orderkey_unique").alias("check_name"),
+            "n_checked",
+            "n_violations",
+        )
+        return (
+            check("orders_custkey_not_null", o, F.col("o_custkey").isNull())
+            .unionAll(check("orders_custkey_fk", fk, F.col("ck").isNull()))
+            .unionAll(pk)
+            .unionAll(
+                check(
+                    "lineitem_price_positive", li, F.col("l_extendedprice") <= 0
+                )
+            )
+            .unionAll(
+                check(
+                    "lineitem_discount_unit_range",
+                    li,
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                )
+            )
+        )
+
+    return qa01_constraint_audit
+
+
+_register_constraint_audit_query()
