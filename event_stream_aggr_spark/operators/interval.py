@@ -1,0 +1,190 @@
+"""Interval-overlap join — the missing join class between J4 (band/
+range) and J5 (as-of): match every left interval [l_start, l_end] with
+every right interval [r_start, r_end] that overlaps it in time, without
+a theta join.
+
+The reference engine has no join at all (SURVEY.md §0 — it is a
+flattening processor), but its event-correlation use case (which alerts
+fired while a maintenance/incident window was open?) is exactly this
+operator, and Spark has no builtin for it: the naive phrasing
+``l.start <= r.end AND r.start <= l.end`` plans as
+BroadcastNestedLoop/Cartesian — O(|L|·|R|) at 100 TB.
+
+The scalable recipe (the same binning dataflow Flink's interval join
+and DuckDB's IEJoin replace): discretize time into fixed-width buckets,
+explode each interval onto the buckets it covers, equi-join on the
+bucket id, and re-check the exact overlap predicate on the collisions.
+Each overlapping pair shares >= 1 bucket, so the equi-join finds it;
+the pair is EMITTED exactly once by keeping only the first shared
+bucket — the bucket containing ``greatest(l_start, r_start)`` — so no
+distinct/dedup shuffle is needed afterwards.
+
+Cost: shuffle of (|L|·avg_span/W + |R|·avg_span/W) exploded rows on the
+bucket key + the collision re-check. W tunes the classic bin trade-off
+(too small → explosion factor, too large → false collisions); cap/split
+pathological long intervals at W·k before the explode. The join itself
+is a plain equi shuffle join — AQE-skew-splittable when one time bucket
+is hot, which is the realistic skew mode (incident storms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+#: Epoch seconds from a TIMESTAMP_NTZ column without consulting the
+#: session timezone (tables.py normalizes events.ts to NTZ micros).
+_NTZ_EPOCH_S = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Inner overlap join on integer interval bounds (closed intervals:
+    touching endpoints count as overlap, overlap_sec = 0).
+
+    Returns left ++ right columns + ``overlap_sec`` for every
+    overlapping (left, right) pair, each pair exactly once. Bounds must
+    be integral (epoch seconds); bucket ids use floor division, so
+    negative epochs are handled by ``floor``-semantics ``F.floor``.
+    """
+    w = int(bucket_width)
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.col(l_start) / w).cast("long"),
+            F.floor(F.col(l_end) / w).cast("long"),
+        )
+    ).alias("_bucket")
+    rb = F.explode(
+        F.sequence(
+            F.floor(F.col(r_start) / w).cast("long"),
+            F.floor(F.col(r_end) / w).cast("long"),
+        )
+    ).alias("_bucket")
+    le = left.select("*", lb)
+    re = right.select("*", rb)
+    first_shared = F.floor(F.greatest(F.col(l_start), F.col(r_start)) / w).cast("long")
+    return (
+        le.join(re, "_bucket")
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bucket") == first_shared)
+        )
+        .drop("_bucket")
+        .withColumn(
+            "overlap_sec",
+            F.least(F.col(l_end), F.col(r_end)) - F.greatest(F.col(l_start), F.col(r_start)),
+        )
+    )
+
+
+INCIDENT_HALF_WIDTH_S = 1800  # error event -> +/- 30 min incident window
+INCIDENT_SAMPLE_MOD = 20  # every 20th error is an incident (deterministic)
+OVERLAP_BUCKET_W = 3600
+
+
+@register(
+    "qj01_interval_overlap_join",
+    bench=True,
+    tags=("join", "interval", "scale"),
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d') AS day,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events),
+spans AS (
+  SELECT user_id, day, MIN(sec) AS s_start, MAX(sec) AS s_end
+  FROM ev GROUP BY user_id, day),
+inc AS (
+  SELECT sec - {INCIDENT_HALF_WIDTH_S} AS i_start,
+         sec + {INCIDENT_HALF_WIDTH_S} AS i_end
+  FROM ev
+  WHERE event_type = 'error' AND event_id % {INCIDENT_SAMPLE_MOD} = 0),
+hits AS (
+  SELECT s.user_id, s.day,
+         CAST(COUNT(*) AS BIGINT) AS n_incidents,
+         CAST(SUM(LEAST(s.s_end, i.i_end) - GREATEST(s.s_start, i.i_start))
+              AS BIGINT) AS overlap_sec
+  FROM spans s JOIN inc i
+    ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+  GROUP BY s.user_id, s.day)
+SELECT s.user_id, s.day,
+       s.s_end - s.s_start AS span_sec,
+       COALESCE(h.n_incidents, 0) AS n_incidents,
+       COALESCE(h.overlap_sec, 0) AS overlap_sec
+FROM spans s
+LEFT JOIN hits h ON s.user_id = h.user_id AND s.day = h.day
+""",
+)
+def qj01_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval-overlap join: per-user daily activity spans
+    [first event, last event] vs global incident windows (+/- 30 min
+    around a deterministic 1-in-20 sample of error events); per span,
+    how many incidents overlapped it and for how many seconds — the
+    alert-vs-maintenance-window correlation the reference's IDS
+    pipeline feeds (exploded alerts joined to incident intervals).
+
+    Scale shape: buckets of {OVERLAP_BUCKET_W} s bound the explode factor
+    (a day span covers <= 25 buckets, an incident <= 2); the only join is
+    an equi-join on the bucket id, each overlapping pair emitted exactly
+    once at its first shared bucket — no theta join, no post-join
+    distinct. The oracle phrases the same semantics as DuckDB's
+    inequality join (its optimizer plans IEJoin; Spark would plan
+    BroadcastNestedLoop, which is exactly what the bucketing avoids).
+    Left-outer semantics come from re-joining the matched aggregate onto
+    the span relation (0-incident spans survive). All arithmetic is
+    integer epoch seconds — exact in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr(_NTZ_EPOCH_S.format(col="ts"))
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        sec.alias("sec"),
+    )
+    spans = ev.groupBy("user_id", "day").agg(
+        F.min("sec").alias("s_start"), F.max("sec").alias("s_end")
+    )
+    inc = (
+        ev.where((F.col("event_type") == "error") & (F.col("event_id") % INCIDENT_SAMPLE_MOD == 0))
+        .select(
+            (F.col("sec") - INCIDENT_HALF_WIDTH_S).alias("i_start"),
+            (F.col("sec") + INCIDENT_HALF_WIDTH_S).alias("i_end"),
+        )
+    )
+    pairs = overlap_join(
+        spans,
+        inc,
+        l_start="s_start",
+        l_end="s_end",
+        r_start="i_start",
+        r_end="i_end",
+        bucket_width=OVERLAP_BUCKET_W,
+    )
+    hits = pairs.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.sum("overlap_sec").alias("overlap_sec"),
+    )
+    return (
+        spans.join(hits, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            (F.col("s_end") - F.col("s_start")).alias("span_sec"),
+            F.coalesce("n_incidents", F.lit(0)).alias("n_incidents"),
+            F.coalesce("overlap_sec", F.lit(0)).alias("overlap_sec"),
+        )
+    )
