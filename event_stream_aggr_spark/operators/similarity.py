@@ -1595,3 +1595,104 @@ def qe10_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= SPARSE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# qe11: contrastive training-pair mining (hard positives + hard negatives)
+# ---------------------------------------------------------------------------
+
+CONTRASTIVE_QUERY_MOD = 25  # every 25th vector anchors a training pair
+
+
+@register(
+    "qe11_contrastive_pairs",
+    tags=("similarity", "training-data"),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe
+           FROM embeddings WHERE vec_id % {CONTRASTIVE_QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cid, label AS clab, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT qid, qlab, cid, clab,
+         ROUND((SELECT SUM(a * b) FROM (SELECT unnest(qe)::DOUBLE AS a,
+                                               unnest(ce)::DOUBLE AS b))
+               / (SQRT((SELECT SUM(a * a)
+                        FROM (SELECT unnest(qe)::DOUBLE AS a)))
+                  * SQRT((SELECT SUM(b * b)
+                          FROM (SELECT unnest(ce)::DOUBLE AS b)))), 6)
+           AS cos_sim
+  FROM c, q WHERE cid <> qid),
+pos AS (SELECT qid, cid, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim ASC, cid) AS rn
+        FROM pairs WHERE clab = qlab),
+neg AS (SELECT qid, cid, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, cid) AS rn
+        FROM pairs WHERE clab <> qlab)
+SELECT q.qid, CAST(q.qlab AS BIGINT) AS q_label,
+       p.cid AS pos_id, p.cos_sim AS pos_sim,
+       n.cid AS neg_id, n.cos_sim AS neg_sim
+FROM q
+JOIN pos p ON p.qid = q.qid AND p.rn = 1
+JOIN neg n ON n.qid = q.qid AND n.rn = 1
+""",
+)
+def qe11_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for metric-learning training data: per
+    anchor vector, the HARD positive (same label, LOWEST cosine — the
+    in-class example the model most confuses) and the HARD negative
+    (different label, HIGHEST cosine — the out-of-class example closest
+    to the anchor). The triplet/InfoNCE data-prep step of an embedding
+    training pipeline.
+
+    Scale shape: anchors broadcast (a deterministic 1-in-25 sample),
+    the corpus streams once through the scoring product with norms
+    hoisted per-row; selection is ONE aggregation with min/max over
+    (cos, ±cid) structs — no window, no per-anchor shuffle. At corpus
+    scale the exact product swaps for candidate generation via qe03
+    LSH/qe04 IVF while this selection logic is unchanged; the exact
+    form doubles as the recall oracle for those.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % CONTRASTIVE_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("_qnorm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("_cnorm"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            "cid",
+            "clab",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    same = F.col("clab") == F.col("qlab")
+    picked = pairs.groupBy("qid", "qlab").agg(
+        # min struct: lowest cos, then lowest cid — the hard positive
+        F.min(F.when(same, F.struct(F.col("cos_sim"), F.col("cid")))).alias("pos"),
+        # max struct with negated cid: highest cos, ties -> lowest cid
+        F.max(
+            F.when(~same, F.struct(F.col("cos_sim"), (-F.col("cid")).alias("ncid")))
+        ).alias("neg"),
+    )
+    return picked.select(
+        "qid",
+        F.col("qlab").cast("long").alias("q_label"),
+        F.col("pos.cid").alias("pos_id"),
+        F.col("pos.cos_sim").alias("pos_sim"),
+        (-F.col("neg.ncid")).alias("neg_id"),
+        F.col("neg.cos_sim").alias("neg_sim"),
+    )

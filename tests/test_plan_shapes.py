@@ -375,3 +375,20 @@ def test_q69_ewma_single_window_exchange(spark, sf_dir, specs):
     # an array expression, never a self-join of W shifted copies
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Join" not in plan
+
+
+def test_qe11_anchor_product_broadcasts_under_disabled_threshold(spark, sf_dir, specs):
+    # Contrastive mining scores every corpus vector against the tiny
+    # anchor set; the corpus must never shuffle for it. The explicit
+    # broadcast hint (not tiny-SF auto-broadcast) must carry the plan:
+    # with the threshold disabled, still a broadcast product + one
+    # hash aggregation, no Cartesian and no corpus exchange pre-agg.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(specs["qe11_contrastive_pairs"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
