@@ -1472,3 +1472,105 @@ def qt21_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("sy") - slope * F.col("sx")) / F.col("cnt")).cast("double"), 4
         ).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qt22: importance weighting for targeted data selection (DSIR-shaped)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"  # the "target distribution" slice
+DSIR_TOP_K = 20
+
+
+@register(
+    "qt22_dsir_importance",
+    tags=("text", "sampling", "training-data"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+cr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY tok),
+tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cr) AS v,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM cr) AS nr,
+               (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ct) AS nt),
+lr AS (
+  SELECT cr.tok,
+         CAST(ROUND(ln((COALESCE(ct.c, 0) + 1.0) / (nt + v))
+                    - ln((cr.c + 1.0) / (nr + v)), 6) AS DECIMAL(18,6)) AS lr6
+  FROM cr LEFT JOIN ct USING (tok) CROSS JOIN tot),
+perdoc AS (
+  SELECT t.doc_id, t.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(lr.lr6) AS wdec
+  FROM toks t JOIN lr ON t.tok = lr.tok
+  GROUP BY t.doc_id, t.lang)
+SELECT doc_id, lang, n_tokens, CAST(wdec AS DOUBLE) AS weight
+FROM perdoc WHERE lang <> '{DSIR_TARGET_LANG}'
+ORDER BY weight DESC, doc_id LIMIT {DSIR_TOP_K}
+""",
+)
+def qt22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weighting for targeted data selection — the DSIR
+    recipe (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every out-of-target document by the
+    log-likelihood ratio of its tokens under the target distribution
+    (here: the 'en'-slice unigram LM, add-1 smoothed over the joint
+    vocabulary) vs the raw-corpus unigram LM; the highest-ratio
+    documents are the ones importance resampling would pull into the
+    training mix. Top-20 candidates reported.
+
+    Scale shape: the same two-pass broadcast-calibration dataflow as
+    qt12 — pass 1 reduces the token stream to the (vocab-sized)
+    count tables whose smoothed per-token log-ratios are rounded to
+    6 dp and fixed as DECIMAL(18,6); pass 2 joins them back onto the
+    token stream map-side (broadcast) and reduces per-doc with an
+    EXACT decimal sum, so the accumulated weight is independent of
+    accumulation order — bit-identical across engines and across
+    cluster repartitions (registry float rule). Final top-k is
+    TakeOrdered, no global sort. DSIR's hashed-n-gram variant drops in
+    by swapping the token key for a hash bucket; the dataflow is
+    identical so the unhashed form is what this query pins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    cr = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        toks.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = cr.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cr").alias("nr"),
+    ).crossJoin(ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    lr = (
+        cr.join(ct, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v")))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr6"),
+        )
+    )
+    perdoc = (
+        toks.join(F.broadcast(lr), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr6").alias("wdec"),
+        )
+    )
+    return (
+        perdoc.where(F.col("lang") != DSIR_TARGET_LANG)
+        .select("doc_id", "lang", "n_tokens", F.col("wdec").cast("double").alias("weight"))
+        .orderBy(F.desc("weight"), "doc_id")
+        .limit(DSIR_TOP_K)
+    )

@@ -291,3 +291,17 @@ def test_zipf_fit_is_negative_power_law(spark, sf_dir):
         assert 0 < r.n_points <= ZIPF_TOP_RANKS
         # frequencies are non-increasing in rank -> slope can't be > 0
         assert r.zipf_slope <= 0
+
+
+def test_qt22_dsir_selects_non_target_by_descending_weight(spark, sf_dir):
+    from event_stream_aggr_spark.operators.text import DSIR_TARGET_LANG, DSIR_TOP_K
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qt22_dsir_importance"].fn(spark, sf_dir).collect()
+    assert len(rows) == DSIR_TOP_K
+    assert all(r.lang != DSIR_TARGET_LANG for r in rows)
+    weights = [r.weight for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    # decimal-sum determinism: a rerun reproduces identical bits
+    again = load_all()["qt22_dsir_importance"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
