@@ -374,3 +374,86 @@ FROM lineitem
 
 
 _register_constraint_audit_query()
+
+
+# ---------------------------------------------------------------------------
+# qz03: zone-map (min/max) data-skipping audit
+# ---------------------------------------------------------------------------
+
+PRUNE_PREDICATE_MIN_VALUE = 350.0  # the audited predicate: value > 350
+
+
+def _register_pruning_stats_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qz03_pruning_stats",
+        tags=("maintenance", "scale"),
+        oracle=f"""
+WITH zones AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(value) AS vmin, MAX(value) AS vmax
+  FROM events GROUP BY strftime(ts, '%Y-%m-%d')),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(SUM(CASE WHEN vmax > {PRUNE_PREDICATE_MIN_VALUE}
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS scanned_rows
+  FROM zones)
+SELECT z.day, z.n_rows, z.vmin, z.vmax,
+       CAST(z.vmax > {PRUNE_PREDICATE_MIN_VALUE} AS BIGINT) AS scanned,
+       ROUND(CAST(t.scanned_rows AS DOUBLE) / t.total_rows, 6) AS scan_fraction
+FROM zones z CROSS JOIN tot t
+""",
+    )
+    def qz03_pruning_stats(spark, sf_dir):
+        """Zone-map data-skipping audit: per day-partition min/max
+        statistics over ``value`` (exactly what parquet row-group
+        footers / Delta-Iceberg file stats store) and, for the audited
+        predicate ``value > 350``, which zones a stats-aware scan
+        would skip entirely plus the global fraction of rows it must
+        still read.
+
+        This is the maintenance-side complement of qz01's z-order
+        locality measure: qz01 *creates* layouts with tight zones,
+        this query *measures* how effective the current layout's
+        zones are for a predicate — the feedback a 100 TB lakehouse
+        uses to decide whether a re-layout (qz01) or compaction
+        (qz02) pays for itself. One hash aggregation to |zones| rows;
+        the totals side is a 1-row broadcast. min/max of raw doubles
+        are exact in both engines (no accumulation), so zone bounds
+        hash-match bit-for-bit.
+        """
+        e = load_table(spark, sf_dir, "events")
+        zones = (
+            e.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "value")
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+            )
+        )
+        scanned = F.col("vmax") > PRUNE_PREDICATE_MIN_VALUE
+        tot = zones.agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0)).alias("scanned_rows"),
+        )
+        return zones.crossJoin(F.broadcast(tot)).select(
+            "day",
+            "n_rows",
+            "vmin",
+            "vmax",
+            scanned.cast("long").alias("scanned"),
+            F.round(
+                F.col("scanned_rows").cast("double") / F.col("total_rows"), 6
+            ).alias("scan_fraction"),
+        )
+
+    return qz03_pruning_stats
+
+
+_register_pruning_stats_query()
