@@ -129,3 +129,108 @@ def qv01_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(d, b, "doc_id", F.col("text"))
+
+
+# ---------------------------------------------------------------------------
+# qv02: SCD Type-2 dimension build (history tracking)
+# ---------------------------------------------------------------------------
+
+#: Activity-tier edges over the exact daily DECIMAL value sum.
+TIER_MID_EDGE = 50
+TIER_HIGH_EDGE = 200
+
+
+@register(
+    "qv02_scd2_dimension",
+    tags=("versioning", "window", "warehouse"),
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS vdec
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')),
+tiers AS (
+  SELECT user_id, day,
+         CASE WHEN vdec < {TIER_MID_EDGE} THEN 'low'
+              WHEN vdec < {TIER_HIGH_EDGE} THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM daily),
+runs AS (
+  SELECT user_id, day, tier,
+         SUM(CASE WHEN prev_tier IS NULL OR prev_tier <> tier
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (SELECT user_id, day, tier,
+               LAG(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev_tier
+        FROM tiers)),
+versions AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS version, MIN(tier) AS tier,
+         MIN(day) AS valid_from, MAX(day) AS valid_to,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM runs GROUP BY user_id, run_id)
+SELECT user_id, version, tier, valid_from, valid_to, n_days,
+       CAST(version = MAX(version) OVER (PARTITION BY user_id) AS BIGINT)
+         AS is_current
+FROM versions
+""",
+)
+def qv02_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: collapse each user's
+    daily activity-tier history (low/mid/high by exact decimal daily
+    spend) into versioned validity intervals — one row per unbroken
+    run of the same tier with valid_from/valid_to/is_current. The
+    dimension-table history a warehouse keeps so facts can join the
+    attribute AS OF their event time (the qf02 point-in-time join is
+    the read side of exactly this table).
+
+    Scale shape: gaps-and-islands via LAG + running change-count.
+    Two exchanges total (verified on the executed plan): events
+    shuffle to (user, day) grain for the daily aggregate, then once
+    to user partitions — the LAG/run-id windows, the per-run rollup
+    (co-partitioned by user, so no third exchange) and the
+    is_current window all run in that one user-partitioned pass with
+    bounded per-user state; no self-join phrasing. Tier edges
+    compare the exact DECIMAL sum so run boundaries are bit-identical
+    across engines (registry float rule).
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("vdec"))
+    )
+    tier = (
+        F.when(F.col("vdec") < TIER_MID_EDGE, "low")
+        .when(F.col("vdec") < TIER_HIGH_EDGE, "mid")
+        .otherwise("high")
+    )
+    wday = W.partitionBy("user_id").orderBy("day")
+    runs = (
+        daily.select("user_id", "day", tier.alias("tier"))
+        .withColumn("prev_tier", F.lag("tier").over(wday))
+        .withColumn(
+            "run_id",
+            F.sum(
+                F.when(
+                    F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier")), 1
+                ).otherwise(0)
+            ).over(wday.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    versions = runs.groupBy("user_id", F.col("run_id").alias("version")).agg(
+        F.min("tier").alias("tier"),
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wuser = W.partitionBy("user_id")
+    return versions.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from",
+        "valid_to",
+        "n_days",
+        (F.col("version") == F.max("version").over(wuser)).cast("long").alias("is_current"),
+    )

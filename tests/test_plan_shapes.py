@@ -392,3 +392,14 @@ def test_qe11_anchor_product_broadcasts_under_disabled_threshold(spark, sf_dir, 
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_qv02_scd2_single_user_partition_pass(spark, sf_dir, specs):
+    # gaps-and-islands must not add an exchange per window: one
+    # shuffle to (user, day) grain, one to user partitions, and the
+    # run-id windows + per-run rollup + is_current window all reuse
+    # the user partitioning (the rollup's partial agg is
+    # co-partitioned, so ENSURE_REQUIREMENTS inserts nothing).
+    plan = _plan(specs["qv02_scd2_dimension"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan  # no self-join phrasing of islands
