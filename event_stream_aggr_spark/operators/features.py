@@ -337,3 +337,132 @@ def qf04_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(g), "event_type").select(
         "event_id", "event_type", "value", loo.alias("loo_mean")
     )
+
+
+# ---------------------------------------------------------------------------
+# qf05: feature drift detection (population stability index)
+# ---------------------------------------------------------------------------
+
+PSI_REF_LAST_DAY = "2024-01-15"  # reference window A = days <= this
+PSI_BUCKETS = 10
+PSI_DRIFT_EDGE = 0.1  # the classic "investigate" threshold
+
+
+@register(
+    "qf05_feature_drift_psi",
+    tags=("features", "mlops", "drift"),
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, event_id, value,
+         strftime(ts, '%Y-%m-%d') <= '{PSI_REF_LAST_DAY}' AS is_ref
+  FROM events),
+ref AS (SELECT event_type, event_id, value FROM ev WHERE is_ref),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ref),
+cuts AS (
+  SELECT event_type, value AS cut
+  FROM ranked, LATERAL (SELECT unnest(generate_series(1, {PSI_BUCKETS - 1})) AS i) g
+  WHERE rn = CAST(CEIL(i * n / {PSI_BUCKETS}.0) AS BIGINT)),
+bucketed AS (
+  SELECT e.event_type, e.event_id, e.is_ref,
+         CAST(SUM(CASE WHEN e.value > c.cut THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM ev e JOIN cuts c ON e.event_type = c.event_type
+  GROUP BY e.event_type, e.event_id, e.is_ref),
+counts AS (
+  SELECT event_type, b,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM bucketed GROUP BY event_type, b),
+tots AS (
+  SELECT event_type,
+         CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM counts GROUP BY event_type),
+terms AS (
+  SELECT c.event_type, c.ca, c.cb,
+         CAST(ROUND((CAST(c.cb + 1 AS DOUBLE) / (t.nb + {PSI_BUCKETS})
+                     - CAST(c.ca + 1 AS DOUBLE) / (t.na + {PSI_BUCKETS}))
+                    * ln((CAST(c.cb + 1 AS DOUBLE) / (t.nb + {PSI_BUCKETS}))
+                         / (CAST(c.ca + 1 AS DOUBLE) / (t.na + {PSI_BUCKETS}))), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM counts c JOIN tots t USING (event_type))
+SELECT event_type,
+       CAST(SUM(ca) AS BIGINT) AS n_ref, CAST(SUM(cb) AS BIGINT) AS n_cur,
+       CAST(SUM(term) AS DOUBLE) AS psi,
+       CAST(CAST(SUM(term) AS DOUBLE) > {PSI_DRIFT_EDGE} AS BIGINT) AS drifted
+FROM terms GROUP BY event_type
+""",
+)
+def qf05_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature drift detection via the Population Stability Index —
+    the MLOps monitor that decides whether a serving feature's
+    distribution moved enough from the training snapshot to retrain:
+    per event type, decile the REFERENCE window's ``value``
+    distribution (nearest-rank cutpoints, qf03's bit-exact selection),
+    histogram both periods on those fixed buckets, and sum
+    (pB−pA)·ln(pB/pA) with add-1 smoothing so empty buckets stay
+    finite.
+
+    Scale shape: cutpoints are |types|·9 rows (window rank-selection on
+    the reference slice only), broadcast back; bucket assignment is a
+    per-row fold over the 9 cutpoints (broadcast equi-join on type +
+    conditional count — no range join, no sort of the scored period);
+    PSI itself folds 10 bucket rows per type with 6-dp-rounded terms
+    summed as exact decimals (registry float rule). The same dataflow
+    monitors any scored column; `value` stands in for a model score.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        (F.date_format("ts", "yyyy-MM-dd") <= PSI_REF_LAST_DAY).alias("is_ref"),
+    )
+    ref = ev.where("is_ref")
+    wr = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ref.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    cuts = (
+        ranked.select(
+            "event_type",
+            "value",
+            "rn",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(PSI_BUCKETS - 1))).alias("i"),
+        )
+        .where(F.col("rn") == F.ceil(F.col("i") * F.col("n") / PSI_BUCKETS).cast("long"))
+        .select("event_type", F.col("value").alias("cut"))
+    )
+    bucketed = (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "event_id", "is_ref")
+        .agg(F.sum(F.when(F.col("value") > F.col("cut"), 1).otherwise(0)).alias("b"))
+    )
+    counts = bucketed.groupBy("event_type", "b").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cb"),
+    )
+    wt = W.partitionBy("event_type")
+    pa = (F.col("ca") + 1).cast("double") / (F.sum("ca").over(wt) + PSI_BUCKETS)
+    pb = (F.col("cb") + 1).cast("double") / (F.sum("cb").over(wt) + PSI_BUCKETS)
+    terms = counts.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.round((pb - pa) * F.log(pb / pa), 6).cast("decimal(18,6)").alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("ca").alias("n_ref"),
+        F.sum("cb").alias("n_cur"),
+        F.sum("term").cast("double").alias("psi"),
+        (F.sum("term").cast("double") > PSI_DRIFT_EDGE).cast("long").alias("drifted"),
+    )

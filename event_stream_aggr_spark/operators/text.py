@@ -1574,3 +1574,67 @@ def qt22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), "doc_id")
         .limit(DSIR_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# qt23: n-gram novelty audit (memorization / boilerplate risk score)
+# ---------------------------------------------------------------------------
+
+NOVELTY_NGRAM = 8
+
+
+@register(
+    "qt23_ngram_novelty",
+    tags=("text", "dedup", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {NOVELTY_NGRAM - 1}),
+                i -> md5(array_to_string(t[i:i + {NOVELTY_NGRAM - 1}], ' ')))) AS g
+  FROM toks),
+df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(1.0 - CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS novelty
+FROM grams JOIN df USING (g)
+GROUP BY grams.doc_id
+""",
+)
+def qt23_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    8-gram shingles that appear in NO other document. The curation
+    audit behind both memorization risk (a training doc whose grams
+    are widely shared is likely boilerplate the model will memorize
+    as a template) and near-dup triage — qd12/qd14 REMOVE shared
+    spans, this query SCORES how much of each doc would survive.
+    Documents shorter than 8 tokens have no grams and no row.
+
+    Scale shape: grams hash to md5 before ever shuffling (fixed-width
+    keys, the qd10 expression — split bound once, no O(n²) re-split);
+    ONE distinct over (doc, gram), document frequency as a gram-keyed
+    count, then the same relation joins df back and folds to doc
+    grain. Gram-keyed shuffles only; the hot-gram skew mode (classic
+    boilerplate) is an equi-join AQE splits.
+    """
+    from event_stream_aggr_spark.operators.dedup import ngram_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(ngram_hashes(F.col("text"), NOVELTY_NGRAM)).alias("g")
+    ).distinct()
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+            F.round(1.0 - shared.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

@@ -3081,3 +3081,82 @@ def q72_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.cast("long").alias("n_window"),
         F.round(med, 4).alias("rolling_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q73: sliding-window aggregation, batch form (6h window, 1h slide)
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW_HOURS = 6
+
+
+@register(
+    "q73_sliding_distinct",
+    tags=("window", "aggregation", "scale"),
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // 3600 AS hnum FROM events),
+hourly_users AS (SELECT DISTINCT hnum, user_id FROM ev),
+hourly_counts AS (SELECT hnum, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY hnum),
+wu AS (
+  SELECT hu.hnum - g.g AS w, hu.user_id
+  FROM hourly_users hu,
+       LATERAL (SELECT unnest(generate_series(0, {SLIDE_WINDOW_HOURS - 1})) AS g) g),
+wc AS (
+  SELECT hc.hnum - g.g AS w, hc.n
+  FROM hourly_counts hc,
+       LATERAL (SELECT unnest(generate_series(0, {SLIDE_WINDOW_HOURS - 1})) AS g) g),
+users_per_w AS (
+  SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM wu GROUP BY w),
+events_per_w AS (SELECT w, CAST(SUM(n) AS BIGINT) AS n_events FROM wc GROUP BY w)
+SELECT strftime(to_timestamp(u.w * 3600), '%Y-%m-%d %H:%M:%S') AS window_start,
+       e.n_events, u.n_users
+FROM users_per_w u JOIN events_per_w e USING (w)
+""",
+)
+def q73_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation in batch (6 h window, 1 h slide):
+    per window, event count and EXACT distinct users — the batch twin
+    of streaming W2's sliding window, including the overlap semantics
+    (every event belongs to 6 windows).
+
+    Scale shape: the window-membership explode runs on PRE-AGGREGATED
+    hourly relations, not raw events — raw events reduce once to
+    (hour, user) distinct pairs and (hour) counts, then the 6×
+    replication touches only those far smaller relations; counts merge
+    as sums (mergeable partials, qi01's monoid), while distinct-users
+    stays exact because distinct-over-window == distinct over the
+    hour-grain pairs. Exploding raw events 6× (the naive phrasing) or
+    a |windows|×|events| range join would both be strictly worse; an
+    HLL-sketch merge (q29's path) is the approximate alternative when
+    even |users|·|hours| pairs are too much state.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hnum = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).alias("hnum")
+    ev = e.select(hnum, "user_id")
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(SLIDE_WINDOW_HOURS - 1))).alias("g")
+    hourly_users = ev.distinct()
+    hourly_counts = ev.groupBy("hnum").agg(F.count(F.lit(1)).alias("n"))
+    users_per_w = (
+        hourly_users.select("hnum", "user_id", offsets)
+        .select((F.col("hnum") - F.col("g")).alias("w"), "user_id")
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    events_per_w = (
+        hourly_counts.select("hnum", "n", offsets)
+        .select((F.col("hnum") - F.col("g")).alias("w"), "n")
+        .groupBy("w")
+        .agg(F.sum("n").alias("n_events"))
+    )
+    return users_per_w.join(events_per_w, "w").select(
+        F.date_format(
+            F.expr("timestampadd(HOUR, w, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("window_start"),
+        "n_events",
+        "n_users",
+    )
