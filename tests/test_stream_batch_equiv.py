@@ -165,3 +165,56 @@ def test_stream_batch_equivalence_ewma(spark, sf_dir, tmp_path):
         k: (streamed[k], batch[k]) for k in batch if streamed.get(k) != batch[k]
     }
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_stream_batch_equivalence_incremental_rollup(spark, sf_dir, tmp_path):
+    """qi01's streaming story: a foreachBatch sink that MERGES each
+    micro-batch's partial rollup into the stored state (never
+    re-scanning history) converges to exactly the batch rollup —
+    the monoid state makes streaming maintenance and batch backfill
+    interchangeable."""
+    from event_stream_aggr_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    src = str(tmp_path / "events_ivm_stream")
+    state_dir = str(tmp_path / "ivm_state")
+    load_table(spark, sf_dir, "events").repartition(6).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    batch = {tuple(r) for r in finalize_rollup(partial_rollup(stored)).collect()}
+
+    n_batches = [0]
+
+    def upsert_state(bdf: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        delta = partial_rollup(bdf)
+        import os
+
+        if os.path.exists(state_dir):
+            prev = bdf.sparkSession.read.parquet(state_dir)
+            merged = merge_rollups(prev, delta)
+        else:
+            merged = delta
+        # stage then atomically replace (the CDC-upsert sink pattern)
+        staged = merged.collect()
+        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(upsert_state)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ivm_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2  # state really merged across micro-batches
+    streamed = {
+        tuple(r)
+        for r in finalize_rollup(spark.read.parquet(state_dir)).collect()
+    }
+    assert streamed == batch and len(batch) > 0
