@@ -457,3 +457,83 @@ FROM zones z CROSS JOIN tot t
 
 
 _register_pruning_stats_query()
+
+
+# ---------------------------------------------------------------------------
+# qa02: rollup anomaly detection (z-score monitor over daily volumes)
+# ---------------------------------------------------------------------------
+
+ANOMALY_Z_EDGE = 2.0
+
+
+def _register_rollup_anomaly_query():
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qa02_rollup_anomaly",
+        tags=("monitoring", "aggregation"),
+        oracle=f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+stats AS (
+  SELECT event_type, day, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS sx,
+         CAST(SUM(n * n) OVER (PARTITION BY event_type) AS BIGINT) AS sxx,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+  FROM daily)
+SELECT event_type, day, n,
+       ROUND((n - CAST(sx AS DOUBLE) / nd)
+             / sqrt(CAST(sxx AS DOUBLE) / nd
+                    - (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd)),
+             4) AS z,
+       CAST(abs((n - CAST(sx AS DOUBLE) / nd)
+                / sqrt(CAST(sxx AS DOUBLE) / nd
+                       - (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd)))
+            > {ANOMALY_Z_EDGE} AS BIGINT) AS is_anomaly
+FROM stats
+""",
+    )
+    def qa02_rollup_anomaly(spark, sf_dir):
+        """Volume anomaly monitor over the ingest rollup: per event
+        type, z-score each day's event count against that type's own
+        daily distribution and flag |z| > 2 — the alert the reference's
+        interval-stats loop (app.go:75-110) exists to feed, promoted to
+        a per-partition data-quality gate (a day whose volume spikes or
+        craters is quarantined before it poisons training mixes).
+
+        Determinism: Σx and Σx² are exact BIGINTs over integer daily
+        counts, so mean/variance come from identical integer inputs
+        through the IDENTICAL double expression in both engines —
+        bit-equal z before the 4-dp round. Scale shape: one hash
+        aggregation to (type, day) grain, then per-type windows over
+        |days| rows; nothing else shuffles.
+        """
+        e = load_table(spark, sf_dir, "events")
+        daily = (
+            e.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wt = W.partitionBy("event_type")
+        sx = F.sum("n").over(wt).cast("double")
+        sxx = F.sum(F.col("n") * F.col("n")).over(wt).cast("double")
+        nd = F.count(F.lit(1)).over(wt)
+        mean = sx / nd
+        z = (F.col("n") - mean) / F.sqrt(sxx / nd - mean * mean)
+        return daily.select(
+            "event_type",
+            "day",
+            "n",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > ANOMALY_Z_EDGE).cast("long").alias("is_anomaly"),
+        )
+
+    return qa02_rollup_anomaly
+
+
+_register_rollup_anomaly_query()

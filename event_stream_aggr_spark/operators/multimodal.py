@@ -450,3 +450,90 @@ def qm05_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qm06: media dedup over binary payloads (exact + chunk-fingerprint)
+# ---------------------------------------------------------------------------
+
+FP_EDGE_BYTES = 32  # head/tail chunk width in the cheap fingerprint
+
+
+@register(
+    "qm06_media_dedup",
+    tags=("multimodal", "dedup"),
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id, text AS payload, CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents),
+fp AS (
+  SELECT doc_id, n_bytes,
+         md5(payload) AS exact_hash,
+         md5(CAST(n_bytes AS VARCHAR) || ':' ||
+             substr(payload, 1, {FP_EDGE_BYTES}) || ':' ||
+             substr(payload, GREATEST(CAST(n_bytes AS INT) - {FP_EDGE_BYTES} + 1, 1),
+                    {FP_EDGE_BYTES})) AS chunk_fp
+  FROM media),
+ec AS (SELECT exact_hash, CAST(COUNT(*) AS BIGINT) AS edf,
+              MIN(doc_id) AS canonical FROM fp GROUP BY exact_hash),
+cc AS (SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS cdf FROM fp GROUP BY chunk_fp)
+SELECT f.doc_id, f.n_bytes, f.chunk_fp,
+       CAST(e.edf > 1 AS BIGINT) AS is_exact_dup,
+       e.canonical,
+       CAST(c.cdf > 1 AND e.edf = 1 AS BIGINT) AS is_near_candidate
+FROM fp f JOIN ec e USING (exact_hash) JOIN cc c USING (chunk_fp)
+""",
+)
+def qm06_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup for media payloads — the L1/L2 story applied to the
+    multimodal column: exact duplicates by full-payload digest (keep
+    the lowest doc_id as canonical), plus a cheap chunk fingerprint
+    (length + head/tail 32-byte chunks, the CDC-style screen) that
+    routes NEAR-duplicate candidates — same shell, different middle,
+    e.g. re-encoded or watermarked variants — to an expensive
+    perceptual compare (the qm01 decode path) without ever comparing
+    full payloads pairwise.
+
+    Scale shape: both digests are computed in the scan pass, so only
+    fixed-width hashes shuffle — payload bytes never leave their
+    partition (the L5 rule); dedup itself is two digest-keyed hash
+    aggregations joined back at digest grain. The oracle replays both
+    digests over the ASCII stand-in payloads byte-for-byte.
+    """
+    media = attach_binary(load_table(spark, sf_dir, "documents"))
+    n_bytes = F.col("meta.n_bytes")
+    fp = media.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.md5("payload").alias("exact_hash"),
+        F.md5(
+            F.concat(
+                n_bytes.cast("string").cast("binary"),
+                F.lit(":").cast("binary"),
+                F.expr(f"substring(payload, 1, {FP_EDGE_BYTES})"),
+                F.lit(":").cast("binary"),
+                F.expr(
+                    f"substring(payload, greatest(cast(meta.n_bytes as int)"
+                    f" - {FP_EDGE_BYTES} + 1, 1), {FP_EDGE_BYTES})"
+                ),
+            )
+        ).alias("chunk_fp"),
+    )
+    ec = fp.groupBy("exact_hash").agg(
+        F.count(F.lit(1)).alias("edf"), F.min("doc_id").alias("canonical")
+    )
+    cc = fp.groupBy("chunk_fp").agg(F.count(F.lit(1)).alias("cdf"))
+    return (
+        fp.join(ec, "exact_hash")
+        .join(cc, "chunk_fp")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "chunk_fp",
+            (F.col("edf") > 1).cast("long").alias("is_exact_dup"),
+            "canonical",
+            ((F.col("cdf") > 1) & (F.col("edf") == 1)).cast("long").alias(
+                "is_near_candidate"
+            ),
+        )
+    )
