@@ -3160,3 +3160,89 @@ def q73_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# q74: CEP pattern match with time bound and negation
+# ---------------------------------------------------------------------------
+
+CEP_WINDOW_S = 1800  # pattern window: click within 30 min before purchase
+
+
+@register(
+    "q74_cep_match",
+    tags=("sequence", "window", "cep"),
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsm FROM events),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.user_id, p.event_id, p.tsm,
+         (SELECT MAX(c.tsm) FROM ev c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND c.tsm >= p.tsm - {CEP_WINDOW_S * 1_000_000} AND c.tsm < p.tsm)
+           AS ctsm,
+         (SELECT MAX(x.tsm) FROM ev x
+          WHERE x.user_id = p.user_id AND x.event_type = 'error'
+            AND x.tsm >= p.tsm - {CEP_WINDOW_S * 1_000_000} AND x.tsm < p.tsm)
+           AS etsm
+  FROM p)
+SELECT user_id, event_id,
+       strftime(make_timestamp(ctsm), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(make_timestamp(tsm), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       (tsm - ctsm) // 1000000 AS gap_seconds
+FROM m WHERE ctsm IS NOT NULL AND (etsm IS NULL OR etsm < ctsm)
+""",
+)
+def q74_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    Flink-CEP shape q48's whole-user funnel does NOT cover): every
+    purchase preceded by a click within 30 minutes with NO error
+    between them — per-OCCURRENCE matches, a bounded time window, and
+    a negation term.
+
+    Scale shape: ONE user-partitioned pass. A RANGE frame over epoch
+    micros ([-30 min, -1 µs]) folds, per purchase row, the latest
+    qualifying click timestamp and the latest error timestamp in the
+    same window; the negation is then just `latest_error < chosen
+    click` — no self-join, no per-pattern-stage pass, bounded per-user
+    state (the frame), and tie-safe because RANGE frames are defined
+    by timestamp values, never by sort position of equal keys.
+    Dedicated CEP engines compile patterns to exactly this kind of
+    ordered per-key scan; here the window machinery is the NFA.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tsm = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = e.select("user_id", "event_id", "event_type", tsm.alias("tsm"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsm")
+        .rangeBetween(-CEP_WINDOW_S * 1_000_000, -1)
+    )
+    scanned = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "tsm",
+        F.max(F.when(F.col("event_type") == "click", F.col("tsm"))).over(w).alias("ctsm"),
+        F.max(F.when(F.col("event_type") == "error", F.col("tsm"))).over(w).alias("etsm"),
+    )
+    to_ts = lambda c: F.expr(  # noqa: E731
+        f"timestampadd(MICROSECOND, {c}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return (
+        scanned.where(
+            (F.col("event_type") == "purchase")
+            & F.col("ctsm").isNotNull()
+            & (F.col("etsm").isNull() | (F.col("etsm") < F.col("ctsm")))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format(to_ts("ctsm"), TS_US_FMT_SPARK).alias("click_ts"),
+            F.date_format(to_ts("tsm"), TS_US_FMT_SPARK).alias("purchase_ts"),
+            F.expr("(tsm - ctsm) div 1000000").alias("gap_seconds"),
+        )
+    )
