@@ -131,3 +131,65 @@ def qi01_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = partial_rollup(e.where(day < DELTA_CUT_DAY))
     delta = partial_rollup(e.where(day >= DELTA_CUT_DAY))
     return finalize_rollup(merge_rollups(base, delta))
+
+
+# ---------------------------------------------------------------------------
+# qi02: incremental DISTINCT via mergeable HLL sketch state
+# ---------------------------------------------------------------------------
+
+SKETCH_REL_ERR = 0.05
+
+
+@register(
+    "qi02_incremental_distinct",
+    tags=("incremental", "approx", "scale"),
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
+           / COUNT(DISTINCT user_id) - 1) <= {SKETCH_REL_ERR} AS sketch_ok
+FROM events GROUP BY event_type
+""",
+)
+def qi02_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing piece of qi01's monoid state: COUNT(DISTINCT) is not
+    decomposable exactly, but its SKETCH is — per-partition Datasketches
+    HLL sketches (`hll_sketch_agg`) are a commutative monoid under
+    `hll_union_agg`, so distinct-user state refreshes exactly like
+    qi01's sums: sketch the delta, union into the stored sketch, never
+    re-scan history. This query computes per-type distinct users from
+    the UNION of separately-built base/delta sketches (the IVM path),
+    alongside the exact twin.
+
+    Cross-engine contract (q29's pattern): sketch estimates are
+    engine-specific, so the hashed columns are the EXACT distinct twin
+    plus each engine's own sketch-within-5% boolean; the merged sketch
+    still executes in the Spark plan. tests/test_incremental.py
+    additionally asserts merge-invariance in-engine: the union of the
+    split sketches estimates EXACTLY what one global sketch does.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    base = e.where(day < DELTA_CUT_DAY)
+    delta = e.where(day >= DELTA_CUT_DAY)
+    sketches = (
+        base.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .unionByName(
+            delta.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+        )
+    )
+    merged = sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users").cast("double") / F.col("exact_users") - 1)
+            <= SKETCH_REL_ERR
+        ).alias("sketch_ok"),
+    )

@@ -55,3 +55,33 @@ def test_delta_refresh_only_scans_delta(spark, sf_dir):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "event_id" not in read_schema and "props" not in read_schema
     assert "Filter" in plan
+
+
+def test_hll_sketch_union_matches_global_sketch(spark, sf_dir):
+    # the sketch monoid claim behind qi02: union of per-split sketches
+    # estimates EXACTLY what a single global sketch does (Datasketches
+    # HLL is deterministic and merge-invariant, not just approximate)
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    global_est = {
+        r.event_type: r.est
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    parts = [
+        e.where(F.col("event_id") % 3 == i)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        for i in range(3)
+    ]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    merged_est = {r.event_type: r.est for r in merged.collect()}
+    assert merged_est == global_est and len(global_est) > 0
