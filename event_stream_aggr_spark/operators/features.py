@@ -466,3 +466,107 @@ def qf05_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").cast("double").alias("psi"),
         (F.sum("term").cast("double") > PSI_DRIFT_EDGE).cast("long").alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qf06: feature correlation matrix (feature-selection diagnostic)
+# ---------------------------------------------------------------------------
+
+CORR_FEATURES = tuple(f"n_{t}" for t in EVENT_TYPES)
+
+
+def _corr_pairs() -> list:
+    fs = list(CORR_FEATURES)
+    return [(fs[i], fs[j]) for i in range(len(fs)) for j in range(i + 1, len(fs))]
+
+
+def _corr_oracle() -> str:
+    daily_cols = " ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}," for t in EVENT_TYPES
+    ).rstrip(",")
+    sums = []
+    for f in CORR_FEATURES:
+        sums.append(f"CAST(SUM({f}) AS BIGINT) AS s_{f}")
+        sums.append(f"CAST(SUM({f} * {f}) AS BIGINT) AS q_{f}")
+    for a, b in _corr_pairs():
+        sums.append(f"CAST(SUM({a} * {b}) AS BIGINT) AS p_{a}_{b}")
+    selects = []
+    for a, b in _corr_pairs():
+        expr = (
+            f"ROUND((n * CAST(p_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * s_{b})"
+            f" / (sqrt(n * CAST(q_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * s_{a})"
+            f" * sqrt(n * CAST(q_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * s_{b})), 6)"
+        )
+        selects.append(
+            f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, {expr} AS corr FROM sums"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, {daily_cols}
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {", ".join(sums)} FROM daily)
+{union}
+"""
+
+
+@register(
+    "qf06_feature_correlation",
+    tags=("features", "statistics"),
+    oracle=_corr_oracle(),
+)
+def qf06_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the per-(user, day) event-
+    count features — the feature-selection diagnostic a training
+    pipeline runs before fitting (drop one of each highly-correlated
+    pair, sanity-check leakage-suspicious correlations).
+
+    Scale shape: ONE pass — all 20 moment sums (Σx, Σx², Σxy for every
+    pair) accumulate in a single map-side-combined aggregation over
+    the entity-day relation, and the 10 output rows unfold from that
+    1-row moment vector driver-side-free via an inline stack; no
+    per-pair scans, no |features|² shuffles. Determinism: every moment
+    is an exact BIGINT (integer counts), so the correlation doubles
+    come from identical integers through the identical expression in
+    both engines (qa02's rule), rounded at 6 dp.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for f in CORR_FEATURES:
+        aggs.append(F.sum(f).alias(f"s_{f}"))
+        aggs.append(F.sum(F.col(f) * F.col(f)).alias(f"q_{f}"))
+    for a, b in _corr_pairs():
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    sums = daily.agg(*aggs)
+    n = F.col("n").cast("double")
+    rows = []
+    for a, b in _corr_pairs():
+        cov = n * F.col(f"p_{a}_{b}").cast("double") - F.col(f"s_{a}").cast(
+            "double"
+        ) * F.col(f"s_{b}")
+        va = n * F.col(f"q_{a}").cast("double") - F.col(f"s_{a}").cast(
+            "double"
+        ) * F.col(f"s_{a}")
+        vb = n * F.col(f"q_{b}").cast("double") - F.col(f"s_{b}").cast(
+            "double"
+        ) * F.col(f"s_{b}")
+        rows.append(
+            F.struct(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6).alias("corr"),
+            )
+        )
+    return sums.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.feat_a", "r.feat_b", "r.corr")
