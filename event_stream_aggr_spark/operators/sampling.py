@@ -833,3 +833,67 @@ def qs11_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("draw_rank") <= F.col("quota"))
     )
+
+
+# ---------------------------------------------------------------------------
+# qs12: group-aware k-fold assignment (cross-validation splits)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+@register(
+    "qs12_group_kfold",
+    tags=("sampling", "split"),
+    oracle=f"""
+WITH folds AS (
+  SELECT event_id, event_type, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+           % {KFOLD_K} AS fold
+  FROM events),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM folds)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(t.n_total), 6) AS frac
+FROM folds CROSS JOIN tot t
+GROUP BY fold
+""",
+)
+def qs12_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment for cross-validation: every event
+    lands in fold = hash(user_id) mod 5, so a USER never straddles a
+    train/validation boundary (the group-leakage mode qs02 guards for
+    a single split, generalized to k folds). The audit rows report
+    per-fold volume, group count, and class balance — the checks run
+    before trusting CV variance.
+
+    Scale shape: fold assignment is a map-side deterministic hash
+    (content-addressed — stable under repartition, replay, and engine,
+    the same md5-prefix recipe as qs01); the audit is one hash
+    aggregation to k rows. No shuffle of raw events beyond it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    folds = e.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (_key_hash(F.col("user_id")) % KFOLD_K).alias("fold"),
+    )
+    tot = folds.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        folds.crossJoin(F.broadcast(tot))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchase"
+            ),
+            F.round(F.count(F.lit(1)).cast("double") / F.min("n_total"), 6).alias(
+                "frac"
+            ),
+        )
+    )
