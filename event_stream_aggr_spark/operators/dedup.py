@@ -1321,3 +1321,65 @@ def semantic_drops_shared(emb: DataFrame) -> DataFrame:
         )
 
     return memoized_stage("semantic_drops", emb, build)
+
+
+# ---------------------------------------------------------------------------
+# qd17: soft dedup — down-weight duplicate clusters instead of dropping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qd17_soft_dedup_weights",
+    tags=("dedup", "sampling"),
+    oracle=f"""
+WITH {_lsh_pairs_ctes()},
+{_cc_ctes()},
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component)
+SELECT d.doc_id,
+       COALESCE(s.cluster_size, 1) AS cluster_size,
+       ROUND(1.0 / COALESCE(s.cluster_size, 1), 6) AS weight,
+       ROUND(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+             / COALESCE(s.cluster_size, 1), 6) AS eff_tokens
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.node
+LEFT JOIN sizes s ON c.component = s.component
+""",
+)
+def qd17_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates (qd08's
+    clusters keep one exemplar), keep every copy but weight it
+    1/|cluster| so a duplicated document contributes one document's
+    worth of gradient in expectation — the down-weighting alternative
+    the hard-dedup-vs-diversity literature prefers when near-dups
+    carry real variation. eff_tokens is the weighted token mass the
+    sampler (qs05's weighted draw) consumes directly.
+
+    Scale shape: reuses the sub-quadratic banded-LSH pair generator +
+    min-label-propagation components (qd08's lineage), adds one
+    |components|-grain size aggregation and two LEFT joins back at
+    doc grain; singletons never enter the component state at all
+    (weight 1 by coalesce). Oracle replays banding + recursive-CTE
+    closure and the same weighting.
+    """
+    from event_stream_aggr_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    slice_ = d.filter(F.col("n_chars") <= 160)
+    pairs = minhash_lsh_pairs(slice_, bands=2, threshold=0.8).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    return (
+        d.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            F.round(1.0 / F.coalesce("cluster_size", F.lit(1)), 6).alias("weight"),
+            F.round(
+                n_tokens / F.coalesce("cluster_size", F.lit(1)), 6
+            ).alias("eff_tokens"),
+        )
+    )

@@ -300,3 +300,65 @@ def qp03_clustered_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qp04: length-bucketed batching (padding-efficiency audit)
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET_W = 64  # pad-target granularity in tokens
+
+
+@register(
+    "qp04_padding_efficiency",
+    tags=("packing", "training-data"),
+    oracle=f"""
+WITH docs AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT source, n_tokens,
+         CAST(CEIL(n_tokens / {LEN_BUCKET_W}.0) * {LEN_BUCKET_W} AS BIGINT)
+           AS pad_target
+  FROM docs WHERE n_tokens > 0)
+SELECT source, pad_target,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * pad_target - SUM(n_tokens) AS BIGINT) AS padded_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * pad_target), 6)
+         AS efficiency
+FROM b GROUP BY source, pad_target
+""",
+)
+def qp04_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — qp01's packing ALTERNATIVE:
+    when sequences must stay whole (SFT, contrastive pairs), the
+    trainer pads each batch to its bucket's length; bucketing by
+    64-token granularity bounds the waste. Per (source, pad_target):
+    doc count, real tokens, padded filler, and packing efficiency —
+    the report that decides bucket width (and whether to switch to
+    qp01-style packing) before burning accelerator hours.
+
+    Scale shape: bucket id is a map-side expression; ONE hash
+    aggregation to (source, bucket) grain; all integer arithmetic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nt = token_count(F.col("text"))
+    b = d.select(
+        "source",
+        nt.alias("n_tokens"),
+        (F.ceil(nt / LEN_BUCKET_W) * LEN_BUCKET_W).cast("long").alias("pad_target"),
+    ).where(F.col("n_tokens") > 0)
+    return b.groupBy("source", "pad_target").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.first("pad_target") - F.sum("n_tokens")).alias(
+            "padded_tokens"
+        ),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.first("pad_target")),
+            6,
+        ).alias("efficiency"),
+    )

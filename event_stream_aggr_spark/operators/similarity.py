@@ -1710,3 +1710,64 @@ def qe11_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("neg.ncid")).alias("neg_id"),
         F.col("neg.cos_sim").alias("neg_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qe12: maximum-inner-product search (MIPS) top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qe12_mips_topk",
+    tags=("similarity",),
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id % 60 = 0),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT qid, cid,
+         ROUND((SELECT SUM(a * b) FROM (SELECT unnest(qe)::DOUBLE AS a,
+                                               unnest(ce)::DOUBLE AS b)), 6) AS ip
+  FROM c, q WHERE cid <> qid),
+ranked AS (
+  SELECT qid, cid, ip,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY ip DESC, cid) AS BIGINT) AS rank
+  FROM pairs)
+SELECT qid, cid, ip, rank FROM ranked WHERE rank <= 5
+""",
+)
+def qe12_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (the retrieval scoring for learned
+    two-tower embeddings, where vector NORM carries signal — item
+    popularity — so cosine's normalization is WRONG): exact
+    inner-product top-5 for a 1-in-60 anchor sample.
+
+    Same broadcast-product scan as qe01 minus the norm division. The
+    scale path: MIPS reduces to cosine ANN via the norm-augmentation
+    transform (Shrivastava & Li 2014 — append sqrt(M² − |x|²) to each
+    item, 0 to each query; then cosine order == inner-product order),
+    after which qe03's LSH buckets or qe04's IVF cells apply
+    unchanged; tests/test_similarity.py::test_mips_norm_augmentation_
+    preserves_order asserts the reduction's order-equivalence on the
+    real embeddings, so this exact form doubles as that path's recall
+    oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(dot(F.col("qe"), F.col("ce")), 6).alias("ip"),
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("ip"), "cid")
+    return pairs.select(
+        "qid", "cid", "ip", F.row_number().over(wr).cast("long").alias("rank")
+    ).where(F.col("rank") <= 5)

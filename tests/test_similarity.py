@@ -255,3 +255,42 @@ def test_sparse_cosine_topk_contract(spark, sf_dir):
     mutual = [k for k in sim if (k[1], k[0]) in sim]
     for a, b in mutual:
         assert sim[(a, b)] == sim[(b, a)]
+
+
+def test_mips_norm_augmentation_preserves_order(spark, sf_dir):
+    # the Shrivastava-Li reduction behind qe12's scale path: augment
+    # items with sqrt(M^2 - |x|^2) (queries with 0) and cosine order
+    # over augmented vectors must equal inner-product order over the
+    # originals — so cosine-ANN infra (qe03/qe04) serves MIPS unchanged
+    import math
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 40)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    m2 = max(sum(x * x for x in v) for v in vecs.values())
+    q = vecs[0]
+    ip_order = sorted(
+        (cid for cid in vecs if cid != 0),
+        key=lambda cid: (-sum(a * b for a, b in zip(q, vecs[cid])), cid),
+    )
+    qa = q + [0.0]
+    qn = math.sqrt(sum(x * x for x in qa))
+
+    def cos_aug(cid):
+        v = vecs[cid]
+        aug = v + [math.sqrt(max(m2 - sum(x * x for x in v), 0.0))]
+        # |aug| == M for every item, so cosine ranks by raw dot with q
+        return sum(a * b for a, b in zip(qa, aug)) / (qn * math.sqrt(m2))
+
+    cos_order = sorted(
+        (cid for cid in vecs if cid != 0), key=lambda cid: (-cos_aug(cid), cid)
+    )
+    assert cos_order == ip_order
