@@ -251,3 +251,67 @@ def ewma_with_state(df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CEP_OUT_SCHEMA = "event_id long, user_id long, ctsm long, ptsm long"
+CEP_STATE_SCHEMA = "last_click long, last_error long"
+
+
+def cep_match_with_state(df: DataFrame) -> DataFrame:
+    """q74's streaming twin — CEP is natively a streaming feature, and
+    this is its online form: per-user state carries just the LATEST
+    click and error timestamps (constant state per key, the NFA's two
+    registers); each purchase row checks `click within the 30-min
+    window AND latest error < that click` exactly as q74's RANGE frame
+    does. With in-order per-key arrival (the same replay contract as
+    ``ewma_with_state``) the stream emits row-for-row what the batch
+    query computes — asserted by tests/test_stream_batch_equiv.py.
+
+    Input must carry ``tsm`` (epoch micros, the NTZ-safe integer time
+    used across the engine). Same §2.9 state-edge pandas exception as
+    the EWMA: a per-row fold over two scalars is the
+    ``applyInPandasWithState`` shape.
+    """
+    from event_stream_aggr_spark.plans.relational import CEP_WINDOW_S
+
+    win_us = CEP_WINDOW_S * 1_000_000
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_click, last_error = state.get if state.exists else (None, None)
+        rows = pd.concat(list(batches)).sort_values(["tsm", "event_id"])
+        out = []
+        for r in rows.itertuples():
+            if r.event_type == "click":
+                last_click = int(r.tsm)
+            elif r.event_type == "error":
+                last_error = int(r.tsm)
+            elif r.event_type == "purchase":
+                p = int(r.tsm)
+                if (
+                    last_click is not None
+                    and p - win_us <= last_click < p
+                    and (
+                        last_error is None
+                        or last_error < last_click
+                        or last_error < p - win_us
+                    )
+                ):
+                    out.append((int(r.event_id), int(key[0]), last_click, p))
+        state.update((last_click, last_error))
+        yield pd.DataFrame(out, columns=["event_id", "user_id", "ctsm", "ptsm"])
+
+    return (
+        df.select("event_id", "event_type", "user_id", "tsm")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CEP_OUT_SCHEMA,
+            stateStructType=CEP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

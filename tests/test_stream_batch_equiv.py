@@ -218,3 +218,71 @@ def test_stream_batch_equivalence_incremental_rollup(spark, sf_dir, tmp_path):
         for r in finalize_rollup(spark.read.parquet(state_dir)).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_batch_equivalence_cep(spark, sf_dir, tmp_path):
+    """q74's streaming twin: the stateful two-register CEP matcher over
+    an in-order replay must emit exactly the batch pattern matches
+    (same purchases, same chosen clicks, same gaps)."""
+    import os
+    import time
+
+    from event_stream_aggr_spark.plans.relational import q74_cep_match
+    from event_stream_aggr_spark.streaming.stats import cep_match_with_state
+
+    src = str(tmp_path / "events_cep_ordered")
+    tsm = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    events = load_table(spark, sf_dir, "events").withColumn("_tsm", F.expr(tsm))
+    cuts = events.selectExpr(
+        "percentile(_tsm, array(0.25, 0.5, 0.75)) AS c"
+    ).collect()[0].c
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        (
+            events.filter((F.col("_tsm") > lo) & (F.col("_tsm") <= hi))
+            .drop("_tsm")
+            .sortWithinPartitions("ts", "event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(0.1)
+    stored = spark.read.parquet(src)
+
+    tmp_sf = str(tmp_path / "sf_view_cep")
+    os.makedirs(tmp_sf, exist_ok=True)
+    stored.write.mode("overwrite").parquet(f"{tmp_sf}/events.parquet")
+    batch = {
+        (r.event_id, r.user_id, r.click_ts, r.purchase_ts, r.gap_seconds)
+        for r in q74_cep_match(spark, tmp_sf).collect()
+    }
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=1)
+    stream_tsm = stream.withColumn("tsm", F.expr(tsm))
+    q = (
+        cep_match_with_state(stream_tsm)
+        .writeStream.format("memory")
+        .queryName("cep_equiv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    to_ts = lambda c: F.expr(  # noqa: E731
+        f"timestampadd(MICROSECOND, {c}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    streamed = {
+        (r.event_id, r.user_id, r.click_ts, r.purchase_ts, r.gap_seconds)
+        for r in spark.table("cep_equiv")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format(to_ts("ctsm"), fmt).alias("click_ts"),
+            F.date_format(to_ts("ptsm"), fmt).alias("purchase_ts"),
+            F.expr("(ptsm - ctsm) div 1000000").alias("gap_seconds"),
+        )
+        .collect()
+    }
+    assert q.lastProgress["batchId"] >= 1
+    assert streamed == batch and len(batch) > 0
