@@ -1771,3 +1771,83 @@ def qe12_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "qid", "cid", "ip", F.row_number().over(wr).cast("long").alias("rank")
     ).where(F.col("rank") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# qe13: ANN recall audit as a first-class query (LSH vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle(k: int = 5) -> str:
+    return f"""
+WITH {lsh_bucket_ctes()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM buck q JOIN buck c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+ann_pairs AS (
+  SELECT cand.qid, cand.cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a,
+                                         unnest(ec.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(ec.embedding)::DOUBLE AS b)) AS nc
+  FROM cand
+  JOIN embeddings eq ON cand.qid = eq.vec_id
+  JOIN embeddings ec ON cand.cid = ec.vec_id),
+ann_topk AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS rnk
+    FROM ann_pairs) WHERE rnk <= {k}),
+ex_pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(q.embedding)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(q.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)) AS nc
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+ex_topk AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS rnk
+    FROM ex_pairs) WHERE rnk <= {k})
+SELECT e.qid,
+       CAST(COUNT(a.cid) AS BIGINT) AS n_hits,
+       ROUND(COUNT(a.cid) / {k}.0, 6) AS recall
+FROM ex_topk e
+LEFT JOIN ann_topk a ON e.qid = a.qid AND e.cid = a.cid
+GROUP BY e.qid
+"""
+
+
+@register("qe13_ann_recall_audit", tags=("similarity", "approx", "monitoring"), oracle=_recall_oracle())
+def qe13_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the qe03 LSH ANN path against the qe01 exact
+    ground truth, per query — the index-quality monitor a serving
+    pipeline runs after every index rebuild (dropping recall means
+    the hyperplane tables no longer fit the data distribution), here
+    promoted from a pytest band (tests/test_similarity.py) to a
+    first-class driver-verified query.
+
+    Scale shape: both sides reuse their registered lineages (bucketed
+    candidates for ANN; broadcast-anchor exact scan for the small
+    ground-truth query set — exact ground truth is only ever computed
+    for the audited sample, never the corpus); the audit itself is a
+    (qid, cid)-keyed left join of two k-row-per-query relations.
+    """
+    exact = qe01_cosine_topk(spark, sf_dir).select("qid", "cid")
+    ann = qe03_ann_lsh_topk(spark, sf_dir).select(
+        "qid", F.col("cid").alias("ann_cid")
+    )
+    joined = exact.join(
+        ann,
+        (exact["qid"] == ann["qid"]) & (exact["cid"] == ann["ann_cid"]),
+        "left",
+    ).select(exact["qid"].alias("qid"), "ann_cid")
+    return joined.groupBy("qid").agg(
+        F.count("ann_cid").alias("n_hits"),
+        F.round(F.count("ann_cid") / 5.0, 6).alias("recall"),
+    )
