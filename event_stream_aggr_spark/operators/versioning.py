@@ -234,3 +234,65 @@ def qv02_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         (F.col("version") == F.max("version").over(wuser)).cast("long").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qv03: tombstone purge audit (right-to-be-forgotten compliance)
+# ---------------------------------------------------------------------------
+
+TOMBSTONE_MOD = 37  # deterministic deletion-request stand-in
+
+
+@register(
+    "qv03_tombstone_purge",
+    tags=("versioning", "compliance"),
+    oracle=f"""
+WITH tomb AS (SELECT doc_id FROM documents WHERE doc_id % {TOMBSTONE_MOD} = 0),
+survivors AS (
+  SELECT d.* FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.doc_id = d.doc_id))
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST((SELECT COUNT(*) FROM documents d2 WHERE d2.source = s.source)
+            - COUNT(*) AS BIGINT) AS n_purged,
+       CAST(SUM(CASE WHEN s.doc_id % {TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked
+FROM survivors s GROUP BY s.source
+""",
+)
+def qv03_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request (tombstone) purge with compliance audit — the
+    right-to-be-forgotten pass every stored corpus re-runs before a
+    training snapshot ships: anti-join the corpus against the
+    tombstone list, then report per source what was kept, what was
+    purged, and — the column that must be ZERO — how many tombstoned
+    ids leaked through. Purge and audit ship as one lineage so the
+    evidence is computed on the exact output that ships.
+
+    Scale shape: the purge is a LEFT ANTI equi-join (broadcast when
+    the tombstone list is small, shuffle+AQE otherwise — never a
+    filter against a collected list, which caps at driver memory);
+    the audit is one hash aggregation over the survivors. n_leaked
+    recomputes membership independently of the join (a second code
+    path, so a join bug can't hide its own leak).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tomb = d.where(F.col("doc_id") % TOMBSTONE_MOD == 0).select("doc_id")
+    survivors = d.join(tomb, "doc_id", "left_anti")
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("doc_id") % TOMBSTONE_MOD == 0, 1).otherwise(0)
+            ).alias("n_leaked"),
+        )
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_purged"),
+            "n_leaked",
+        )
+    )
