@@ -94,6 +94,7 @@ _ORACLE_BIT2 = f"((k * {_MIX2_MUL} + {_MIX2_ADD}) % {_MOD32}) % {BLOOM_M}"
 
 @register(
     "qb01_bloom_join_pruning",
+    bench=True,
     tags=("join", "scale", "bloom"),
     oracle=f"""
 WITH bk AS (SELECT DISTINCT o_orderkey AS k FROM orders

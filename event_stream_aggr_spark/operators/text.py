@@ -1484,6 +1484,7 @@ DSIR_TOP_K = 20
 
 @register(
     "qt22_dsir_importance",
+    bench=True,
     tags=("text", "sampling", "training-data"),
     oracle=f"""
 WITH toks AS (

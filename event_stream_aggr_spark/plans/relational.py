@@ -3171,6 +3171,7 @@ CEP_WINDOW_S = 1800  # pattern window: click within 30 min before purchase
 
 @register(
     "q74_cep_match",
+    bench=True,
     tags=("sequence", "window", "cep"),
     oracle=f"""
 WITH ev AS (
