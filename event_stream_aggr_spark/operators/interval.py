@@ -57,6 +57,14 @@ def overlap_join(
     be integral (epoch seconds); bucket ids use floor division, so
     negative epochs are handled by ``floor``-semantics ``F.floor``.
     """
+    # the internal bucket column and the output column would silently
+    # clobber same-named inputs — refuse instead (asof_join's contract)
+    clash = {"_bucket", "overlap_sec"} & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"overlap_join reserves column names {sorted(clash)}; "
+            "rename these input columns before joining"
+        )
     w = int(bucket_width)
     lb = F.explode(
         F.sequence(

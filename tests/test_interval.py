@@ -88,3 +88,12 @@ def test_qj01_zero_incident_spans_survive(spark, sf_dir):
     assert len(rows) == spans
     assert any(r.n_incidents == 0 for r in rows)
     assert all(r.overlap_sec >= 0 for r in rows)
+
+
+def test_overlap_join_refuses_reserved_columns(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 0, 10, 99)], "lid long, l_start long, l_end long, overlap_sec long")
+    right = _intervals(spark, [(10, 5, 15)], "r_start", "r_end", "rid")
+    with pytest.raises(ValueError, match="overlap_join reserves"):
+        overlap_join(left, right)

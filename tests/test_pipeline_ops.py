@@ -336,3 +336,33 @@ def test_snapshot_diff_classifies_handbuilt_versions(spark):
         "removed": (1, 3),
         "added": (1, 9),
     }
+
+
+def test_qd17_weights_conserve_unit_mass_per_cluster(spark, sf_dir):
+    # soft dedup's contract: every duplicate cluster contributes ONE
+    # document's worth of weight in total (and singletons weigh 1)
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    df = load_all()["qd17_soft_dedup_weights"].fn(spark, sf_dir)
+    per_size = (
+        df.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("weight").alias("w"))
+        .collect()
+    )
+    assert any(r.cluster_size > 1 for r in per_size)  # clusters exist
+    for r in per_size:
+        # n_docs/cluster_size clusters of this size, each totaling ~1
+        expected = r.n_docs / r.cluster_size
+        assert abs(float(r.w) - expected) < 1e-3
+
+
+def test_qv03_purge_never_leaks(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qv03_tombstone_purge"].fn(spark, sf_dir).collect()
+    assert sum(r.n_purged for r in rows) > 0
+    assert all(r.n_leaked == 0 for r in rows)
