@@ -204,3 +204,105 @@ FROM rs2 r JOIN ds d ON d.k = r.k
 
 
 _register_pagerank_query()
+
+
+# ---------------------------------------------------------------------------
+# qg02: triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def _register_triangle_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qg02_triangle_count",
+        tags=("graph", "join"),
+        oracle="""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       tri.n_triangles,
+       ROUND(3.0 * tri.n_triangles
+             / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6) AS clustering_coeff
+FROM tri
+""",
+    )
+    def qg02_triangle_count(spark, sf_dir):
+        """Triangle counting + global clustering coefficient over the
+        part co-occurrence graph (parts bought together in one order) —
+        the graph-analytics primitive behind community/cohesion
+        measures, done as the classic two-join algorithm: edges
+        oriented u < v, a wedge join (e1.v = e2.u) proposes open
+        wedges, a closing equi-join confirms triangles, so each
+        triangle is counted exactly once as its ordered (a<b<c) form.
+
+        Scale shape: all three relations are the SAME edge list in
+        id-orientation — two equi shuffle joins, no explosion beyond
+        the wedge set, which the orientation bounds by out-degree;
+        the 100 TB refinement is degeneracy (degree) ordering so
+        out-degrees are O(arboricity) — same dataflow, different sort
+        key. Wedge totals come from exact integer degree sums, so the
+        coefficient is bit-identical cross-engine.
+        """
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.alias("a")
+        b = li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            )
+            .distinct()
+        )
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+        e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+        tri = (
+            e1.join(e2, "y")
+            .join(e3, ["x", "z"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        ).crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        return stats.crossJoin(tri).select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+
+    return qg02_triangle_count
+
+
+_register_triangle_query()
