@@ -130,3 +130,79 @@ def qh01_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") - F.col("exact_n")).cast("double") / F.col("exact_n"), 6
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qh02: join-size estimation via CMS inner product (optimizer statistics)
+# ---------------------------------------------------------------------------
+
+
+def _join_size_oracle() -> str:
+    cell = lambda r, k: (  # noqa: E731
+        f"(({k} * {_CMS_MIX[r][0]} + {_CMS_MIX[r][1]}) % {_MOD32}) % {CMS_W}"
+    )
+    cells = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {cell(r, 'user_id')} AS col FROM events"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH cells AS ({cells}),
+cms AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cells GROUP BY row, col),
+est_rows AS (SELECT row, CAST(SUM(c * c) AS BIGINT) AS est
+             FROM cms GROUP BY row),
+est AS (SELECT CAST(MIN(est) AS BIGINT) AS cms_estimate FROM est_rows),
+exact AS (
+  SELECT CAST(SUM(n * n) AS BIGINT) AS exact_join_size
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id))
+SELECT exact.exact_join_size, est.cms_estimate,
+       CAST(est.cms_estimate >= exact.exact_join_size AS BIGINT)
+         AS never_underestimates,
+       ROUND(CAST(est.cms_estimate - exact.exact_join_size AS DOUBLE)
+             / exact.exact_join_size, 6) AS rel_err
+FROM exact CROSS JOIN est
+"""
+
+
+@register("qh02_join_size_estimate", tags=("approx", "sketch", "optimizer"), oracle=_join_size_oracle())
+def qh02_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join output-size estimation from sketches — the optimizer
+    statistic that decides broadcast-vs-shuffle and flags exploding
+    joins BEFORE running them: for R ⋈ S on k, |join| = Σ_k c_R(k)·
+    c_S(k) is exactly the inner product of the key-frequency vectors,
+    and the CMS inner product (Σ_col cmsR[r]·cmsS[r], minimized over
+    the d rows) estimates it one-sidedly from two fixed-size counter
+    tables — here for the worst case, the events self-join on user_id.
+
+    Scale shape: the whole estimate reads only the d·w-cell sketch
+    (built in one map-side-combinable aggregation, mergeable
+    cell-wise across partitions/days — the qi01 monoid again), so
+    join planning over 100 TB inputs costs KBs; the exact Σn² side
+    exists only as the audit's ground truth. Overestimate-only is
+    structural (collisions add cross terms), asserted per run in both
+    engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cms = cms_build(e, "user_id")
+    est = (
+        cms.groupBy("row")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("est"))
+        .agg(F.min("est").cast("long").alias("cms_estimate"))
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_join_size"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_size",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_join_size")).cast("long").alias(
+            "never_underestimates"
+        ),
+        F.round(
+            (F.col("cms_estimate") - F.col("exact_join_size")).cast("double")
+            / F.col("exact_join_size"),
+            6,
+        ).alias("rel_err"),
+    )
