@@ -3247,3 +3247,90 @@ def q74_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tsm - ctsm) div 1000000").alias("gap_seconds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q75: multi-touch attribution (linear credit, window-local, no join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q75_attribution",
+    tags=("sequence", "window", "attribution"),
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsm FROM events),
+n_clicks AS (
+  SELECT user_id, event_id, event_type, tsm,
+         COUNT(*) FILTER (WHERE event_type = 'click') OVER (
+           PARTITION BY user_id ORDER BY tsm
+           RANGE BETWEEN {CEP_WINDOW_S * 1_000_000} PRECEDING AND 1 PRECEDING)
+           AS nc
+  FROM ev),
+credited AS (
+  SELECT user_id, event_id, event_type, tsm,
+         CASE WHEN event_type = 'purchase' AND nc > 0
+              THEN CAST(ROUND(1000000.0 / nc) AS BIGINT) ELSE 0 END AS ppm
+  FROM n_clicks),
+windowed AS (
+  SELECT user_id, event_id, event_type,
+         CAST(COALESCE(SUM(ppm) OVER (
+           PARTITION BY user_id ORDER BY tsm
+           RANGE BETWEEN 1 FOLLOWING AND {CEP_WINDOW_S * 1_000_000} FOLLOWING), 0)
+           AS BIGINT) AS credit_ppm
+  FROM credited)
+SELECT user_id, event_id, credit_ppm,
+       ROUND(credit_ppm / 1000000.0, 6) AS credit
+FROM windowed WHERE event_type = 'click' AND credit_ppm > 0
+""",
+)
+def q75_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — q70's last-touch generalized:
+    every purchase splits one unit of credit equally across ALL of
+    the user's clicks in the preceding 30 minutes, and each click
+    reports its accumulated credit. The marketing-analytics join that
+    usually explodes (clicks × purchases range join) computed with NO
+    join at all.
+
+    Scale shape: two RANGE-frame passes over ONE user-partitioned
+    sort — pass 1 gives each purchase its in-window click count
+    (backward frame), pass 2 gives each click the sum of purchase
+    credit shares in its forward window (forward frame over the SAME
+    partitioning, so Catalyst plans one Exchange + one Sort for both).
+    Credits are integer parts-per-million (round(1e6/n)), so the
+    accumulated sums are exact integers — frame-order independent and
+    bit-identical cross-engine; the double form is derived at output.
+    """
+    tsm = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", tsm.alias("tsm")
+    )
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("tsm")
+        .rangeBetween(-CEP_WINDOW_S * 1_000_000, -1)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("tsm")
+        .rangeBetween(1, CEP_WINDOW_S * 1_000_000)
+    )
+    nc = F.count(F.when(F.col("event_type") == "click", 1)).over(back)
+    credited = e.withColumn(
+        "ppm",
+        F.when(
+            (F.col("event_type") == "purchase") & (nc > 0),
+            F.round(1000000.0 / nc).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    clicks = credited.withColumn(
+        "credit_ppm", F.coalesce(F.sum("ppm").over(fwd), F.lit(0))
+    ).where((F.col("event_type") == "click") & (F.col("credit_ppm") > 0))
+    return clicks.select(
+        "user_id",
+        "event_id",
+        "credit_ppm",
+        F.round(F.col("credit_ppm") / 1000000.0, 6).alias("credit"),
+    )

@@ -403,3 +403,12 @@ def test_qv02_scd2_single_user_partition_pass(spark, sf_dir, specs):
     plan = _plan(specs["qv02_scd2_dimension"].fn(spark, sf_dir))
     assert plan.count("Exchange") == 2
     assert "Join" not in plan  # no self-join phrasing of islands
+
+
+def test_q75_attribution_single_exchange_two_windows(spark, sf_dir, specs):
+    # the no-join attribution claim: both RANGE passes (backward click
+    # count, forward credit sum) share ONE user exchange + ONE sort
+    plan = _plan(specs["q75_attribution"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+    assert "Join" not in plan
