@@ -1639,3 +1639,84 @@ def qt23_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - shared.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qt24: vocabulary coverage curve (tokenizer vocab sizing)
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_TARGETS = (50, 90, 95, 99)  # percent
+
+
+@register(
+    "qt24_vocab_coverage",
+    tags=("text", "tokenizer"),
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r,
+         CAST(SUM(c) OVER (ORDER BY c DESC, tok
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM cnt),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+targets(pct) AS (VALUES {", ".join(f"({p})" for p in VOCAB_COVERAGE_TARGETS)})
+SELECT CAST(g.pct AS BIGINT) AS target_pct,
+       CAST(MIN(rk.r) AS BIGINT) AS vocab_size,
+       ROUND(CAST(MIN_BY(rk.cum, rk.r) AS DOUBLE) / MIN(t.t), 6) AS coverage
+FROM targets g
+JOIN tot t ON TRUE
+JOIN ranked rk ON rk.cum * 100 >= g.pct * t.t
+GROUP BY g.pct
+""",
+)
+def qt24_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question "how
+    big must the vocab be to cover X% of the token stream": rank the
+    corpus vocabulary by frequency and report, for each coverage
+    target, the smallest prefix reaching it and the exact coverage at
+    that cut. The Zipf companion of qt21 (slope says HOW coverage will
+    grow; this query reads the curve itself).
+
+    Scale shape: the heavy pass is the corpus token count (one
+    map-side-combined aggregation); ranking and the running total run
+    on the VOCAB-sized relation — the one legitimately tiny
+    single-partition window in the engine (same post-aggregation
+    dispensation as qt09's doc). The coverage test is exact integer
+    cross-multiplication (cum·100 >= pct·total) — no float thresholds.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    wrank = W.orderBy(F.desc("c"), "tok")
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(wrank).cast("long").alias("r"),
+        F.sum("c")
+        .over(wrank.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    targets = spark.createDataFrame(
+        [(p,) for p in VOCAB_COVERAGE_TARGETS], "target_pct long"
+    )
+    hit = (
+        targets.crossJoin(F.broadcast(tot))
+        .join(
+            ranked,
+            F.col("cum") * 100 >= F.col("target_pct") * F.col("t"),
+        )
+        .groupBy("target_pct")
+        .agg(
+            F.min("r").alias("vocab_size"),
+            (F.min_by("cum", "r").cast("double") / F.min("t")).alias("_cov"),
+        )
+    )
+    return hit.select(
+        "target_pct", "vocab_size", F.round("_cov", 6).alias("coverage")
+    )
