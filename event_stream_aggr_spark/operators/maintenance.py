@@ -537,3 +537,119 @@ FROM stats
 
 
 _register_rollup_anomaly_query()
+
+
+# ---------------------------------------------------------------------------
+# qa03: column-profile drift (schema-level monitor between snapshots)
+# ---------------------------------------------------------------------------
+
+PROFILE_CUT_DAY = "2024-01-15"
+PROFILE_COLS = ("user_id", "event_type", "value", "props")
+DISTINCT_DRIFT_PCT = 20  # flag if distinct-count ratio moves > 20%
+
+
+def _register_profile_drift_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    col_selects = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, is_ref,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM ev GROUP BY is_ref"""
+        for c in PROFILE_COLS
+    )
+
+    @register(
+        "qa03_profile_drift",
+        tags=("monitoring", "audit"),
+        oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, value, props,
+         strftime(ts, '%Y-%m-%d') <= '{PROFILE_CUT_DAY}' AS is_ref
+  FROM events),
+profiles AS ({col_selects}),
+ab AS (
+  SELECT col_name,
+         MIN(CASE WHEN is_ref THEN n_rows END) AS rows_a,
+         MIN(CASE WHEN NOT is_ref THEN n_rows END) AS rows_b,
+         MIN(CASE WHEN is_ref THEN n_nulls END) AS nulls_a,
+         MIN(CASE WHEN NOT is_ref THEN n_nulls END) AS nulls_b,
+         MIN(CASE WHEN is_ref THEN n_distinct END) AS distinct_a,
+         MIN(CASE WHEN NOT is_ref THEN n_distinct END) AS distinct_b
+  FROM profiles GROUP BY col_name)
+SELECT col_name,
+       CAST(rows_a AS BIGINT) AS rows_a, CAST(rows_b AS BIGINT) AS rows_b,
+       CAST(nulls_a AS BIGINT) AS nulls_a, CAST(nulls_b AS BIGINT) AS nulls_b,
+       CAST(distinct_a AS BIGINT) AS distinct_a,
+       CAST(distinct_b AS BIGINT) AS distinct_b,
+       CAST(ABS(distinct_b * rows_a - distinct_a * rows_b) * 100
+            > {DISTINCT_DRIFT_PCT} * distinct_a * rows_b AS BIGINT)
+         AS distinct_drifted
+FROM ab
+""",
+    )
+    def qa03_profile_drift(spark, sf_dir):
+        """Column-profile drift between the reference period and the
+        current one — the SCHEMA-level monitor beside qf05's
+        value-distribution PSI: per column, row/null/distinct counts
+        on both sides and a flag when the row-normalized distinct
+        cardinality moved more than 20% (an id column collapsing to
+        few values, or an enum exploding, is how upstream breakage
+        usually looks before values drift).
+
+        Determinism: the drift test is exact integer
+        cross-multiplication (|d_b·r_a − d_a·r_b|·100 > 20·d_a·r_b) —
+        no float division crosses the engine boundary. Scale shape:
+        one aggregation per profiled column over the pre-split scan
+        (column-pruned; COUNT(DISTINCT) per column is the exact form —
+        the qi02 HLL sketch is the stated swap once a column's
+        cardinality itself is at scale), then a 2·|cols|-row pivot.
+        """
+        e = load_table(spark, sf_dir, "events")
+        ev = e.select(
+            *PROFILE_COLS,
+            (F.date_format("ts", "yyyy-MM-dd") <= PROFILE_CUT_DAY).alias("is_ref"),
+        )
+        profiles = None
+        for c in PROFILE_COLS:
+            p = ev.groupBy("is_ref").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+            ).select(F.lit(c).alias("col_name"), "is_ref", "n_rows", "n_nulls", "n_distinct")
+            profiles = p if profiles is None else profiles.unionAll(p)
+        ab = profiles.groupBy("col_name").agg(
+            F.min(F.when(F.col("is_ref"), F.col("n_rows"))).alias("rows_a"),
+            F.min(F.when(~F.col("is_ref"), F.col("n_rows"))).alias("rows_b"),
+            F.min(F.when(F.col("is_ref"), F.col("n_nulls"))).alias("nulls_a"),
+            F.min(F.when(~F.col("is_ref"), F.col("n_nulls"))).alias("nulls_b"),
+            F.min(F.when(F.col("is_ref"), F.col("n_distinct"))).alias("distinct_a"),
+            F.min(F.when(~F.col("is_ref"), F.col("n_distinct"))).alias("distinct_b"),
+        )
+        drift = (
+            F.abs(
+                F.col("distinct_b") * F.col("rows_a")
+                - F.col("distinct_a") * F.col("rows_b")
+            )
+            * 100
+            > DISTINCT_DRIFT_PCT * F.col("distinct_a") * F.col("rows_b")
+        )
+        return ab.select(
+            "col_name",
+            "rows_a",
+            "rows_b",
+            "nulls_a",
+            "nulls_b",
+            "distinct_a",
+            "distinct_b",
+            drift.cast("long").alias("distinct_drifted"),
+        )
+
+    return qa03_profile_drift
+
+
+_register_profile_drift_query()
