@@ -306,3 +306,91 @@ FROM tri
 
 
 _register_triangle_query()
+
+
+# ---------------------------------------------------------------------------
+# qg03: BFS hop distances from a seed node (iterative frontier expansion)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 3
+
+
+def _register_bfs_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qg03_bfs_distances",
+        tags=("graph", "iterative"),
+        oracle=f"""
+WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+seed AS (SELECT MIN(u) AS s FROM e),
+bfs(node, dist) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT e.v, bfs.dist + 1
+  FROM bfs JOIN e ON e.u = bfs.node
+  WHERE bfs.dist < {BFS_MAX_HOPS}),
+mind AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY node)
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM mind GROUP BY dist
+""",
+    )
+    def qg03_bfs_distances(spark, sf_dir):
+        """Breadth-first hop distances from a seed part over the
+        directed co-occurrence graph (both directions materialized) —
+        the reachability/radius primitive behind "how connected is
+        this catalog", done as iterative frontier expansion: each hop
+        is ONE equi-join of the current frontier against the edge
+        list, new nodes anti-joined against the visited set, distance
+        = first hop that reached them. The same Pregel-as-joins
+        discipline as qg01/qd08.
+
+        Scale shape: per hop, |frontier| rows join the edge relation
+        (key-shuffled, AQE-splittable) and the visited set grows
+        monotonically; ``localCheckpoint`` truncates the loop lineage
+        exactly as the other iterative operators do. The oracle walks
+        the identical graph with a recursive CTE under UNION-dedup —
+        a different fixpoint mechanism, identical distances.
+        """
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.alias("a")
+        b = li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        seed = e.agg(F.min("u").alias("node")).select(
+            "node", F.lit(0).cast("long").alias("dist")
+        )
+        visited = seed.localCheckpoint(eager=False)
+        frontier = visited
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["u"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .select("node", F.lit(hop).cast("long").alias("dist"))
+                .localCheckpoint(eager=False)
+            )
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt
+        return visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    return qg03_bfs_distances
+
+
+_register_bfs_query()

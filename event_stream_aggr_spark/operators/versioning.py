@@ -296,3 +296,76 @@ def qv03_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_leaked",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q76: temporal dimension lookup (the SCD2 read side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q76_scd2_lookup",
+    tags=("versioning", "join", "warehouse"),
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS vdec
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')),
+tiers AS (
+  SELECT user_id, day,
+         CASE WHEN vdec < {TIER_MID_EDGE} THEN 'low'
+              WHEN vdec < {TIER_HIGH_EDGE} THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM daily),
+runs AS (
+  SELECT user_id, day, tier,
+         SUM(CASE WHEN prev_tier IS NULL OR prev_tier <> tier
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (SELECT user_id, day, tier,
+               LAG(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev_tier
+        FROM tiers)),
+dim AS (
+  SELECT user_id, MIN(tier) AS tier,
+         MIN(day) AS valid_from, MAX(day) AS valid_to
+  FROM runs GROUP BY user_id, run_id),
+facts AS (
+  SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day
+  FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.day, d.tier
+FROM facts f JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.day BETWEEN d.valid_from AND d.valid_to
+""",
+)
+def q76_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup — the READ side of qv02's SCD2 build:
+    each purchase fact joins the user's activity-tier version that was
+    valid ON its day (`day BETWEEN valid_from AND valid_to`), the
+    standard warehouse pattern for attributing facts to
+    point-in-time dimension state without the leakage of joining
+    today's attribute onto yesterday's fact.
+
+    Scale shape: an equi-join on the dimension's natural key (user)
+    carrying the validity-range predicate as a residual filter — per
+    key the dimension holds a handful of versions, so the residual
+    scan is bounded and no interval machinery is needed (when version
+    counts per key explode, qj01's bucketed overlap join is the
+    stated escalation). Validity intervals come from qv02's exact
+    decimal tiering, so every fact matches exactly one version.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        qv02_scd2_dimension(spark, sf_dir)
+        .select("user_id", "tier", "valid_from", "valid_to")
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (F.col("day") >= F.col("valid_from"))
+        & (F.col("day") <= F.col("valid_to")),
+    ).select("event_id", facts["user_id"].alias("user_id"), "day", "tier")
