@@ -570,3 +570,102 @@ def qf06_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.feat_a", "r.feat_b", "r.corr")
+
+
+# ---------------------------------------------------------------------------
+# qa04-style robust outliers live here with the other statistics ops
+# (registered as qf07 to keep the feature-family prefix)
+# ---------------------------------------------------------------------------
+
+MAD_K_SCALED = 3  # flag |x - median| > 3 * MAD
+
+
+@register(
+    "qf07_mad_outliers",
+    tags=("features", "statistics", "quality"),
+    oracle=f"""
+WITH ev AS (SELECT event_type, event_id, value FROM events),
+r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev),
+med AS (
+  SELECT event_type, value AS median
+  FROM r1 WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value,
+         ABS(e.value - m.median) AS d, m.median
+  FROM ev e JOIN med m USING (event_type)),
+r2 AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev),
+mad AS (
+  SELECT event_type, d AS mad
+  FROM r2 WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT))
+SELECT dev.event_type,
+       ROUND(MIN(dev.median), 6) AS median,
+       ROUND(MIN(mad.mad), 6) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN dev.d > {MAD_K_SCALED} * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+""",
+)
+def qf07_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    quality gate that survives the very outliers it hunts (mean/std,
+    qa02's tool, breaks down past ~10% contamination; median/MAD has
+    a 50% breakdown point): per event type, nearest-rank median, MAD,
+    and how many values sit beyond 3·MAD.
+
+    Determinism: both medians are NEAREST-RANK selections (qf03's
+    rule — rank ceil(n/2) under (value, event_id) order), never
+    interpolated, so the thresholds are actual data values and the
+    outlier test compares raw doubles — bit-identical cross-engine.
+    Scale shape: two rank-selection passes (each one window over the
+    type partition) + one broadcast join of the |types|-row MAD
+    table; no sort of the full relation beyond the per-type windows.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def nearest_rank_median(df, col, out):
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        r = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+        return r.where(
+            F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+        ).select("event_type", F.col(col).alias(out))
+
+    med = nearest_rank_median(e, "value", "median")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("d"),
+    )
+    mad = nearest_rank_median(dev, "d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("median"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("d") > MAD_K_SCALED * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
