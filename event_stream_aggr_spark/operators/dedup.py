@@ -1383,3 +1383,95 @@ def qd17_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eff_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qd18: exact-substring decontamination (containment at the string level)
+# ---------------------------------------------------------------------------
+
+SUBSTR_EVAL_MOD = 50  # same held-out slice as qd10/qd15
+
+
+@register(
+    "qd18_substring_decontamination",
+    tags=("dedup", "text"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+                i -> md5(array_to_string(t[i:i + 7], ' ')))) AS g
+  FROM toks),
+eval_first AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           md5(array_to_string(t[1:8], ' ')) AS g
+    FROM toks WHERE doc_id % {SUBSTR_EVAL_MOD} = 0 AND len(t) >= 8)),
+cand AS (
+  SELECT DISTINCT e.doc_id AS eval_id, tr.doc_id AS train_id
+  FROM eval_first e JOIN grams tr ON e.g = tr.g
+  WHERE tr.doc_id % {SUBSTR_EVAL_MOD} <> 0),
+hits AS (
+  SELECT c.eval_id, c.train_id
+  FROM cand c
+  JOIN documents ed ON c.eval_id = ed.doc_id
+  JOIN documents td ON c.train_id = td.doc_id
+  WHERE position(ed.text IN td.text) > 0)
+SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_containing_train_docs,
+       CAST(MIN(train_id) AS BIGINT) AS first_train_id
+FROM hits GROUP BY eval_id
+""",
+)
+def qd18_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination — the strictest contamination
+    test (GPT-3-style): an eval document is contaminated if its FULL
+    text appears verbatim INSIDE any training document. The naive
+    form is `train.text CONTAINS eval.text` over |T|×|E| pairs — a
+    quadratic scan of gigabytes of text; the routed form here only
+    runs the substring check on candidates that share the eval doc's
+    FIRST 8-token gram (a verbatim containment must contain every
+    gram, so the first one is a complete, cheap necessary condition).
+
+    Scale shape: the gram index is qd10's md5-gram relation (fixed-
+    width keys, one equi-join); the expensive `position()` probe runs
+    only on the candidate pairs, with full text joined in at candidate
+    grain — the same filter-then-verify discipline as every LSH path.
+    Short eval docs (<8 tokens) have no first-gram and are handled by
+    the (absent here, stated) length-bucketed fallback.
+    """
+    from event_stream_aggr_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "text", tokens(F.col("text")).alias("t"))
+    grams = d.select(
+        "doc_id", F.explode(ngram_hashes(F.col("text"), 8)).alias("g")
+    )
+    eval_first = (
+        toks.where((F.col("doc_id") % SUBSTR_EVAL_MOD == 0) & (F.size("t") >= 8))
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), 1, 8))).alias("g"),
+        )
+    )
+    cand = (
+        eval_first.alias("e")
+        .join(grams.alias("tr"), "g")
+        .where(F.col("tr.doc_id") % SUBSTR_EVAL_MOD != 0)
+        .select(
+            F.col("e.doc_id").alias("eval_id"), F.col("tr.doc_id").alias("train_id")
+        )
+        .distinct()
+    )
+    ed = d.select(F.col("doc_id").alias("eval_id"), F.col("text").alias("etext"))
+    td = d.select(F.col("doc_id").alias("train_id"), F.col("text").alias("ttext"))
+    hits = (
+        cand.join(ed, "eval_id")
+        .join(td, "train_id")
+        .where(F.instr(F.col("ttext"), F.col("etext")) > 0)
+    )
+    return hits.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_containing_train_docs"),
+        F.min("train_id").alias("first_train_id"),
+    )

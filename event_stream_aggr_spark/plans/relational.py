@@ -3334,3 +3334,72 @@ def q75_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "credit_ppm",
         F.round(F.col("credit_ppm") / 1000000.0, 6).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q77: cohort retention analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q77_cohort_retention",
+    tags=("aggregation", "window", "product-analytics"),
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS wk
+  FROM events),
+cohort AS (SELECT user_id, MIN(wk) AS cwk FROM act GROUP BY user_id),
+joined AS (
+  SELECT c.cwk, a.wk - c.cwk AS offs, a.user_id
+  FROM act a JOIN cohort c USING (user_id)),
+counts AS (
+  SELECT cwk, offs, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM joined GROUP BY cwk, offs)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (cwk * 7) DAY, '%Y-%m-%d')
+         AS cohort_week,
+       offs AS week_offset, n_active,
+       ROUND(CAST(n_active AS DOUBLE)
+             / MAX(CASE WHEN offs = 0 THEN n_active END)
+               OVER (PARTITION BY cwk), 6) AS retention
+FROM counts
+""",
+)
+def q77_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users grouped
+    by first-activity week, then for each later week the fraction of
+    the cohort still active. (Every offset-0 cell is 1.0 by
+    construction; the decay across offsets is the retention curve.)
+
+    Scale shape: raw events reduce immediately to DISTINCT (user,
+    week) — the only pass over full data; cohorts are a user-grain
+    min; the rest operates on |users|·|weeks| rows with one window
+    over the |cohorts|·|offsets| counts for the denominator (no
+    self-join for cohort size). Week ids are integer epoch-day
+    divisions — tz-safe and exact in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date(F.date_format("ts", "yyyy-MM-dd")), F.lit("1970-01-01"))
+        / 7
+    ).cast("long")
+    act = e.select("user_id", wk.alias("wk")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    joined = act.join(cohort, "user_id").select(
+        "cwk", (F.col("wk") - F.col("cwk")).alias("week_offset"), "user_id"
+    )
+    counts = joined.groupBy("cwk", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    wc = W.partitionBy("cwk")
+    denom = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(wc)
+    return counts.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), (F.col("cwk") * 7).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / denom, 6).alias("retention"),
+    )
