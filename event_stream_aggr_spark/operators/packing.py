@@ -362,3 +362,89 @@ def qp04_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qp05: multimodal-aware sequence packing (image token budgets)
+# ---------------------------------------------------------------------------
+
+IMG_TOKENS = 64  # placeholder-token cost of one attached image
+
+
+@register(
+    "qp05_multimodal_packing",
+    tags=("packing", "multimodal", "training-data"),
+    oracle=f"""
+WITH sized AS (
+  SELECT d.source, d.doc_id,
+         CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+              + CASE WHEN e.vec_id IS NOT NULL THEN {IMG_TOKENS} ELSE 0 END
+              AS BIGINT) AS cost,
+         CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS has_image
+  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id),
+placed AS (
+  SELECT source, doc_id, cost, has_image,
+         CAST(COALESCE(SUM(cost) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM sized)
+SELECT source,
+       CAST(FLOOR(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_image) AS BIGINT) AS n_images,
+       CAST(SUM(cost) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc
+FROM placed
+GROUP BY source, pack_id
+""",
+)
+def qp05_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for INTERLEAVED image-text training data: a
+    document with an aligned image (qm05's doc_id = vec_id alignment)
+    costs its text tokens PLUS 64 image-placeholder tokens — the
+    budget a vision-language trainer actually consumes — and packs
+    land on the combined cost. Per (source, pack): docs, images,
+    total tokens.
+
+    Scale shape: qp01's per-partition running-offset window with the
+    cost generalized to text + modality terms; the alignment is a
+    key equi-join (broadcast at this SF) resolved BEFORE the window,
+    so packing itself stays a single partition-local pass. Image
+    PAYLOADS never enter the plan — the cost needs only existence
+    (the L5 pointer rule).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("_img")
+    )
+    sized = (
+        d.select("source", "doc_id", "text")
+        .join(F.broadcast(emb), "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            (
+                token_count(F.col("text"))
+                + F.when(F.col("_img").isNotNull(), IMG_TOKENS).otherwise(0)
+            ).alias("cost"),
+            F.coalesce("_img", F.lit(0)).cast("long").alias("has_image"),
+        )
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = sized.withColumn(
+        "start_offset", F.coalesce(F.sum("cost").over(w), F.lit(0)).cast("long")
+    ).withColumn(
+        "pack_id", F.floor(F.col("start_offset") / PACK_BUDGET).cast("long")
+    )
+    return placed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_image").cast("long").alias("n_images"),
+        F.sum("cost").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
