@@ -70,6 +70,7 @@ def main() -> None:
         "scaling": scaling_probe(spark, specs, headline, timings),
         "streaming": stream_bench(spark),
         "streaming_curation": curation_stream_bench(spark),
+        "streaming_cep": cep_stream_bench(spark),
         "deltas_vs_prev_round": prev_round_deltas(timings),
     }
     for key, payload in diagnostics.items():
@@ -86,6 +87,9 @@ def main() -> None:
             "alerts_per_sec": diagnostics["streaming"].get("alerts_per_sec"),
             "curation_docs_per_sec": diagnostics["streaming_curation"].get(
                 "docs_per_sec"
+            ),
+            "cep_events_per_sec": diagnostics["streaming_cep"].get(
+                "events_per_sec"
             ),
         },
         "queries": {n: round(s, 2) for n, s in timings.items()},
@@ -266,6 +270,54 @@ def curation_stream_bench(spark) -> dict:
             "input_docs": n_docs,
             "sec": round(elapsed, 4),
             "docs_per_sec": round(n_docs / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def cep_stream_bench(spark) -> dict:
+    """Stateful-streaming throughput: raw events through the
+    applyInPandasWithState CEP matcher (q74's streaming twin,
+    streaming/stats.py:cep_match_with_state) — the per-key
+    arbitrary-state path (W5), measured as INPUT events/s so match
+    selectivity doesn't inflate the number."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming.stats import cep_match_with_state
+    from event_stream_aggr_spark.tables import load_table
+
+    src = tempfile.mkdtemp(prefix="bench_cep_")
+    try:
+        tsm = (
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", "event_type", "user_id", F.expr(tsm).alias("tsm")
+        )
+        ev.repartition(16).write.mode("overwrite").parquet(src)
+        n_events = spark.read.parquet(src).count()
+        schema = spark.read.parquet(src).schema
+
+        stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=8)
+        t0 = time.perf_counter()
+        q = (
+            cep_match_with_state(stream)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(src, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        return {
+            "input_events": n_events,
+            "sec": round(elapsed, 4),
+            "events_per_sec": round(n_events / elapsed, 1),
         }
     finally:
         shutil.rmtree(src, ignore_errors=True)
