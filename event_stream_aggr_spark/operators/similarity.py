@@ -1851,3 +1851,82 @@ def qe13_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ann_cid").alias("n_hits"),
         F.round(F.count("ann_cid") / 5.0, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qe14: embedding-space drift between snapshots (index-health monitor)
+# ---------------------------------------------------------------------------
+
+EMB_DRIFT_EDGE_U = 100_000  # integer micro-unit shift flag (0.1 in L2)
+
+
+@register(
+    "qe14_embedding_drift",
+    tags=("similarity", "monitoring", "drift"),
+    oracle=f"""
+WITH dims AS (
+  SELECT label, vec_id % 2 AS half, u.pos, u.x::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u),
+cent AS (
+  SELECT label, half, pos, ROUND(AVG(x), 6) AS cx
+  FROM dims GROUP BY label, half, pos),
+paired AS (
+  SELECT a.label, a.pos, a.cx AS ax, b.cx AS bx
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1),
+shift AS (
+  SELECT label,
+         CAST(SUM(CAST(ROUND((ax - bx) * (ax - bx) * 1000000) AS BIGINT))
+              AS BIGINT) AS d2_us
+  FROM paired GROUP BY label)
+SELECT CAST(label AS BIGINT) AS label, d2_us,
+       CAST(d2_us > {EMB_DRIFT_EDGE_U} AS BIGINT) AS drifted
+FROM shift
+""",
+)
+def qe14_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two snapshot halves (vec_id
+    parity stands in for model-version A/B): per label, the squared
+    L2 shift between the halves' centroids — the vector-index health
+    check run after re-embedding a corpus, because a centroid that
+    moved means LSH hyperplanes/IVF cells/PQ codebooks trained on the
+    old space (qe03/qe04/qe06) are stale and recall will silently
+    sag (exactly what qe13 then measures).
+
+    Scale shape: qe02's posexplode-to-(label, half, dim) partial-mean
+    reduction — the |vectors|×dim stream shuffles once into
+    |labels|·2·dim narrow rows; per-dim squared deltas round to
+    integer micro-units before the final sum (qe06's rule) so the
+    drift statistic is an exact integer cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select("label", "half", "pos", F.col("x").cast("double").alias("x"))
+    cent = dims.groupBy("label", "half", "pos").agg(
+        F.round(F.avg("x"), 6).alias("cx")
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", "pos", F.col("cx").alias("ax")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "pos", F.col("cx").alias("bx")
+    )
+    shift = (
+        a.join(b, ["label", "pos"])
+        .select(
+            "label",
+            F.round((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) * 1_000_000)
+            .cast("long")
+            .alias("du"),
+        )
+        .groupBy("label")
+        .agg(F.sum("du").cast("long").alias("d2_us"))
+    )
+    return shift.select(
+        "label", "d2_us", (F.col("d2_us") > EMB_DRIFT_EDGE_U).cast("long").alias("drifted")
+    )

@@ -3403,3 +3403,70 @@ def q77_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.col("n_active").cast("double") / denom, 6).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q78: alert throttling (per-key rate limit with suppression audit)
+# ---------------------------------------------------------------------------
+
+THROTTLE_N = 3  # alerts kept per (type, hour) key
+
+
+@register(
+    "q78_alert_throttle",
+    tags=("sequence", "window", "ops"),
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type, user_id, ts,
+         epoch_us(ts) // 1000000 // 3600 AS hnum
+  FROM events WHERE event_type = 'error'),
+ranked AS (
+  SELECT event_type, hnum, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hnum
+                            ORDER BY ts, event_id) AS rn
+  FROM ev)
+SELECT event_type, hnum,
+       CAST(COUNT(*) AS BIGINT) AS n_alerts,
+       CAST(SUM(CASE WHEN rn <= {THROTTLE_N} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn > {THROTTLE_N} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppressed,
+       CAST(MIN(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS first_kept
+FROM ranked GROUP BY event_type, hnum
+""",
+)
+def q78_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert throttling — the fatigue control an IDS pipeline (the
+    reference's domain) bolts onto its alert stream: within each
+    (signature, hour) key keep the first 3 alerts, suppress the rest,
+    and report kept/suppressed counts so downstream consumers see the
+    storm's size without receiving it. Error events stand in for
+    alerts; event_type for the signature.
+
+    Scale shape: one window rank per (key, hour) partition — the
+    filter pushes `event_type = 'error'` to the scan, the rank runs
+    on time-bucketed partitions (bounded state, storm-skew split by
+    AQE), and only count-grain rows leave. First-kept id is carried
+    so the throttle is auditable. The streaming twin is the same
+    per-key counter in applyInPandasWithState (cep_match_with_state's
+    register pattern with a count instead of timestamps).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hnum = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = e.where(F.col("event_type") == "error").select(
+        "event_id", "event_type", "ts", hnum.alias("hnum")
+    )
+    w = W.partitionBy("event_type", "hnum").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_type", "hnum", "event_id", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("event_type", "hnum").agg(
+        F.count(F.lit(1)).alias("n_alerts"),
+        F.sum(F.when(F.col("rn") <= THROTTLE_N, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > THROTTLE_N, 1).otherwise(0)).alias(
+            "n_suppressed"
+        ),
+        F.min(F.when(F.col("rn") == 1, F.col("event_id"))).alias("first_kept"),
+    )
