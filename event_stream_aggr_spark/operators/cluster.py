@@ -394,3 +394,118 @@ FROM mind GROUP BY dist
 
 
 _register_bfs_query()
+
+
+# ---------------------------------------------------------------------------
+# qg04: degree distribution + log-log tail slope (graph shape audit)
+# ---------------------------------------------------------------------------
+
+DEGREE_TAIL_MIN = 5  # fit the tail where degree >= 5
+
+
+def _register_degree_distribution_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qg04_degree_distribution",
+        tags=("graph", "statistics"),
+        oracle=f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+pts AS (
+  SELECT CAST(ROUND(ln(d), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(ln(n_nodes), 6) AS DECIMAL(18,6)) AS y
+  FROM hist WHERE d >= {DEGREE_TAIL_MIN}),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hist) AS n_degree_levels,
+       k AS n_fit_points,
+       ROUND((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS tail_slope
+FROM fit
+""",
+    )
+    def qg04_degree_distribution(spark, sf_dir):
+        """Degree distribution of the co-occurrence graph with a
+        log-log least-squares slope over the tail — the graph-shape
+        audit that picks algorithm parameters downstream: a heavy
+        (power-law-ish) tail means qg02's triangle join needs
+        degeneracy ordering and qd08's components need the hub-skew
+        AQE split; a thin tail means plain id-ordering suffices.
+
+        Determinism: qt21's Zipf-fit rule — each ln() point rounds to
+        6 dp and fixes as DECIMAL before the moment sums, so the
+        closed-form slope divides identical exact decimals in both
+        engines. Scale shape: degrees are one aggregation over the
+        edge endpoints, the histogram is |degree-levels| rows, and
+        the fit is a 1-row moment fold — nothing after the edge list
+        is corpus-sized.
+        """
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.alias("a")
+        b = li.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .distinct()
+        )
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+        pts = hist.where(F.col("d") >= DEGREE_TAIL_MIN).select(
+            F.round(F.log("d"), 6).cast("decimal(18,6)").alias("x"),
+            F.round(F.log("n_nodes"), 6).cast("decimal(18,6)").alias("y"),
+        )
+        fit = pts.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+        ).crossJoin(hist.agg(F.count(F.lit(1)).alias("n_degree_levels")))
+        slope = (
+            F.col("k") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        ) / (
+            F.col("k") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        return stats.crossJoin(fit).select(
+            "n_nodes",
+            "max_degree",
+            "n_degree_levels",
+            F.col("k").alias("n_fit_points"),
+            F.round(slope, 6).alias("tail_slope"),
+        )
+
+    return qg04_degree_distribution
+
+
+_register_degree_distribution_query()

@@ -3470,3 +3470,66 @@ def q78_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min(F.when(F.col("rn") == 1, F.col("event_id"))).alias("first_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79: snapshot-as-of read (time travel over a changelog)
+# ---------------------------------------------------------------------------
+
+TIME_TRAVEL_AS_OF = "2024-01-20 00:00:00"
+
+
+@register(
+    "q79_time_travel",
+    tags=("cdc", "window", "warehouse"),
+    oracle=f"""
+WITH log AS (
+  SELECT user_id, ts, value, event_id FROM events
+  WHERE ts < TIMESTAMP '{TIME_TRAVEL_AS_OF}'),
+latest AS (
+  SELECT user_id, value, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log)
+SELECT user_id,
+       value AS state_value,
+       strftime(ts, '{TS_US_FMT_DUCK}') AS state_ts,
+       event_id AS state_event
+FROM latest WHERE rn = 1
+""",
+)
+def q79_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-as-of read — time travel over a changelog without a
+    table format: treating events as a per-user upsert log, the state
+    AS OF 2024-01-20 is each user's latest record STRICTLY before the
+    as-of timestamp. The read side of the CDC upsert sink
+    (streaming/upsert.py keeps the same per-key latest-wins maximum
+    incrementally); Delta/Iceberg time travel is this query plus
+    manifest pruning.
+
+    Scale shape: the as-of predicate pushes to the scan (half the log
+    never reads at later as-of points under time partitioning), then
+    ONE per-key window picks the latest record — max-struct semantics
+    identical to the sink's merge, so a snapshot read and the
+    incrementally-maintained state can never disagree (the
+    upsert-sink equivalence tests pin exactly that).
+    """
+    e = load_table(spark, sf_dir, "events")
+    log = e.where(F.col("ts") < F.lit(TIME_TRAVEL_AS_OF).cast("timestamp_ntz"))
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        log.select(
+            "user_id",
+            "value",
+            "ts",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("state_value"),
+            F.date_format("ts", TS_US_FMT_SPARK).alias("state_ts"),
+            F.col("event_id").alias("state_event"),
+        )
+    )
