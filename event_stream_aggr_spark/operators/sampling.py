@@ -897,3 +897,107 @@ def qs12_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qs13: deterministic negative sampling (two-tower / recsys training data)
+# ---------------------------------------------------------------------------
+
+NEG_K = 4  # negatives kept per user
+NEG_OVERSAMPLE = 12  # candidate draws before collision/positive filtering
+NEG_ITEM_SPACE = 2000  # part key space [0, 2000)
+
+
+@register(
+    "qs13_negative_sampling",
+    tags=("sampling", "training-data"),
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+users AS (SELECT DISTINCT user_id FROM pos),
+cand AS (
+  SELECT u.user_id, g.i,
+         ('0x' || substr(md5('neg:' || CAST(u.user_id AS VARCHAR)
+                              || ':' || CAST(g.i AS VARCHAR)), 1, 7))::BIGINT
+           % {NEG_ITEM_SPACE} AS item_id
+  FROM users u,
+       LATERAL (SELECT unnest(generate_series(1, {NEG_OVERSAMPLE})) AS i) g),
+neg AS (
+  SELECT c.user_id, c.item_id, MIN(c.i) AS first_draw
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.user_id = c.user_id AND p.item_id = c.item_id)
+  GROUP BY c.user_id, c.item_id),
+ranked AS (
+  SELECT user_id, item_id, first_draw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY first_draw) AS BIGINT) AS draw_rank
+  FROM neg)
+SELECT user_id, draw_rank, item_id
+FROM ranked WHERE draw_rank <= {NEG_K}
+""",
+)
+def qs13_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — the data-prep step every
+    two-tower/recsys/contrastive trainer needs beside its positives
+    (qe11 mines hard negatives from embeddings; this draws the
+    UNIFORM negatives): per interacting customer, 4 parts they never
+    bought, drawn by content hash so the sample is identical across
+    runs, engines, partitionings, and retries. Oversampled 3× then
+    filtered, so hash collisions with positives or duplicate draws
+    can't starve a user below k except in the (deterministic,
+    surviving-draw-count) extreme.
+
+    Scale shape: candidates are |users|·12 narrow rows generated
+    map-side from the user list; the positive filter is ONE
+    (user, item)-keyed anti-join against the interaction table —
+    never a per-draw lookup loop; ranking is a per-user window over
+    ≤12 rows. The interaction table itself is touched once for the
+    distinct and once for the anti-join probe.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .distinct()
+    )
+    users = pos.select("user_id").distinct()
+    cand = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(1), F.lit(NEG_OVERSAMPLE))).alias("i"),
+    ).select(
+        "user_id",
+        "i",
+        (
+            _key_hash(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            )
+            % NEG_ITEM_SPACE
+        ).alias("item_id"),
+    )
+    neg = (
+        cand.join(pos, ["user_id", "item_id"], "left_anti")
+        .groupBy("user_id", "item_id")
+        .agg(F.min("i").alias("first_draw"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("first_draw")
+    return (
+        neg.select(
+            "user_id",
+            "item_id",
+            F.row_number().over(w).cast("long").alias("draw_rank"),
+        )
+        .where(F.col("draw_rank") <= NEG_K)
+        .select("user_id", "draw_rank", "item_id")
+    )
