@@ -3447,9 +3447,10 @@ def q78_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushes `event_type = 'error'` to the scan, the rank runs
     on time-bucketed partitions (bounded state, storm-skew split by
     AQE), and only count-grain rows leave. First-kept id is carried
-    so the throttle is auditable. The streaming twin is the same
-    per-key counter in applyInPandasWithState (cep_match_with_state's
-    register pattern with a count instead of timestamps).
+    so the throttle is auditable. The streaming twin is
+    `streaming/stats.py:throttle_with_state` (the same per-key counter
+    in applyInPandasWithState), kept/suppressed-parity-tested in
+    tests/test_stream_batch_equiv.py.
     """
     e = load_table(spark, sf_dir, "events")
     hnum = F.expr(

@@ -315,3 +315,53 @@ def cep_match_with_state(df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+THROTTLE_OUT_SCHEMA = (
+    "event_id long, event_type string, hnum long, kept boolean"
+)
+THROTTLE_STATE_SCHEMA = "hnum long, n long"
+
+
+def throttle_with_state(df: DataFrame, n: int = 3) -> DataFrame:
+    """q78's streaming twin — the online alert throttle: per signature
+    key the state is two scalars (current hour, alerts seen in it);
+    each arriving alert is tagged kept/suppressed and the counter
+    resets when the hour rolls over. With in-order per-key arrival
+    (the engine's replay contract) the kept/suppressed tagging matches
+    the batch q78 rank exactly.
+
+    Input must carry ``hnum`` (hour number) and arrive per-key
+    time-ordered; same §2.9 state-edge dispensation as the CEP/EWMA
+    twins.
+    """
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cur_h, cnt = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(batches)).sort_values(["hnum", "event_id"])
+        out = []
+        for r in rows.itertuples():
+            if cur_h is None or r.hnum != cur_h:
+                cur_h, cnt = int(r.hnum), 0
+            cnt += 1
+            out.append((int(r.event_id), key[0], int(r.hnum), cnt <= n))
+        state.update((cur_h, cnt))
+        yield pd.DataFrame(
+            out, columns=["event_id", "event_type", "hnum", "kept"]
+        )
+
+    return (
+        df.select("event_id", "event_type", "hnum")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=THROTTLE_OUT_SCHEMA,
+            stateStructType=THROTTLE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -286,3 +286,72 @@ def test_stream_batch_equivalence_cep(spark, sf_dir, tmp_path):
     }
     assert q.lastProgress["batchId"] >= 1
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_batch_equivalence_throttle(spark, sf_dir, tmp_path):
+    """q78's streaming twin: the two-scalar per-key throttle counter
+    over an in-order replay tags kept/suppressed exactly as the batch
+    rank does (aggregate parity per (signature, hour))."""
+    import os
+    import time
+
+    from event_stream_aggr_spark.plans.relational import (
+        THROTTLE_N,
+        q78_alert_throttle,
+    )
+    from event_stream_aggr_spark.streaming.stats import throttle_with_state
+
+    src = str(tmp_path / "events_throttle_ordered")
+    tsm = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    events = load_table(spark, sf_dir, "events").withColumn("_tsm", F.expr(tsm))
+    cuts = events.selectExpr(
+        "percentile(_tsm, array(0.25, 0.5, 0.75)) AS c"
+    ).collect()[0].c
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        (
+            events.filter((F.col("_tsm") > lo) & (F.col("_tsm") <= hi))
+            .drop("_tsm")
+            .sortWithinPartitions("ts", "event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(0.1)
+    stored = spark.read.parquet(src)
+
+    tmp_sf = str(tmp_path / "sf_view_throttle")
+    os.makedirs(tmp_sf, exist_ok=True)
+    stored.write.mode("overwrite").parquet(f"{tmp_sf}/events.parquet")
+    batch = {
+        (r.event_type, r.hnum): (r.n_alerts, r.n_kept, r.n_suppressed)
+        for r in q78_alert_throttle(spark, tmp_sf).collect()
+    }
+
+    hnum = "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    stream = (
+        stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=1)
+        .where(F.col("event_type") == "error")
+        .withColumn("hnum", F.expr(hnum))
+    )
+    q = (
+        throttle_with_state(stream, n=THROTTLE_N)
+        .writeStream.format("memory")
+        .queryName("throttle_equiv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.event_type, r.hnum): (r.n, r.k, r.n - r.k)
+        for r in spark.table("throttle_equiv")
+        .groupBy("event_type", "hnum")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("long")).alias("k"),
+        )
+        .collect()
+    }
+    assert q.lastProgress["batchId"] >= 1
+    assert streamed == batch and len(batch) > 0
