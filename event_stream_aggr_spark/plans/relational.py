@@ -3534,3 +3534,44 @@ def q79_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("state_event"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q71: deterministic mode (most-frequent value per group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q71_modal_event_type",
+    tags=("agg",),
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+ranked AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM counts)
+SELECT user_id, event_type AS modal_type, n AS n_events
+FROM ranked WHERE rn = 1
+""",
+)
+def q71_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE aggregate: each user's most frequent event
+    type, ties broken alphabetically — the categorical summary
+    statistic (`mode()` in other engines) the rest of the aggregate
+    family (§2.4) lacked. Done as ONE aggregation + a struct-min
+    (count negated, then type) rather than a window over the counts,
+    so nothing re-shuffles after the (user, type) rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    picked = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("event_type"))).alias("m")
+    )
+    return picked.select(
+        "user_id",
+        F.col("m.event_type").alias("modal_type"),
+        (-F.col("m.neg_n")).alias("n_events"),
+    )
