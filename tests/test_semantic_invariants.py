@@ -129,3 +129,52 @@ def test_qg02_triangle_count_matches_per_node_sum(spark, sf_dir):
     # n1(x,w) and n2(w,y) — one triangle contributes w for each of its
     # 3 edges → common == 3 * triangles
     assert common == 3 * out.n_triangles
+
+
+def test_qs13_negatives_never_positive(spark, sf_dir):
+    # the one property negative sampling exists for: no sampled
+    # negative is an actual interaction — checked against the
+    # interaction table directly, not via the query's own anti-join
+    neg = load_all()["qs13_negative_sampling"].fn(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .distinct()
+    )
+    leaked = neg.join(pos, ["user_id", "item_id"], "left_semi").count()
+    assert leaked == 0 and neg.count() > 0
+    # and draws per user never exceed k, ranks are 1..k
+    from event_stream_aggr_spark.operators.sampling import NEG_K
+
+    per_user = neg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("draw_rank").alias("mx")
+    )
+    assert per_user.where((F.col("n") > NEG_K) | (F.col("mx") > NEG_K)).count() == 0
+
+
+def test_qt24_coverage_monotone_and_minimal(spark, sf_dir):
+    rows = sorted(
+        load_all()["qt24_vocab_coverage"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.target_pct,
+    )
+    sizes = [r.vocab_size for r in rows]
+    covs = [r.coverage for r in rows]
+    assert sizes == sorted(sizes)  # higher target never needs fewer words
+    assert covs == sorted(covs)
+    assert all(r.coverage * 100 >= r.target_pct for r in rows)  # target met
+
+
+def test_q78_throttle_conserves_alerts(spark, sf_dir):
+    from event_stream_aggr_spark.plans.relational import THROTTLE_N
+
+    rows = load_all()["q78_alert_throttle"].fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_errors = e.where(F.col("event_type") == "error").count()
+    assert sum(r.n_alerts for r in rows) == n_errors  # nothing lost
+    assert all(r.n_kept + r.n_suppressed == r.n_alerts for r in rows)
+    assert all(r.n_kept <= THROTTLE_N for r in rows)
+    assert any(r.n_suppressed > 0 for r in rows)  # the throttle bites
