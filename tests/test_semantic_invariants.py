@@ -177,4 +177,6 @@ def test_q78_throttle_conserves_alerts(spark, sf_dir):
     assert sum(r.n_alerts for r in rows) == n_errors  # nothing lost
     assert all(r.n_kept + r.n_suppressed == r.n_alerts for r in rows)
     assert all(r.n_kept <= THROTTLE_N for r in rows)
-    assert any(r.n_suppressed > 0 for r in rows)  # the throttle bites
+    # the throttle bites exactly where a key exceeds the budget (at
+    # tiny SFs no key may — suppression must then be zero everywhere)
+    assert all((r.n_suppressed > 0) == (r.n_alerts > THROTTLE_N) for r in rows)
