@@ -1720,3 +1720,90 @@ def qt24_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select(
         "target_pct", "vocab_size", F.round("_cov", 6).alias("coverage")
     )
+
+
+# ---------------------------------------------------------------------------
+# qt25: source-overlap matrix (corpus forensics)
+# ---------------------------------------------------------------------------
+
+OVERLAP_NGRAM = 8
+
+
+@register(
+    "qt25_source_overlap",
+    tags=("text", "dedup", "audit"),
+    oracle=f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, len(t) - {OVERLAP_NGRAM - 1}),
+                i -> md5(array_to_string(t[i:i + {OVERLAP_NGRAM - 1}], ' '))))
+           AS g
+  FROM toks),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT i.source_a, i.source_b, sa.n AS n_grams_a, sb.n AS n_grams_b,
+       i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+""",
+)
+def qt25_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix — corpus forensics: pairwise 8-gram
+    Jaccard between SOURCES (not documents), the audit that catches
+    one feed republishing another's content before per-document dedup
+    even runs (a high-overlap source pair means qd04/qd12 will be
+    doing bulk work that source-level routing could skip). Only
+    overlapping pairs emit rows; per-source gram set sizes ride along
+    so absolute containment is readable too.
+
+    Scale shape: the token stream reduces ONCE to distinct (source,
+    gram) — the |sources|·|vocab8|-bounded relation — and the pair
+    counts come from the gram-keyed self-join of that reduction, so
+    the join input is corpus-dedup'd before any pairing; hot boiler-
+    plate grams are the skew mode and split by AQE. At 100 TB the
+    same matrix runs on MinHash signatures per source (qd03) instead
+    of raw gram sets — identical dataflow, sketch-sized state.
+    """
+    from event_stream_aggr_spark.operators.dedup import ngram_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "source", F.explode(ngram_hashes(F.col("text"), OVERLAP_NGRAM)).alias("g")
+    ).distinct()
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_grams_a",
+            "n_grams_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
