@@ -1930,3 +1930,103 @@ def qe14_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shift.select(
         "label", "d2_us", (F.col("d2_us") > EMB_DRIFT_EDGE_U).cast("long").alias("drifted")
     )
+
+
+# ---------------------------------------------------------------------------
+# qe15: greedy k-center coreset selection (diverse-subset data pruning)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 5
+_KC_SEED_ID = 0  # deterministic seed: the lowest vec_id
+
+
+def _kc_d2_sql(alias_p: str, alias_c: str) -> str:
+    """Integer micro-unit squared L2 distance between two embedding
+    columns (per-dim ROUND before the sum — qe06's exactness rule)."""
+    return f"""(SELECT CAST(SUM(CAST(ROUND((a - b) * (a - b) * 1000000)
+                                 AS BIGINT)) AS BIGINT)
+  FROM (SELECT unnest({alias_p}.embedding)::DOUBLE AS a,
+               unnest({alias_c}.embedding)::DOUBLE AS b))"""
+
+
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
+    # round r picks argmax over points of min distance to centers 0..r-1
+    ctes = [f"c0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = {_KC_SEED_ID})"]
+    prev = ["c0"]
+    for r in range(1, k):
+        mind = "LEAST(" + ", ".join(
+            _kc_d2_sql("p", c) for c in prev
+        ) + ")" if len(prev) > 1 else _kc_d2_sql("p", prev[0])
+        ctes.append(
+            f"""c{r} AS (
+  SELECT p.vec_id, p.embedding
+  FROM embeddings p, {", ".join(prev)}
+  WHERE p.vec_id NOT IN ({", ".join(f"{c}.vec_id" for c in prev)})
+  ORDER BY {mind} DESC, p.vec_id LIMIT 1)"""
+        )
+        prev.append(f"c{r}")
+    selects = []
+    for r, c in enumerate(prev):
+        if r == 0:
+            md = "CAST(NULL AS BIGINT)"
+        else:
+            others = prev[:r]
+            md = "LEAST(" + ", ".join(
+                _kc_d2_sql(c, o) for o in others
+            ) + ")" if len(others) > 1 else _kc_d2_sql(c, others[0])
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS center_rank, {c}.vec_id,"
+            f" {md} AS sep_us FROM {', '.join(prev[: r + 1])}"
+        )
+    return ",\n".join(["WITH " + ctes[0]] + ctes[1:]) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("qe15_kcenter_coreset", tags=("similarity", "sampling", "iterative"), oracle=_kcenter_oracle())
+def qe15_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection — the diverse-subset data-
+    pruning recipe (the farthest-point heuristic behind coreset/
+    active-learning selection): start from a deterministic seed and
+    repeatedly add the point FARTHEST from everything chosen so far,
+    giving a 2-approximation of the optimal k-center cover. Output:
+    the 5 chosen exemplars with each one's separation from the
+    previously chosen set (its min integer-µ squared distance).
+
+    Scale shape: each round is one scan of the corpus against the
+    ≤k-row broadcast center set (min-of-k distances map-side, qe06's
+    per-dim integer-µ rounding so the argmax is exact), reduced by a
+    single max-of-struct aggregate; the driver receives ONE row per
+    round (k rows total — bounded like qd08's convergence probe, not
+    a data collect). k rounds = k scans; at 100 TB swap the full scan
+    for qe04's IVF routing per round — the selection rule is
+    unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    chosen: list = [
+        emb.where(F.col("vec_id") == _KC_SEED_ID).first()
+    ]
+    out = [(0, _KC_SEED_ID, None)]
+
+    def d2_us(vec: list) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                arr,
+                lambda a, b: F.round((a - b) * (a - b) * 1_000_000).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    for r in range(1, KCENTER_K):
+        mind = F.least(*[d2_us(list(c.embedding)) for c in chosen]) if len(chosen) > 1 else d2_us(list(chosen[0].embedding))
+        cand = (
+            emb.where(~F.col("vec_id").isin([int(c.vec_id) for c in chosen]))
+            .select("vec_id", "embedding", mind.alias("mind"))
+        )
+        best = cand.orderBy(F.desc("mind"), "vec_id").limit(1).first()
+        chosen.append(best)
+        out.append((r, int(best.vec_id), int(best.mind)))
+    return spark.createDataFrame(
+        out, "center_rank long, vec_id long, sep_us long"
+    )
