@@ -180,3 +180,27 @@ def test_q78_throttle_conserves_alerts(spark, sf_dir):
     # the throttle bites exactly where a key exceeds the budget (at
     # tiny SFs no key may — suppression must then be zero everywhere)
     assert all((r.n_suppressed > 0) == (r.n_alerts > THROTTLE_N) for r in rows)
+
+
+def test_qe15_kcenter_separations_nonincreasing(spark, sf_dir):
+    # farthest-point property: the separation of pick r is the max
+    # over points of a min-distance that only SHRINKS as centers are
+    # added, so the sequence sep_1 >= sep_2 >= ... is guaranteed —
+    # a selection-order bug breaks the chain immediately
+    rows = sorted(
+        load_all()["qe15_kcenter_coreset"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.center_rank,
+    )
+    seps = [r.sep_us for r in rows if r.sep_us is not None]
+    assert len(seps) == len(rows) - 1 and len(set(r.vec_id for r in rows)) == len(rows)
+    assert all(a >= b for a, b in zip(seps, seps[1:]))
+    assert all(s > 0 for s in seps)
+
+
+def test_qt25_overlap_jaccard_bounded_and_consistent(spark, sf_dir):
+    rows = load_all()["qt25_source_overlap"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_shared <= min(r.n_grams_a, r.n_grams_b)
+        assert r.source_a < r.source_b  # one row per unordered pair
