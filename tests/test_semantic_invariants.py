@@ -123,11 +123,9 @@ def test_qg02_triangle_count_matches_per_node_sum(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()[0][0]
     )
-    # each triangle has 3 oriented closing edges x<y, each seeing the
-    # third vertex once as w from both sides? No: per closing edge
-    # (x,y) the wedge x-w-y counts each common neighbor w once via
-    # n1(x,w) and n2(w,y) — one triangle contributes w for each of its
-    # 3 edges → common == 3 * triangles
+    # per closing edge (x, y) the wedge x-w-y counts each common
+    # neighbor w exactly once; a triangle contributes its third vertex
+    # for each of its 3 closing edges, so common == 3 * triangles
     assert common == 3 * out.n_triangles
 
 
