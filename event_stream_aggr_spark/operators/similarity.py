@@ -2030,3 +2030,131 @@ def qe15_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "center_rank long, vec_id long, sep_us long"
     )
+
+
+# ---------------------------------------------------------------------------
+# qe16: ANN ranking quality as graded nDCG@5 (beyond set recall)
+# ---------------------------------------------------------------------------
+
+NDCG_POOL = 20  # graded relevance pool: exact top-20
+
+
+def _ndcg_oracle(k: int = 5, pool: int = NDCG_POOL) -> str:
+    return f"""
+WITH {lsh_bucket_ctes()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM buck q JOIN buck c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+ann_pairs AS (
+  SELECT cand.qid, cand.cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a,
+                                         unnest(ec.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(ec.embedding)::DOUBLE AS b)) AS nc
+  FROM cand
+  JOIN embeddings eq ON cand.qid = eq.vec_id
+  JOIN embeddings ec ON cand.cid = ec.vec_id),
+ann_topk AS (
+  SELECT qid, cid, rnk AS pos FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS rnk
+    FROM ann_pairs) WHERE rnk <= {k}),
+ex_pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(q.embedding)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(q.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)) AS nc
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+ex_pool AS (
+  SELECT qid, cid, rnk FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS rnk
+    FROM ex_pairs) WHERE rnk <= {pool}),
+dcg AS (
+  SELECT a.qid,
+         CAST(SUM(CAST(ROUND(COALESCE({pool + 1} - e.rnk, 0)
+                             / ln(a.pos + 1) * ln(2) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS dcg_us
+  FROM ann_topk a LEFT JOIN ex_pool e ON a.qid = e.qid AND a.cid = e.cid
+  GROUP BY a.qid),
+idcg AS (
+  SELECT qid,
+         CAST(SUM(CAST(ROUND(({pool + 1} - rnk)
+                             / ln(rnk + 1) * ln(2) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS idcg_us
+  FROM ex_pool WHERE rnk <= {k} GROUP BY qid)
+SELECT d.qid, d.dcg_us, i.idcg_us,
+       ROUND(CAST(d.dcg_us AS DOUBLE) / i.idcg_us, 6) AS ndcg
+FROM dcg d JOIN idcg i USING (qid)
+"""
+
+
+@register("qe16_ann_ndcg", tags=("similarity", "approx", "monitoring"), oracle=_ndcg_oracle())
+def qe16_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking quality of the LSH ANN path: nDCG@5 per query
+    against the exact cosine ordering — set recall (qe13) treats all
+    five neighbors equally; nDCG also penalizes returning the right
+    neighbors in the wrong ORDER and partially credits near-misses
+    from the exact top-20 pool (gain = 21 − exact_rank, the graded-
+    relevance standard).
+
+    Determinism: per-position discounted gains round to integer
+    micro-units BEFORE summing (gain/log2(pos+1) — the only float —
+    is identical-input/identical-expression in both engines, qa02's
+    rule), so DCG and ideal-DCG are exact integers and nDCG is their
+    6-dp ratio. Scale shape: both rankings reuse their registered
+    lineages; the metric itself is a (qid, cid)-keyed left join of
+    k-row-per-query relations plus one fold to query grain.
+    """
+    ann = qe03_ann_lsh_topk(spark, sf_dir).select(
+        "qid", "cid", F.col("rank").alias("pos")
+    )
+    exact = cosine_topk(
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")),
+        load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        ),
+        k=NDCG_POOL,
+    ).select("qid", "cid", F.col("rank").alias("ex_rank"))
+    ln2 = 0.6931471805599453
+    gain = F.coalesce(F.lit(NDCG_POOL + 1) - F.col("ex_rank"), F.lit(0))
+    dcg = (
+        ann.join(exact, ["qid", "cid"], "left")
+        .select(
+            "qid",
+            F.round(gain / F.log(F.col("pos") + 1) * ln2 * 1_000_000)
+            .cast("long")
+            .alias("du"),
+        )
+        .groupBy("qid")
+        .agg(F.sum("du").cast("long").alias("dcg_us"))
+    )
+    idcg = (
+        exact.where(F.col("ex_rank") <= 5)
+        .select(
+            "qid",
+            F.round(
+                (F.lit(NDCG_POOL + 1) - F.col("ex_rank"))
+                / F.log(F.col("ex_rank") + 1)
+                * ln2
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("du"),
+        )
+        .groupBy("qid")
+        .agg(F.sum("du").cast("long").alias("idcg_us"))
+    )
+    return dcg.join(idcg, "qid").select(
+        "qid",
+        "dcg_us",
+        "idcg_us",
+        F.round(F.col("dcg_us").cast("double") / F.col("idcg_us"), 6).alias("ndcg"),
+    )
