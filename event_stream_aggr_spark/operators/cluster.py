@@ -541,3 +541,106 @@ FROM fit
 
 
 _register_degree_distribution_query()
+
+
+# ---------------------------------------------------------------------------
+# qg05: BOM explosion — weighted transitive closure with quantity rollup
+# ---------------------------------------------------------------------------
+
+BOM_FANOUT = 10   # child p hangs under parent p div 10
+BOM_QTY_MOD = 5   # per-edge quantity = p % 5 + 1
+BOM_DEPTH = 3     # explosion depth cap (hops)
+
+
+def _register_bom_rollup_query():
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qg05_bom_rollup",
+        tags=("graph", "iterative", "hierarchy"),
+        oracle=f"""
+WITH e AS (
+  SELECT p_partkey // {BOM_FANOUT} AS parent, p_partkey AS child,
+         p_partkey % {BOM_QTY_MOD} + 1 AS qty
+  FROM part WHERE p_partkey >= {BOM_FANOUT}),
+bom AS (
+  SELECT parent AS anc, child AS descendant, qty AS eff_qty, 1 AS depth FROM e
+  UNION ALL
+  SELECT b.anc, e.child, b.eff_qty * e.qty, b.depth + 1
+  FROM (SELECT parent AS anc, child AS descendant, qty AS eff_qty, 1 AS depth
+        FROM e) b
+  JOIN e ON e.parent = b.descendant
+  UNION ALL
+  SELECT b2.anc, e.child, b2.eff_qty * e.qty, 3
+  FROM (SELECT b.anc, e2.child AS descendant, b.eff_qty * e2.qty AS eff_qty
+        FROM (SELECT parent AS anc, child AS descendant, qty AS eff_qty
+              FROM e) b
+        JOIN e e2 ON e2.parent = b.descendant) b2
+  JOIN e ON e.parent = b2.descendant)
+SELECT CAST(anc AS BIGINT) AS anc,
+       CAST(COUNT(*) AS BIGINT) AS n_descendants,
+       CAST(SUM(eff_qty) AS BIGINT) AS total_qty,
+       CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM bom GROUP BY anc
+""",
+    )
+    def qg05_bom_rollup(spark, sf_dir):
+        """Bill-of-materials explosion (hierarchical / recursive query
+        surface): per assembly, the count of all transitive components
+        within {BOM_DEPTH} levels and the TOTAL effective quantity —
+        each path multiplies its edge quantities (building 1 parent
+        needing 3 subassemblies of 4 screws = 12 screws). The
+        WITH RECURSIVE workload class (org charts, category trees,
+        dependency graphs) expressed as Spark's iterative frontier
+        join; the part hierarchy is derived deterministically from
+        p_partkey (child → parent = key div {BOM_FANOUT}).
+
+        Scale shape (100 TB): each level is ONE equi-join of the
+        current frontier against the edge relation on the parent key —
+        the frontier never fans out beyond (paths ≤ depth cap), and
+        per-level results union before one final rollup. Deep
+        hierarchies localCheckpoint the frontier every few levels
+        (qg01's recipe) to truncate lineage. Quantities are integer
+        products — exact in both engines; DuckDB replays the same
+        3-level unroll as UNION ALL branches (its recursive CTE would
+        dedup or need config; the unroll IS the Spark dataflow).
+        """
+        p = load_table(spark, sf_dir, "part").select("p_partkey")
+        e = p.filter(F.col("p_partkey") >= BOM_FANOUT).select(
+            F.expr(f"p_partkey div {BOM_FANOUT}").alias("parent"),
+            F.col("p_partkey").alias("child"),
+            (F.col("p_partkey") % BOM_QTY_MOD + 1).alias("qty"),
+        )
+        frontier = e.select(
+            F.col("parent").alias("anc"),
+            F.col("child").alias("descendant"),
+            F.col("qty").alias("eff_qty"),
+            F.lit(1).alias("depth"),
+        )
+        levels = [frontier]
+        for _ in range(1, BOM_DEPTH):
+            frontier = (
+                frontier.alias("f")
+                .join(e.alias("e"), F.col("f.descendant") == F.col("e.parent"))
+                .select(
+                    F.col("f.anc").alias("anc"),
+                    F.col("e.child").alias("descendant"),
+                    (F.col("f.eff_qty") * F.col("e.qty")).alias("eff_qty"),
+                    (F.col("f.depth") + 1).alias("depth"),
+                )
+            )
+            levels.append(frontier)
+        bom = levels[0]
+        for lv in levels[1:]:
+            bom = bom.unionAll(lv)
+        return bom.groupBy(F.col("anc").cast("long").alias("anc")).agg(
+            F.count(F.lit(1)).alias("n_descendants"),
+            F.sum("eff_qty").cast("long").alias("total_qty"),
+            F.max("depth").cast("long").alias("max_depth"),
+        )
+
+    return qg05_bom_rollup
+
+
+_register_bom_rollup_query()

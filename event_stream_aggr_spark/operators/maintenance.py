@@ -653,3 +653,107 @@ FROM ab
 
 
 _register_profile_drift_query()
+
+
+# ---------------------------------------------------------------------------
+# qa04: exact equi-depth histogram without a global sort
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_WIDTH = 100  # micro-bucket width in price units
+HIST_BINS = 10
+
+
+def _register_equidepth_histogram_query():
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qa04_equidepth_histogram",
+        tags=("monitoring", "profile"),
+        oracle=f"""
+WITH mb AS (
+  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) // {HIST_BUCKET_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+  FROM lineitem GROUP BY 1),
+cum AS (
+  SELECT bucket, n, s,
+         SUM(n) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER () AS total_n
+  FROM mb)
+SELECT CAST(((cum_n - n) * {HIST_BINS}) // total_n AS BIGINT) AS bin,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MIN(bucket) * {HIST_BUCKET_WIDTH} AS BIGINT) AS lo_bound,
+       CAST((MAX(bucket) + 1) * {HIST_BUCKET_WIDTH} AS BIGINT) AS hi_bound,
+       CAST(SUM(s) AS DOUBLE) AS sum_price
+FROM cum GROUP BY 1
+""",
+    )
+    def qa04_equidepth_histogram(spark, sf_dir):
+        """Exact equi-depth (decile) histogram of l_extendedprice —
+        the data-profiling / bin-edge computation behind range
+        partitioning choices, drift monitors (qf05 needs bins), and
+        BI distribution charts — computed WITHOUT a global sort.
+
+        Scale shape (100 TB): ntile()/nearest-rank over the fact table
+        would be one giant single-ordering sort-exchange. Instead the
+        fact table collapses in ONE map-side-combinable aggregation to
+        fixed-width micro-buckets (floor(price) div 100 — ~1k rows at
+        any corpus size since the domain, not the row count, bounds
+        it), and the equi-depth assignment happens on that tiny
+        relation: running count → bin = ((cum−n)·10) div total, i.e.
+        the bin of the bucket's FIRST element, so bins are contiguous
+        bucket ranges with near-N/10 populations. Bin edges are
+        bucket-granular (the documented precision/scan tradeoff; width
+        prices the error). All arithmetic is integer or DECIMAL —
+        bit-exact cross-engine; the only doubles are derived output.
+        """
+        li = load_table(spark, sf_dir, "lineitem")
+        mb = (
+            li.select(
+                F.expr(
+                    "cast(floor(l_extendedprice) as bigint)"
+                    f" div {HIST_BUCKET_WIDTH}"
+                ).alias("bucket"),
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("s"))
+        )
+        w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+        w_all = W.partitionBy()
+        cum = mb.select(
+            "bucket",
+            "n",
+            "s",
+            F.sum("n").over(w_cum).alias("cum_n"),
+            F.sum("n").over(w_all).alias("total_n"),
+        )
+        return (
+            cum.select(
+                F.expr(f"((cum_n - n) * {HIST_BINS}) div total_n").alias("bin"),
+                "bucket",
+                "n",
+                "s",
+            )
+            .groupBy("bin")
+            .agg(
+                F.sum("n").alias("n_rows"),
+                (F.min("bucket") * HIST_BUCKET_WIDTH)
+                .cast("long")
+                .alias("lo_bound"),
+                ((F.max("bucket") + 1) * HIST_BUCKET_WIDTH)
+                .cast("long")
+                .alias("hi_bound"),
+                F.sum("s").cast("double").alias("sum_price"),
+            )
+        )
+
+    return qa04_equidepth_histogram
+
+
+_register_equidepth_histogram_query()

@@ -2158,3 +2158,142 @@ def qe16_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg_us",
         F.round(F.col("dcg_us").cast("double") / F.col("idcg_us"), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qe17: hybrid-retrieval reciprocal-rank fusion (dense cosine ⊕ MIP)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # the standard RRF smoothing constant
+RRF_CHANNEL_K = 20  # per-channel candidate depth
+RRF_OUT_K = 5       # fused results per query
+RRF_N_QUERIES = 8
+
+
+@register(
+    "qe17_hybrid_rrf",
+    tags=("similarity", "retrieval"),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {RRF_N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT qid, cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(qe)::DOUBLE AS a,
+                                         unnest(ce)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(qe)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(ce)::DOUBLE AS b)) AS nc
+  FROM c, q WHERE cid <> qid),
+scored AS (
+  SELECT qid, cid,
+         ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) AS cos_sim,
+         ROUND(dp, 6) AS mip
+  FROM pairs),
+ranked AS (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid)
+           AS cos_rank,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mip DESC, cid)
+           AS mip_rank
+  FROM scored),
+fused AS (
+  SELECT qid, cid,
+         CASE WHEN cos_rank <= {RRF_CHANNEL_K} THEN cos_rank ELSE 0 END
+           AS cos_rank,
+         CASE WHEN mip_rank <= {RRF_CHANNEL_K} THEN mip_rank ELSE 0 END
+           AS mip_rank,
+         (CASE WHEN cos_rank <= {RRF_CHANNEL_K}
+               THEN 1000000 // ({RRF_K} + cos_rank) ELSE 0 END)
+         + (CASE WHEN mip_rank <= {RRF_CHANNEL_K}
+                 THEN 1000000 // ({RRF_K} + mip_rank) ELSE 0 END) AS rrf_ppm
+  FROM ranked),
+final AS (
+  SELECT qid, cid, cos_rank, mip_rank, rrf_ppm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY rrf_ppm DESC, cid) AS BIGINT) AS rank
+  FROM fused WHERE rrf_ppm > 0)
+SELECT qid, cid, CAST(cos_rank AS BIGINT) AS cos_rank,
+       CAST(mip_rank AS BIGINT) AS mip_rank,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm, rank
+FROM final WHERE rank <= {RRF_OUT_K}
+""",
+)
+def qe17_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (L3 serving capstone): two
+    retrieval channels — normalized cosine (semantic closeness) and
+    raw inner product (norm-weighted relevance, the two-tower scorer
+    qe12 serves) — each contribute their top-20, fused per query by
+    reciprocal-rank fusion: score = Σ 1/(60 + rank). RRF is the
+    standard way production search merges dense + lexical + recency
+    channels without calibrating incomparable scores.
+
+    Scale shape (100 TB): both channels share ONE scoring pass over
+    the corpus (the dot-product fold is computed once; cosine and MIP
+    derive from it), so fusion costs zero extra scans and ZERO joins —
+    the two per-channel ranks are two windows over the SAME qid
+    partitioning (one Exchange, two sorts), and the fused order is a
+    third. In serving, each channel's top-k comes from its own index
+    (qe03's LSH / qe04's IVF); fusion stays this same per-qid
+    rank-merge, over k·channels rows per query, not the corpus.
+
+    Determinism: channel ranks are integers from 6dp-rounded scores
+    with cid tiebreaks; RRF contributions are integer 10⁶ div (60+r);
+    the fused order is (rrf_ppm DESC, cid) — bit-exact cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < RRF_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    ).withColumn("_qnorm", norm(F.col("qe")))
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    ).withColumn("_cnorm", norm(F.col("ce")))
+    dp = dot(F.col("qe"), F.col("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(dp / (F.col("_qnorm") * F.col("_cnorm")), 6).alias("cos_sim"),
+            F.round(dp, 6).alias("mip"),
+        )
+    )
+    wc = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    wm = W.partitionBy("qid").orderBy(F.desc("mip"), "cid")
+    ranked = scored.select(
+        "qid",
+        "cid",
+        F.row_number().over(wc).alias("cr"),
+        F.row_number().over(wm).alias("mr"),
+    )
+    fused = ranked.select(
+        "qid",
+        "cid",
+        F.when(F.col("cr") <= RRF_CHANNEL_K, F.col("cr"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cos_rank"),
+        F.when(F.col("mr") <= RRF_CHANNEL_K, F.col("mr"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mip_rank"),
+        (
+            F.when(
+                F.col("cr") <= RRF_CHANNEL_K,
+                F.expr(f"1000000 div ({RRF_K} + cr)"),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("mr") <= RRF_CHANNEL_K,
+                F.expr(f"1000000 div ({RRF_K} + mr)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_ppm"),
+    ).filter(F.col("rrf_ppm") > 0)
+    wf = W.partitionBy("qid").orderBy(F.desc("rrf_ppm"), "cid")
+    return (
+        fused.select(
+            "*", F.row_number().over(wf).cast("long").alias("rank")
+        )
+        .filter(F.col("rank") <= RRF_OUT_K)
+    )

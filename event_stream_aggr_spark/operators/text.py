@@ -1807,3 +1807,113 @@ def qt25_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qt26: PMI collocation mining (statistically-bound word pairs)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 40
+
+
+@register(
+    "qt26_pmi_collocations",
+    tags=("text", "lm"),
+    oracle=f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+uni AS (
+  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, LATERAL (SELECT unnest(t) AS tok) u GROUP BY u.tok),
+total AS (SELECT SUM(c) AS n FROM uni),
+pairs AS (
+  SELECT p.x, p.y, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS x,
+           unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS y) p
+  GROUP BY p.x, p.y
+  HAVING COUNT(*) >= {PMI_MIN_PAIR}),
+scored AS (
+  SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
+         (c_xy * n * 1000000) // (ux.c * uy.c) AS ratio_ppm
+  FROM pairs JOIN uni ux ON ux.tok = x JOIN uni uy ON uy.tok = y, total),
+topk AS (
+  SELECT x, y, c_xy, c_x, c_y, ratio_ppm
+  FROM scored ORDER BY ratio_ppm DESC, x, y LIMIT {PMI_TOP_K})
+SELECT x, y, c_xy, c_x, c_y, CAST(ratio_ppm AS BIGINT) AS ratio_ppm,
+       ROUND(LN(ratio_ppm / 1000000.0), 6) AS pmi
+FROM topk
+""",
+)
+def qt26_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (L4): the
+    top-40 adjacent word pairs whose co-occurrence most exceeds
+    chance — PMI = ln(P(xy)/(P(x)P(y))) — with a min-count floor so
+    rare accidental pairs can't dominate. The phrase detector feeding
+    tokenizer vocabularies ("new york"-style merges), stop-phrase
+    lists, and qt18's merge candidates with a statistical (not raw
+    count) criterion.
+
+    Determinism: the rank key is the exact integer cross-multiplied
+    ratio (c_xy·N·10⁶) div (c_x·c_y) — both engines rank identical
+    integers, with (x, y) tiebreaks; ln() only touches the derived
+    output, rounded to 6dp from the SAME integer argument (qt21's
+    established ln-rounding pattern).
+
+    Scale shape (100 TB): unigram and bigram counts are the SAME
+    token-stream shuffles qt08/qt09 bound by vocab/vocab² — corpus
+    size only raises the counts. Unigrams join the pair relation
+    twice; the unigram relation is vocab-sized and broadcast here
+    (at open-web vocab it's a shuffle join on x then y, each
+    AQE-skew-splittable on stopword-like heads, which the min-count
+    floor + ratio denominator already demote). The global N is a
+    1-row broadcast cross-join. Top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.lower(F.col("text"))).alias("t"))
+    uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = uni.agg(F.sum("c").alias("n"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) as x,"
+                    "             element_at(t, i + 1) as y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_PAIR)
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        pairs.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("(c_xy * n * 1000000) div (c_x * c_y)").alias("ratio_ppm"),
+        )
+    )
+    topk = scored.orderBy(F.desc("ratio_ppm"), "x", "y").limit(PMI_TOP_K)
+    return topk.select(
+        "x",
+        "y",
+        "c_xy",
+        "c_x",
+        "c_y",
+        "ratio_ppm",
+        F.round(F.log(F.col("ratio_ppm") / 1000000.0), 6).alias("pmi"),
+    )

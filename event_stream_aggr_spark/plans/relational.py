@@ -3575,3 +3575,68 @@ def q71_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.event_type").alias("modal_type"),
         (-F.col("m.neg_n")).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80: first-order Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q80_markov_transitions",
+    tags=("sequence", "window"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+trans AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST((n * 1000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_permille
+FROM trans
+""",
+)
+def q80_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (previous event type → next event type) pair, the count of
+    adjacent transitions within a user's timeline and the conditional
+    next-step probability in integer per-mille — the behavioral model
+    behind next-event prediction, anomaly scoring (improbable
+    transitions) and q74's CEP pattern mining.
+
+    Scale shape (100 TB): ONE user-partitioned sort gives every event
+    its predecessor via lag (same Exchange the other sequence queries
+    q70/q74/q75 reuse), then counts collapse to the |types|² transition
+    relation — tiny — where the per-prev normalization window is free.
+    The probability is integer cross-multiplied ((n*1000) div total):
+    exact in both engines, no float division until the caller derives
+    one. Tiebreak inside a same-microsecond tie is event_id, pinned in
+    BOTH engines so lag() sees the identical sequence."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000").cast("long").alias("_num"),
+        F.sum("n").over(wp).alias("_den"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("_num div _den").alias("p_permille"),
+    )

@@ -1,0 +1,180 @@
+"""Semantic invariants + independent recounts for the round-5 late
+additions (q80 Markov, qa04 equi-depth histogram, qt26 PMI, qg05 BOM
+rollup, qe17 RRF fusion). Exact cross-engine equality is the oracle
+harness's job; these tests assert the properties the oracle can't —
+conservation laws, independent recomputation, and rank-consistency."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.cluster import (
+    BOM_DEPTH,
+    BOM_FANOUT,
+    BOM_QTY_MOD,
+    _register_bom_rollup_query,
+)
+from event_stream_aggr_spark.operators.maintenance import HIST_BINS
+from event_stream_aggr_spark.operators.similarity import (
+    RRF_CHANNEL_K,
+    RRF_K,
+    RRF_OUT_K,
+    qe17_hybrid_rrf,
+)
+from event_stream_aggr_spark.operators.text import qt26_pmi_collocations
+from event_stream_aggr_spark.plans.registry import load_all
+
+QUERIES = load_all()
+from event_stream_aggr_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_q80_probability_conservation(spark):
+    """Per previous-type, transition counts sum to that type's total
+    outgoing transitions (= events-with-a-predecessor), and the
+    integer per-mille probabilities sum to 1000 minus at most the
+    truncation loss (< n_next_types)."""
+    res = QUERIES["q80_markov_transitions"].fn(spark, SF_DIR).collect()
+    e = load_table(spark, SF_DIR, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n for r in res) == n_events - n_users
+    by_prev: dict[str, list] = {}
+    for r in res:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rows in by_prev.items():
+        p_sum = sum(r.p_permille for r in rows)
+        assert 1000 - len(rows) < p_sum <= 1000, (prev, p_sum)
+
+
+def test_qa04_histogram_partition_laws(spark):
+    """Bins form a disjoint increasing cover, counts conserve the
+    table rowcount, the decimal sums conserve the exact total, and
+    each bin's population is within one micro-bucket of N/bins (the
+    documented bucket-granularity error bound)."""
+    q = QUERIES["qa04_equidepth_histogram"].fn
+    rows = sorted(q(spark, SF_DIR).collect(), key=lambda r: r.bin)
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_total = li.count()
+    exact_sum = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+    assert [r.bin for r in rows] == list(range(HIST_BINS))
+    assert sum(r.n_rows for r in rows) == n_total
+    assert abs(sum(r.sum_price for r in rows) - exact_sum) < 1e-6 * exact_sum
+    # disjoint increasing ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo_bound < a.hi_bound <= b.lo_bound < b.hi_bound
+    # equi-depth up to micro-bucket granularity: a bin can overshoot
+    # N/bins by at most the largest single micro-bucket's population
+    max_bucket = (
+        li.groupBy(
+            F.expr("cast(floor(l_extendedprice) as bigint) div 100")
+        ).count().agg(F.max("count")).collect()[0][0]
+    )
+    target = n_total / HIST_BINS
+    for r in rows:
+        assert r.n_rows <= target + max_bucket, (r.bin, r.n_rows)
+
+
+def test_qt26_pmi_is_ln_of_ratio_and_counts_recount(spark):
+    """PMI column is ln(ratio_ppm/1e6) to 6dp; ranks descend on the
+    integer ratio; unigram counts agree with an independent token
+    recount for every surfaced word."""
+    rows = qt26_pmi_collocations(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 40
+    ratios = [r.ratio_ppm for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    for r in rows:
+        assert r.c_xy >= 5
+        assert abs(r.pmi - round(math.log(r.ratio_ppm / 1e6), 6)) <= 1e-9
+    d = load_table(spark, SF_DIR, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        ).alias("tok")
+    )
+    wanted = {w for r in rows for w in (r.x, r.y)}
+    counts = {
+        r.tok: r.n
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("tok").isin(*wanted))
+        .collect()
+    }
+    for r in rows:
+        assert counts[r.x] == r.c_x and counts[r.y] == r.c_y, r
+
+
+def test_qg05_bom_rollup_matches_pure_python_recount(spark):
+    """Independent recount: rebuild the derived part tree driver-side
+    and recompute every ancestor's transitive (count, total effective
+    quantity, max depth) by directly walking ≤3 levels."""
+    res = {
+        r.anc: r for r in QUERIES["qg05_bom_rollup"].fn(spark, SF_DIR).collect()
+    }
+    keys = [
+        r.p_partkey
+        for r in load_table(spark, SF_DIR, "part").select("p_partkey").collect()
+    ]
+    children: dict[int, list[tuple[int, int]]] = {}
+    for p in keys:
+        if p >= BOM_FANOUT:
+            children.setdefault(p // BOM_FANOUT, []).append(
+                (p, p % BOM_QTY_MOD + 1)
+            )
+    expected: dict[int, list[tuple[int, int]]] = {}
+
+    def walk(anc: int, node: int, qty: int, depth: int) -> None:
+        expected.setdefault(anc, []).append((qty, depth))
+        if depth < BOM_DEPTH:
+            for ch, q in children.get(node, []):
+                walk(anc, ch, qty * q, depth + 1)
+
+    for anc, kids in children.items():
+        for ch, q in kids:
+            walk(anc, ch, q, 1)
+    assert set(res) == set(expected)
+    for anc, paths in expected.items():
+        r = res[anc]
+        assert r.n_descendants == len(paths)
+        assert r.total_qty == sum(q for q, _ in paths)
+        assert r.max_depth == max(d for _, d in paths)
+
+
+def test_qe17_rrf_scores_consistent_with_channel_ranks(spark):
+    """Fused rows carry self-consistent arithmetic (rrf_ppm equals the
+    integer contributions implied by the reported channel ranks), the
+    fused list is a per-query descending top-5, and every fused hit
+    appeared in at least one channel's top-20."""
+    rows = qe17_hybrid_rrf(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == 8
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, RRF_OUT_K + 1))
+        scores = [r.rrf_ppm for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            expect = 0
+            if 0 < r.cos_rank <= RRF_CHANNEL_K:
+                expect += 1_000_000 // (RRF_K + r.cos_rank)
+            if 0 < r.mip_rank <= RRF_CHANNEL_K:
+                expect += 1_000_000 // (RRF_K + r.mip_rank)
+            assert r.rrf_ppm == expect and expect > 0, r
+
+
+def test_qe17_plan_is_single_broadcast_product_no_shuffle_join(spark):
+    """Fusion adds NO join: the physical plan has exactly the one
+    broadcast product for scoring (corpus × 8 anchors) and no
+    SortMergeJoin/ShuffledHashJoin; the three windows share the qid
+    partitioning."""
+    plan = qe17_hybrid_rrf(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
