@@ -2297,3 +2297,116 @@ def qe17_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= RRF_OUT_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# qe18: cluster↔label confusion matrix with per-label precision/recall/F1
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qe18_cluster_confusion",
+    tags=("similarity", "clustering", "eval"),
+    oracle=f"""
+WITH {km_assign_ctes()},
+labeled AS (
+  SELECT a.vec_id, a.code, CAST(e.label AS BIGINT) AS label
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+counts AS (
+  SELECT code, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM labeled GROUP BY code, label),
+mapping AS (
+  SELECT code, label AS pred_label FROM (
+    SELECT code, label,
+           ROW_NUMBER() OVER (PARTITION BY code ORDER BY n DESC, label) AS rnk
+    FROM counts) t WHERE rnk = 1),
+joined AS (
+  SELECT c.code, c.label, c.n, m.pred_label
+  FROM counts c JOIN mapping m ON m.code = c.code),
+truth AS (
+  SELECT label, CAST(SUM(n) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN pred_label = label THEN n ELSE 0 END) AS BIGINT)
+           AS tp
+  FROM joined GROUP BY label),
+pred AS (
+  SELECT pred_label AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+  FROM joined GROUP BY pred_label),
+metrics AS (
+  SELECT t.label, t.n_true, COALESCE(p.n_pred, 0) AS n_pred, t.tp,
+         CASE WHEN COALESCE(p.n_pred, 0) > 0
+              THEN (t.tp * 1000000) // p.n_pred ELSE 0 END AS precision_ppm,
+         CASE WHEN t.n_true > 0
+              THEN (t.tp * 1000000) // t.n_true ELSE 0 END AS recall_ppm
+  FROM truth t LEFT JOIN pred p ON p.label = t.label)
+SELECT label, n_true, CAST(n_pred AS BIGINT) AS n_pred, tp,
+       CAST(precision_ppm AS BIGINT) AS precision_ppm,
+       CAST(recall_ppm AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                 THEN (2 * precision_ppm * recall_ppm)
+                      // (precision_ppm + recall_ppm)
+                 ELSE 0 END AS BIGINT) AS f1_ppm
+FROM metrics
+""",
+)
+def qe18_cluster_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-vs-ground-truth evaluation (the model-eval closure
+    of the k-means family): map each cluster to its majority label,
+    then report per-label support, mapped-prediction count, true
+    positives, and precision/recall/F1 in integer ppm — the confusion
+    readout that says WHICH classes the unsupervised structure
+    recovers, where qe08's purity says only how much.
+
+    Scale shape (100 TB): consumes the ONE shared materialized
+    k-means assignment (kmeans_assign_shared — no recompute), reduces
+    it to the K×L confusion relation in one aggregation, and every
+    later step (majority argmax, metric folds) runs on that tiny
+    relation. Integer cross-multiplied ppm metrics — no float
+    division crosses the engine boundary.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign_shared(emb)
+    labeled = assign.join(
+        emb.select("vec_id", F.col("label").cast("long").alias("label")),
+        "vec_id",
+    )
+    counts = labeled.groupBy("code", "label").agg(F.count(F.lit(1)).alias("n"))
+    mapping = counts.groupBy("code").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("label"))).alias("m")
+    ).select("code", F.col("m.label").alias("pred_label"))
+    joined = counts.join(F.broadcast(mapping), "code")
+    truth = joined.groupBy("label").agg(
+        F.sum("n").alias("n_true"),
+        F.sum(F.when(F.col("pred_label") == F.col("label"), F.col("n")).otherwise(0))
+        .alias("tp"),
+    )
+    pred = joined.groupBy(F.col("pred_label").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    metrics = (
+        truth.join(pred, "label", "left")
+        .select(
+            "label",
+            "n_true",
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            "tp",
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("n_pred") > 0, F.expr("(tp * 1000000) div n_pred")
+            ).otherwise(F.lit(0)).cast("long").alias("precision_ppm"),
+            F.when(
+                F.col("n_true") > 0, F.expr("(tp * 1000000) div n_true")
+            ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
+        )
+    )
+    return metrics.select(
+        "*",
+        F.when(
+            F.col("precision_ppm") + F.col("recall_ppm") > 0,
+            F.expr(
+                "(2 * precision_ppm * recall_ppm)"
+                " div (precision_ppm + recall_ppm)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("f1_ppm"),
+    )

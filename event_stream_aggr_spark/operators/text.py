@@ -1917,3 +1917,122 @@ def qt26_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ratio_ppm",
         F.round(F.log(F.col("ratio_ppm") / 1000000.0), 6).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qt27: RAKE keyphrase extraction (stopword-delimited phrase scoring)
+# ---------------------------------------------------------------------------
+
+RAKE_MAX_WORDS = 4
+RAKE_MIN_WORDS = 2
+RAKE_TOP_K = 20
+
+
+@register(
+    "qt27_rake_keyphrases",
+    tags=("text", "keywords"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(t) AS tok,
+                       generate_subscripts(t, 1) AS pos) u),
+grouped AS (
+  SELECT doc_id, tok, pos,
+         SUM(CASE WHEN tok IN {STOPWORDS_EN!r} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks),
+members AS (
+  SELECT doc_id, grp, pos, tok,
+         COUNT(*) OVER (PARTITION BY doc_id, grp) AS n_words
+  FROM grouped WHERE tok NOT IN {STOPWORDS_EN!r}),
+cand AS (SELECT * FROM members WHERE n_words <= {RAKE_MAX_WORDS}),
+wstats AS (
+  SELECT tok,
+         (SUM(n_words) * 1000000) // COUNT(*) AS wscore_ppm
+  FROM cand GROUP BY tok),
+occ AS (
+  SELECT c.doc_id, c.grp,
+         string_agg(c.tok, ' ' ORDER BY c.pos) AS phrase,
+         CAST(MAX(c.n_words) AS BIGINT) AS n_words,
+         CAST(SUM(w.wscore_ppm) AS BIGINT) AS occ_score
+  FROM cand c JOIN wstats w ON w.tok = c.tok
+  GROUP BY c.doc_id, c.grp
+  HAVING MAX(c.n_words) >= {RAKE_MIN_WORDS}),
+ptype AS (
+  SELECT phrase, MAX(n_words) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         SUM(occ_score) // COUNT(*) AS score_ppm
+  FROM occ GROUP BY phrase)
+SELECT phrase, n_words, n_occurrences, CAST(score_ppm AS BIGINT) AS score_ppm
+FROM ptype ORDER BY score_ppm DESC, phrase LIMIT {RAKE_TOP_K}
+""",
+)
+def qt27_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (L4): candidate phrases are maximal
+    stopword-free token runs; each word scores degree/frequency over
+    all candidates (degree = Σ length of phrases containing it) and a
+    phrase scores the sum of its member word scores — the classic
+    unsupervised keyword extractor (Rose et al.), used for corpus
+    topic summaries, data cards (qt16), and retrieval query
+    expansion. Top-20 multiword phrases reported.
+
+    Determinism: word scores are integer (degree·10⁶) div freq;
+    phrase scores are integer sums; per-phrase-type score is the
+    occurrence sum div occurrence count — exact because every
+    occurrence of the same phrase string has the same member multiset.
+    (phrase, score) ordering ties break on the phrase string.
+
+    Scale shape (100 TB): segmentation is ONE doc-partitioned
+    running-count window (pos already orders within doc); phrase
+    assembly and occurrence scoring share the (doc, grp) grain;
+    word stats are a vocab-bounded relation broadcast back onto
+    members. No self-joins, no n-gram blowup — the phrase cap bounds
+    member fanout at {RAKE_MAX_WORDS}."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok")
+    )
+    is_stop = F.col("tok").isin(*STOPWORDS_EN)
+    grouped = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(is_stop.cast("int"))
+        .over(W.partitionBy("doc_id").orderBy("pos"))
+        .alias("grp"),
+    )
+    members = grouped.filter(~is_stop).select(
+        "doc_id",
+        "grp",
+        "pos",
+        "tok",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id", "grp")).alias("n_words"),
+    )
+    cand = members.filter(F.col("n_words") <= RAKE_MAX_WORDS)
+    wstats = cand.groupBy("tok").agg(
+        F.expr("(sum(n_words) * 1000000) div count(1)").alias("wscore_ppm")
+    )
+    occ = (
+        cand.join(F.broadcast(wstats), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok), ' ')"
+            ).alias("phrase"),
+            F.max("n_words").cast("long").alias("n_words"),
+            F.sum("wscore_ppm").cast("long").alias("occ_score"),
+        )
+        .filter(F.col("n_words") >= RAKE_MIN_WORDS)
+    )
+    ptype = occ.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.expr("sum(occ_score) div count(1)").alias("score_ppm"),
+    )
+    return ptype.orderBy(F.desc("score_ppm"), "phrase").limit(RAKE_TOP_K)

@@ -3640,3 +3640,193 @@ def q80_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("_num div _den").alias("p_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q81: A/B experiment readout — Welch z-test per metric from exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q81_ab_welch_z",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH assigned AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS v2
+  FROM events),
+moments AS (
+  SELECT event_type, variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DOUBLE) AS s1,
+         CAST(SUM(v2) AS DOUBLE) AS s2
+  FROM assigned GROUP BY event_type, variant),
+ab AS (
+  SELECT event_type,
+         MIN(CASE WHEN variant = 0 THEN n END) AS n_a,
+         MIN(CASE WHEN variant = 1 THEN n END) AS n_b,
+         MIN(CASE WHEN variant = 0 THEN s1 END) AS s1_a,
+         MIN(CASE WHEN variant = 1 THEN s1 END) AS s1_b,
+         MIN(CASE WHEN variant = 0 THEN s2 END) AS s2_a,
+         MIN(CASE WHEN variant = 1 THEN s2 END) AS s2_b
+  FROM moments GROUP BY event_type),
+stats AS (
+  SELECT event_type, n_a, n_b,
+         s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
+         (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS var_a,
+         (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS var_b
+  FROM ab)
+SELECT event_type, n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+       ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b), 4) AS z,
+       CAST(ABS(ROUND((mean_a - mean_b)
+            / SQRT(var_a / n_a + var_b / n_b), 4)) > 1.96 AS BIGINT)
+         AS significant
+FROM stats
+""",
+)
+def q81_ab_welch_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per metric (event type), the Welch
+    z-statistic comparing mean event value between the two
+    deterministic user buckets (user_id % 2 — the hash-assignment
+    every experimentation platform uses) plus a |z| > 1.96
+    significance flag — the analysis that closes the loop on qs09's
+    split discipline.
+
+    Determinism: the fact table reduces to exact DECIMAL moment sums
+    (n, Σv, Σv²) per (metric, variant) — order-independent — and the
+    entire z computation is then a fixed sequence of IEEE double ops
+    on identical inputs, so both engines produce identical bits; the
+    flag tests the 4dp-ROUNDED z so the boundary is engine-stable.
+
+    Scale shape (100 TB): ONE map-side-combinable aggregation to
+    |metrics|·2 rows; everything after is free. Same moments →
+    variance trick as qa02; no second pass, no window, no join — the
+    pivot is a MIN-CASE fold at metric grain (qa03's shape)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    assigned = e.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        v.alias("v"),
+        (v * v).alias("v2"),
+    )
+    moments = assigned.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum("v2").cast("double").alias("s2"),
+    )
+    ab = moments.groupBy("event_type").agg(
+        F.min(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.min(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.min(F.when(F.col("variant") == 0, F.col("s1"))).alias("s1_a"),
+        F.min(F.when(F.col("variant") == 1, F.col("s1"))).alias("s1_b"),
+        F.min(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_a"),
+        F.min(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_b"),
+    )
+    stats = ab.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("s1_a") / F.col("n_a")).alias("mean_a"),
+        (F.col("s1_b") / F.col("n_b")).alias("mean_b"),
+        (
+            (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
+            / (F.col("n_a") - 1)
+        ).alias("var_a"),
+        (
+            (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
+            / (F.col("n_b") - 1)
+        ).alias("var_b"),
+    )
+    z = F.round(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+        4,
+    )
+    return stats.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).cast("long").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82: Gini concentration of customer revenue (inequality/skew audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q82_revenue_gini",
+    tags=("stats", "skew"),
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+  FROM cust),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS DOUBLE) AS total,
+         CAST(SUM(i * rev) AS DOUBLE) AS weighted
+  FROM ranked)
+SELECT n AS n_customers, total AS total_revenue,
+       ROUND((2.0 * weighted - (n + 1) * total) / (n * total), 6) AS gini
+FROM agg
+""",
+)
+def q82_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality audit that tells a pipeline whether a key (customer,
+    source, token) is skew-dangerous BEFORE a join degrades: gini→1
+    means a few heads carry the mass (salt or AQE-split them),
+    gini→0 means uniform. Companion to the qg04 power-law tail
+    diagnostic, on exact revenue instead of degree.
+
+    Determinism: revenue is a DECIMAL rollup; the rank index is an
+    integer with o_custkey tiebreak; Σ i·rev is an exact
+    integer×DECIMAL sum. The closed-form Gini
+    (2Σi·rᵢ − (n+1)Σr)/(nΣr) is evaluated in one fixed double
+    sequence from identical inputs — bit-exact cross-engine.
+
+    Scale shape (100 TB): the fact table collapses to customer grain
+    in one map-side-combinable aggregation; the rank is ONE global
+    sort of that entity relation (the same cost class as any ranking
+    report over it — and when even the entity relation is huge, the
+    qa04 micro-bucket running-count trick computes the same Σi·rᵢ
+    from value-bucketed partial sums without a total order)."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    ranked = cust.select(
+        "rev",
+        F.row_number()
+        .over(W.orderBy("rev", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+        F.sum(F.col("i") * F.col("rev")).cast("double").alias("weighted"),
+    )
+    return agg.select(
+        "n_customers",
+        "total_revenue",
+        F.round(
+            (
+                2.0 * F.col("weighted")
+                - (F.col("n_customers") + 1) * F.col("total_revenue")
+            )
+            / (F.col("n_customers") * F.col("total_revenue")),
+            6,
+        ).alias("gini"),
+    )

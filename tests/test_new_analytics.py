@@ -1,6 +1,7 @@
 """Semantic invariants + independent recounts for the round-5 late
-additions (q80 Markov, qa04 equi-depth histogram, qt26 PMI, qg05 BOM
-rollup, qe17 RRF fusion). Exact cross-engine equality is the oracle
+additions (q80 Markov, q81 Welch A/B, q82 Gini, qa04 equi-depth
+histogram, qt26 PMI, qt27 RAKE, qg05 BOM rollup, qe17 RRF fusion,
+qe18 confusion metrics). Exact cross-engine equality is the oracle
 harness's job; these tests assert the properties the oracle can't —
 conservation laws, independent recomputation, and rank-consistency."""
 
@@ -14,7 +15,6 @@ from event_stream_aggr_spark.operators.cluster import (
     BOM_DEPTH,
     BOM_FANOUT,
     BOM_QTY_MOD,
-    _register_bom_rollup_query,
 )
 from event_stream_aggr_spark.operators.maintenance import HIST_BINS
 from event_stream_aggr_spark.operators.similarity import (
@@ -178,3 +178,122 @@ def test_qe17_plan_is_single_broadcast_product_no_shuffle_join(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_q81_welch_recount(spark):
+    """Recompute the Welch z per event type driver-side from the raw
+    values (float sums, so compare to 3dp) and check the flag is
+    exactly |rounded z| > 1.96."""
+    res = {r.event_type: r for r in QUERIES["q81_ab_welch_z"].fn(spark, SF_DIR).collect()}
+    raw = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", (F.col("user_id") % 2).alias("v"), "value")
+        .collect()
+    )
+    groups: dict[tuple, list] = {}
+    for r in raw:
+        groups.setdefault((r.event_type, r.v), []).append(r.value)
+    for et, r in res.items():
+        a, b = groups[(et, 0)], groups[(et, 1)]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        assert abs(r.z - z) < 5e-4, (et, r.z, z)
+        assert r.significant == (1 if abs(r.z) > 1.96 else 0)
+
+
+def test_q82_gini_recount(spark):
+    """Pure-python Gini over the customer revenue rollup matches, and
+    the value sits in (0, 1)."""
+    r = QUERIES["q82_revenue_gini"].fn(spark, SF_DIR).collect()[0]
+    revs = sorted(
+        x.rev
+        for x in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .collect()
+    )
+    n = len(revs)
+    total = float(sum(revs))
+    weighted = float(sum((i + 1) * float(v) for i, v in enumerate(revs)))
+    gini = (2.0 * weighted - (n + 1) * total) / (n * total)
+    assert r.n_customers == n
+    assert abs(r.gini - gini) < 1e-6
+    assert 0.0 < r.gini < 1.0
+
+
+def test_qt27_rake_matches_pure_python(spark):
+    """Full independent RAKE reimplementation driver-side (phrase
+    segmentation, degree/freq word scores, occurrence scoring) —
+    top-20 must match exactly."""
+    from event_stream_aggr_spark.operators.text import (
+        RAKE_MAX_WORDS,
+        RAKE_MIN_WORDS,
+        RAKE_TOP_K,
+        STOPWORDS_EN,
+        qt27_rake_keyphrases,
+    )
+
+    res = [
+        (r.phrase, r.n_words, r.n_occurrences, r.score_ppm)
+        for r in qt27_rake_keyphrases(spark, SF_DIR).collect()
+    ]
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    stop = set(STOPWORDS_EN)
+    cands = []  # list of tuple-of-words
+    for d in docs:
+        run: list[str] = []
+        for tok in [t for t in d.text.lower().split(" ") if t]:
+            if tok in stop:
+                if run:
+                    cands.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+        if run:
+            cands.append(tuple(run))
+    cands = [c for c in cands if len(c) <= RAKE_MAX_WORDS]
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for c in cands:
+        for w in c:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(c)
+    wscore = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+    by_phrase: dict[tuple, list[int]] = {}
+    for c in cands:
+        if len(c) >= RAKE_MIN_WORDS:
+            by_phrase.setdefault(c, []).append(sum(wscore[w] for w in c))
+    ptype = [
+        (" ".join(c), len(c), len(ss), sum(ss) // len(ss))
+        for c, ss in by_phrase.items()
+    ]
+    ptype.sort(key=lambda t: (-t[3], t[0]))
+    assert res == ptype[:RAKE_TOP_K]
+
+
+def test_qe18_confusion_metric_laws(spark):
+    """Per-label: tp ≤ min(n_true, n_pred); F1 is the integer harmonic
+    mean of the reported ppm metrics; supports recount to the label
+    distribution; micro-accuracy matches the majority-mass bound."""
+    rows = QUERIES["qe18_cluster_confusion"].fn(spark, SF_DIR).collect()
+    emb_counts = {
+        r.label: r.n
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.label for r in rows} == set(emb_counts)
+    assert sum(r.n_pred for r in rows) == sum(emb_counts.values())
+    for r in rows:
+        assert r.n_true == emb_counts[r.label]
+        assert 0 <= r.tp <= min(r.n_true, r.n_pred) if r.n_pred else r.tp == 0
+        if r.precision_ppm + r.recall_ppm > 0:
+            assert r.f1_ppm == (2 * r.precision_ppm * r.recall_ppm) // (
+                r.precision_ppm + r.recall_ppm
+            )
+        else:
+            assert r.f1_ppm == 0
