@@ -1001,3 +1001,80 @@ def qs13_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw_rank") <= NEG_K)
         .select("user_id", "draw_rank", "item_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qs14: DSIR importance RESAMPLING — Gumbel-top-k draw on the qt22 weights
+# ---------------------------------------------------------------------------
+
+DSIR_DRAW_K = 50
+
+
+def _register_dsir_resample_query():
+    from event_stream_aggr_spark.operators.text import (
+        DSIR_TARGET_LANG,
+        DSIR_WEIGHT_CTES,
+        dsir_doc_weights,
+    )
+
+    @register(
+        "qs14_dsir_resample",
+        tags=("sampling", "training-data"),
+        oracle=f"""
+WITH {DSIR_WEIGHT_CTES},
+keyed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(wdec * 1000000 AS BIGINT)
+         + CAST(FLOOR(-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                                    AS BIGINT) + 0.5) / {16**7}))
+                      * 1000000.0 + 0.5) AS BIGINT) AS key_us,
+         CAST(wdec AS DOUBLE) AS log_weight
+  FROM perdoc WHERE lang <> '{DSIR_TARGET_LANG}'),
+ranked AS (
+  SELECT doc_id, lang, n_tokens, log_weight, key_us,
+         ROW_NUMBER() OVER (ORDER BY key_us DESC, doc_id) AS rn
+  FROM keyed)
+SELECT doc_id, lang, n_tokens, log_weight, key_us
+FROM ranked WHERE rn <= {DSIR_DRAW_K}
+""",
+    )
+    def qs14_dsir_resample(spark, sf_dir):
+        """DSIR closed end-to-end (the selection qt22 only scores):
+        draw {DSIR_DRAW_K} out-of-target documents with probability
+        ∝ exp(importance log-ratio) WITHOUT replacement via the
+        Gumbel-top-k trick — key = log-weight + Gumbel(0,1) noise,
+        take the k largest. The published importance-resampling
+        selection step (Xie et al. 2023), with the Gumbel-max
+        equivalence (Vieira 2014) replacing an explicit normalized
+        draw so no global weight normalization pass is needed.
+
+        Determinism: the per-doc log-weight is qt22's exact
+        DECIMAL(18,6) sum → ·10⁶ is an exact integer; the Gumbel
+        noise is content-derived (-ln(-ln(u)) with u from md5,
+        quantized to integer micro-nats with the qs05 floor recipe);
+        the draw key is the SUM OF TWO INTEGERS — ranking and
+        tiebreaks (doc_id) are bit-exact cross-engine.
+
+        Scale shape (100 TB): weights come from the shared
+        broadcast-calibration dataflow (dsir_doc_weights — two
+        vocab-bounded count tables broadcast onto the token stream);
+        keying is a map-side expression; the k-cut is
+        TakeOrderedAndProject. Nothing new shuffles beyond qt22's own
+        aggregation; the draw itself is embarrassingly parallel."""
+        d = load_table(spark, sf_dir, "documents")
+        perdoc = dsir_doc_weights(d).where(F.col("lang") != DSIR_TARGET_LANG)
+        u = (_key_hash(F.col("doc_id")).cast("double") + 0.5) / _HASH_SPACE
+        gumbel_us = F.floor(-F.log(-F.log(u)) * 1000000.0 + 0.5).cast("long")
+        keyed = perdoc.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.col("wdec").cast("double").alias("log_weight"),
+            ((F.col("wdec") * 1000000).cast("long") + gumbel_us).alias("key_us"),
+        )
+        return keyed.orderBy(F.desc("key_us"), "doc_id").limit(DSIR_DRAW_K)
+
+    return qs14_dsir_resample
+
+
+_register_dsir_resample_query()

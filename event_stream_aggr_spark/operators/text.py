@@ -1536,6 +1536,21 @@ def qt22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical so the unhashed form is what this query pins.
     """
     d = load_table(spark, sf_dir, "documents")
+    perdoc = dsir_doc_weights(d)
+    return (
+        perdoc.where(F.col("lang") != DSIR_TARGET_LANG)
+        .select("doc_id", "lang", "n_tokens", F.col("wdec").cast("double").alias("weight"))
+        .orderBy(F.desc("weight"), "doc_id")
+        .limit(DSIR_TOP_K)
+    )
+
+
+def dsir_doc_weights(d: DataFrame) -> DataFrame:
+    """qt22's per-document DSIR log-likelihood-ratio weight dataflow
+    over any documents DataFrame (all docs, no slice filter / top-k):
+    returns (doc_id, lang, n_tokens, wdec DECIMAL(18,6)). Shared by
+    qt22 (the weight report) and qs14 (the resampling draw) so the
+    score a selection acts on is the score the report shows."""
     toks = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
     cr = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
     ct = (
@@ -1561,7 +1576,7 @@ def qt22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr6"),
         )
     )
-    perdoc = (
+    return (
         toks.join(F.broadcast(lr), "tok")
         .groupBy("doc_id", "lang")
         .agg(
@@ -1569,12 +1584,29 @@ def qt22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr6").alias("wdec"),
         )
     )
-    return (
-        perdoc.where(F.col("lang") != DSIR_TARGET_LANG)
-        .select("doc_id", "lang", "n_tokens", F.col("wdec").cast("double").alias("weight"))
-        .orderBy(F.desc("weight"), "doc_id")
-        .limit(DSIR_TOP_K)
-    )
+
+
+DSIR_WEIGHT_CTES = f"""toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+cr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY tok),
+tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cr) AS v,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM cr) AS nr,
+               (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ct) AS nt),
+lr AS (
+  SELECT cr.tok,
+         CAST(ROUND(ln((COALESCE(ct.c, 0) + 1.0) / (nt + v))
+                    - ln((cr.c + 1.0) / (nr + v)), 6) AS DECIMAL(18,6)) AS lr6
+  FROM cr LEFT JOIN ct USING (tok) CROSS JOIN tot),
+perdoc AS (
+  SELECT t.doc_id, t.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(lr.lr6) AS wdec
+  FROM toks t JOIN lr ON t.tok = lr.tok
+  GROUP BY t.doc_id, t.lang)"""
 
 
 # ---------------------------------------------------------------------------

@@ -3830,3 +3830,111 @@ def q82_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q83: funnel conversion latency percentiles (signup → first purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q83_conversion_latency",
+    tags=("funnel", "stats"),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsm FROM events),
+su AS (
+  SELECT user_id, MIN(tsm) AS s_tsm FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id, MIN(e.tsm) - MIN(su.s_tsm) AS delta_us
+  FROM ev e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.tsm > su.s_tsm
+  GROUP BY e.user_id),
+ranked AS (
+  SELECT delta_us,
+         ROW_NUMBER() OVER (ORDER BY delta_us, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv),
+pick AS (
+  SELECT
+    MIN(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN delta_us END) AS p50,
+    MIN(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN delta_us END) AS p90,
+    MIN(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN delta_us END) AS p99,
+    CAST(MIN(n) AS BIGINT) AS n_converted
+  FROM ranked)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM su) AS n_signups,
+       n_converted,
+       CAST(p50 // 1000000 AS BIGINT) AS p50_s,
+       CAST(p90 // 1000000 AS BIGINT) AS p90_s,
+       CAST(p99 // 1000000 AS BIGINT) AS p99_s
+FROM pick
+""",
+)
+def q83_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: per user, time from first signup
+    to the first purchase STRICTLY after it; report converted-user
+    count against the signup population and the p50/p90/p99 latency
+    in whole seconds — the SLA/engagement readout beside q48's
+    conversion-rate funnel (how MANY convert) and q77's retention
+    (how LONG they stay): how FAST they convert.
+
+    Determinism: timestamps reduce to integer event-time micros
+    (TIMESTAMP_NTZ arithmetic, tz-independent); latencies are exact
+    integer differences; percentiles are nearest-rank SELECTIONS
+    (ceil(p·n)-th order statistic, qf03's recipe — never
+    interpolation, so the reported values are actual data points,
+    identical cross-engine); user_id breaks rank ties.
+
+    Scale shape (100 TB): events reduce per-user twice (signup min,
+    then first-qualifying-purchase min over the signup join — the
+    join is user-keyed, AQE-splittable); the percentile window runs
+    over the CONVERTED-USER relation, orders of magnitude below event
+    grain. At entity scale where even that sort hurts, the qa04
+    micro-bucket running count replaces the rank (stated swap)."""
+    tsm = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", tsm.alias("tsm")
+    )
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("tsm").alias("s_tsm"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("tsm") > F.col("s_tsm"))
+        .groupBy("user_id")
+        .agg((F.min("tsm") - F.min("s_tsm")).alias("delta_us"))
+    )
+    ranked = conv.select(
+        "delta_us",
+        F.row_number().over(W.orderBy("delta_us", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    pick = ranked.agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.50 * F.col("n")), F.col("delta_us"))
+        ).alias("p50"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.90 * F.col("n")), F.col("delta_us"))
+        ).alias("p90"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.99 * F.col("n")), F.col("delta_us"))
+        ).alias("p99"),
+        F.min("n").cast("long").alias("n_converted"),
+    )
+    n_signups = su.agg(F.count(F.lit(1)).alias("n_signups"))
+    return (
+        pick.crossJoin(F.broadcast(n_signups))
+        .select(
+            "n_signups",
+            "n_converted",
+            F.expr("p50 div 1000000").alias("p50_s"),
+            F.expr("p90 div 1000000").alias("p90_s"),
+            F.expr("p99 div 1000000").alias("p99_s"),
+        )
+    )

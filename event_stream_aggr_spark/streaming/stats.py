@@ -365,3 +365,59 @@ def throttle_with_state(df: DataFrame, n: int = 3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_OUT_SCHEMA = "user_id long, prev_type string, next_type string"
+TRANSITION_STATE_SCHEMA = "last_type string, last_tsm long, last_eid long"
+
+
+def transitions_with_state(df: DataFrame) -> DataFrame:
+    """q80's streaming twin — online Markov transition extraction: per
+    user the state is the last-seen event (type, tsm, event_id); each
+    arriving event emits one (prev_type → next_type) transition row
+    and advances the state, so a downstream counting aggregation over
+    the emitted rows equals the batch q80 lag-window counts exactly
+    once the same events have flowed through (per-key time-ordered
+    arrival, the engine's replay contract — same §2.9 state-edge
+    dispensation as the CEP/EWMA/throttle twins).
+
+    Input must carry ``tsm`` (event-time micros); the (tsm, event_id)
+    sort inside the batch pins the same tiebreak as the batch window.
+    State is three scalars per user — bounded, no growth with stream
+    length.
+    """
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_type, last_tsm, last_eid = (
+            state.get if state.exists else (None, None, None)
+        )
+        rows = pd.concat(list(batches)).sort_values(["tsm", "event_id"])
+        out = []
+        for r in rows.itertuples():
+            if last_type is not None:
+                out.append((int(key[0]), last_type, r.event_type))
+            last_type, last_tsm, last_eid = (
+                r.event_type,
+                int(r.tsm),
+                int(r.event_id),
+            )
+        state.update((last_type, last_tsm, last_eid))
+        yield pd.DataFrame(
+            out, columns=["user_id", "prev_type", "next_type"]
+        )
+
+    return (
+        df.select("event_id", "event_type", "user_id", "tsm")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITION_OUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

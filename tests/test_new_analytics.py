@@ -297,3 +297,78 @@ def test_qe18_confusion_metric_laws(spark):
             )
         else:
             assert r.f1_ppm == 0
+
+
+def test_qs14_dsir_resample_draw_laws(spark):
+    """The Gumbel-top-k draw: (a) keys recompute exactly from the
+    reported log-weight and the content-derived Gumbel noise; (b) no
+    target-language docs appear; (c) the draw is biased toward high
+    weights — the selected docs' mean log-weight strictly exceeds the
+    out-of-target population mean."""
+    from event_stream_aggr_spark.operators.text import (
+        DSIR_TARGET_LANG,
+        dsir_doc_weights,
+    )
+
+    rows = QUERIES["qs14_dsir_resample"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 50
+    assert all(r.lang != DSIR_TARGET_LANG for r in rows)
+    pop = (
+        dsir_doc_weights(load_table(spark, SF_DIR, "documents"))
+        .where(F.col("lang") != DSIR_TARGET_LANG)
+        .select(F.col("doc_id"), F.col("wdec").cast("double").alias("w"))
+        .collect()
+    )
+    pop_w = {r.doc_id: r.w for r in pop}
+    import hashlib
+
+    for r in rows:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:7], 16)
+        u = (h + 0.5) / 16**7
+        g_us = math.floor(-math.log(-math.log(u)) * 1e6 + 0.5)
+        w_us = round(pop_w[r.doc_id] * 1e6)
+        assert r.key_us == w_us + g_us, (r.doc_id, r.key_us, w_us + g_us)
+    sel_mean = sum(r.log_weight for r in rows) / len(rows)
+    pop_mean = sum(pop_w.values()) / len(pop_w)
+    assert sel_mean > pop_mean
+
+
+def test_q83_latency_recount(spark):
+    """Driver-side recount of the signup→purchase latency population
+    and its nearest-rank percentiles."""
+    r = QUERIES["q83_conversion_latency"].fn(spark, SF_DIR).collect()[0]
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " AS tsm",
+        )
+        .collect()
+    )
+    first_signup: dict[int, int] = {}
+    for e in ev:
+        if e.event_type == "signup":
+            if e.user_id not in first_signup or e.tsm < first_signup[e.user_id]:
+                first_signup[e.user_id] = e.tsm
+    first_purchase: dict[int, int] = {}
+    for e in ev:
+        if (
+            e.event_type == "purchase"
+            and e.user_id in first_signup
+            and e.tsm > first_signup[e.user_id]
+        ):
+            if (
+                e.user_id not in first_purchase
+                or e.tsm < first_purchase[e.user_id]
+            ):
+                first_purchase[e.user_id] = e.tsm
+    deltas = sorted(
+        (first_purchase[u] - first_signup[u], u) for u in first_purchase
+    )
+    n = len(deltas)
+    assert r.n_signups == len(first_signup)
+    assert r.n_converted == n
+    for p, got in ((0.50, r.p50_s), (0.90, r.p90_s), (0.99, r.p99_s)):
+        assert got == deltas[math.ceil(p * n) - 1][0] // 1_000_000

@@ -355,3 +355,65 @@ def test_stream_batch_equivalence_throttle(spark, sf_dir, tmp_path):
     }
     assert q.lastProgress["batchId"] >= 1
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_batch_equivalence_markov_transitions(spark, sf_dir, tmp_path):
+    """q80's streaming twin: per-user last-event state emits one
+    transition row per arriving event; counting the emitted rows per
+    (prev, next) equals the batch lag-window transition counts — so
+    the online next-event model trains on exactly the rows a batch
+    backfill would produce."""
+    import os
+    import time
+
+    from event_stream_aggr_spark.plans.relational import q80_markov_transitions
+    from event_stream_aggr_spark.streaming.stats import transitions_with_state
+
+    src = str(tmp_path / "events_markov_ordered")
+    tsm = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    events = load_table(spark, sf_dir, "events").withColumn("_tsm", F.expr(tsm))
+    cuts = events.selectExpr(
+        "percentile(_tsm, array(0.25, 0.5, 0.75)) AS c"
+    ).collect()[0].c
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        (
+            events.filter((F.col("_tsm") > lo) & (F.col("_tsm") <= hi))
+            .drop("_tsm")
+            .sortWithinPartitions("ts", "event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(0.1)
+    stored = spark.read.parquet(src)
+
+    tmp_sf = str(tmp_path / "sf_view_markov")
+    os.makedirs(tmp_sf, exist_ok=True)
+    stored.write.mode("overwrite").parquet(f"{tmp_sf}/events.parquet")
+    batch = {
+        (r.prev_type, r.next_type): r.n
+        for r in q80_markov_transitions(spark, tmp_sf).collect()
+    }
+
+    stream = stream_parquet_dir(
+        spark, src, stored.schema, max_files_per_trigger=1
+    ).withColumn("tsm", F.expr(tsm))
+    q = (
+        transitions_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("markov_equiv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.table("markov_equiv")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert q.lastProgress["batchId"] >= 1
+    assert streamed == batch and len(batch) > 0
