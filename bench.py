@@ -160,7 +160,12 @@ def prev_round_deltas(timings: dict[str, float]) -> dict:
         out = {
             "baseline": os.path.basename(path),
             "method_note": "r4+ times are min-of-2; r<=3 were single-run"
-            " (negative deltas partly reflect the lower-noise estimator)",
+            " (negative deltas partly reflect the lower-noise estimator)."
+            " Rounds run on the same box but not the same boot: a"
+            " UNIFORM cross-round shift (every query moves the same"
+            " direction by a similar factor) is host/VM state, not a"
+            " plan change — read per-query deltas relative to the"
+            " round's overall shift.",
             "pct": {},
         }
         for name, sec in timings.items():

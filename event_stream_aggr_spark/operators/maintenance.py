@@ -672,6 +672,7 @@ def _register_equidepth_histogram_query():
 
     @register(
         "qa04_equidepth_histogram",
+        bench=True,
         tags=("monitoring", "profile"),
         oracle=f"""
 WITH mb AS (
@@ -757,3 +758,78 @@ FROM cum GROUP BY 1
 
 
 _register_equidepth_histogram_query()
+
+
+# ---------------------------------------------------------------------------
+# qz04: join-key skew planner (salt-factor recommendation)
+# ---------------------------------------------------------------------------
+
+SKEW_FLAG_X = 2  # a key is skewed when its count exceeds 2x the mean
+
+
+def _register_skew_planner_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qz04_skew_planner",
+        tags=("maintenance", "skew", "planner"),
+        oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts)
+SELECT source, n_rows,
+       CAST(n_rows * 10000 // total AS BIGINT) AS share_bp,
+       CAST(n_rows * n_keys > {SKEW_FLAG_X} * total AS BIGINT) AS skewed,
+       CAST(CASE WHEN n_rows * n_keys > {SKEW_FLAG_X} * total
+                 THEN (n_rows * n_keys + total - 1) // total
+                 ELSE 1 END AS BIGINT) AS salt_factor
+FROM counts, tot
+""",
+    )
+    def qz04_skew_planner(spark, sf_dir):
+        """Join-key skew planner: per key, the row count, its share in
+        basis points, a skew flag (count > {SKEW_FLAG_X}× the mean),
+        and the recommended SALT FACTOR = ceil(count / mean) — the
+        number of sub-keys `operators/skew.py:salted_join` should
+        split that key into so each salted partition carries ~mean
+        rows. The metadata-grain planning pass that prices the r4
+        zipf stress's AQE split BEFORE the join runs, the way qz02
+        plans compaction before rewriting files.
+
+        Determinism: the flag and factor are integer
+        cross-multiplications (n·k vs 2·total; ceil as
+        (n·k + total − 1) div total) — no division until the derived
+        share. Scale shape: ONE map-side-combinable count per key
+        (the relation AQE itself builds), a 1-row total broadcast,
+        then pure per-row expressions; the planner output is
+        key-cardinality-sized, never data-sized."""
+        d = load_table(spark, sf_dir, "documents")
+        counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_rows"))
+        tot = counts.agg(
+            F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+        )
+        flagged = F.col("n_rows") * F.col("n_keys") > SKEW_FLAG_X * F.col("total")
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_rows",
+            F.expr("n_rows * 10000 div total").alias("share_bp"),
+            flagged.cast("long").alias("skewed"),
+            F.when(
+                flagged, F.expr("(n_rows * n_keys + total - 1) div total")
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("salt_factor"),
+        )
+
+    return qz04_skew_planner
+
+
+_register_skew_planner_query()

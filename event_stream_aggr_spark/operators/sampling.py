@@ -1078,3 +1078,120 @@ FROM ranked WHERE rn <= {DSIR_DRAW_K}
 
 
 _register_dsir_resample_query()
+
+
+# ---------------------------------------------------------------------------
+# qs15: mixture apportionment — largest-remainder token-budget allocation
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_DIV = 2  # global budget = total corpus tokens div 2
+
+
+@register(
+    "qs15_mixture_apportionment",
+    tags=("sampling", "training-data", "planner"),
+    oracle=f"""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+wt AS (
+  SELECT source, tokens,
+         CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+  FROM src),
+tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(tokens) AS BIGINT) // {MIX_BUDGET_DIV} AS budget
+  FROM wt),
+base AS (
+  SELECT source, tokens, w,
+         CAST((budget * w) // sw AS BIGINT) AS quota_base,
+         CAST((budget * w) % sw AS BIGINT) AS remainder,
+         budget, sw
+  FROM wt, tot),
+leftover AS (
+  SELECT MIN(budget) - SUM(quota_base) AS extra_seats FROM base),
+ranked AS (
+  SELECT source, tokens, w, quota_base, remainder,
+         ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
+  FROM base)
+SELECT r.source, r.tokens, r.w AS weight, r.quota_base,
+       CAST(r.rnk <= l.extra_seats AS BIGINT) AS extra,
+       CAST(r.quota_base + CAST(r.rnk <= l.extra_seats AS BIGINT) AS BIGINT)
+         AS final_quota
+FROM ranked r, leftover l
+""",
+)
+def qs15_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture apportionment: split a global token budget
+    (half the corpus here) across sources with weights ∝ √tokens —
+    qs04's temperature-0.5 compromise — using LARGEST-REMAINDER
+    (Hamilton) rounding so the integer per-source quotas sum EXACTLY
+    to the budget: quota = floor(B·w/W) plus one extra token-seat for
+    the largest fractional remainders. The planning step before qs05's
+    weighted draw executes a mixture: this query decides how much each
+    source contributes, deterministically and without float drift
+    (naive round() over- or under-shoots the budget; largest-remainder
+    is the standard fix, same math as parliamentary seat allocation).
+
+    Determinism: weights are floor(sqrt(integer)) — one
+    correctly-rounded IEEE sqrt both engines agree on; quotas and
+    remainders are exact integer div/mod; the extra-seat cut is a rank
+    over integers with source tiebreak.
+
+    Scale shape (100 TB): the corpus reduces once to per-source token
+    counts (map-side combinable); everything else lives on the
+    |sources|-row relation — one tiny window, one 1-row broadcast.
+    Conservation (Σ final_quota = budget) is structural, and
+    tested."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        )
+        .cast("long")
+        .alias("tokens")
+    )
+    wt = src.select(
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long").alias("w"),
+    )
+    tot = wt.agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.expr(f"sum(tokens) div {MIX_BUDGET_DIV}").cast("long").alias("budget"),
+    )
+    base = wt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "w",
+        F.expr("(budget * w) div sw").alias("quota_base"),
+        F.expr("(budget * w) % sw").alias("remainder"),
+        "budget",
+    )
+    leftover = base.agg(
+        (F.min("budget") - F.sum("quota_base")).alias("extra_seats")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = base.select(
+        "source",
+        "tokens",
+        "w",
+        "quota_base",
+        F.row_number()
+        .over(W.orderBy(F.desc("remainder"), "source"))
+        .alias("rnk"),
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "tokens",
+        F.col("w").alias("weight"),
+        "quota_base",
+        (F.col("rnk") <= F.col("extra_seats")).cast("long").alias("extra"),
+        (
+            F.col("quota_base")
+            + (F.col("rnk") <= F.col("extra_seats")).cast("long")
+        ).cast("long").alias("final_quota"),
+    )

@@ -2172,6 +2172,7 @@ RRF_N_QUERIES = 8
 
 @register(
     "qe17_hybrid_rrf",
+    bench=True,
     tags=("similarity", "retrieval"),
     oracle=f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -2247,15 +2248,27 @@ def qe17_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     ).withColumn("_cnorm", norm(F.col("ce")))
-    dp = dot(F.col("qe"), F.col("ce"))
+    # dp is hoisted through its own projection so the fold runs ONCE
+    # per pair — inlining it into both outputs would make Catalyst
+    # evaluate the zip_with/aggregate lambda twice (plan-verified:
+    # 3 aggregate() occurrences = 2 norms + 1 dot, not 4)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col("qid"))
         .select(
             "qid",
             "cid",
-            F.round(dp / (F.col("_qnorm") * F.col("_cnorm")), 6).alias("cos_sim"),
-            F.round(dp, 6).alias("mip"),
+            "_qnorm",
+            "_cnorm",
+            dot(F.col("qe"), F.col("ce")).alias("dp"),
+        )
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.col("dp") / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
+            F.round("dp", 6).alias("mip"),
         )
     )
     wc = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")

@@ -1962,6 +1962,7 @@ RAKE_TOP_K = 20
 
 @register(
     "qt27_rake_keyphrases",
+    bench=True,
     tags=("text", "keywords"),
     oracle=f"""
 WITH toks AS (

@@ -372,3 +372,66 @@ def test_q83_latency_recount(spark):
     assert r.n_converted == n
     for p, got in ((0.50, r.p50_s), (0.90, r.p90_s), (0.99, r.p99_s)):
         assert got == deltas[math.ceil(p * n) - 1][0] // 1_000_000
+
+
+def test_qh03_ams_sign_balance_and_estimate_quality(spark):
+    """The AMS estimator: exact F2 recount matches the query's
+    f2_exact; the sketch estimate is within 3/sqrt(k) relative error
+    of truth (the AMS variance bound gives std ≈ sqrt(2/k)·F2 for
+    near-uniform frequencies; 3σ with k=8 ≈ 1.5 — loose but
+    non-vacuous, and the measured value is asserted far tighter by
+    rel_err_ppm consistency)."""
+    from event_stream_aggr_spark.operators.sketch import AMS_K
+
+    r = QUERIES["qh03_ams_f2_sketch"].fn(spark, SF_DIR).collect()[0]
+    freqs = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    f2 = sum(x["count"] ** 2 for x in freqs)
+    assert r.f2_exact == f2
+    diff = (r.f2_estimate - r.f2_exact) * 1_000_000
+    trunc = abs(diff) // f2 * (1 if diff >= 0 else -1)  # div truncates
+    assert r.rel_err_ppm == trunc
+    assert abs(r.f2_estimate - f2) / f2 <= 3 * math.sqrt(2 / AMS_K)
+
+
+def test_qz04_salt_factors_recount(spark):
+    """Planner laws: shares sum to ~10000bp, every skewed key's salt
+    factor equals ceil(n/mean) and is ≥ 2, non-skewed keys get 1."""
+    rows = QUERIES["qz04_skew_planner"].fn(spark, SF_DIR).collect()
+    total = sum(r.n_rows for r in rows)
+    k = len(rows)
+    assert total > 0 and k > 0
+    assert sum(r.share_bp for r in rows) <= 10000
+    for r in rows:
+        skewed = r.n_rows * k > 2 * total
+        assert r.skewed == int(skewed)
+        if skewed:
+            expect = (r.n_rows * k + total - 1) // total
+            assert r.salt_factor == expect >= 2
+        else:
+            assert r.salt_factor == 1
+
+
+def test_qs15_apportionment_conservation(spark):
+    """Hamilton-apportionment laws: Σ final_quota == budget exactly
+    (the property naive rounding breaks); every source gets
+    quota_base or quota_base+1; extra seats go to the largest
+    remainders (recounted driver-side)."""
+    rows = QUERIES["qs15_mixture_apportionment"].fn(spark, SF_DIR).collect()
+    total_tokens = sum(r.tokens for r in rows)
+    budget = total_tokens // 2
+    assert sum(r.final_quota for r in rows) == budget
+    sw = sum(r.weight for r in rows)
+    rem = {}
+    for r in rows:
+        assert r.weight == math.floor(math.sqrt(r.tokens))
+        assert r.quota_base == (budget * r.weight) // sw
+        assert r.final_quota - r.quota_base == r.extra in (0, 1)
+        rem[r.source] = (budget * r.weight) % sw
+    extras = {r.source for r in rows if r.extra}
+    order = sorted(rem, key=lambda s: (-rem[s], s))
+    assert extras == set(order[: len(extras)])
