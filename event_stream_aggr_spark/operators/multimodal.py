@@ -537,3 +537,144 @@ def qm06_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qm07: perceptual dHash near-dup candidates (banded LSH over the hash bits)
+# ---------------------------------------------------------------------------
+
+DHASH_GRID = 8        # 8 rows × 8 cols from the first 64 payload bytes
+DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)  # 56 gradient bits (sign-safe)
+DHASH_BANDS = 4
+DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS  # 14 → 16k buckets per band
+
+DHASH_SCHEMA = "doc_id long, dhash long"
+
+
+def perceptual_dhash(multimodal: DataFrame) -> DataFrame:
+    """dHash stage: view the first 8×8 bytes of the payload as a tiny
+    raster and set bit r·7+c when cell (r,c) < cell (r,c+1) — the
+    difference-hash gradient signature real image pipelines compute on
+    a downscaled grayscale (a production build downscales the decoded
+    pixels on this same Arrow path; the stand-in hashes raw bytes so
+    the oracle can replay it). 56 bits keeps the hash in positive
+    BIGINT range."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if len(buf) < DHASH_GRID * DHASH_GRID:
+                    continue
+                h = 0
+                for r in range(DHASH_GRID):
+                    row = buf[r * DHASH_GRID : (r + 1) * DHASH_GRID]
+                    for c in range(DHASH_GRID - 1):
+                        if row[c] < row[c + 1]:
+                            h |= 1 << (r * (DHASH_GRID - 1) + c)
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        op, schema=DHASH_SCHEMA
+    )
+
+
+def _dhash_sql() -> str:
+    """DuckDB CTE replaying the dHash bit-for-bit from text (ASCII
+    corpus: byte == ascii(char), the qm03/qm04 contract)."""
+    return f"""hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ascii(substr(text, r * {DHASH_GRID} + c + 1, 1))
+                          < ascii(substr(text, r * {DHASH_GRID} + c + 2, 1))
+                       THEN CAST(1 AS BIGINT) << (r * {DHASH_GRID - 1} + c)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, {DHASH_GRID - 1})) AS r),
+       LATERAL (SELECT unnest(generate_series(0, {DHASH_GRID - 2})) AS c)
+  WHERE n_chars >= {DHASH_GRID * DHASH_GRID}
+  GROUP BY doc_id)"""
+
+
+@register(
+    "qm07_perceptual_neardup",
+    tags=("multimodal", "dedup"),
+    oracle=f"""
+WITH {_dhash_sql()},
+bands AS (
+  SELECT doc_id, b,
+         (dhash >> (b * {DHASH_BAND_BITS})) & {2**DHASH_BAND_BITS - 1} AS bv
+  FROM hashes,
+       LATERAL (SELECT unnest(generate_series(0, {DHASH_BANDS - 1})) AS b)),
+cand AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+  WHERE a.doc_id < c.doc_id
+  GROUP BY a.doc_id, c.doc_id)
+SELECT cand.doc_a, cand.doc_b, cand.n_shared_bands,
+       CAST(bit_count(xor(ha.dhash, hb.dhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN hashes ha ON ha.doc_id = cand.doc_a
+JOIN hashes hb ON hb.doc_id = cand.doc_b
+""",
+)
+def qm07_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate candidates over media payloads (L5 ∩
+    L2): a 56-bit dHash gradient signature per payload, banded into
+    {DHASH_BANDS}×{DHASH_BAND_BITS}-bit LSH buckets; payloads sharing
+    any band bucket become candidate pairs, reported with their true
+    Hamming distance — the image-dedup recipe (pHash/dHash + banding)
+    beside qm06's EXACT payload digests: qm06 catches byte-identical
+    re-uploads, qm07 catches re-encoded/near-identical ones (low
+    Hamming) while the band join keeps it sub-quadratic.
+
+    Scale shape (100 TB): the hash leaves the Arrow sampler as ONE
+    64-bit integer per payload (payload bytes never shuffle); banding
+    is a {DHASH_BANDS}× fan-out of that integer relation; candidates
+    come from a band equi-join (never all-pairs — qd04's banding
+    argument); the Hamming verify joins hashes back by id. Integer
+    end-to-end — bit-exact cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hashes = perceptual_dhash(attach_binary(d))
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(
+                            f"(dhash >> {b * DHASH_BAND_BITS})"
+                            f" & {2**DHASH_BAND_BITS - 1}"
+                        ).alias("bv"),
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.b").alias("b"), F.col("band.bv").alias("bv"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bv")
+    c = bands.select(F.col("doc_id").alias("doc_b"), "b", "bv")
+    cand = (
+        a.join(c, ["b", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("dhash").alias("_ha"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("dhash").alias("_hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.expr("bit_count(_ha ^ _hb)").cast("long").alias("hamming"),
+        )
+    )

@@ -435,3 +435,47 @@ def test_qs15_apportionment_conservation(spark):
     extras = {r.source for r in rows if r.extra}
     order = sorted(rem, key=lambda s: (-rem[s], s))
     assert extras == set(order[: len(extras)])
+
+
+def test_qm07_dhash_full_recount(spark):
+    """Pure-python dHash + banding + hamming over the whole corpus
+    must reproduce the candidate relation exactly."""
+    from event_stream_aggr_spark.operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        DHASH_GRID,
+    )
+
+    rows = {
+        (r.doc_a, r.doc_b): (r.n_shared_bands, r.hamming)
+        for r in QUERIES["qm07_perceptual_neardup"].fn(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    hashes: dict[int, int] = {}
+    for d in docs:
+        buf = d.text.encode()
+        if len(buf) < DHASH_GRID * DHASH_GRID:
+            continue
+        h = 0
+        for r in range(DHASH_GRID):
+            row = buf[r * DHASH_GRID : (r + 1) * DHASH_GRID]
+            for c in range(DHASH_GRID - 1):
+                if row[c] < row[c + 1]:
+                    h |= 1 << (r * (DHASH_GRID - 1) + c)
+        hashes[d.doc_id] = h
+    expected: dict[tuple, int] = {}
+    ids = sorted(hashes)
+    buckets: dict[tuple, list[int]] = {}
+    for i in ids:
+        for b in range(DHASH_BANDS):
+            bv = (hashes[i] >> (b * DHASH_BAND_BITS)) & (2**DHASH_BAND_BITS - 1)
+            buckets.setdefault((b, bv), []).append(i)
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b_ = members[x], members[y]
+                expected[(a, b_)] = expected.get((a, b_), 0) + 1
+    assert set(rows) == set(expected) and len(rows) > 0
+    for (a, b_), (n_bands, ham) in rows.items():
+        assert n_bands == expected[(a, b_)]
+        assert ham == bin(hashes[a] ^ hashes[b_]).count("1")
