@@ -685,52 +685,43 @@ def qt13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus the prediction is a deterministic function of the text,
     which is exactly what the oracle pins.
 
-    Scale shape (100 TB): the profile table is a literal few-hundred-
-    byte broadcast; bigram extraction is a zero-shuffle array
-    transform; per-language scores fold into ONE doc-grain
-    aggregation via conditional sums (the language set is a
-    compile-time literal — no (doc, lang) grain, no argmax window),
-    and the argmax is a narrow array_max over per-language structs.
-    The one remaining doc-grain join recovers zero-hit docs as 'und'.
+    Scale shape (100 TB): ZERO shuffle, ZERO join, ZERO explode — a
+    single codegen'd projection pass. Because every profiled bigram
+    has two distinct characters (asserted below), its occurrences
+    cannot self-overlap, so count(b in lt) is exactly
+    (len(lt) − len(replace(lt, b, ''))) div 2 — per-language scores
+    are literal-weighted sums of 24 replace-counts, computed inline
+    per row. The earlier phrasing (bigram explode → broadcast-profile
+    join → doc-grain conditional-sum agg) shuffled |chars| rows per
+    doc; this one touches each row once and emits 3 columns. With
+    TRAINED profiles (thousands of n-grams) the explode+join dataflow
+    is the right one again — the cutover point is profile size, and
+    both ends are pinned here (qt13 inline; qt12/qt22 join-based).
     Integer weights → exact scores, no float anywhere."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    profiles = F.broadcast(
-        spark.createDataFrame(list(LANGID_PROFILES), "lang string, bigram string, w long")
-    )
-    # Materialize lower(text) behind a projection boundary FIRST: a
-    # lambda body like `i -> substr(lower(text), i, 2)` re-evaluates
-    # lower() for every sequence element — O(n²) characters per doc.
-    # Referencing the aliased attribute keeps it one evaluation per row
-    # (CollapseProject won't inline a non-trivial expr used 3×).
+    # Materialize lower(text) behind a projection boundary: it feeds
+    # all 24 replace() calls, and CollapseProject would otherwise
+    # inline the lower() into every one.
     lowered = d.select("doc_id", F.lower(F.col("text")).alias("lt"))
-    grams_arr = F.when(
-        F.length("lt") < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.expr("transform(sequence(1, length(lt) - 1), i -> substr(lt, i, 2))")
-    )
-    grams = lowered.select("doc_id", F.explode(grams_arr).alias("bigram"))
-    # conditional-sum pivot: the language set is a compile-time literal,
-    # so per-language scores fold into ONE doc-grain aggregation — no
-    # (doc, lang) intermediate grain, no argmax window, one fewer
-    # doc-grain shuffle than the groupBy+row_number phrasing. Absent
-    # languages score 0 and can never beat a present one (weights are
-    # positive), so the winner matches the per-(doc,lang) argmax;
-    # zero-hit docs don't appear at all and fall to 'und' in the join.
     langs = sorted({lang for lang, _b, _w in LANGID_PROFILES})
-    scored = (
-        grams.join(profiles, "bigram")
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.coalesce(
-                    F.sum(F.when(F.col("lang") == lg, F.col("w"))), F.lit(0)
-                ).alias(f"s_{lg}")
-                for lg in langs
-            ]
-        )
+
+    def count_bigram(b: str) -> F.Column:
+        assert b[0] != b[1], "self-overlapping bigram breaks replace-count"
+        return F.expr(f"(length(lt) - length(replace(lt, '{b}', ''))) div 2")
+
+    scores = {
+        lg: sum(
+            (count_bigram(b) * w for l, b, w in LANGID_PROFILES if l == lg),
+            F.lit(0),
+        ).cast("long")
+        for lg in langs
+    }
+    scored = lowered.select(
+        "doc_id", *[scores[lg].alias(f"s_{lg}") for lg in langs]
     )
     # argmax with ties → alphabetically-first language: max over
-    # (score, -ord) structs, ord = alphabetical position
+    # (score, -ord) structs; all-zero scores → no profiled bigram
+    # occurred → 'und' (weights are positive, so any hit scores > 0)
     cands = F.array(
         *[
             F.struct(
@@ -741,21 +732,14 @@ def qt13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, lg in enumerate(langs)
         ]
     )
-    best = scored.select(
+    return scored.select(
         "doc_id", F.array_max(cands).alias("top")
     ).select(
         "doc_id",
-        F.col("top.lang").alias("pred_lang"),
+        F.when(F.col("top.score") == 0, F.lit("und"))
+        .otherwise(F.col("top.lang"))
+        .alias("pred_lang"),
         F.col("top.score").alias("score"),
-    )
-    return (
-        d.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-            F.coalesce("score", F.lit(0)).alias("score"),
-        )
     )
 
 

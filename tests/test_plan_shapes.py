@@ -307,12 +307,15 @@ def test_qt14_quality_filter_is_zero_shuffle(spark, sf_dir, specs):
     assert "Exchange hashpartitioning" not in plan
 
 
-def test_qt13_language_id_pivots_without_window(spark, sf_dir, specs):
-    # rule 20: literal language domain pivots into conditional sums in
-    # ONE doc-grain aggregation — no (doc, lang) grain, no argmax window
+def test_qt13_language_id_is_one_codegen_pass(spark, sf_dir, specs):
+    # rule 20 taken to its limit: with a LITERAL 24-bigram profile the
+    # whole scorer is replace-count arithmetic inline in one projection
+    # — no shuffle, no join, no window, no explode anywhere
     plan = _plan(specs["qt13_language_id"].fn(spark, sf_dir))
     assert "Window" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
 
 
 def test_registry_outputs_are_driver_hashable(spark, sf_dir, specs):
