@@ -833,3 +833,95 @@ FROM counts, tot
 
 
 _register_skew_planner_query()
+
+
+# ---------------------------------------------------------------------------
+# qa05: approximate functional-dependency profiler
+# ---------------------------------------------------------------------------
+
+#: (lhs, rhs) column pairs probed for lhs → rhs determinacy; rhs may be
+#: a SQL expression (identical string in both engines).
+FD_PAIRS = (
+    ("source", "lang"),
+    ("lang", "source"),
+    ("doc_id", "source"),
+    ("source", "n_chars // 1000"),
+)
+
+
+def _register_fd_profiler_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    def branch_sql(lhs: str, rhs: str) -> str:
+        rd = rhs.replace("//", "//")  # duckdb integer div spelling
+        return f"""
+  SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(mx) * 1000000 // SUM(tot) AS BIGINT) AS strength_ppm,
+         CAST(SUM(mx) = SUM(tot) AS BIGINT) AS exact_fd
+  FROM (
+    SELECT l, MAX(n) AS mx, SUM(n) AS tot
+    FROM (SELECT {lhs} AS l, {rd} AS r, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2)
+    GROUP BY l)"""
+
+    oracle = "\nUNION ALL\n".join(branch_sql(l, r) for l, r in FD_PAIRS)
+
+    @register(
+        "qa05_fd_profile",
+        tags=("monitoring", "profile"),
+        oracle=oracle,
+    )
+    def qa05_fd_profile(spark, sf_dir):
+        """Approximate functional-dependency profiler (the schema-
+        discovery half of data profiling, Metanome-style): for each
+        probed column pair, the strength of lhs → rhs as
+        Σ_lhs max_rhs(count) / N in integer ppm — 10⁶ means rhs is
+        fully determined by lhs (an exact FD, flagged), lower values
+        measure how far the pair is from one. Feeds qa03's drift
+        monitor (an FD that WAS exact and degrades is upstream
+        breakage) and join-design choices (near-FDs make dimension
+        extraction lossless).
+
+        Determinism: counts and the cross-multiplied strength are
+        exact integers; the expression-valued rhs uses the same
+        integer-div spelling in both engines.
+
+        Scale shape (100 TB): each pair costs ONE map-side-combinable
+        (lhs, rhs)-grain aggregation (bounded by the pair's active
+        domain, not corpus rows) followed by folds on the lhs-grain
+        relation; pairs union at report grain (4 rows). Probing all
+        O(cols²) pairs batches the same dataflow per pair — the
+        documented sweep a profiler schedules, pruned by qa03's
+        per-column cardinalities first."""
+        d = load_table(spark, sf_dir, "documents")
+        out = None
+        for lhs, rhs in FD_PAIRS:
+            rs = rhs.replace("//", "div")
+            g = (
+                d.selectExpr(f"{lhs} AS l", f"{rs} AS r")
+                .groupBy("l", "r")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            m = g.groupBy("l").agg(
+                F.max("n").alias("mx"), F.sum("n").alias("tot")
+            )
+            p = m.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.expr("sum(mx) * 1000000 div sum(tot)")
+                .cast("long")
+                .alias("strength_ppm"),
+                (F.sum("mx") == F.sum("tot")).cast("long").alias("exact_fd"),
+            )
+            out = p if out is None else out.unionAll(p)
+        return out
+
+    return qa05_fd_profile
+
+
+_register_fd_profiler_query()

@@ -2423,3 +2423,212 @@ def qe18_cluster_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0)).cast("long").alias("f1_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qr01: hybrid search — sparse BM25 ⊕ dense cosine, RRF-fused (the capstone)
+# ---------------------------------------------------------------------------
+
+HYB_QUERY_VEC = 0   # dense query: embedding of vec_id 0 (excluded as a hit)
+HYB_CHANNEL_K = 20
+HYB_OUT_K = 10
+
+
+@register(
+    "qr01_hybrid_search",
+    tags=("retrieval", "similarity", "text"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS dl,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id <> {HYB_QUERY_VEC}),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM docs),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, dl, unnest(toks) AS term FROM docs) u
+  WHERE term IN ('join', 'vector', 'stream')
+  GROUP BY doc_id, dl, term),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sparse AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+           * (tf.tf * CAST(2.2 AS DOUBLE))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+           * 1000000) AS BIGINT)) AS BIGINT) AS score_us
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+sparse_ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_us DESC, doc_id) AS r
+  FROM sparse),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {HYB_QUERY_VEC}),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND((SELECT SUM(a * b) FROM (SELECT unnest(qv.qe)::DOUBLE AS a,
+                                               unnest(e.embedding)::DOUBLE AS b))
+               / (SQRT((SELECT SUM(a * a) FROM (SELECT unnest(qv.qe)::DOUBLE AS a)))
+                  * SQRT((SELECT SUM(b * b)
+                          FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))), 6)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> {HYB_QUERY_VEC}),
+dense_ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+  FROM dense),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE(CASE WHEN s.r <= {HYB_CHANNEL_K} THEN s.r END, 0)
+           AS bm25_rank,
+         COALESCE(CASE WHEN d.r <= {HYB_CHANNEL_K} THEN d.r END, 0)
+           AS dense_rank,
+         COALESCE(CASE WHEN s.r <= {HYB_CHANNEL_K}
+                       THEN 1000000 // ({RRF_K} + s.r) END, 0)
+         + COALESCE(CASE WHEN d.r <= {HYB_CHANNEL_K}
+                         THEN 1000000 // ({RRF_K} + d.r) END, 0) AS rrf_ppm
+  FROM sparse_ranked s FULL OUTER JOIN dense_ranked d USING (doc_id)),
+final AS (
+  SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+         CAST(dense_rank AS BIGINT) AS dense_rank,
+         CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM fused WHERE rrf_ppm > 0)
+SELECT doc_id, bm25_rank, dense_rank, rrf_ppm, rank
+FROM final WHERE rank <= {HYB_OUT_K}
+""",
+)
+def qr01_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search end-to-end (the retrieval capstone composing the
+    two stacks this engine builds): the SPARSE channel scores
+    documents with qt17's Lucene BM25 over the query terms; the DENSE
+    channel scores the aligned embeddings (qm05's doc_id = vec_id
+    contract) by cosine against a query vector; reciprocal-rank
+    fusion merges the two top-20 lists — the architecture behind
+    every production "semantic + keyword" search box, with qt19's
+    inverted index and qe03's ANN as the stated index-serving forms
+    of each channel.
+
+    Determinism: BM25 per-term scores are integer micro-units summed
+    per doc (qt17's recipe) and ranked with doc_id tiebreaks; cosine
+    rounds to 6dp (qe01's recipe); RRF contributions are integer
+    10⁶ div (60+rank) — the fused order compares exact integers.
+
+    Scale shape (100 TB): each channel keeps its own proven shape
+    (BM25: query-term filter BEFORE the tf shuffle, KB-scale stat
+    broadcasts; dense: one broadcast-query scoring pass). Fusion
+    joins two ≤|corpus|-row RANK relations on doc_id — in serving,
+    two k-row lists. Nothing quadratic anywhere."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") != HYB_QUERY_VEC
+    )
+    from event_stream_aggr_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        tokens,
+    )
+
+    docs = d.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score_us = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+        * 1000000
+    ).cast("long")
+    sparse = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score_us.alias("su"))
+        .groupBy("doc_id")
+        .agg(F.sum("su").cast("long").alias("score_us"))
+    )
+    sparse_ranked = sparse.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_us"), "doc_id"))
+        .alias("sr"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYB_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    ).withColumn("_qnorm", norm(F.col("qe")))
+    dense = (
+        emb.filter(F.col("vec_id") != HYB_QUERY_VEC)
+        .select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ce"))
+        .withColumn("_cnorm", norm(F.col("ce")))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    dense_ranked = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), "doc_id"))
+        .alias("dr"),
+    )
+    fused = (
+        sparse_ranked.join(dense_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.when(F.col("sr") <= HYB_CHANNEL_K, F.col("sr")), F.lit(0)
+            ).cast("long").alias("bm25_rank"),
+            F.coalesce(
+                F.when(F.col("dr") <= HYB_CHANNEL_K, F.col("dr")), F.lit(0)
+            ).cast("long").alias("dense_rank"),
+            (
+                F.coalesce(
+                    F.when(
+                        F.col("sr") <= HYB_CHANNEL_K,
+                        F.expr(f"1000000 div ({RRF_K} + sr)"),
+                    ),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.when(
+                        F.col("dr") <= HYB_CHANNEL_K,
+                        F.expr(f"1000000 div ({RRF_K} + dr)"),
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long").alias("rrf_ppm"),
+        )
+        .filter(F.col("rrf_ppm") > 0)
+    )
+    return (
+        fused.select(
+            "*",
+            F.row_number()
+            .over(W.orderBy(F.desc("rrf_ppm"), "doc_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= HYB_OUT_K)
+    )

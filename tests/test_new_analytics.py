@@ -479,3 +479,55 @@ def test_qm07_dhash_full_recount(spark):
     for (a, b_), (n_bands, ham) in rows.items():
         assert n_bands == expected[(a, b_)]
         assert ham == bin(hashes[a] ^ hashes[b_]).count("1")
+
+
+def test_qa05_fd_strength_laws(spark):
+    """doc_id → source is an exact FD (strength 10⁶, flagged); every
+    strength lies in (0, 10⁶]; source→lang recounted driver-side."""
+    rows = {(r.lhs, r.rhs): r for r in QUERIES["qa05_fd_profile"].fn(spark, SF_DIR).collect()}
+    key_row = rows[("doc_id", "source")]
+    assert key_row.exact_fd == 1 and key_row.strength_ppm == 1_000_000
+    for r in rows.values():
+        assert 0 < r.strength_ppm <= 1_000_000
+        assert r.exact_fd == (1 if r.strength_ppm == 1_000_000 else 0)
+    docs = load_table(spark, SF_DIR, "documents").select("source", "lang").collect()
+    groups: dict[str, dict[str, int]] = {}
+    for d in docs:
+        groups.setdefault(d.source, {}).setdefault(d.lang, 0)
+        groups[d.source][d.lang] += 1
+    mx = sum(max(v.values()) for v in groups.values())
+    tot = len(docs)
+    r = rows[("source", "lang")]
+    assert r.n_groups == len(groups)
+    assert r.strength_ppm == mx * 1_000_000 // tot
+
+
+def test_qr01_hybrid_fusion_laws(spark):
+    """RRF arithmetic self-consistency; every sparse hit really
+    contains a query term; the fused list is a descending top-10."""
+    from event_stream_aggr_spark.operators.similarity import (
+        HYB_CHANNEL_K,
+        HYB_OUT_K,
+    )
+    from event_stream_aggr_spark.operators.text import BM25_TERMS
+
+    rows = sorted(
+        QUERIES["qr01_hybrid_search"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, HYB_OUT_K + 1))
+    scores = [r.rrf_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    texts = {
+        d.doc_id: d.text
+        for d in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for r in rows:
+        expect = 0
+        if 0 < r.bm25_rank <= HYB_CHANNEL_K:
+            expect += 1_000_000 // (60 + r.bm25_rank)
+            toks = set(texts[r.doc_id].lower().split())
+            assert toks & set(BM25_TERMS), r.doc_id
+        if 0 < r.dense_rank <= HYB_CHANNEL_K:
+            expect += 1_000_000 // (60 + r.dense_rank)
+        assert r.rrf_ppm == expect and expect > 0
