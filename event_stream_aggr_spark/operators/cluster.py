@@ -644,3 +644,107 @@ FROM bom GROUP BY anc
 
 
 _register_bom_rollup_query()
+
+
+# ---------------------------------------------------------------------------
+# qg06: cheapest 2-hop substitution paths (min-plus product over a join key)
+# ---------------------------------------------------------------------------
+
+SUBST_TOP_PARTNERS = 3
+
+
+def _register_substitution_path_query():
+    from pyspark.sql import Window as W
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qg06_substitution_paths",
+        tags=("graph", "join"),
+        oracle=f"""
+WITH e AS (
+  SELECT l_suppkey AS s, l_partkey AS p,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+  FROM lineitem GROUP BY 1, 2),
+allpaths AS (
+  SELECT a.s AS s_a, b.s AS s_b, a.p AS via_part, a.w + b.w AS dcost
+  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s),
+flat AS (
+  SELECT s_a, s_b, via_part, CAST(dcost AS DOUBLE) AS cost FROM (
+    SELECT s_a, s_b, via_part, dcost,
+           ROW_NUMBER() OVER (PARTITION BY s_a, s_b
+                              ORDER BY dcost, via_part) AS rn
+    FROM allpaths) t WHERE rn = 1),
+ranked AS (
+  SELECT s_a, s_b, via_part, cost,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s_a
+              ORDER BY cost, s_b) AS BIGINT) AS partner_rank
+  FROM flat)
+SELECT s_a, s_b, CAST(via_part AS BIGINT) AS via_part, cost, partner_rank
+FROM ranked WHERE partner_rank <= {SUBST_TOP_PARTNERS}
+""",
+    )
+    def qg06_substitution_paths(spark, sf_dir):
+        """Min-plus path product (the weighted-graph operation qg03's
+        unweighted BFS lacks): for every supplier, the
+        {SUBST_TOP_PARTNERS} cheapest 2-hop substitution partners —
+        suppliers reachable through a shared part, path cost = sum of
+        the two cheapest offers, with the connecting part carried via
+        struct-min argmin. The supply-chain "who can replace whom and
+        at what cost" query; one min-plus relaxation step of the
+        general shortest-path semiring, expressed as an equi-join on
+        the intermediate node.
+
+        Determinism: weights are DECIMAL minima; path costs are exact
+        DECIMAL sums; the argmin struct orders (cost, part) and the
+        partner rank ties on s_b. DuckDB's MIN(ROW(...)) replays the
+        struct-min lexicographically, same as Spark's min(struct).
+
+        Scale shape (100 TB): edges collapse to (supplier, part) grain
+        first (map-side); the 2-hop product is an equi-join ON THE
+        PART KEY — never supplier×supplier — so fan-out is bounded by
+        per-part supplier counts (AQE-splittable on popular parts,
+        the same hub discipline as qg02's degeneracy orientation);
+        per-pair min collapses before ranking; top-k per supplier is
+        a bounded window."""
+        li = load_table(spark, sf_dir, "lineitem")
+        e = li.groupBy(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w"))
+        a = e.select(F.col("s").alias("s_a"), "p", F.col("w").alias("w_a"))
+        b = e.select(F.col("s").alias("s_b"), "p", F.col("w").alias("w_b"))
+        paths = (
+            a.join(b, "p")
+            .where(F.col("s_a") < F.col("s_b"))
+            .groupBy("s_a", "s_b")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("w_a") + F.col("w_b")).alias("cost"),
+                        F.col("p").alias("via_part"),
+                    )
+                ).alias("best")
+            )
+        )
+        flat = paths.select(
+            "s_a",
+            "s_b",
+            F.col("best.via_part").cast("long").alias("via_part"),
+            F.col("best.cost").cast("double").alias("cost"),
+        )
+        w = W.partitionBy("s_a").orderBy("cost", "s_b")
+        return (
+            flat.select(
+                "s_a",
+                "s_b",
+                "via_part",
+                "cost",
+                F.row_number().over(w).cast("long").alias("partner_rank"),
+            )
+            .filter(F.col("partner_rank") <= SUBST_TOP_PARTNERS)
+        )
+
+    return qg06_substitution_paths
+
+
+_register_substitution_path_query()

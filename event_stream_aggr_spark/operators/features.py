@@ -669,3 +669,80 @@ def qf07_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qf08: feature hashing (the hashing trick) + collision audit
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 256  # 2^8 hashed feature dimensions
+
+
+@register(
+    "qf08_feature_hashing",
+    tags=("features", "text", "sketch"),
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents),
+tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+hashed AS (
+  SELECT tok, n,
+         ('0x' || substr(md5('fh:' || tok), 1, 7))::BIGINT % {FH_BUCKETS}
+           AS bucket,
+         (('0x' || substr(md5('fhs:' || tok), 1, 7))::BIGINT % 2) * 2 - 1
+           AS sign
+  FROM tc)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(sign * n) AS BIGINT) AS signed_sum,
+       CAST(SUM(CASE WHEN sign = 1 THEN n ELSE 0 END) AS BIGINT) AS pos_mass
+FROM hashed GROUP BY bucket
+""",
+)
+def qf08_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009 — vowpal-wabbit's
+    featurizer): project an unbounded vocabulary into {FH_BUCKETS}
+    fixed dimensions via bucket = h(token), value accumulated with a
+    second sign hash so colliding tokens cancel in expectation instead
+    of piling up. Reported per bucket: distinct-token collisions,
+    token mass, and the signed sum — the collision/load audit that
+    prices the dimensionality choice (buckets with many distinct
+    tokens are where the model loses resolution; the qt24 vocab-
+    coverage curve is the dictionary-based alternative this replaces).
+
+    Determinism: bucket and sign derive from md5 (the qs05/qh03
+    uniform source), masses are exact integers.
+
+    Scale shape (100 TB): the corpus reduces to the vocab-sized token
+    count relation FIRST (the same rule-7 reduction as qt18), so
+    hashing and the bucket rollup touch |vocab| rows, not the token
+    stream; output is ≤{FH_BUCKETS} rows regardless of corpus size.
+    Per-document hashed VECTORS (the serving form) are this same
+    expression at doc grain — the corpus audit is what's pinned."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        ).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 7), 16, 10)
+        .cast("long") % FH_BUCKETS
+    )
+    sign = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fhs:"), F.col("tok"))), 1, 7), 16, 10)
+        .cast("long") % 2
+    ) * 2 - 1
+    hashed = tc.select("tok", "n", bucket.alias("bucket"), sign.alias("sign"))
+    return hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("sign") * F.col("n")).cast("long").alias("signed_sum"),
+        F.sum(F.when(F.col("sign") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("pos_mass"),
+    )

@@ -531,3 +531,87 @@ def test_qr01_hybrid_fusion_laws(spark):
         if 0 < r.dense_rank <= HYB_CHANNEL_K:
             expect += 1_000_000 // (60 + r.dense_rank)
         assert r.rrf_ppm == expect and expect > 0
+
+
+def test_qg06_substitution_recount(spark):
+    """Driver-side recount on a sample: for 5 suppliers, rebuild the
+    cheapest-2-hop partner list from the (s, p, min-price) edge
+    relation and compare rank-for-rank."""
+    from decimal import Decimal
+
+    rows = QUERIES["qg06_substitution_paths"].fn(spark, SF_DIR).collect()
+    by_a: dict[int, list] = {}
+    for r in rows:
+        by_a.setdefault(r.s_a, []).append(r)
+    edges = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w"))
+        .collect()
+    )
+    by_part: dict[int, list] = {}
+    for e in edges:
+        by_part.setdefault(e.p, []).append((e.s, e.w))
+    sample = sorted(by_a)[:5]
+    for s_a in sample:
+        best: dict[int, tuple] = {}
+        for p, members in by_part.items():
+            mine = [w for s, w in members if s == s_a]
+            if not mine:
+                continue
+            for s_b, w_b in members:
+                if s_b <= s_a:
+                    continue
+                cand = (mine[0] + w_b, p)
+                if s_b not in best or cand < best[s_b]:
+                    best[s_b] = cand
+        expect = sorted(
+            ((cost, s_b, p) for s_b, (cost, p) in best.items())
+        )[:3]
+        got = sorted(by_a[s_a], key=lambda r: r.partner_rank)
+        assert len(got) == min(3, len(expect))
+        for r, (cost, s_b, p) in zip(got, expect):
+            assert (r.s_b, r.via_part) == (s_b, p)
+            assert abs(Decimal(str(r.cost)) - cost) < Decimal("0.01")
+
+
+def test_qf08_hashing_mass_conservation(spark):
+    """Bucket masses conserve the corpus token count; signed sums obey
+    |signed| <= mass with equal parity; buckets stay within range; a
+    driver-side md5 recount agrees for the heaviest bucket."""
+    import hashlib
+
+    rows = QUERIES["qf08_feature_hashing"].fn(spark, SF_DIR).collect()
+    corpus_tokens = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+            ).alias("t")
+        )
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == corpus_tokens
+    for r in rows:
+        assert 0 <= r.bucket < 256
+        assert abs(r.signed_sum) <= r.n_tokens
+        assert r.signed_sum == 2 * r.pos_mass - r.n_tokens
+    heavy = max(rows, key=lambda r: r.n_tokens)
+    toks = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+            ).alias("t")
+        )
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    n_distinct = n_tok = 0
+    for t in toks:
+        b = int(hashlib.md5(f"fh:{t.t}".encode()).hexdigest()[:7], 16) % 256
+        if b == heavy.bucket:
+            n_distinct += 1
+            n_tok += t["count"]
+    assert (n_distinct, n_tok) == (heavy.n_distinct_tokens, heavy.n_tokens)
