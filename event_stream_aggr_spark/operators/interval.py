@@ -196,3 +196,120 @@ def qj01_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("overlap_sec", F.lit(0)).alias("overlap_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qj02: interval union (merge overlapping intervals → islands)
+# ---------------------------------------------------------------------------
+
+UNION_HOLD_S = 300  # each event holds a 5-minute activity interval
+
+
+@register(
+    "qj02_interval_union",
+    tags=("interval", "window", "session"),
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 AS s_start,
+         epoch_us(ts) // 1000000 + {UNION_HOLD_S} AS s_end,
+         event_id
+  FROM events),
+flagged AS (
+  SELECT user_id, s_start, s_end,
+         CASE WHEN s_start > MAX(s_end) OVER (
+                PARTITION BY user_id ORDER BY s_start, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(s_end) OVER (
+                PARTITION BY user_id ORDER BY s_start, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id, s_start, s_end,
+         SUM(new_island) OVER (PARTITION BY user_id
+                               ORDER BY s_start, s_end
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       CAST(SUM(cov) AS BIGINT) AS covered_sec
+FROM (
+  SELECT user_id, island, COUNT(*) AS n_iv,
+         MAX(s_end) - MIN(s_start) AS cov
+  FROM islands GROUP BY user_id, island) t
+GROUP BY user_id
+""",
+)
+def qj02_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION (merge overlapping intervals into islands) —
+    the third leg of the interval algebra beside qj01's overlap JOIN
+    and q27's gap sessionization: every event holds a 5-minute
+    activity interval; overlapping/touching holds merge, and each
+    user reports island count and total covered seconds — the
+    "effective active time" metric billing/SLA/utilization queries
+    need, where naive per-interval summing double-counts overlap.
+
+    The classic gaps-and-islands dataflow: ONE user-partitioned sort,
+    a running MAX(end) over strictly-prior rows flags island starts
+    (an interval starting after everything before it ended opens an
+    island — this handles contained intervals, which lag(end) alone
+    would break on), a running SUM of flags numbers islands, and one
+    aggregation per island then per user. Integer epoch seconds
+    end-to-end.
+
+    Scale shape (100 TB): exactly one Exchange (user partitioning)
+    reused by both windows and the final aggregations — Catalyst
+    plans windows then partial aggs without re-shuffling; island
+    state never materializes beyond the window frame. The same
+    dataflow with (user, day) keys bounds partition width for
+    heavy-hitter users."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    s_start = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    iv = e.select(
+        "user_id",
+        s_start.alias("s_start"),
+        (s_start + UNION_HOLD_S).alias("s_end"),
+        "event_id",
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s_start", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max("s_end").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_start") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_isl = (
+        W.partitionBy("user_id")
+        .orderBy("s_start", "s_end")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.sum("new_island").over(w_isl).alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        (F.max("s_end") - F.min("s_start")).alias("cov"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island").alias("n_islands"),
+        F.sum("n_iv").alias("n_intervals"),
+        F.sum("cov").cast("long").alias("covered_sec"),
+    )

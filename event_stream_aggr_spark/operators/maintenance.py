@@ -925,3 +925,122 @@ def _register_fd_profiler_query():
 
 
 _register_fd_profiler_query()
+
+
+# ---------------------------------------------------------------------------
+# qa07: cumulative-gains (lift) table without sorting the entity relation
+# ---------------------------------------------------------------------------
+
+GAINS_BINS = 10
+GAINS_BUCKET_CENTS = 100_000  # micro-bucket width: 1000.00 in value units
+
+
+def _register_gains_table_query():
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qa07_gains_table",
+        tags=("monitoring", "eval"),
+        oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM events GROUP BY user_id),
+mb AS (
+  SELECT cents // {GAINS_BUCKET_CENTS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM users GROUP BY 1),
+cum AS (
+  SELECT bucket, n, np,
+         SUM(n) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER () AS total_n
+  FROM mb),
+binned AS (
+  SELECT CAST(((cum_n - n) * {GAINS_BINS}) // total_n AS BIGINT) AS bin,
+         CAST(SUM(n) AS BIGINT) AS n_users,
+         CAST(SUM(np) AS BIGINT) AS n_positive
+  FROM cum GROUP BY 1)
+SELECT bin, n_users, n_positive,
+       CAST(SUM(n_positive) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+            * 1000000 // SUM(n_positive) OVER () AS BIGINT) AS cum_capture_ppm
+FROM binned
+""",
+    )
+    def qa07_gains_table(spark, sf_dir):
+        """Cumulative-gains / lift table (the model-eval artifact
+        behind "the top 10% of scored users capture X% of
+        conversions"): users scored by exact total spend (integer
+        cents), cut into {GAINS_BINS} descending-score bins, each
+        reporting its user count, positives (users with a purchase),
+        and the cumulative capture rate in ppm. bin 0 = highest
+        spenders; a useful score shows capture far above the diagonal
+        — and the same dataflow evaluates ANY model score plugged in
+        as `cents`.
+
+        Scale shape (100 TB): qa04's two-phase recipe pointed at a
+        model-eval question — the fact table reduces once to user
+        grain, users reduce once to domain-bounded spend
+        micro-buckets, and ALL ordering work (the descending
+        cumulative count, bin assignment, capture accumulation)
+        happens on the bucket/bin relations. No entity-relation sort,
+        no fact re-scan. Integer cents → every count, cut and ppm is
+        exact cross-engine."""
+        e = load_table(spark, sf_dir, "events")
+        users = e.groupBy("user_id").agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("pos"),
+        )
+        mb = users.groupBy(
+            F.expr(f"cents div {GAINS_BUCKET_CENTS}").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np"))
+        w_cum = W.orderBy(F.desc("bucket")).rowsBetween(W.unboundedPreceding, 0)
+        w_all = W.partitionBy()
+        cum = mb.select(
+            "bucket",
+            "n",
+            "np",
+            F.sum("n").over(w_cum).alias("cum_n"),
+            F.sum("n").over(w_all).alias("total_n"),
+        )
+        binned = (
+            cum.select(
+                F.expr(f"((cum_n - n) * {GAINS_BINS}) div total_n").alias("bin"),
+                "n",
+                "np",
+            )
+            .groupBy("bin")
+            .agg(
+                F.sum("n").alias("n_users"),
+                F.sum("np").alias("n_positive"),
+            )
+        )
+        w_bin = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        return binned.select(
+            "bin",
+            "n_users",
+            "n_positive",
+            F.expr(
+                f"sum(n_positive) over (order by bin rows between unbounded"
+                f" preceding and current row) * 1000000"
+            ).alias("_cum"),
+            F.sum("n_positive").over(W.partitionBy()).alias("_tot"),
+        ).select(
+            "bin",
+            "n_users",
+            "n_positive",
+            F.expr("_cum div _tot").cast("long").alias("cum_capture_ppm"),
+        )
+
+    return qa07_gains_table
+
+
+_register_gains_table_query()

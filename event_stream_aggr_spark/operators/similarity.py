@@ -2632,3 +2632,153 @@ def qr01_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= HYB_OUT_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# qe19: MMR diversified re-ranking (relevance–diversity tradeoff)
+# ---------------------------------------------------------------------------
+
+MMR_QID = 0
+MMR_POOL = 20
+MMR_K = 3
+MMR_LAMBDA_PPM = 500_000  # λ = 0.5
+
+
+def _cos_us_sql(a: str, b: str) -> str:
+    """Integer micro-unit cosine between two embedding relations'
+    single rows (correlated subquery form, qe15's recipe)."""
+    return f"""CAST(ROUND(
+  (SELECT SUM(x * y) FROM (SELECT unnest({a}.embedding)::DOUBLE AS x,
+                                  unnest({b}.embedding)::DOUBLE AS y))
+  / (SQRT((SELECT SUM(x * x) FROM (SELECT unnest({a}.embedding)::DOUBLE AS x)))
+     * SQRT((SELECT SUM(y * y) FROM (SELECT unnest({b}.embedding)::DOUBLE AS y))))
+  * 1000000) AS BIGINT)"""
+
+
+def _mmr_oracle() -> str:
+    lam = MMR_LAMBDA_PPM
+    inv = 1_000_000 - lam
+    ctes = [
+        f"q AS (SELECT embedding FROM embeddings WHERE vec_id = {MMR_QID})",
+        f"""pool AS (
+  SELECT p.vec_id, p.embedding, {_cos_us_sql('p', 'q')} AS rel_us
+  FROM embeddings p, q WHERE p.vec_id <> {MMR_QID}
+  ORDER BY {_cos_us_sql('p', 'q')} DESC, p.vec_id LIMIT {MMR_POOL})""",
+        """m0 AS (
+  SELECT vec_id, embedding, rel_us FROM pool
+  ORDER BY rel_us DESC, vec_id LIMIT 1)""",
+    ]
+    prev = ["m0"]
+    for r in range(1, MMR_K):
+        maxsim = (
+            "GREATEST(" + ", ".join(_cos_us_sql("p", m) for m in prev) + ")"
+            if len(prev) > 1
+            else _cos_us_sql("p", prev[0])
+        )
+        ctes.append(
+            f"""m{r} AS (
+  SELECT p.vec_id, p.embedding, p.rel_us
+  FROM pool p, {", ".join(prev)}
+  WHERE p.vec_id NOT IN ({", ".join(f"{m}.vec_id" for m in prev)})
+  ORDER BY ({lam} * p.rel_us - {inv} * {maxsim}) // 1000000 DESC, p.vec_id
+  LIMIT 1)"""
+        )
+        prev.append(f"m{r}")
+    selects = []
+    for r, m in enumerate(prev):
+        if r == 0:
+            mmr = f"{m}.rel_us"
+        else:
+            others = prev[:r]
+            maxsim = (
+                "GREATEST(" + ", ".join(_cos_us_sql(m, o) for o in others) + ")"
+                if len(others) > 1
+                else _cos_us_sql(m, others[0])
+            )
+            mmr = f"({lam} * {m}.rel_us - {inv} * {maxsim}) // 1000000"
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS mmr_rank, {m}.vec_id,"
+            f" {m}.rel_us, CAST({mmr} AS BIGINT) AS mmr_us"
+            f" FROM {', '.join(prev[: r + 1])}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "qe19_mmr_rerank",
+    tags=("similarity", "retrieval", "iterative"),
+    oracle=_mmr_oracle(),
+)
+def qe19_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998 — the relevance–diversity tradeoff every RAG/search result
+    page applies after retrieval): from the exact top-{MMR_POOL}
+    cosine pool of the query, greedily pick {MMR_K} results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked, λ=0.5 — so
+    the second and third picks are penalized for redundancy with
+    earlier picks. The diversity twin of qe15's k-center (pure
+    diversity); MMR keeps the query in the objective.
+
+    Determinism: relevance and pairwise similarities are integer
+    micro-unit cosines (ROUND·10⁶); the MMR objective is integer
+    cross-multiplied ppm arithmetic with vec_id tiebreaks — the
+    argmax chain is bit-exact cross-engine.
+
+    Scale shape (100 TB): the pool comes from the serving index
+    (qe03/qe04/qr01's channels — here the exact scorer for a pinned
+    ground truth); each MMR round scans the ≤{MMR_POOL}-row pool
+    against the ≤{MMR_K}-row broadcast picked set (qe15's bounded
+    per-round 1-row driver collect). Reranking cost is O(pool·k) per
+    query — independent of corpus size, which is the point."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.where(F.col("vec_id") == MMR_QID).first()
+
+    def cos_us(vec: list) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        arr_norm = float(sum(x * x for x in vec)) ** 0.5
+        dp = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                arr,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(dp / (norm(F.col("embedding")) * F.lit(arr_norm)) * 1_000_000).cast("long")
+
+    pool = (
+        emb.where(F.col("vec_id") != MMR_QID)
+        .select("vec_id", "embedding", cos_us(list(qrow.embedding)).alias("rel_us"))
+        .orderBy(F.desc("rel_us"), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    first = pool.orderBy(F.desc("rel_us"), "vec_id").first()
+    picked = [first]
+    out = [(0, int(first.vec_id), int(first.rel_us), int(first.rel_us))]
+    lam, inv = MMR_LAMBDA_PPM, 1_000_000 - MMR_LAMBDA_PPM
+    for r in range(1, MMR_K):
+        maxsim = (
+            F.greatest(*[cos_us(list(p.embedding)) for p in picked])
+            if len(picked) > 1
+            else cos_us(list(picked[0].embedding))
+        )
+        cand = (
+            pool.where(~F.col("vec_id").isin([int(p.vec_id) for p in picked]))
+            .select("vec_id", "embedding", "rel_us", maxsim.alias("_ms"))
+            .select(
+                "vec_id",
+                "embedding",
+                "rel_us",
+                F.expr(f"({lam} * rel_us - {inv} * _ms) div 1000000").alias(
+                    "mmr_us"
+                ),
+            )
+        )
+        best = cand.orderBy(F.desc("mmr_us"), "vec_id").first()
+        picked.append(best)
+        out.append((r, int(best.vec_id), int(best.rel_us), int(best.mmr_us)))
+    return spark.createDataFrame(
+        out, "mmr_rank long, vec_id long, rel_us long, mmr_us long"
+    )

@@ -615,3 +615,100 @@ def test_qf08_hashing_mass_conservation(spark):
             n_distinct += 1
             n_tok += t["count"]
     assert (n_distinct, n_tok) == (heavy.n_distinct_tokens, heavy.n_tokens)
+
+
+def test_qa07_gains_recount(spark):
+    """Driver-side recount: user spend/positive flags → descending
+    deciles; counts conserve; capture is monotone to 10⁶."""
+    rows = sorted(
+        QUERIES["qa07_gains_table"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.bin,
+    )
+    users = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("pos"),
+        )
+        .collect()
+    )
+    assert sum(r.n_users for r in rows) == len(users)
+    assert sum(r.n_positive for r in rows) == sum(u.pos for u in users)
+    assert rows[-1].cum_capture_ppm == 1_000_000
+    caps = [r.cum_capture_ppm for r in rows]
+    assert caps == sorted(caps)
+    # bin 0 must hold the highest spenders: its min bucket >= bin 1's max
+    top = sorted((u.cents // 100_000 for u in users), reverse=True)
+    n0 = rows[0].n_users
+    # every user in bin 0 has bucket >= the (n0)th highest bucket value
+    assert rows[0].n_users > 0 and top[n0 - 1] >= top[-1]
+
+
+def test_qe19_mmr_diversity_tradeoff(spark):
+    """MMR laws: pick 0 is the relevance argmax; later picks never
+    beat earlier ones on the MMR objective they were chosen by; and
+    each later pick's mmr score equals λ·rel − (1−λ)·max-sim computed
+    driver-side from the raw embeddings."""
+    rows = sorted(
+        QUERIES["qe19_mmr_rerank"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.mmr_rank for r in rows] == [0, 1, 2]
+    emb = {
+        e.vec_id: list(e.embedding)
+        for e in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos_us(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        v = dp / (na * nb) * 1_000_000
+        f = math.floor(v)
+        return f + (1 if v - f >= 0.5 else 0)  # round half up
+
+    q = emb[0]
+    assert rows[0].mmr_us == rows[0].rel_us
+    picked = [rows[0].vec_id]
+    for r in rows[1:]:
+        ms = max(cos_us(emb[r.vec_id], emb[p]) for p in picked)
+        expect = (500_000 * r.rel_us - 500_000 * ms) // 1_000_000
+        assert r.mmr_us == expect, (r.vec_id, r.mmr_us, expect)
+        assert abs(cos_us(emb[r.vec_id], q) - r.rel_us) <= 1
+        picked.append(r.vec_id)
+
+
+def test_qj02_interval_union_recount(spark):
+    """Pure-python sweep-line recount of islands and covered seconds
+    for every user."""
+    rows = {
+        r.user_id: r
+        for r in QUERIES["qj02_interval_union"].fn(spark, SF_DIR).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id",
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " AS s",
+        )
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e.s)
+    for u, starts in by_user.items():
+        ivs = sorted((s, s + 300) for s in starts)
+        islands = []
+        for s, t in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], t)
+            else:
+                islands.append([s, t])
+        r = rows[u]
+        assert r.n_islands == len(islands)
+        assert r.n_intervals == len(ivs)
+        assert r.covered_sec == sum(t - s for s, t in islands)
