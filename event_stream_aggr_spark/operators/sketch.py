@@ -310,3 +310,203 @@ def qh03_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qh04: KMV (k-minimum-values) sketch — set-operation estimates
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SPACE = 16**7
+
+
+@register(
+    "qh04_kmv_set_ops",
+    tags=("sketch", "dedup", "stats"),
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents),
+hashed AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h
+  FROM toks),
+sketch AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed) t WHERE rn <= {KMV_K}),
+exact AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM hashed GROUP BY source),
+exact_j AS (
+  SELECT e.source_a, e.source_b,
+         CAST(e.n_inter * 1000000 //
+              (sa.n + sb.n - e.n_inter) AS BIGINT) AS exact_jaccard_ppm
+  FROM exact e
+  JOIN sizes sa ON sa.source = e.source_a
+  JOIN sizes sb ON sb.source = e.source_b),
+pairs AS (
+  SELECT DISTINCT a.source AS source_a, b.source AS source_b
+  FROM sketch a, sketch b WHERE a.source < b.source),
+merged AS (
+  SELECT p.source_a, p.source_b, u.h,
+         ROW_NUMBER() OVER (PARTITION BY p.source_a, p.source_b
+                            ORDER BY u.h) AS rn
+  FROM pairs p JOIN (
+    SELECT DISTINCT s1.source, s1.h FROM sketch s1) u
+    ON u.source IN (p.source_a, p.source_b)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.source_a, p.source_b, u.h
+                             ORDER BY u.h) = 1),
+topu AS (
+  SELECT source_a, source_b, h,
+         ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h)
+           AS urn
+  FROM merged),
+kmv AS (
+  SELECT t.source_a, t.source_b,
+         CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                       THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+           AS kmv_jaccard_ppm
+  FROM topu t
+  LEFT JOIN sketch sa ON sa.source = t.source_a AND sa.h = t.h
+  LEFT JOIN sketch sb ON sb.source = t.source_b AND sb.h = t.h
+  WHERE t.urn <= {KMV_K}
+  GROUP BY t.source_a, t.source_b)
+SELECT k.source_a, k.source_b,
+       COALESCE(x.exact_jaccard_ppm, 0) AS exact_jaccard_ppm,
+       k.kmv_jaccard_ppm,
+       ABS(k.kmv_jaccard_ppm - COALESCE(x.exact_jaccard_ppm, 0))
+         AS err_ppm
+FROM kmv k LEFT JOIN exact_j x USING (source_a, source_b)
+""",
+)
+def qh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch set operations (Beyer et al.
+    2007 — the mergeable distinct/Jaccard estimator DataSketches'
+    theta sketch generalizes): each source's token set reduces to its
+    {KMV_K} smallest md5 values; for every source pair, the Jaccard
+    estimate is the matching fraction within the min(k, |union|)
+    smallest values of the MERGED sketch (a source with fewer than k
+    distinct values keeps its whole set, so small sets degrade
+    gracefully to EXACT Jaccard) — reported beside qt25's exact source-overlap
+    Jaccard with the absolute error, so the sketch's accuracy is
+    measured, not assumed.
+
+    Determinism: hashes are md5 integers (the qs05/qh03 uniform
+    source); sketches, merges and estimates are pure integer
+    rank/count arithmetic — bit-exact cross-engine.
+
+    Scale shape (100 TB): the exact pairwise overlap (qt25) needs the
+    full corpus-dedup'd (source, gram) relation at compare time; KMV
+    needs {KMV_K} integers PER SOURCE, mergeable by union-and-truncate
+    — the monoid contract (qi01/CMS/AMS) — so cross-corpus overlap
+    matrices cost |sources|²·k integers however big the corpora are.
+    Sketch build is one rank window per source over the deduped hash
+    relation; all pair math runs on the tiny sketch relation."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    from event_stream_aggr_spark.operators.text import tokens
+
+    hashed = (
+        d.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w_src = W.partitionBy("source").orderBy("h")
+    sketch = (
+        hashed.select(
+            "source", "h", F.row_number().over(w_src).alias("rn")
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    sizes = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    exact_j = (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("n_inter * 1000000 div (na + nb - n_inter)").alias(
+                "exact_jaccard_ppm"
+            ),
+        )
+    )
+    srcs = sketch.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    ska = sketch.select(F.col("source").alias("source_a"), "h")
+    skb = sketch.select(F.col("source").alias("source_b"), "h")
+    union_rows = (
+        pairs.join(ska, "source_a")
+        .select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(
+            pairs.join(skb, "source_b").select(
+                "source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = W.partitionBy("source_a", "source_b").orderBy("h")
+    topu = union_rows.select(
+        "*", F.row_number().over(w_pair).alias("urn")
+    ).filter(F.col("urn") <= KMV_K)
+    kmv = topu.groupBy("source_a", "source_b").agg(
+        F.expr(
+            f"sum(case when in_a = 1 and in_b = 1 then 1 else 0 end)"
+            " * 1000000 div count(1)"
+        )
+        .cast("long")
+        .alias("kmv_jaccard_ppm")
+    )
+    return (
+        kmv.join(exact_j, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("exact_jaccard_ppm", F.lit(0))
+            .cast("long")
+            .alias("exact_jaccard_ppm"),
+            "kmv_jaccard_ppm",
+            F.abs(
+                F.col("kmv_jaccard_ppm")
+                - F.coalesce(F.col("exact_jaccard_ppm"), F.lit(0))
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+    )

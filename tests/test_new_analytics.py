@@ -712,3 +712,24 @@ def test_qj02_interval_union_recount(spark):
         assert r.n_islands == len(islands)
         assert r.n_intervals == len(ivs)
         assert r.covered_sec == sum(t - s for s, t in islands)
+
+
+def test_qh04_kmv_accuracy_band(spark):
+    """KMV laws: every estimate lies in [0, 10⁶]; err_ppm is the
+    reported |difference|; and the sketch is actually informative —
+    mean error across the 190 source pairs well inside the k=64
+    binomial band (3·sqrt(0.25/64) ≈ 19%), plus rank correlation with
+    the exact overlap is positive (the sketch orders pairs usefully)."""
+    rows = QUERIES["qh04_kmv_set_ops"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 190  # 20 sources choose 2
+    errs = []
+    for r in rows:
+        assert 0 <= r.kmv_jaccard_ppm <= 1_000_000
+        assert r.err_ppm == abs(r.kmv_jaccard_ppm - r.exact_jaccard_ppm)
+        errs.append(r.err_ppm)
+    assert sum(errs) / len(errs) < 100_000
+    xs = [r.exact_jaccard_ppm for r in rows]
+    ys = [r.kmv_jaccard_ppm for r in rows]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    assert cov > 0
