@@ -1195,3 +1195,127 @@ def qs15_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("rnk") <= F.col("extra_seats")).cast("long")
         ).cast("long").alias("final_quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qs16: Poisson bootstrap — resampling-free confidence estimation at scale
+# ---------------------------------------------------------------------------
+
+#: Inverse-CDF thresholds of Poisson(1) on the 28-bit hash space:
+#: floor(P(X <= k) * 16^7) for k = 0..7 (weights capped at 8). Both
+#: engines compare hashes against these SAME integer literals.
+BOOT_THRESHOLDS = (
+    98751885, 197503771, 246879713, 263338361,
+    267453023, 268275955, 268413111, 268432704,
+)
+BOOT_REPLICATES = 3
+
+
+def _register_poisson_bootstrap_query():
+    def weight_sql(rep: int) -> str:
+        h = (f"('0x' || substr(md5('boot:{rep}:' ||"
+             f" CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT")
+        terms = " + ".join(
+            f"CASE WHEN {h} >= {t} THEN 1 ELSE 0 END" for t in BOOT_THRESHOLDS
+        )
+        return f"({terms})"
+
+    rep_cols = ", ".join(
+        f"""CAST(SUM({weight_sql(r)} * CAST(o_totalprice AS DECIMAL(18,2)))
+             AS DOUBLE)
+           / SUM({weight_sql(r)}) AS m{r}"""
+        for r in range(BOOT_REPLICATES)
+    )
+
+    @register(
+        "qs16_poisson_bootstrap",
+        tags=("sampling", "stats"),
+        oracle=f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS mean_price,
+         {rep_cols}
+  FROM orders)
+SELECT n_rows, ROUND(mean_price, 6) AS mean_price,
+       ROUND(m0, 6) AS boot0_mean, ROUND(m1, 6) AS boot1_mean,
+       ROUND(m2, 6) AS boot2_mean,
+       ROUND(GREATEST(m0, m1, m2) - LEAST(m0, m1, m2), 6) AS boot_spread
+FROM agg
+""",
+    )
+    def qs16_poisson_bootstrap(spark, sf_dir):
+        """Poisson bootstrap (the resampling trick that makes
+        bootstrap confidence intervals feasible on distributed data —
+        Chamandy et al./Google's "Estimating uncertainty for massive
+        data streams"): instead of drawing n rows with replacement
+        (impossible without a global pass), each row enters replicate
+        r with an independent Poisson(1) weight, giving replicate
+        estimates whose spread estimates the sampling variability of
+        the statistic — here the mean order price, with
+        {BOOT_REPLICATES} replicates and their range.
+
+        Determinism: the Poisson draw is the inverse CDF applied to a
+        content-derived md5 uniform — weights count how many of the 8
+        precomputed integer thresholds the hash clears, so both
+        engines draw the IDENTICAL weight for every (row, replicate);
+        weighted sums are exact DECIMAL.
+
+        Scale shape (100 TB): ONE map-side-combinable aggregation
+        computes the point estimate and every replicate (weights are
+        inline expressions — no data duplication, no 3× fan-out, no
+        shuffle beyond the single-row merge); adding replicates adds
+        columns, not passes. This is the qi01 monoid again: per-
+        partition (Σwx, Σw) pairs merge associatively."""
+        from pyspark.sql import functions as F
+
+        from event_stream_aggr_spark.tables import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+
+        def weight(rep: int) -> F.Column:
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"boot:{rep}:"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            w = F.lit(0)
+            for t in BOOT_THRESHOLDS:
+                w = w + F.when(h >= t, 1).otherwise(0)
+            return w
+
+        price = F.col("o_totalprice").cast("decimal(18,2)")
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("mp"),
+        ]
+        for r in range(BOOT_REPLICATES):
+            w = weight(r)
+            aggs.append(
+                (F.sum(w * price).cast("double") / F.sum(w)).alias(f"m{r}")
+            )
+        agg = o.agg(*aggs)
+        return agg.select(
+            "n_rows",
+            F.round("mp", 6).alias("mean_price"),
+            F.round("m0", 6).alias("boot0_mean"),
+            F.round("m1", 6).alias("boot1_mean"),
+            F.round("m2", 6).alias("boot2_mean"),
+            F.round(
+                F.greatest("m0", "m1", "m2") - F.least("m0", "m1", "m2"), 6
+            ).alias("boot_spread"),
+        )
+
+    return qs16_poisson_bootstrap
+
+
+_register_poisson_bootstrap_query()

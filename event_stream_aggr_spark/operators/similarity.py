@@ -2782,3 +2782,231 @@ def qe19_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "mmr_rank long, vec_id long, rel_us long, mmr_us long"
     )
+
+
+# ---------------------------------------------------------------------------
+# qr02: pseudo-relevance-feedback query expansion (Rocchio/RM-lite)
+# ---------------------------------------------------------------------------
+
+PRF_FEEDBACK_DOCS = 5
+PRF_EXPANSION_TERMS = 3
+PRF_EXP_WEIGHT_PPM = 500_000  # expansion terms count half an original term
+PRF_OUT_K = 10
+
+
+def _prf_bm25_ctes(terms_src: str, prefix: str) -> str:
+    """BM25 CTE chain parameterized by a term RELATION (term,
+    weight_ppm) instead of a literal list — shared by the base pass
+    (original terms, weight 10⁶) and the expanded pass."""
+    return f"""{prefix}tf AS (
+  SELECT d.doc_id, d.dl, u.term, t.weight_ppm,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs) u
+  JOIN docs d USING (doc_id)
+  JOIN {terms_src} t ON t.term = u.term
+  GROUP BY d.doc_id, d.dl, u.term, t.weight_ppm),
+{prefix}df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM {prefix}tf GROUP BY term),
+{prefix}scored AS (
+  SELECT f.doc_id,
+         CAST(SUM(f.weight_ppm * CAST(ROUND(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+           * (f.tf * CAST(2.2 AS DOUBLE))
+           / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+           * 1000000) AS BIGINT) // 1000000) AS BIGINT) AS score_us
+  FROM {prefix}tf f JOIN {prefix}df d USING (term) CROSS JOIN stats s
+  GROUP BY f.doc_id)"""
+
+
+@register(
+    "qr02_prf_expansion",
+    tags=("retrieval", "text"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS dl,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM docs),
+qterms AS (
+  SELECT unnest(['join', 'vector', 'stream']) AS term,
+         CAST(1000000 AS BIGINT) AS weight_ppm),
+{_prf_bm25_ctes('qterms', 'base_')},
+fb AS (
+  SELECT doc_id FROM base_scored
+  ORDER BY score_us DESC, doc_id LIMIT {PRF_FEEDBACK_DOCS}),
+corpus_df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM docs) u GROUP BY term),
+cand AS (
+  SELECT u.term, CAST(COUNT(*) AS BIGINT) AS tf_fb
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs) u
+  JOIN fb USING (doc_id)
+  WHERE u.term NOT IN ('join', 'vector', 'stream')
+    AND u.term NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+  GROUP BY u.term),
+expansion AS (
+  SELECT c.term,
+         CAST({PRF_EXP_WEIGHT_PPM} AS BIGINT) AS weight_ppm
+  FROM cand c JOIN corpus_df d USING (term) CROSS JOIN stats s
+  ORDER BY c.tf_fb * CAST(ROUND(ln((s.n_docs + 1.0) / (d.df + 1.0))
+                                * 1000000) AS BIGINT) DESC, c.term
+  LIMIT {PRF_EXPANSION_TERMS}),
+allterms AS (
+  SELECT term, weight_ppm FROM qterms
+  UNION ALL SELECT term, weight_ppm FROM expansion),
+{_prf_bm25_ctes('allterms', 'exp_')},
+base_ranked AS (
+  SELECT doc_id, score_us,
+         ROW_NUMBER() OVER (ORDER BY score_us DESC, doc_id) AS r
+  FROM base_scored),
+exp_ranked AS (
+  SELECT doc_id, score_us,
+         ROW_NUMBER() OVER (ORDER BY score_us DESC, doc_id) AS r
+  FROM exp_scored)
+SELECT e.doc_id,
+       CAST(e.score_us AS BIGINT) AS exp_score_us,
+       CAST(COALESCE(b.score_us, 0) AS BIGINT) AS base_score_us,
+       CAST(COALESCE(b.r, 0) AS BIGINT) AS base_rank,
+       CAST(e.r AS BIGINT) AS new_rank
+FROM exp_ranked e LEFT JOIN base_ranked b USING (doc_id)
+WHERE e.r <= {PRF_OUT_K}
+""",
+)
+def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 / RM
+    relevance models — the second classic retrieval pass): run BM25
+    for the original query, take the top-{PRF_FEEDBACK_DOCS} docs as
+    implicit relevance feedback, mine their {PRF_EXPANSION_TERMS}
+    highest tf·idf terms (stopwords and original terms excluded),
+    and re-score with the expanded weighted term set (expansion terms
+    at half weight) — reporting each final top-{PRF_OUT_K} doc's
+    before/after rank so the expansion's effect is auditable.
+
+    Fully relational adaptivity: the expansion terms are a RELATION
+    derived from the first pass (no driver-side loop — unlike
+    qe15/qe19's per-round argmax, the whole two-pass dataflow is one
+    lineage both engines replay). Scoring weights and idf terms are
+    integer ppm/µ-units (qt17's recipe), tiebreaks everywhere.
+
+    Scale shape (100 TB): both BM25 passes keep qt17's discipline —
+    the token stream joins a tiny BROADCAST term relation before the
+    tf shuffle (pass 2's term set is |q|+{PRF_EXPANSION_TERMS} rows);
+    feedback-doc term mining joins the {PRF_FEEDBACK_DOCS}-row fb
+    relation (broadcast) onto the token stream — the only corpus-wide
+    work is the corpus df for candidate idf, shared with the index
+    build (qt19)."""
+    from event_stream_aggr_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        STOPWORDS_EN,
+        tokens,
+    )
+    from pyspark.sql import Row
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    stream = docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+
+    def bm25_pass(term_rel: DataFrame) -> DataFrame:
+        tf = (
+            stream.join(F.broadcast(term_rel), "term")
+            .groupBy("doc_id", "dl", "term", "weight_ppm")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+        term_us = F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            )
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+            )
+            * 1000000
+        ).cast("long")
+        return (
+            tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                (F.col("weight_ppm") * term_us).alias("_w"),
+            )
+            .groupBy("doc_id")
+            .agg(F.expr("sum(_w div 1000000)").cast("long").alias("score_us"))
+        )
+
+    qterms = spark.createDataFrame(
+        [Row(term=t, weight_ppm=1_000_000) for t in BM25_TERMS]
+    )
+    base = bm25_pass(qterms)
+    fb = base.orderBy(F.desc("score_us"), "doc_id").limit(PRF_FEEDBACK_DOCS)
+    corpus_df = (
+        stream.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cand = (
+        stream.join(F.broadcast(fb.select("doc_id")), "doc_id")
+        .filter(~F.col("term").isin(*BM25_TERMS))
+        .filter(~F.col("term").isin(*STOPWORDS_EN))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf_fb"))
+    )
+    expansion = (
+        cand.join(corpus_df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            (
+                F.col("tf_fb")
+                * F.round(
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    * 1000000
+                ).cast("long")
+            ).alias("_sc"),
+        )
+        .orderBy(F.desc("_sc"), "term")
+        .limit(PRF_EXPANSION_TERMS)
+        .select("term", F.lit(PRF_EXP_WEIGHT_PPM).cast("long").alias("weight_ppm"))
+    )
+    allterms = qterms.unionAll(expansion)
+    exp = bm25_pass(allterms)
+    wb = W.orderBy(F.desc("score_us"), "doc_id")
+    base_ranked = base.select(
+        "doc_id",
+        F.col("score_us").alias("base_score_us"),
+        F.row_number().over(wb).alias("base_rank"),
+    )
+    exp_ranked = exp.select(
+        "doc_id",
+        F.col("score_us").alias("exp_score_us"),
+        F.row_number().over(wb).alias("new_rank"),
+    )
+    return (
+        exp_ranked.filter(F.col("new_rank") <= PRF_OUT_K)
+        .join(base_ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exp_score_us",
+            F.coalesce("base_score_us", F.lit(0)).cast("long").alias(
+                "base_score_us"
+            ),
+            F.coalesce("base_rank", F.lit(0)).cast("long").alias("base_rank"),
+            F.col("new_rank").cast("long").alias("new_rank"),
+        )
+    )
