@@ -2053,3 +2053,73 @@ def qt27_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(occ_score) div count(1)").alias("score_ppm"),
     )
     return ptype.orderBy(F.desc("score_ppm"), "phrase").limit(RAKE_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# qt28: keyword-in-context concordance (corpus exploration)
+# ---------------------------------------------------------------------------
+
+KWIC_TERM = "vector"
+KWIC_CTX = 3
+
+
+@register(
+    "qt28_kwic_concordance",
+    tags=("text", "retrieval"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id, t, u.pos
+  FROM toks, LATERAL (SELECT unnest(t) AS tok,
+                             generate_subscripts(t, 1) AS pos) u
+  WHERE u.tok = '{KWIC_TERM}')
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       COALESCE(array_to_string(t[GREATEST(1, pos - {KWIC_CTX}):pos - 1], ' '),
+                '') AS left_ctx,
+       COALESCE(array_to_string(t[pos + 1:pos + {KWIC_CTX}], ' '), '')
+         AS right_ctx
+FROM hits
+""",
+)
+def qt28_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance (the corpus-exploration view
+    behind lexicography and quality triage — "show me every use of
+    this term with ±{KWIC_CTX} tokens of context"): one row per
+    occurrence of the query term with its left/right context windows.
+    The qualitative companion to qt17's quantitative relevance: BM25
+    says WHICH documents matter, KWIC shows HOW the term is used.
+
+    Scale dataflow: occurrence positions are mined INSIDE the token
+    array (transform-with-index → filter — codegen'd, zero-shuffle)
+    and only hit positions explode, so the fan-out is |occurrences|,
+    not |tokens|; context extraction is array slicing on the retained
+    token array. A corpus-wide KWIC for all terms is qt19's inverted
+    index with positions — this is the single-term serving path that
+    needs no index."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    # 1-based hit positions, mined without exploding the token stream
+    hits = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr(
+                f"filter(transform(t, (x, i) -> IF(x = '{KWIC_TERM}',"
+                " i + 1, -1)), p -> p > 0)"
+            )
+        ).alias("pos"),
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(
+            f"array_join(slice(t, greatest(1, pos - {KWIC_CTX}),"
+            f" least({KWIC_CTX}, pos - 1)), ' ')"
+        ).alias("left_ctx"),
+        F.expr(f"array_join(slice(t, pos + 1, {KWIC_CTX}), ' ')").alias(
+            "right_ctx"
+        ),
+    )

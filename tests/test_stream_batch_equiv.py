@@ -417,3 +417,64 @@ def test_stream_batch_equivalence_markov_transitions(spark, sf_dir, tmp_path):
     }
     assert q.lastProgress["batchId"] >= 1
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_batch_equivalence_lsh_index_maintenance(spark, sf_dir, tmp_path):
+    """Dedup-index maintenance: the banded-MinHash index built
+    incrementally over a multi-micro-batch document stream (per-batch
+    signature rows appended — the index is an append-only monoid
+    because signatures are per-row deterministic) equals the
+    batch-built index row-for-row, and the candidate pairs derived
+    from the streamed index equal batch qd04's candidates."""
+    from event_stream_aggr_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    src = str(tmp_path / "docs_lsh_stream")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    batch_index = {
+        tuple(r)
+        for r in minhash_signatures(stored).collect()
+    }
+    batch_pairs = {
+        (r.doc_a, r.doc_b) for r in lsh_candidates(stored).collect()
+    }
+
+    # foreachBatch index maintenance: per micro-batch, compute the
+    # arriving docs' signatures (each doc is one row, so the per-doc
+    # aggregation is complete within its batch) and APPEND to the
+    # stored index — the monoid update a real dedup index runs.
+    idx_dir = str(tmp_path / "lsh_index")
+    n_batches = [0]
+
+    def update_index(batch_df, batch_id):
+        n_batches[0] += 1
+        minhash_signatures(batch_df).write.mode("append").parquet(idx_dir)
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(update_index)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_index = {
+        tuple(r) for r in spark.read.parquet(idx_dir).collect()
+    }
+    assert n_batches[0] >= 2
+    assert streamed_index == batch_index and len(batch_index) > 0
+
+    # pairs derived from the streamed (accumulated) index match batch
+    streamed_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidates(
+            spark.read.parquet(idx_dir).join(
+                stored.select("doc_id", "text"), "doc_id"
+            ).select("doc_id", "text")
+        ).collect()
+    }
+    assert streamed_pairs == batch_pairs
