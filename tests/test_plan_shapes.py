@@ -415,3 +415,26 @@ def test_q75_attribution_single_exchange_two_windows(spark, sf_dir, specs):
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 2
     assert "Join" not in plan
+
+
+def test_late_r5_ops_have_sane_join_physics(spark, sf_dir, specs):
+    """The late-round-5 operators keep their docstring scale claims:
+    no CartesianProduct anywhere; qg06's 2-hop product is a part-key
+    equi-join; qa04/qa07's distribution work needs NO join at all;
+    qr02's term-filtered BM25 passes broadcast their term relations."""
+    # qg06: min-plus via equi-join on the part key, never s×s
+    plan = _plan(specs["qg06_substitution_paths"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # qa04 / qa07: two-phase micro-bucket recipes are join-free
+    for name in ("qa04_equidepth_histogram", "qa07_gains_table"):
+        plan = _plan(specs[name].fn(spark, sf_dir))
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # qh04: the only all-pairs product is the tiny source-pair
+    # enumeration (broadcast NLJ), never a CartesianProduct
+    plan = _plan(specs["qh04_kmv_set_ops"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # qr02: both BM25 passes join their term relation broadcast-side
+    plan = _plan(specs["qr02_prf_expansion"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
