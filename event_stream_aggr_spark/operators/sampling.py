@@ -1319,3 +1319,152 @@ FROM agg
 
 
 _register_poisson_bootstrap_query()
+
+
+# ---------------------------------------------------------------------------
+# qs17: mixture EXECUTION — hash-rate downsampling against qs15's quotas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qs17_mixture_execution",
+    tags=("sampling", "training-data", "pipeline"),
+    oracle=f"""
+WITH perdoc AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS dtok
+  FROM documents),
+src AS (
+  SELECT source, CAST(SUM(dtok) AS BIGINT) AS tokens
+  FROM perdoc GROUP BY source),
+wt AS (
+  SELECT source, tokens,
+         CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+  FROM src),
+tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(tokens) AS BIGINT) // {MIX_BUDGET_DIV} AS budget
+  FROM wt),
+base AS (
+  SELECT source, tokens, w,
+         CAST((budget * w) // sw AS BIGINT) AS quota_base,
+         CAST((budget * w) % sw AS BIGINT) AS remainder,
+         budget
+  FROM wt, tot),
+leftover AS (SELECT MIN(budget) - SUM(quota_base) AS extra FROM base),
+quotas AS (
+  SELECT source, tokens,
+         quota_base + CAST(rnk <= l.extra AS BIGINT) AS final_quota
+  FROM (SELECT source, tokens, quota_base,
+               ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
+        FROM base) b, leftover l),
+kept AS (
+  SELECT p.source,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)),
+                             1, 7))::BIGINT * q.tokens
+                        < q.final_quota * {_HASH_SPACE}
+                       THEN p.dtok ELSE 0 END) AS BIGINT) AS kept_tokens
+  FROM perdoc p JOIN quotas q USING (source)
+  GROUP BY p.source)
+SELECT q.source, q.tokens, q.final_quota, k.kept_tokens,
+       CAST(CASE WHEN q.final_quota > 0
+                 THEN k.kept_tokens * 1000000 // q.final_quota
+                 ELSE 0 END AS BIGINT) AS achievement_ppm
+FROM quotas q JOIN kept k USING (source)
+""",
+)
+def qs17_mixture_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture EXECUTION (the doing half of qs15's planning): each
+    source's Hamilton token quota becomes a deterministic per-doc
+    keep rate — doc kept iff md5-hash · source_tokens <
+    quota · hash_space, i.e. keep probability = quota/tokens — and
+    the achieved kept-token mass is audited against the quota in ppm.
+    Together qs15→qs17 are the full pretraining-mixture pipeline:
+    apportion a budget, execute it with content-derived sampling
+    (reproducible across runs/partitionings/engines), measure the
+    miss (documents are token-lumpy, so achievement ≈ 10⁶ ± the
+    heavy-doc noise the audit exposes — feeding the next re-plan).
+
+    Scale shape (100 TB): ONE corpus pass to per-doc token counts,
+    per-source rollup (map-side), the tiny quota relation broadcast
+    back, and the keep decision + achieved-mass fold in the SAME
+    second aggregation — two fact passes total, no entity sort,
+    integer cross-multiplied thresholds (never float rates)."""
+    d = load_table(spark, sf_dir, "documents")
+    perdoc = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("dtok"),
+    )
+    src = perdoc.groupBy("source").agg(F.sum("dtok").alias("tokens"))
+    wt = src.select(
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long").alias("w"),
+    )
+    tot = wt.agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.expr(f"sum(tokens) div {MIX_BUDGET_DIV}").cast("long").alias("budget"),
+    )
+    base = wt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("(budget * w) div sw").alias("quota_base"),
+        F.expr("(budget * w) % sw").alias("remainder"),
+        "budget",
+    )
+    leftover = base.agg(
+        (F.min("budget") - F.sum("quota_base")).alias("extra")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = base.select(
+        "source",
+        "tokens",
+        "quota_base",
+        F.row_number()
+        .over(W.orderBy(F.desc("remainder"), "source"))
+        .alias("rnk"),
+    )
+    quotas = ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "tokens",
+        (
+            F.col("quota_base")
+            + (F.col("rnk") <= F.col("extra")).cast("long")
+        ).alias("final_quota"),
+    )
+    kept = (
+        perdoc.join(F.broadcast(quotas), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(
+                    _key_hash(F.col("doc_id")) * F.col("tokens")
+                    < F.col("final_quota") * _HASH_SPACE,
+                    F.col("dtok"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_tokens")
+        )
+    )
+    return (
+        quotas.join(kept, "source")
+        .select(
+            "source",
+            "tokens",
+            "final_quota",
+            "kept_tokens",
+            F.when(
+                F.col("final_quota") > 0,
+                F.expr("kept_tokens * 1000000 div final_quota"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("achievement_ppm"),
+        )
+    )

@@ -786,3 +786,39 @@ def test_qs16_bootstrap_spread_brackets_truth(spark):
     for m in (r.boot0_mean, r.boot1_mean, r.boot2_mean):
         assert abs(m - r.mean_price) < 5 * se
     assert 0 < r.boot_spread < 10 * se
+
+
+def test_qs17_execution_consistent_with_qs15_plan(spark):
+    """The executor's quotas EQUAL qs15's plan row-for-row; kept
+    tokens are reproducible from md5 driver-side; aggregate
+    achievement is within the heavy-doc noise band of the budget."""
+    import hashlib
+
+    plan = {
+        r.source: r.final_quota
+        for r in QUERIES["qs15_mixture_apportionment"].fn(spark, SF_DIR).collect()
+    }
+    rows = QUERIES["qs17_mixture_execution"].fn(spark, SF_DIR).collect()
+    assert {r.source: r.final_quota for r in rows} == plan
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    per_src_tokens: dict[str, int] = {}
+    doc_toks = []
+    for d in docs:
+        n = len([t for t in d.text.split(" ") if t])
+        doc_toks.append((d.doc_id, d.source, n))
+        per_src_tokens[d.source] = per_src_tokens.get(d.source, 0) + n
+    kept: dict[str, int] = {}
+    for doc_id, srcname, n in doc_toks:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16)
+        if h * per_src_tokens[srcname] < plan[srcname] * 16**7:
+            kept[srcname] = kept.get(srcname, 0) + n
+    for r in rows:
+        assert r.kept_tokens == kept.get(r.source, 0), r.source
+        assert r.achievement_ppm == r.kept_tokens * 1_000_000 // r.final_quota
+    total_quota = sum(plan.values())
+    total_kept = sum(r.kept_tokens for r in rows)
+    assert abs(total_kept - total_quota) / total_quota < 0.25
