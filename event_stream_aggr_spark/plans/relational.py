@@ -3938,3 +3938,89 @@ def q83_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("p99 div 1000000").alias("p99_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q84: ABC / Pareto classification (the 80-15-5 inventory cut)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q84_abc_classification",
+    tags=("agg", "window", "stats"),
+    oracle="""
+WITH parts AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(rev) OVER () AS total_rev
+  FROM parts),
+classed AS (
+  SELECT l_partkey, rev,
+         CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+              WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       CAST((CAST(SUM(rev) * 100 AS BIGINT) * 10000)
+            // CAST(MAX(t.total) * 100 AS BIGINT) AS BIGINT) AS share_bp
+FROM classed, (SELECT SUM(rev) AS total FROM parts) t
+GROUP BY abc_class
+""",
+)
+def q84_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification — the 80/15/5 cut every inventory,
+    storage-tiering and cache-sizing decision uses: parts ranked by
+    exact revenue, class A until 80% of cumulative revenue, B until
+    95%, C the tail; per class, part count, exact revenue and
+    basis-point share. The actionable form of q82's Gini scalar (q82
+    says HOW concentrated, q84 says WHICH keys to treat specially —
+    the same cut that picks broadcast-candidate keys or hot-tier
+    cache entries).
+
+    Determinism: revenue is an exact DECIMAL rollup; the cumulative
+    threshold test is integer-free of division (cum·100 ≤ total·80
+    on DECIMALs — exact); rank ties break on l_partkey.
+
+    Scale shape (100 TB): the fact table reduces once to part grain
+    (map-side combinable); the classification is ONE ordered window
+    over the entity relation (the same cost class as q82's rank —
+    and the qa04 micro-bucket running count replaces it when even
+    the entity relation outgrows a sort, the documented swap); the
+    class rollup is 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w_cum = W.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_all = W.partitionBy()
+    ranked = parts.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    classed = ranked.select(
+        "rev",
+        "total_rev",
+        F.when(F.col("cum_rev") * 100 <= F.col("total_rev") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.expr(
+            "(cast(sum(rev) * 100 as bigint) * 10000)"
+            " div cast(max(total_rev) * 100 as bigint)"
+        )
+        .cast("long")
+        .alias("share_bp"),
+    )

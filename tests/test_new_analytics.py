@@ -822,3 +822,23 @@ def test_qs17_execution_consistent_with_qs15_plan(spark):
     total_quota = sum(plan.values())
     total_kept = sum(r.kept_tokens for r in rows)
     assert abs(total_kept - total_quota) / total_quota < 0.25
+
+
+def test_q84_abc_partition_laws(spark):
+    """Classes partition the part universe; shares stack to ~10000bp
+    with A ≥ 80% bound semantics (A's cumulative share ≤ 8000bp by
+    construction of the 'until' cut, B ≤ 9500bp cumulative)."""
+    rows = {r.abc_class: r for r in QUERIES["q84_abc_classification"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    total_bp = sum(r.share_bp for r in rows.values())
+    assert 9997 <= total_bp <= 10000
+    assert rows["A"].share_bp <= 8000
+    assert rows["A"].share_bp + rows["B"].share_bp <= 9500
+    # NOTE: no Pareto-skew assertion — the synthetic revenue is
+    # near-uniform (A holds ~73% of parts for 80% of revenue); the
+    # operator pins the CUT, the data supplies whatever skew it has
