@@ -3010,3 +3010,116 @@ def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_rank").cast("long").alias("new_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qe20: recall@k CURVE of the LSH ANN index (qe13 generalized over k)
+# ---------------------------------------------------------------------------
+
+RECALL_CURVE_KS = (1, 5, 10, 20)
+
+
+def _recall_curve_oracle() -> str:
+    kmax = max(RECALL_CURVE_KS)
+    k_rows = ", ".join(str(k) for k in RECALL_CURVE_KS)
+    return f"""
+WITH {lsh_bucket_ctes()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM buck q JOIN buck c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+ann_pairs AS (
+  SELECT cand.qid, cand.cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a,
+                                         unnest(ec.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(eq.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(ec.embedding)::DOUBLE AS b)) AS nc
+  FROM cand
+  JOIN embeddings eq ON cand.qid = eq.vec_id
+  JOIN embeddings ec ON cand.cid = ec.vec_id),
+ann_ranked AS (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS rnk
+  FROM ann_pairs),
+ex_pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest(q.embedding)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest(q.embedding)::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)) AS nc
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+ex_ranked AS (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS rnk
+  FROM ex_pairs),
+ks AS (SELECT unnest([{k_rows}]) AS k)
+SELECT k.k,
+       CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // (8 * k.k) AS BIGINT) AS recall_ppm
+FROM ks k
+JOIN ex_ranked e ON e.rnk <= k.k
+LEFT JOIN ann_ranked a ON a.qid = e.qid AND a.cid = e.cid AND a.rnk <= k.k
+WHERE e.rnk <= {kmax}
+GROUP BY k.k
+""".replace("{kmax}", str(kmax))
+
+
+@register(
+    "qe20_recall_curve",
+    tags=("similarity", "approx", "monitoring", "eval"),
+    oracle=_recall_curve_oracle(),
+)
+def qe20_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k CURVE of the LSH ANN index (qe13's scalar recall@5
+    extended across operating points k = 1, 5, 10, 20 — the serving
+    decision is WHERE on this curve to run, and a flat curve means
+    the index's candidate pool, not the rerank depth, is the
+    bottleneck). One row per k: total hits across the 8 audit queries
+    and recall in ppm.
+
+    Determinism: both rankings use 6dp-rounded cosine with cid
+    tiebreaks; hits are integer counts; recall is integer
+    cross-multiplied (hits·10⁶ div (queries·k)).
+
+    Scale shape (100 TB): ONE ANN ranking and ONE exact ranking are
+    computed once (same dataflows as qe13 — bucketed candidates vs
+    broadcast-query exact scan over the audit sample), and every k
+    reads the SAME two rank relations — the curve costs one small
+    |ks|-way fan-out over ≤(8·k_max)-row relations, not |ks|
+    re-rankings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kmax = max(RECALL_CURVE_KS)
+    ann = ann_lsh_topk_self(
+        emb, F.col("vec_id") < 8, dim=64, k=kmax
+    ).select("qid", "cid", F.col("rank").alias("ann_rnk"))
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    exact = cosine_topk(q, c, k=kmax).select(
+        "qid", "cid", F.col("rank").alias("ex_rnk")
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in RECALL_CURVE_KS])
+    ).alias("k")
+    fan = exact.select("qid", "cid", "ex_rnk", ks)
+    joined = fan.join(
+        ann, ["qid", "cid"], "left"
+    ).filter(F.col("ex_rnk") <= F.col("k"))
+    hit = (F.col("ann_rnk").isNotNull()) & (
+        F.col("ann_rnk") <= F.col("k")
+    )
+    return joined.groupBy("k").agg(
+        F.sum(hit.cast("int")).cast("long").alias("n_hits"),
+        F.expr(
+            "sum(case when ann_rnk is not null and ann_rnk <= k"
+            " then 1 else 0 end) * 1000000 div (8 * k)"
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )

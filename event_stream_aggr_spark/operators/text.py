@@ -2123,3 +2123,75 @@ def qt28_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_ctx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qt30: language-ID confusion matrix (the eval closure of qt13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qt30_langid_confusion",
+    tags=("text", "langid", "eval"),
+    oracle=f"""
+WITH lt AS (
+  SELECT doc_id, lang AS true_lang, lower(text) AS t FROM documents),
+scored AS (
+  SELECT doc_id, true_lang,
+         {" , ".join(
+            "(" + " + ".join(
+                f"(length(t) - length(replace(t, '{b}', ''))) // 2 * {w}"
+                for l2, b, w in LANGID_PROFILES if l2 == lg
+            ) + f") AS s_{lg}"
+            for lg in sorted({l for l, _b, _w in LANGID_PROFILES})
+         )}
+  FROM lt),
+pred AS (
+  SELECT doc_id, true_lang,
+         CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM scored)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS cell_acc_ppm
+FROM pred GROUP BY true_lang, pred_lang
+""",
+)
+def qt30_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation (the eval closure qt13 lacked, the
+    qe18 pattern applied to the text stack): confusion matrix of
+    qt13's predicted language against the labeled lang column — per
+    (true, predicted) cell, the count and a trivially-derivable
+    accuracy indicator. WHICH languages the bigram heuristic confuses
+    (and how often it abstains to 'und') is what decides whether to
+    ship it or train real profiles.
+
+    Determinism: scores are qt13's integer replace-counts; the argmax
+    uses the same alphabetical tie preference (the oracle's CASE
+    chain tests de→en→es→fr with >=, exactly min-struct's order).
+
+    Scale shape (100 TB): qt13's zero-shuffle single-pass scorer plus
+    ONE |langs|²-bounded aggregation — the whole evaluation costs one
+    scan. No join against the prediction (the scorer is inline)."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = qt13_language_id(spark, sf_dir).select(
+        "doc_id", "pred_lang"
+    )
+    truth = d.select("doc_id", F.col("lang").alias("true_lang"))
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.when(F.col("true_lang") == F.col("pred_lang"), F.lit(1_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cell_acc_ppm"),
+    )

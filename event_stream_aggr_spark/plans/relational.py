@@ -4024,3 +4024,118 @@ def q84_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q85: referential-integrity + amount-reconciliation audit
+# ---------------------------------------------------------------------------
+
+RECON_TOL = "0.01"  # balanced when |header - line sum| <= one cent
+
+
+@register(
+    "q85_order_reconciliation",
+    tags=("audit", "join", "agg"),
+    oracle=f"""
+WITH ls AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_sum
+  FROM lineitem GROUP BY l_orderkey),
+joined AS (
+  SELECT o.o_orderkey, o.o_totalprice, ls.line_sum
+  FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey),
+orphan_lines AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM ls LEFT JOIN orders o ON o.o_orderkey = ls.l_orderkey
+  WHERE o.o_orderkey IS NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN line_sum IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orders_without_lines,
+       (SELECT n FROM orphan_lines) AS n_orphan_line_groups,
+       CAST(SUM(CASE WHEN line_sum IS NOT NULL
+                      AND ABS(CAST(o_totalprice AS DECIMAL(18,2)) - line_sum)
+                          <= {RECON_TOL}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_balanced,
+       CAST(SUM(CASE WHEN line_sum IS NOT NULL
+                      AND ABS(CAST(o_totalprice AS DECIMAL(18,2)) - line_sum)
+                          <= {RECON_TOL}
+                     THEN 1 ELSE 0 END) * 1000000
+            // SUM(CASE WHEN line_sum IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS balanced_ppm,
+       CAST(SUM(CASE WHEN line_sum IS NOT NULL
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) - line_sum
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS net_imbalance,
+       CAST(MAX(CASE WHEN line_sum IS NOT NULL
+                     THEN ABS(CAST(o_totalprice AS DECIMAL(18,2)) - line_sum)
+                     END) AS DOUBLE) AS max_abs_diff
+FROM joined
+""",
+)
+def q85_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity + balancing audit (the finance-grade
+    data-quality check beside qa01's column constraints): header
+    totals reconciled against exact DECIMAL line sums with a one-cent
+    tolerance, plus both orphan directions (orders with no lines,
+    line groups with no order). One summary row: counts, balanced
+    rate in ppm, exact net imbalance and worst single-order gap. On
+    this synthetic data the header totals are independent of the
+    lines — the audit honestly reports ~0 balanced, which is exactly
+    what it exists to surface on real pipelines after a partial load.
+
+    Scale shape (100 TB): lineitem collapses to order grain in one
+    map-side-combinable DECIMAL rollup; the header LEFT join is
+    order-keyed (AQE-splittable); both orphan probes reuse the same
+    relations; everything lands in ONE final fold. Exact decimals
+    end-to-end; the rate is integer cross-multiplied."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ls = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "line_sum"
+            )
+        )
+    )
+    joined = o.join(ls, o["o_orderkey"] == ls["l_orderkey"], "left")
+    orphan_lines = (
+        ls.join(o, o["o_orderkey"] == ls["l_orderkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphan_line_groups")
+        )
+    )
+    diff = F.col("o_totalprice").cast("decimal(18,2)") - F.col("line_sum")
+    has_lines = F.col("line_sum").isNotNull()
+    balanced = has_lines & (F.abs(diff) <= F.lit(float(RECON_TOL)))
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((~has_lines).cast("int")).cast("long").alias(
+            "n_orders_without_lines"
+        ),
+        F.sum(balanced.cast("int")).cast("long").alias("n_balanced"),
+        F.expr(
+            f"sum(case when line_sum is not null and"
+            f" abs(cast(o_totalprice as decimal(18,2)) - line_sum)"
+            f" <= {RECON_TOL} then 1 else 0 end) * 1000000"
+            f" div sum(case when line_sum is not null then 1 else 0 end)"
+        )
+        .cast("long")
+        .alias("balanced_ppm"),
+        F.sum(
+            F.when(has_lines, diff).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("net_imbalance"),
+        F.max(F.when(has_lines, F.abs(diff))).cast("double").alias(
+            "max_abs_diff"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(orphan_lines)).select(
+        "n_orders",
+        "n_orders_without_lines",
+        "n_orphan_line_groups",
+        "n_balanced",
+        "balanced_ppm",
+        "net_imbalance",
+        "max_abs_diff",
+    )

@@ -842,3 +842,98 @@ def test_q84_abc_partition_laws(spark):
     # NOTE: no Pareto-skew assertion — the synthetic revenue is
     # near-uniform (A holds ~73% of parts for 80% of revenue); the
     # operator pins the CUT, the data supplies whatever skew it has
+
+
+def test_qt30_confusion_conserves_and_matches_qt13(spark):
+    """The confusion matrix partitions all docs; cell counts recount
+    from qt13's per-doc predictions joined to labels."""
+    rows = QUERIES["qt30_langid_confusion"].fn(spark, SF_DIR).collect()
+    docs = {
+        d.doc_id: d.lang
+        for d in load_table(spark, SF_DIR, "documents").collect()
+    }
+    assert sum(r.n for r in rows) == len(docs)
+    preds = {
+        r.doc_id: r.pred_lang
+        for r in QUERIES["qt13_language_id"].fn(spark, SF_DIR).collect()
+    }
+    cells: dict[tuple, int] = {}
+    for doc_id, true_lang in docs.items():
+        key = (true_lang, preds[doc_id])
+        cells[key] = cells.get(key, 0) + 1
+    assert {(r.true_lang, r.pred_lang): r.n for r in rows} == cells
+    for r in rows:
+        assert r.cell_acc_ppm == (
+            1_000_000 if r.true_lang == r.pred_lang else 0
+        )
+
+
+def test_q85_reconciliation_recount(spark):
+    """Driver-side recount of balance counts, orphans and net
+    imbalance from exact Decimal arithmetic."""
+    from decimal import Decimal
+
+    r = QUERIES["q85_order_reconciliation"].fn(spark, SF_DIR).collect()[0]
+    orders = {
+        o.o_orderkey: Decimal(str(round(o.o_totalprice, 2)))
+        for o in load_table(spark, SF_DIR, "orders").collect()
+    }
+    sums: dict[int, Decimal] = {}
+    for li in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .collect()
+    ):
+        sums[li.l_orderkey] = sums.get(li.l_orderkey, Decimal(0)) + Decimal(
+            str(round(li.l_extendedprice, 2))
+        )
+    assert r.n_orders == len(orders)
+    assert r.n_orders_without_lines == sum(
+        1 for k in orders if k not in sums
+    )
+    assert r.n_orphan_line_groups == sum(1 for k in sums if k not in orders)
+    balanced = sum(
+        1
+        for k, total in orders.items()
+        if k in sums and abs(total - sums[k]) <= Decimal("0.01")
+    )
+    assert r.n_balanced == balanced
+    net = sum(
+        (total - sums[k] for k, total in orders.items() if k in sums),
+        Decimal(0),
+    )
+    assert abs(Decimal(str(r.net_imbalance)) - net) < Decimal("0.01")
+
+
+def test_qi03_merge_equals_direct_and_brackets_exact(spark):
+    """The merged histogram is provably identical to the direct one
+    (n_mismatched_buckets == 0) and each nearest-bucket percentile
+    brackets the exact order statistic within one bucket width."""
+    r = QUERIES["qi03_incremental_quantiles"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_mismatched_buckets == 0
+    vals = sorted(
+        v.value for v in load_table(spark, SF_DIR, "events").select("value").collect()
+    )
+    assert r.n_total == len(vals)
+    import math as m
+
+    for p, deci in ((0.50, r.p50_deci), (0.90, r.p90_deci), (0.99, r.p99_deci)):
+        exact = vals[m.ceil(p * len(vals)) - 1]
+        assert deci / 10 <= exact < deci / 10 + 0.2, (p, deci, exact)
+
+
+def test_qe20_recall_curve_laws(spark):
+    """Monotone hit counts in k, recall@5 agrees with qe13's audit,
+    and every recall is a valid ppm."""
+    rows = {r.k: r for r in QUERIES["qe20_recall_curve"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 5, 10, 20}
+    hits = [rows[k].n_hits for k in (1, 5, 10, 20)]
+    assert hits == sorted(hits)
+    for k, r in rows.items():
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.recall_ppm == r.n_hits * 1_000_000 // (8 * k)
+    qe13_hits = sum(
+        r.n_hits
+        for r in QUERIES["qe13_ann_recall_audit"].fn(spark, SF_DIR).collect()
+    )
+    assert rows[5].n_hits == qe13_hits
