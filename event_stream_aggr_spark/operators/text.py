@@ -2195,3 +2195,89 @@ def qt30_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cell_acc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qt29: term burstiness — dispersion of per-doc term counts
+# ---------------------------------------------------------------------------
+
+BURST_MIN_TOTAL = 50
+BURST_TOP_K = 30
+
+
+@register(
+    "qt29_term_burstiness",
+    tags=("text", "lm", "stats"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM toks),
+tf AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY tok, doc_id),
+moments AS (
+  SELECT tok,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(c * c) AS BIGINT) AS total_sq,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY tok),
+scored AS (
+  SELECT tok, total, df,
+         ((total_sq * nd - total * total) * 1000000)
+           // (total * (nd - 1)) AS vmr_ppm
+  FROM moments, n_docs
+  WHERE total >= {BURST_MIN_TOTAL})
+SELECT tok, total, df, CAST(vmr_ppm AS BIGINT) AS vmr_ppm
+FROM scored ORDER BY vmr_ppm DESC, tok LIMIT {BURST_TOP_K}
+""",
+)
+def qt29_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): the variance-to-mean ratio of
+    a term's per-document counts, treating absent docs as zeros —
+    VMR ≈ 1 is Poisson scatter (function-word behavior), VMR ≫ 1 is
+    bursty (a content word concentrating in few docs). The corpus
+    statistic that separates topical vocabulary from glue without
+    any labels, feeding stopword induction (qt02's list, learned) and
+    keyword weighting (qt09/qt17's idf, refined). Top-30 burstiest
+    frequent terms.
+
+    Determinism: with zeros included, mean = total/N and
+    variance·N·(N−1) = (Σc²·N − total²) — the VMR is ONE integer
+    cross-multiplied ratio (·10⁶ div), exact in both engines; no
+    float moment ever crosses the boundary.
+
+    Scale shape (100 TB): the token stream reduces to (term, doc)
+    counts (the same shuffle qt09 bounds by vocab·df), then to
+    vocab-sized integer moments — absent-doc zeros are IMPLIED by
+    algebra (Σ over zeros adds nothing), so the sparse representation
+    never materializes the |vocab|×|docs| grid. Top-k is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    nd = toks.agg(F.countDistinct("doc_id").alias("nd"))
+    tf = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    moments = tf.groupBy("tok").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("total_sq"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    scored = (
+        moments.filter(F.col("total") >= BURST_MIN_TOTAL)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            "total",
+            "df",
+            F.expr(
+                "((total_sq * nd - total * total) * 1000000)"
+                " div (total * (nd - 1))"
+            )
+            .cast("long")
+            .alias("vmr_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("vmr_ppm"), "tok").limit(BURST_TOP_K)

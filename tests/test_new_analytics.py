@@ -937,3 +937,28 @@ def test_qe20_recall_curve_laws(spark):
         for r in QUERIES["qe13_ann_recall_audit"].fn(spark, SF_DIR).collect()
     )
     assert rows[5].n_hits == qe13_hits
+
+
+def test_qt29_burstiness_recount(spark):
+    """VMR recount driver-side (zeros-included variance identity) for
+    every reported term; descending order; floor respected."""
+    rows = QUERIES["qt29_term_burstiness"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 30
+    vmrs = [r.vmr_ppm for r in rows]
+    assert vmrs == sorted(vmrs, reverse=True)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    nd = len(docs)
+    counts: dict[str, dict[int, int]] = {}
+    for d in docs:
+        for t in [x for x in d.text.lower().split(" ") if x]:
+            counts.setdefault(t, {}).setdefault(d.doc_id, 0)
+            counts[t][d.doc_id] += 1
+    for r in rows:
+        per_doc = counts[r.tok]
+        total = sum(per_doc.values())
+        total_sq = sum(c * c for c in per_doc.values())
+        assert r.total == total >= 50
+        assert r.df == len(per_doc)
+        assert r.vmr_ppm == ((total_sq * nd - total * total) * 1_000_000) // (
+            total * (nd - 1)
+        )
