@@ -1468,3 +1468,110 @@ def qs17_mixture_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("achievement_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qs19: the temperature dial — mixture shares across alpha values
+# ---------------------------------------------------------------------------
+
+#: alpha grid; each weight w = tokens^alpha is expressed through the
+#: correctly-rounded IEEE ops both engines share: sqrt (and products
+#: of sqrts) — never pow(), which is not correctly rounded.
+TEMP_ALPHAS = ("0", "0.25", "0.5", "0.75", "1")
+
+
+def _temp_weight_sql(alpha: str) -> str:
+    t = "CAST(tokens AS DOUBLE)"
+    return {
+        "0": "1.0",
+        "0.25": f"sqrt(sqrt({t}))",
+        "0.5": f"sqrt({t})",
+        "0.75": f"sqrt({t}) * sqrt(sqrt({t}))",
+        "1": t,
+    }[alpha]
+
+
+@register(
+    "qs19_temperature_sweep",
+    tags=("sampling", "training-data", "planner"),
+    oracle=f"""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+wq AS (
+  SELECT source, tokens,
+         {", ".join(
+            f"CAST(FLOOR({_temp_weight_sql(a)} * 1000000) AS BIGINT)"
+            f" AS w{i}" for i, a in enumerate(TEMP_ALPHAS))}
+  FROM src),
+tot AS (
+  SELECT {", ".join(f"CAST(SUM(w{i}) AS BIGINT) AS t{i}"
+                    for i in range(len(TEMP_ALPHAS)))}
+  FROM wq)
+SELECT source, tokens,
+       {", ".join(
+          f"CAST(w{i} * 1000000 // t{i} AS BIGINT) AS share_a{a.replace('.', '_')}_ppm"
+          for i, a in enumerate(TEMP_ALPHAS))}
+FROM wq, tot
+""",
+)
+def qs19_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature dial: per-source mixture share at every
+    alpha ∈ {{0, ¼, ½, ¾, 1}} (weight ∝ tokens^alpha) in one table —
+    the decision artifact behind qs03 (alpha=0, equalized), qs04
+    (alpha=½) and the natural mix (alpha=1): reading ACROSS a row
+    shows how much a small source gains as temperature drops, which
+    is how the alpha is actually chosen before qs15 apportions and
+    qs17 executes.
+
+    Determinism: tokens^alpha is built ONLY from correctly-rounded
+    IEEE ops (sqrt and products of sqrts — pow() is not correctly
+    rounded and never appears), quantized to integer micro-units
+    BEFORE summing so the normalization is exact integer
+    cross-multiplication.
+
+    Scale shape (100 TB): one corpus reduction to per-source token
+    counts; the whole sweep then lives on the |sources|-row relation
+    with a 1-row total broadcast — alphas add columns, not passes."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        )
+        .cast("long")
+        .alias("tokens")
+    )
+    t = F.col("tokens").cast("double")
+    weights = {
+        "0": F.lit(1.0),
+        "0.25": F.sqrt(F.sqrt(t)),
+        "0.5": F.sqrt(t),
+        "0.75": F.sqrt(t) * F.sqrt(F.sqrt(t)),
+        "1": t,
+    }
+    wq = src.select(
+        "source",
+        "tokens",
+        *[
+            F.floor(weights[a] * 1_000_000).cast("long").alias(f"w{i}")
+            for i, a in enumerate(TEMP_ALPHAS)
+        ],
+    )
+    tot = wq.agg(
+        *[
+            F.sum(f"w{i}").cast("long").alias(f"t{i}")
+            for i in range(len(TEMP_ALPHAS))
+        ]
+    )
+    return wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        *[
+            F.expr(f"w{i} * 1000000 div t{i}")
+            .cast("long")
+            .alias(f"share_a{a.replace('.', '_')}_ppm")
+            for i, a in enumerate(TEMP_ALPHAS)
+        ],
+    )

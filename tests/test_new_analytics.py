@@ -962,3 +962,32 @@ def test_qt29_burstiness_recount(spark):
         assert r.vmr_ppm == ((total_sq * nd - total * total) * 1_000_000) // (
             total * (nd - 1)
         )
+
+
+def test_qs19_temperature_monotonicity(spark):
+    """Temperature laws: at alpha=0 shares are equal (±1 ppm
+    truncation); at alpha=1 shares are proportional to tokens; lower
+    alpha strictly helps below-average sources and hurts
+    above-average ones; every column sums to ≤ 10⁶."""
+    rows = QUERIES["qs19_temperature_sweep"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    total_tokens = sum(r.tokens for r in rows)
+    cols = [
+        "share_a0_ppm",
+        "share_a0_25_ppm",
+        "share_a0_5_ppm",
+        "share_a0_75_ppm",
+        "share_a1_ppm",
+    ]
+    for c in cols:
+        s = sum(getattr(r, c) for r in rows)
+        assert 1_000_000 - n <= s <= 1_000_000, c
+    for r in rows:
+        assert abs(r.share_a0_ppm - 1_000_000 // n) <= 1
+        nat = r.tokens * 1_000_000 // total_tokens
+        assert abs(r.share_a1_ppm - nat) <= 1
+        seq = [getattr(r, c) for c in cols]
+        if r.tokens * n < total_tokens:  # below-average source
+            assert seq == sorted(seq, reverse=True), (r.source, seq)
+        elif r.tokens * n > total_tokens * 1.05:  # clearly above average
+            assert seq == sorted(seq), (r.source, seq)
