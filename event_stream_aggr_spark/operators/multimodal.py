@@ -678,3 +678,79 @@ def qm07_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_count(_ha ^ _hb)").cast("long").alias("hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qm08: payload integrity audit (ingest QA over the binary column)
+# ---------------------------------------------------------------------------
+
+INTEGRITY_MIN_BYTES = 64  # payloads below this are flagged as truncated
+
+
+@register(
+    "qm08_payload_integrity",
+    tags=("multimodal", "audit"),
+    oracle=f"""
+WITH m AS (
+  SELECT d.source,
+         length(d.text) AS n_bytes,          -- ASCII: octets == chars
+         length(d.text) AS meta_bytes,       -- attach_binary meta contract
+         ascii(d.text) AS head
+  FROM documents d)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(CASE WHEN n_bytes <> meta_bytes THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_meta_mismatch,
+       CAST(SUM(CASE WHEN n_bytes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(SUM(CASE WHEN n_bytes < {INTEGRITY_MIN_BYTES} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_truncated,
+       CAST(SUM(CASE WHEN head < 32 OR head > 126 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_head,
+       CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM m GROUP BY source
+""",
+)
+def qm08_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest QA over the binary payload column (the checks a media
+    lakehouse runs BEFORE any decode spends GPU/CPU on a corrupt
+    blob): per source — metadata/payload length agreement (the
+    attach_binary contract), empty payloads, truncation below the
+    smallest decodable size, bad magic/head bytes (here: printable
+    ASCII, standing in for real magic-number checks), and the byte
+    envelope. All-zero violation columns on this consistent corpus is
+    the PASSING baseline the audit exists to defend — any nonzero
+    after an ingest change localizes the breakage to a source.
+
+    Scale shape (100 TB): metadata-only audit — length() and the
+    FIRST byte; parquet reads the binary column but no decode runs,
+    and the whole audit is ONE map-side-combinable aggregation to
+    |sources| rows. The real-media variant swaps the head check for
+    per-mime magic numbers on the same dataflow."""
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_binary(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    ).select(
+        "source",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.n_bytes").alias("meta_bytes"),
+        # first payload byte as unsigned int (ASCII corpus)
+        F.ascii(F.col("payload").cast("string")).alias("head"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(
+            (F.col("n_bytes") != F.col("meta_bytes")).cast("int")
+        ).cast("long").alias("n_meta_mismatch"),
+        F.sum((F.col("n_bytes") == 0).cast("int")).cast("long").alias("n_empty"),
+        F.sum(
+            (F.col("n_bytes") < INTEGRITY_MIN_BYTES).cast("int")
+        ).cast("long").alias("n_truncated"),
+        F.sum(
+            ((F.col("head") < 32) | (F.col("head") > 126)).cast("int")
+        ).cast("long").alias("n_bad_head"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

@@ -991,3 +991,25 @@ def test_qs19_temperature_monotonicity(spark):
             assert seq == sorted(seq, reverse=True), (r.source, seq)
         elif r.tokens * n > total_tokens * 1.05:  # clearly above average
             assert seq == sorted(seq), (r.source, seq)
+
+
+def test_qm08_integrity_all_pass_baseline(spark):
+    """On the consistent synthetic corpus every violation column is
+    zero (the audit's passing baseline) and the byte envelope
+    recounts from text lengths."""
+    rows = QUERIES["qm08_payload_integrity"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    by_src: dict[str, list[int]] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(len(d.text))
+    assert {r.source for r in rows} == set(by_src)
+    for r in rows:
+        lens = by_src[r.source]
+        assert r.n_media == len(lens)
+        assert r.n_meta_mismatch == r.n_empty == r.n_bad_head == 0
+        assert r.n_truncated == sum(1 for x in lens if x < 64)
+        assert (r.min_bytes, r.max_bytes, r.total_bytes) == (
+            min(lens),
+            max(lens),
+            sum(lens),
+        )
