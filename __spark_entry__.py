@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _sample_priority_order(names: list[str]) -> list[str]:
+def _sample_priority_order(names: list[str], artifacts_dir=None) -> list[str]:
     """Order query names stalest-first so the driver's fixed-size sample
     rotates through the whole registry.
 
@@ -59,28 +59,45 @@ def _sample_priority_order(names: list[str]) -> list[str]:
 
     A green row only vouches for the SOURCE it ran against, so a query
     whose (fn source + oracle) hash no longer matches the committed
-    QUERY_HASHES.json snapshot (regenerated at end of round by
-    tools/update_query_hashes.py, i.e. at the state the driver last
-    verified) is demoted to never-checked — rewrites re-enter the
-    sample immediately instead of inheriting pre-rewrite status.
+    QUERY_HASHES.json snapshot (merge-regenerated at end of round by
+    tools/update_query_hashes.py — a name's hash refreshes ONLY when
+    the driver re-checked it that round, so in-round rewrites stay
+    demoted until re-verified) is demoted to never-checked — rewrites
+    re-enter the sample immediately instead of inheriting pre-rewrite
+    status. A name whose LATEST driver row is non-green (mismatch or
+    crash) likewise demotes to never-checked: a red result must be
+    re-examined next round, not aged out of the sample (round-5
+    ADVICE: qt19/q29 fixed-but-red rows waited ~3 rounds otherwise).
     """
     import json
     import re
     from pathlib import Path
 
-    here = Path(__file__).resolve().parent
+    here = Path(artifacts_dir) if artifacts_dir else Path(__file__).resolve().parent
 
     last_checked: dict[str, int] = {}
+    last_green: dict[str, bool] = {}
     for path in sorted(here.glob("CORRECTNESS_r*.json")):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
         if not m:
             continue
         rnd = int(m.group(1))
         try:
-            for name in json.loads(path.read_text()):
-                last_checked[name] = max(last_checked.get(name, 0), rnd)
-        except (OSError, ValueError):
+            for name, row in json.loads(path.read_text()).items():
+                if rnd >= last_checked.get(name, 0):
+                    last_checked[name] = rnd
+                    last_green[name] = bool(
+                        isinstance(row, dict)
+                        and row.get("err") is None
+                        and row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match") is not False
+                    )
+        except (OSError, ValueError, AttributeError):
             continue
+    for name, green in last_green.items():
+        if not green:
+            last_checked[name] = 0
 
     try:
         snapshot = json.loads((here / "QUERY_HASHES.json").read_text())

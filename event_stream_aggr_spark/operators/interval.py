@@ -216,7 +216,7 @@ WITH iv AS (
          event_id
   FROM events),
 flagged AS (
-  SELECT user_id, s_start, s_end,
+  SELECT user_id, s_start, s_end, event_id,
          CASE WHEN s_start > MAX(s_end) OVER (
                 PARTITION BY user_id ORDER BY s_start, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -228,7 +228,7 @@ flagged AS (
 islands AS (
   SELECT user_id, s_start, s_end,
          SUM(new_island) OVER (PARTITION BY user_id
-                               ORDER BY s_start, s_end
+                               ORDER BY s_start, event_id
                                ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged)
 SELECT user_id,
@@ -287,15 +287,21 @@ def qj02_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s_start",
         "s_end",
+        "event_id",
         F.when(
             prev_max_end.isNull() | (F.col("s_start") > prev_max_end), 1
         )
         .otherwise(0)
         .alias("new_island"),
     )
+    # Island numbering MUST use the same unique (s_start, event_id)
+    # tiebreaker as the flagging window: with fixed-width holds s_end
+    # adds nothing to (s_start, s_end), so a (user, second)-tied pair
+    # at an island boundary would otherwise be split nondeterministically
+    # across engines/partitionings (round-5 ADVICE).
     w_isl = (
         W.partitionBy("user_id")
-        .orderBy("s_start", "s_end")
+        .orderBy("s_start", "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     islands = flagged.select(

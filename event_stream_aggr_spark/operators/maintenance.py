@@ -856,7 +856,8 @@ def _register_fd_profiler_query():
     from event_stream_aggr_spark.tables import load_table
 
     def branch_sql(lhs: str, rhs: str) -> str:
-        rd = rhs.replace("//", "//")  # duckdb integer div spelling
+        # rhs expressions use //, already DuckDB's integer-div spelling
+        # (the Spark branch translates // -> div below)
         return f"""
   SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
          CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -864,7 +865,7 @@ def _register_fd_profiler_query():
          CAST(SUM(mx) = SUM(tot) AS BIGINT) AS exact_fd
   FROM (
     SELECT l, MAX(n) AS mx, SUM(n) AS tot
-    FROM (SELECT {lhs} AS l, {rd} AS r, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT {lhs} AS l, {rhs} AS r, CAST(COUNT(*) AS BIGINT) AS n
           FROM documents GROUP BY 1, 2)
     GROUP BY l)"""
 

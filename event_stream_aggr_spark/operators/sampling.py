@@ -1361,15 +1361,15 @@ quotas AS (
         FROM base) b, leftover l),
 kept AS (
   SELECT p.source,
-         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)),
-                             1, 7))::BIGINT * q.tokens
-                        < q.final_quota * {_HASH_SPACE}
+         CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)),
+                             1, 7))::BIGINT AS HUGEINT) * q.tokens
+                        < CAST(q.final_quota AS HUGEINT) * {_HASH_SPACE}
                        THEN p.dtok ELSE 0 END) AS BIGINT) AS kept_tokens
   FROM perdoc p JOIN quotas q USING (source)
   GROUP BY p.source)
 SELECT q.source, q.tokens, q.final_quota, k.kept_tokens,
        CAST(CASE WHEN q.final_quota > 0
-                 THEN k.kept_tokens * 1000000 // q.final_quota
+                 THEN CAST(k.kept_tokens AS HUGEINT) * 1000000 // q.final_quota
                  ELSE 0 END AS BIGINT) AS achievement_ppm
 FROM quotas q JOIN kept k USING (source)
 """,
@@ -1443,8 +1443,13 @@ def qs17_mixture_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.when(
-                    _key_hash(F.col("doc_id")) * F.col("tokens")
-                    < F.col("final_quota") * _HASH_SPACE,
+                    # hash·tokens can reach ~2.7e8 · 1e13 ≈ 2.7e21 at
+                    # web-corpus scale — past BIGINT. Promote to
+                    # DECIMAL(38,0) (DuckDB side: HUGEINT) so the
+                    # keep decision stays exact at any corpus size.
+                    _key_hash(F.col("doc_id")).cast("decimal(38,0)")
+                    * F.col("tokens")
+                    < F.col("final_quota").cast("decimal(38,0)") * _HASH_SPACE,
                     F.col("dtok"),
                 ).otherwise(0)
             )
@@ -1461,7 +1466,12 @@ def qs17_mixture_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens",
             F.when(
                 F.col("final_quota") > 0,
-                F.expr("kept_tokens * 1000000 div final_quota"),
+                # same DECIMAL(38,0)/HUGEINT promotion as the keep
+                # decision: kept_tokens·10⁶ ≈ 1e19 at 1e13 tokens/source
+                F.expr(
+                    "cast(kept_tokens as decimal(38,0)) * 1000000"
+                    " div final_quota"
+                ),
             )
             .otherwise(F.lit(0))
             .cast("long")

@@ -277,8 +277,9 @@ def qh03_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies, over-estimate-bounded) with the moment estimate
     (unbiased, two-sided).
 
-    Determinism: signs come from exact-BIGINT Knuth mixing (the
-    operators/bloom.py / CMS recipe — no engine hash functions), so
+    Determinism: signs are md5-parity derived (the qs05 uniform
+    source — a Knuth multiplicative mix was tried and abandoned
+    because its sign bias skewed the estimate; see _ams_sign), so
     every running sum is an exact integer both engines agree on; the
     estimate is an integer mean of integer squares, the error an
     integer cross-multiplied ppm.

@@ -1853,7 +1853,8 @@ pairs AS (
   HAVING COUNT(*) >= {PMI_MIN_PAIR}),
 scored AS (
   SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
-         (c_xy * n * 1000000) // (ux.c * uy.c) AS ratio_ppm
+         (CAST(c_xy AS HUGEINT) * n * 1000000)
+           // (CAST(ux.c AS HUGEINT) * uy.c) AS ratio_ppm
   FROM pairs JOIN uni ux ON ux.tok = x JOIN uni uy ON uy.tok = y, total),
 topk AS (
   SELECT x, y, c_xy, c_x, c_y, ratio_ppm
@@ -1876,7 +1877,12 @@ def qt26_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (c_xy·N·10⁶) div (c_x·c_y) — both engines rank identical
     integers, with (x, y) tiebreaks; ln() only touches the derived
     output, rounded to 6dp from the SAME integer argument (qt21's
-    established ln-rounding pattern).
+    established ln-rounding pattern). The cross-multiplication is
+    promoted out of BIGINT on both sides (Spark DECIMAL(38,0),
+    DuckDB HUGEINT) so it stays exact at web-corpus N ~ 1e13 tokens,
+    where a 64-bit c_xy·N·10⁶ would wrap silently; the final
+    ratio_ppm itself is BIGINT-bounded (≤ N·10⁶ / PMI_MIN_PAIR —
+    an explicit precondition, fine through N ~ 1e12·PMI_MIN_PAIR).
 
     Scale shape (100 TB): unigram and bigram counts are the SAME
     token-stream shuffles qt08/qt09 bound by vocab/vocab² — corpus
@@ -1920,7 +1926,10 @@ def qt26_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_xy",
             "c_x",
             "c_y",
-            F.expr("(c_xy * n * 1000000) div (c_x * c_y)").alias("ratio_ppm"),
+            F.expr(
+                "cast((cast(c_xy as decimal(38,0)) * n * 1000000)"
+                " div (cast(c_x as decimal(38,0)) * c_y) as bigint)"
+            ).alias("ratio_ppm"),
         )
     )
     topk = scored.orderBy(F.desc("ratio_ppm"), "x", "y").limit(PMI_TOP_K)
