@@ -68,9 +68,17 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     diagnostics = {
         "scaling": scaling_probe(spark, specs, headline, timings),
-        "streaming": stream_bench(spark),
-        "streaming_curation": curation_stream_bench(spark),
-        "streaming_cep": cep_stream_bench(spark),
+        "retrieval_stage_sharing": retrieval_stage_sharing(spark, specs),
+        # streaming rates are min-of-2 like the batch timings (r5
+        # VERDICT ask #6: CEP varied 13.7k-23.3k across boots); both
+        # runs are recorded so the spread itself is visible
+        "streaming": min_of_2_stream(stream_bench, spark, rate_key="alerts_per_sec"),
+        "streaming_curation": min_of_2_stream(
+            curation_stream_bench, spark, rate_key="docs_per_sec"
+        ),
+        "streaming_cep": min_of_2_stream(
+            cep_stream_bench, spark, rate_key="events_per_sec"
+        ),
         "deltas_vs_prev_round": prev_round_deltas(timings),
     }
     for key, payload in diagnostics.items():
@@ -173,6 +181,42 @@ def prev_round_deltas(timings: dict[str, float]) -> dict:
                 out["pct"][name] = round(100.0 * (sec - prev[name]) / prev[name], 1)
         return out
     return {}
+
+
+def retrieval_stage_sharing(spark, specs) -> dict:
+    """r5 VERDICT ask #5 evidence: qt17/qr01/qr02 share the memoized
+    tokenized-corpus stage (operators/text.py:tokenized_corpus), so a
+    composed retrieval path pays the corpus tokenize ONCE per
+    session/corpus. Pass 1 runs the triple cold (the first query
+    materializes the stage); pass 2 re-runs it warm — every query
+    after the first, in BOTH passes, reads the materialized token
+    arrays instead of re-scanning + re-splitting the corpus."""
+    names = ("qt17_bm25_scores", "qr01_hybrid_search", "qr02_prf_expansion")
+    out: dict = {"cold_sec": {}, "warm_sec": {}}
+    for key in ("cold_sec", "warm_sec"):
+        for n in names:
+            t0 = time.perf_counter()
+            specs[n].fn(spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            out[key][n] = round(time.perf_counter() - t0, 4)
+    out["note"] = (
+        "corpus tokenize paid once per session: cold pass's first query"
+        " includes the one-time stage materialization; all later"
+        " retrieval queries (both passes) reuse it"
+    )
+    return out
+
+
+def min_of_2_stream(fn, spark, rate_key: str) -> dict:
+    """Run a streaming bench twice and report the best (min-time) run
+    with both observed rates — the same low-noise estimator as the
+    batch min-of-2, with the run spread kept visible."""
+    runs = [fn(spark), fn(spark)]
+    best = dict(max(runs, key=lambda r: r.get(rate_key) or 0.0))
+    best["method"] = "min_of_2"
+    best[f"runs_{rate_key}"] = [r.get(rate_key) for r in runs]
+    return best
 
 
 def stream_bench(spark, n_events: int = 20_000, metrics_per_event: int = 3) -> dict:

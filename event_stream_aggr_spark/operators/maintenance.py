@@ -422,10 +422,15 @@ FROM zones z CROSS JOIN tot t
         this query *measures* how effective the current layout's
         zones are for a predicate — the feedback a 100 TB lakehouse
         uses to decide whether a re-layout (qz01) or compaction
-        (qz02) pays for itself. One hash aggregation to |zones| rows;
-        the totals side is a 1-row broadcast. min/max of raw doubles
-        are exact in both engines (no accumulation), so zone bounds
-        hash-match bit-for-bit.
+        (qz02) pays for itself.
+
+        Scale shape (100 TB): ONE map-side-combinable hash aggregation
+        from corpus rows down to |zones| rows (one per day-partition —
+        bounded by the calendar, not the data), then the totals fold
+        as a 1-row broadcast crossJoin back onto the zone relation;
+        no sort, no fact-side join. min/max of raw doubles are exact
+        in both engines (no accumulation), so zone bounds hash-match
+        bit-for-bit.
         """
         e = load_table(spark, sf_dir, "events")
         zones = (

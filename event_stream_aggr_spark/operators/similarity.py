@@ -2526,19 +2526,19 @@ def qr01_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; dense: one broadcast-query scoring pass). Fusion
     joins two ≤|corpus|-row RANK relations on doc_id — in serving,
     two k-row lists. Nothing quadratic anywhere."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") != HYB_QUERY_VEC
-    )
     from event_stream_aggr_spark.operators.text import (
         BM25_B,
         BM25_K1,
         BM25_TERMS,
-        tokens,
+        tokenized_corpus,
     )
 
-    docs = d.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
-    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    # the memoized shared tokenize stage (one corpus scan per session
+    # across qt17/qr01/qr02); the query-doc exclusion filters the
+    # materialized relation — value-identical to filtering before
+    docs = tokenized_corpus(spark, sf_dir).filter(
+        F.col("doc_id") != HYB_QUERY_VEC
+    )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -2905,14 +2905,12 @@ def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         BM25_K1,
         BM25_TERMS,
         STOPWORDS_EN,
-        tokens,
+        tokenized_corpus,
     )
     from pyspark.sql import Row
 
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
-    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    # memoized shared tokenize stage — see tokenized_corpus
+    docs = tokenized_corpus(spark, sf_dir)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )

@@ -25,6 +25,34 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda x: x != "")
 
 
+def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared retrieval-side corpus stage: ``(doc_id, dl, toks)``
+    for every document, tokenized ONCE per (session, corpus) via
+    ``memoized_stage`` (the k-means-stage recipe, r5 VERDICT ask #5).
+
+    qt17 / qr01 / qr02 each start from this relation — previously each
+    re-ran the parquet scan + lowercase + split for its own BM25
+    df/idf pass; now the composed text-retrieval path pays the corpus
+    scan once and every later pass reads the materialized token
+    arrays. The 100 TB analogue is the tokenized corpus as a
+    materialized table (the index-build intermediate every retrieval
+    stack persists) with the per-query term filters running over it.
+    Value-identical to recomputation, so consumers' oracles (which
+    re-derive it relationally) are unaffected.
+    """
+    from event_stream_aggr_spark.operators.stagecache import memoized_stage
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    return memoized_stage(
+        "bm25_tokenized_corpus",
+        src,
+        lambda: src.select(
+            "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
+        ),
+    )
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
@@ -1097,12 +1125,11 @@ def qt17_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (N, Σdl) and per-term df are KB-scale broadcasts back onto
     it. Per-term scores convert to integer micro-units BEFORE the
     per-doc sum (qe06's recipe) so the 3-term accumulation is
-    order-free; ln() is the one transcendental (qt09's precedent)."""
-    d = load_table(spark, sf_dir, "documents")
-    # tokenize once; dl reads the attribute instead of re-splitting
-    docs = d.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
-    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    order-free; ln() is the one transcendental (qt09's precedent).
+    The tokenized corpus itself comes from the memoized shared stage
+    (tokenized_corpus) — one scan per session/corpus across the whole
+    qt17/qr01/qr02 retrieval path."""
+    docs = tokenized_corpus(spark, sf_dir)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )

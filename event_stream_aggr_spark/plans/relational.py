@@ -2968,9 +2968,13 @@ def q70_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Times convert to epoch MICROSECONDS before the join (tz-independent
     integers; the same reasoning as tables.py's NTZ normalization), so
     the staleness gate is integer arithmetic — no interval types cross
-    the engine boundary. Same single-shuffle union+window dataflow as
-    q25 (operators/asof.py); the tolerance adds a per-row comparison,
-    not a second join."""
+    the engine boundary.
+
+    Scale shape (100 TB): same single-shuffle union+window dataflow as
+    q25 (operators/asof.py) — both sides exchange ONCE on user_id and
+    the as-of pick is a running window, never a range join; the
+    tolerance adds a per-row comparison, not a second join, so the
+    plan is identical to plain as-of at any data size."""
     from event_stream_aggr_spark.operators.asof import asof_join
 
     e = load_table(spark, sf_dir, "events")
@@ -3564,6 +3568,13 @@ def q71_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (§2.4) lacked. Done as ONE aggregation + a struct-min
     (count negated, then type) rather than a window over the counts,
     so nothing re-shuffles after the (user, type) rollup.
+
+    Scale shape (100 TB): two map-side-combinable hash aggregations.
+    The first exchange carries partially-aggregated (user, type)
+    pairs (bounded by the active-pair domain, not event rows); the
+    second carries only the rolled-up (user, type, n) triples — KB
+    per partition however large the fact table. No window, no sort,
+    no join; heavy-hitter users still reduce map-side in both passes.
     """
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -1,4 +1,13 @@
-"""Regenerate QUERY_HASHES.json — run as the LAST step of a round.
+"""Regenerate QUERY_HASHES.json — run at the START of a round, BEFORE
+any source edits.
+
+Timing matters: the driver's correctness check runs after the
+previous round's final commit, so at the start of round N the working
+tree is EXACTLY the state CORRECTNESS_r{N-1} verified. Refreshing
+then records verified-state hashes. Running at END of round instead
+would re-snapshot in-round edits of previously-sampled names as if
+verified — the same staleness bug the merge fix closed, one round
+later.
 
 The file snapshots each registered query's (source + oracle) hash at
 the state the driver's correctness harness LAST VERIFIED.  During the
