@@ -2951,10 +2951,21 @@ def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = bm25_pass(qterms)
     fb = base.orderBy(F.desc("score_us"), "doc_id").limit(PRF_FEEDBACK_DOCS)
-    corpus_df = (
-        stream.select("doc_id", "term").distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # corpus-level document frequency is a pure derivative of the
+    # tokenized corpus — memoized like the corpus itself, so repeated
+    # retrieval queries in a session pay the |corpus|-wide
+    # explode+distinct once (vocab-sized result, cheap to hold)
+    from event_stream_aggr_spark.operators.stagecache import memoized_stage
+
+    corpus_df = memoized_stage(
+        "bm25_corpus_term_df",
+        docs,
+        lambda: (
+            docs.select("doc_id", F.explode("toks").alias("term"))
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        ),
     )
     cand = (
         stream.join(F.broadcast(fb.select("doc_id")), "doc_id")

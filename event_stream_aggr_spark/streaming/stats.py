@@ -421,3 +421,91 @@ def transitions_with_state(df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+IVU_OUT_SCHEMA = (
+    "user_id long, n_islands long, n_intervals long, covered_sec long"
+)
+IVU_STATE_SCHEMA = (
+    "cur_start long, cur_end long, cur_n long,"
+    " closed_islands long, closed_intervals long, closed_cov long"
+)
+
+
+def interval_union_with_state(df: DataFrame, hold_s: int = 300) -> DataFrame:
+    """qj02's streaming twin — online interval UNION (merge overlapping
+    activity holds into islands): per user the state is the OPEN
+    island (start, running max end, interval count) plus the closed
+    totals; each arriving event's [s, s+hold] either extends the open
+    island (s <= cur_end) or closes it and opens a new one. One totals
+    row per user per micro-batch (update mode) reports islands /
+    intervals / covered seconds INCLUDING the open island, so after
+    the same events have flowed through an in-order replay the latest
+    row per user equals batch qj02 exactly
+    (tests/test_stream_batch_equiv.py).
+
+    Order contract: rows sort (tsm, event_id) inside the batch; across
+    batches the engine's per-key time-ordered arrival applies (the
+    same §2.9 state-edge dispensation as the EWMA/CEP/throttle twins).
+    Equal-timestamp events are order-robust here: a tied event always
+    lands inside the island its twin opened (s <= cur_end since
+    cur_end >= s + hold), so batch-boundary ties cannot split islands.
+
+    State is six scalars per user — bounded however long the stream
+    runs; n_intervals is monotone per user, so "latest row" is
+    recoverable from an unordered sink as max(n_intervals).
+
+    Input must carry ``tsm`` (event-time micros); holds are integer
+    SECONDS of epoch time (s = tsm div 1e6), matching batch qj02."""
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (cur_start, cur_end, cur_n,
+             closed_islands, closed_intervals, closed_cov) = state.get
+        else:
+            cur_start = cur_end = None
+            cur_n = closed_islands = closed_intervals = closed_cov = 0
+        rows = pd.concat(list(batches)).sort_values(["tsm", "event_id"])
+        for r in rows.itertuples():
+            s = int(r.tsm) // 1_000_000
+            e = s + hold_s
+            if cur_start is None:
+                cur_start, cur_end, cur_n = s, e, 1
+            elif s > cur_end:
+                closed_islands += 1
+                closed_intervals += cur_n
+                closed_cov += cur_end - cur_start
+                cur_start, cur_end, cur_n = s, e, 1
+            else:
+                cur_end = max(cur_end, e)
+                cur_n += 1
+        state.update(
+            (cur_start, cur_end, cur_n,
+             closed_islands, closed_intervals, closed_cov)
+        )
+        open_island = int(cur_start is not None)
+        yield pd.DataFrame(
+            [(
+                int(key[0]),
+                closed_islands + open_island,
+                closed_intervals + cur_n,
+                closed_cov + ((cur_end - cur_start) if open_island else 0),
+            )],
+            columns=["user_id", "n_islands", "n_intervals", "covered_sec"],
+        )
+
+    return (
+        df.select("event_id", "user_id", "tsm")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=IVU_OUT_SCHEMA,
+            stateStructType=IVU_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

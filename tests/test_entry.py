@@ -28,9 +28,15 @@ def test_every_oracle_has_a_query(spark):
 
 
 def test_queries_run_at_smoke_sf(spark, sf_dir):
-    # every registered query must at least plan + execute at sf0.001
+    # every registered query must at least plan + execute at sf0.001 —
+    # and no plan in the registry may contain an unpartitioned
+    # CartesianProduct (registry-wide join-physics floor; deliberate
+    # tiny products compile to BroadcastNestedLoopJoin, which is
+    # allowed and separately pinned per-query in test_plan_shapes)
     qs = entry_mod.queries()
     for name, fn in sorted(qs.items()):
         df = fn(spark, sf_dir)
         assert df.columns, name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
         df.limit(1).collect()

@@ -438,3 +438,102 @@ def test_late_r5_ops_have_sane_join_physics(spark, sf_dir, specs):
     plan = _plan(specs["qr02_prf_expansion"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+# Docstring scale claims of the round-5 backlog families, pinned as
+# plan invariants (r5 VERDICT ask #8: every r5-added op gets a plan
+# assertion or scale note — these get both). Grouped by dataflow
+# shape; each entry pins what its docstring promises, no more.
+
+#: window/union dataflows that must never join the fact side
+_JOIN_FREE = (
+    "q70_asof_tolerance",       # union + as-of window, not a range join
+    "q72_rolling_median",       # one user exchange, RANGE frame
+    "q78_alert_throttle",       # per-key gap window
+    "q79_time_travel",          # version windows, no self-join
+    "q80_markov_transitions",   # lag pairs then hash agg
+    "q82_revenue_gini",         # single sort-free rank pass
+    "q84_abc_classification",   # cumulative threshold, division-free
+    "qa02_rollup_anomaly",      # rollup + deviation windows
+    "qj02_interval_union",      # gaps-and-islands, windows only
+    "qz02_compaction_plan",     # partition stats + bin windows
+)
+
+#: pure aggregation dataflows: no join, no window, no explode
+_AGG_ONLY = (
+    "q81_ab_welch_z",
+    "qa03_profile_drift",
+    "qa05_fd_profile",
+    "qp04_padding_efficiency",
+)
+
+#: fact side joins only tiny broadcast relations (hash, never NLJ)
+_BROADCAST_EQUI = (
+    "q73_sliding_distinct",
+    "q76_scd2_lookup",
+    "q77_cohort_retention",
+    "qa01_constraint_audit",
+    "qh01_count_min_heavy_hitters",
+    "qm05_modality_coverage",
+    "qm06_media_dedup",
+    "qm08_payload_integrity",
+    "qp05_multimodal_packing",
+    "qv03_tombstone_purge",
+)
+
+#: only 1-row stat-broadcast products beside hash joins — a real
+#: CartesianProduct is still forbidden
+_STAT_BROADCAST = (
+    "q83_conversion_latency",
+    "q85_order_reconciliation",
+    "qh02_join_size_estimate",
+    "qh03_ams_f2_sketch",
+    "qv01_snapshot_diff",
+    "qz03_pruning_stats",
+    "qz04_skew_planner",
+)
+
+
+def test_r5_backlog_window_families_are_join_free(spark, sf_dir, specs):
+    for name in _JOIN_FREE:
+        plan = _plan(specs[name].fn(spark, sf_dir))
+        assert "Join" not in plan, name
+
+
+def test_r5_backlog_agg_families_are_single_dataflow(spark, sf_dir, specs):
+    for name in _AGG_ONLY:
+        plan = _plan(specs[name].fn(spark, sf_dir))
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "Generate" not in plan, name
+
+
+def test_r5_backlog_broadcast_equi_families(spark, sf_dir, specs):
+    for name in _BROADCAST_EQUI:
+        plan = _plan(specs[name].fn(spark, sf_dir))
+        assert "NestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_r5_backlog_stat_broadcast_families(spark, sf_dir, specs):
+    for name in _STAT_BROADCAST:
+        plan = _plan(specs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_candidate_joins_never_degrade_to_nlj(spark, sf_dir, specs):
+    """qj01 (interval-overlap) and qm07 (dHash near-dup) promise
+    bucketed/banded EQUI joins for candidate generation — with the
+    broadcast threshold disabled (the 100 TB condition where nothing
+    fits driver-side) the candidate join must degrade to a shuffled
+    equi join, never a nested loop over the corpus."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("qj01_interval_overlap_join", "qm07_perceptual_neardup"):
+            plan = _plan(specs[name].fn(spark, sf_dir))
+            assert "NestedLoop" not in plan, name
+            assert "CartesianProduct" not in plan, name
+            assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -478,3 +478,67 @@ def test_stream_batch_equivalence_lsh_index_maintenance(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert streamed_pairs == batch_pairs
+
+
+def test_stream_batch_equivalence_interval_union(spark, sf_dir, tmp_path):
+    """qj02's streaming twin: the per-user open-island state machine
+    over an in-order replay must equal the batch gaps-and-islands
+    result exactly — islands, interval counts, AND covered seconds."""
+    import os
+    import time
+
+    from event_stream_aggr_spark.operators.interval import qj02_interval_union
+    from event_stream_aggr_spark.streaming.stats import interval_union_with_state
+
+    src = str(tmp_path / "events_ivu")
+    tsm = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    events = load_table(spark, sf_dir, "events").withColumn("tsm", F.expr(tsm))
+    cuts = events.selectExpr(
+        "percentile(tsm, array(0.25, 0.5, 0.75)) AS c"
+    ).collect()[0].c
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        (
+            events.filter((F.col("tsm") > lo) & (F.col("tsm") <= hi))
+            .select("event_id", "user_id", "tsm", "ts")
+            .sortWithinPartitions("tsm", "event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(0.1)  # tick mtime so arrival order is the slice order
+    stored = spark.read.parquet(src)
+
+    tmp_sf = str(tmp_path / "sf_ivu")
+    os.makedirs(tmp_sf, exist_ok=True)
+    stored.drop("tsm").write.mode("overwrite").parquet(f"{tmp_sf}/events.parquet")
+    batch = {
+        r.user_id: (r.n_islands, r.n_intervals, r.covered_sec)
+        for r in qj02_interval_union(spark, tmp_sf).collect()
+    }
+
+    stream = stream_parquet_dir(
+        spark, src, stored.schema, max_files_per_trigger=1
+    )
+    q = (
+        interval_union_with_state(stream.drop("ts"))
+        .writeStream.format("memory")
+        .queryName("ivu_equiv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # n_intervals is monotone per user -> latest totals = max(n_intervals)
+    rows = spark.table("ivu_equiv").collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_intervals > cur[1]:
+            latest[r.user_id] = (r.n_islands, r.n_intervals, r.covered_sec)
+    assert q.lastProgress["batchId"] >= 1  # genuinely multi-batch
+    assert len(latest) == len(batch) > 0
+    mismatches = {
+        u: (latest[u], batch[u]) for u in batch if latest.get(u) != batch[u]
+    }
+    assert not mismatches, list(mismatches.items())[:5]
