@@ -509,3 +509,67 @@ def interval_union_with_state(df: DataFrame, hold_s: int = 300) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+MED_OUT_SCHEMA = (
+    "event_id long, user_id long, value double,"
+    " n_window long, rolling_median double"
+)
+MED_STATE_SCHEMA = "vals array<double>"
+
+
+def rolling_median_with_state(df: DataFrame) -> DataFrame:
+    """q72's streaming twin — rolling EXACT median over the user's
+    last MED_W values via ``applyInPandasWithState``. State per key is
+    the bounded trailing value window (same shape as the EWMA twin);
+    each row emits the sorted-selection median, with the even-window
+    halving and the 4dp HALF_UP rounding replicating the batch
+    expression bit-for-bit, so an in-order replay equals batch q72
+    row for row (tests/test_stream_batch_equiv.py)."""
+    from event_stream_aggr_spark.plans.relational import MED_W
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hist: list[float] = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(batches)).sort_values(["tsm", "event_id"])
+        out = []
+        for r in rows.itertuples():
+            hist.append(float(r.value))
+            if len(hist) > MED_W:
+                hist.pop(0)
+            arr = sorted(hist)
+            n = len(arr)
+            med = arr[(n - 1) // 2] if n % 2 == 1 else (
+                (arr[n // 2 - 1] + arr[n // 2]) / 2
+            )
+            out.append(
+                (
+                    int(r.event_id),
+                    int(key[0]),
+                    float(r.value),
+                    n,
+                    _round_half_up(med * 1e4) / 1e4,
+                )
+            )
+        state.update((hist,))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_id", "user_id", "value", "n_window", "rolling_median"
+            ],
+        )
+
+    return (
+        df.select("event_id", "user_id", "value", "tsm")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=MED_OUT_SCHEMA,
+            stateStructType=MED_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

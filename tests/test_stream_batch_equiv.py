@@ -542,3 +542,64 @@ def test_stream_batch_equivalence_interval_union(spark, sf_dir, tmp_path):
         u: (latest[u], batch[u]) for u in batch if latest.get(u) != batch[u]
     }
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_stream_batch_equivalence_rolling_median(spark, sf_dir, tmp_path):
+    """q72's streaming twin: the bounded-trailing-window median state
+    machine over an in-order replay must equal the batch RANGE-frame
+    computation row for row (ids, window sizes, AND rounded values)."""
+    import os
+    import time
+
+    from event_stream_aggr_spark.plans.relational import q72_rolling_median
+    from event_stream_aggr_spark.streaming.stats import rolling_median_with_state
+
+    src = str(tmp_path / "events_med")
+    tsm = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    events = load_table(spark, sf_dir, "events").withColumn("tsm", F.expr(tsm))
+    cuts = events.selectExpr(
+        "percentile(tsm, array(0.25, 0.5, 0.75)) AS c"
+    ).collect()[0].c
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        (
+            events.filter((F.col("tsm") > lo) & (F.col("tsm") <= hi))
+            .select("event_id", "user_id", "value", "tsm", "ts")
+            .sortWithinPartitions("tsm", "event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(0.1)
+    stored = spark.read.parquet(src)
+
+    tmp_sf = str(tmp_path / "sf_med")
+    os.makedirs(tmp_sf, exist_ok=True)
+    stored.drop("tsm").write.mode("overwrite").parquet(f"{tmp_sf}/events.parquet")
+    batch = {
+        r.event_id: (r.n_window, r.rolling_median)
+        for r in q72_rolling_median(spark, tmp_sf).collect()
+    }
+
+    stream = stream_parquet_dir(
+        spark, src, stored.schema, max_files_per_trigger=1
+    )
+    q = (
+        rolling_median_with_state(stream.drop("ts"))
+        .writeStream.format("memory")
+        .queryName("med_equiv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.event_id: (r.n_window, r.rolling_median)
+        for r in spark.table("med_equiv").collect()
+    }
+    assert q.lastProgress["batchId"] >= 1
+    assert len(streamed) == len(batch) > 0
+    mismatches = {
+        k: (streamed[k], batch[k]) for k in batch if streamed.get(k) != batch[k]
+    }
+    assert not mismatches, list(mismatches.items())[:5]
