@@ -573,3 +573,69 @@ def rolling_median_with_state(df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SLD_OUT_SCHEMA = "window_start string, n_events long, n_users long"
+SLD_STATE_SCHEMA = "users array<long>, n_events long"
+
+
+def sliding_distinct_with_state(df: DataFrame, window_hours: int = 6) -> DataFrame:
+    """q73's streaming twin — sliding-window (window_hours h, 1 h
+    slide) event count + EXACT distinct users. Window membership is a
+    map-side explode (each event belongs to window_hours windows);
+    the stateful operator keys on the window start hour and keeps the
+    exact seen-user set plus the running event count, emitting the
+    window's latest totals each micro-batch (update mode; n_events is
+    monotone per key, so an unordered sink recovers "latest" as
+    max(n_events) — same contract as the interval-union twin).
+
+    State is the per-window distinct-user set — EXACT, like the batch
+    q73 (bounded by |users| per window, not stream length, since the
+    set deduplicates). The 100 TB state diet is the qi02 HLL-monoid
+    twin: swap the array for a sketch and the union stays mergeable;
+    this operator keeps the exact form so parity with batch q73 is
+    bit-for-bit (tests/test_stream_batch_equiv.py).
+
+    Input must carry ``tsm`` (event-time micros)."""
+    from datetime import datetime, timezone
+
+    def fmt(w: int) -> str:
+        return datetime.fromtimestamp(w * 3600, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    exploded = df.select(
+        F.explode(
+            F.expr(
+                f"sequence(tsm div 3600000000 - {window_hours - 1},"
+                " tsm div 3600000000)"
+            )
+        ).alias("w"),
+        "user_id",
+    )
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            users, n_events = set(state.get[0]), int(state.get[1])
+        else:
+            users, n_events = set(), 0
+        rows = pd.concat(list(batches))
+        n_events += len(rows)
+        users.update(int(u) for u in rows.user_id)
+        state.update((sorted(users), n_events))
+        yield pd.DataFrame(
+            [(fmt(int(key[0])), n_events, len(users))],
+            columns=["window_start", "n_events", "n_users"],
+        )
+
+    return exploded.groupBy("w").applyInPandasWithState(
+        fn,
+        outputStructType=SLD_OUT_SCHEMA,
+        stateStructType=SLD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

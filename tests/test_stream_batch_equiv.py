@@ -603,3 +603,53 @@ def test_stream_batch_equivalence_rolling_median(spark, sf_dir, tmp_path):
         k: (streamed[k], batch[k]) for k in batch if streamed.get(k) != batch[k]
     }
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_stream_batch_equivalence_sliding_distinct(spark, sf_dir, tmp_path):
+    """q73's streaming twin: per sliding window the stateful exact
+    user-set + event counter must converge to the batch hourly-grain
+    explode computation — counts AND exact distinct users."""
+    from event_stream_aggr_spark.plans.relational import q73_sliding_distinct
+    from event_stream_aggr_spark.streaming.stats import sliding_distinct_with_state
+
+    src = str(tmp_path / "events_sld")
+    tsm = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    events = load_table(spark, sf_dir, "events").withColumn("tsm", F.expr(tsm))
+    # window totals are arrival-order independent (set union + count
+    # are commutative), so a plain multi-file replay suffices here
+    events.select("event_id", "user_id", "tsm").repartition(4).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    import os
+
+    tmp_sf = str(tmp_path / "sf_sld")
+    os.makedirs(tmp_sf, exist_ok=True)
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
+        f"{tmp_sf}/events.parquet"
+    )
+    batch = {
+        r.window_start: (r.n_events, r.n_users)
+        for r in q73_sliding_distinct(spark, tmp_sf).collect()
+    }
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=1)
+    q = (
+        sliding_distinct_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("sld_equiv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    latest = {}
+    for r in spark.table("sld_equiv").collect():
+        cur = latest.get(r.window_start)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.window_start] = (r.n_events, r.n_users)
+    assert q.lastProgress["batchId"] >= 1
+    assert len(latest) == len(batch) > 0
+    mismatches = {
+        k: (latest[k], batch[k]) for k in batch if latest.get(k) != batch[k]
+    }
+    assert not mismatches, list(mismatches.items())[:5]
