@@ -537,3 +537,63 @@ def test_bucketed_candidate_joins_never_degrade_to_nlj(spark, sf_dir, specs):
             assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+#: Queries registered before this lint existed (rounds 1-4 relational/
+#: function-coverage surface — textbook single-agg/window/join shapes)
+#: whose docstrings predate the scale-note convention. FROZEN: names
+#: may only be REMOVED (add the note when a query is next edited —
+#: an edit demotes it into the driver sample anyway); the lint below
+#: fails if a name is added or no longer registered.
+_SCALE_NOTE_GRANDFATHERED = frozenset({
+    "qs01_hash_sample_split", "qd01_exact_dedup", "qd03_minhash_signatures",
+    "qd05_simhash", "qe01_cosine_topk", "qe08_kmeans_clusters",
+    "qt01_text_stats", "qt02_stopword_language_signal", "qt03_fingerprints",
+    "qt04_quality_scores", "qt05_bpe_style_token_counts",
+    "qt06_repetition_stats", "qt08_bigram_counts", "qt10_overlap_chunks",
+    "qt12_unigram_logprob", "qf04_loo_target_encoding",
+    "qi02_incremental_distinct", "qz01_zorder_locality",
+    "qm01_multimodal_features", "qp01_sequence_packing",
+    "q02_predicates", "q03_column_ops", "q06_outer_join_order_counts",
+    "q07_semi_join", "q08_anti_join", "q09_topn_per_group",
+    "q10_running_totals", "q28_first_last_per_user", "q12_set_ops",
+    "q30_intersect", "q11_rollup_geography", "q23_cube_lineitem",
+    "q14_string_functions", "q15_date_functions", "q17_having",
+    "q21_distinct_aggregates", "q22_conditional_aggregates",
+    "q29_approx_distinct", "q18_subqueries", "q19_hourly_event_rollup",
+    "q20_token_counts", "q26_pivot_user_activity", "q27_sessionization",
+    "q24_range_join_price_bands", "q25_asof_join", "q31_except_all",
+    "q32_math_functions", "q33_array_functions", "q34_codecs",
+    "q35_renest_collect", "q36_grouping_sets", "q37_rank_suite",
+    "q39_percentiles", "q40_unpivot", "q41_supplier_geography",
+    "q42_range_frame", "q43_nest_flatten_pipeline", "q44_map_functions",
+    "q46_order_priority_check", "q47_lateral_topn",
+    "q49_small_quantity_revenue", "q50_sole_late_supplier",
+    "q51_idle_wealthy_customers", "q52_cdc_upsert", "q53_numeric_profile",
+    "q55_top_revenue_supplier", "q56_supplier_variety",
+})
+
+
+def test_every_registered_query_has_scale_evidence(specs):
+    """Registry-wide lint (r5 VERDICT ask #8, made durable): every
+    registered query must either reason about its 100 TB shape in its
+    docstring (a 'scale' note) or be pinned by name in this file's
+    plan assertions — a new operator can't land as a black box. The
+    rounds-1-4 coverage surface is grandfathered (frozen list above;
+    editing those queries this round would demote them all into the
+    driver sample and crowd out the round-5 verification backlog)."""
+    import inspect
+    from pathlib import Path
+
+    pins = Path(__file__).read_text()
+    missing = []
+    for name, spec in specs.items():
+        if name in _SCALE_NOTE_GRANDFATHERED:
+            continue
+        doc = inspect.getdoc(spec.fn) or ""
+        if "scale" not in doc.lower() and name not in pins:
+            missing.append(name)
+    assert not missing, missing
+    # the grandfather list only shrinks: every entry must still exist
+    gone = _SCALE_NOTE_GRANDFATHERED - set(specs)
+    assert not gone, f"grandfathered names no longer registered: {gone}"
