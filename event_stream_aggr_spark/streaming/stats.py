@@ -432,6 +432,42 @@ IVU_STATE_SCHEMA = (
 )
 
 
+def ivu_fold(state: tuple, starts: list, hold_s: int) -> tuple:
+    """The pure island-merge fold behind interval_union_with_state:
+    advance the 6-scalar state by a time-sorted run of interval
+    starts. Module-level (not closed over) so the cross-batch logic
+    is property-testable without a Spark session
+    (tests/test_property_interval_state.py)."""
+    (cur_start, cur_end, cur_n,
+     closed_islands, closed_intervals, closed_cov) = state
+    for s in starts:
+        e = s + hold_s
+        if cur_start is None:
+            cur_start, cur_end, cur_n = s, e, 1
+        elif s > cur_end:
+            closed_islands += 1
+            closed_intervals += cur_n
+            closed_cov += cur_end - cur_start
+            cur_start, cur_end, cur_n = s, e, 1
+        else:
+            cur_end = max(cur_end, e)
+            cur_n += 1
+    return (cur_start, cur_end, cur_n,
+            closed_islands, closed_intervals, closed_cov)
+
+
+def ivu_totals(state: tuple) -> tuple:
+    """(n_islands, n_intervals, covered_sec) INCLUDING the open island."""
+    (cur_start, cur_end, cur_n,
+     closed_islands, closed_intervals, closed_cov) = state
+    open_island = int(cur_start is not None)
+    return (
+        closed_islands + open_island,
+        closed_intervals + cur_n,
+        closed_cov + ((cur_end - cur_start) if open_island else 0),
+    )
+
+
 def interval_union_with_state(df: DataFrame, hold_s: int = 300) -> DataFrame:
     """qj02's streaming twin — online interval UNION (merge overlapping
     activity holds into islands): per user the state is the OPEN
@@ -463,38 +499,14 @@ def interval_union_with_state(df: DataFrame, hold_s: int = 300) -> DataFrame:
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            (cur_start, cur_end, cur_n,
-             closed_islands, closed_intervals, closed_cov) = state.get
-        else:
-            cur_start = cur_end = None
-            cur_n = closed_islands = closed_intervals = closed_cov = 0
+        st = tuple(state.get) if state.exists else (None, None, 0, 0, 0, 0)
         rows = pd.concat(list(batches)).sort_values(["tsm", "event_id"])
-        for r in rows.itertuples():
-            s = int(r.tsm) // 1_000_000
-            e = s + hold_s
-            if cur_start is None:
-                cur_start, cur_end, cur_n = s, e, 1
-            elif s > cur_end:
-                closed_islands += 1
-                closed_intervals += cur_n
-                closed_cov += cur_end - cur_start
-                cur_start, cur_end, cur_n = s, e, 1
-            else:
-                cur_end = max(cur_end, e)
-                cur_n += 1
-        state.update(
-            (cur_start, cur_end, cur_n,
-             closed_islands, closed_intervals, closed_cov)
+        st = ivu_fold(
+            st, [int(t) // 1_000_000 for t in rows.tsm], hold_s
         )
-        open_island = int(cur_start is not None)
+        state.update(st)
         yield pd.DataFrame(
-            [(
-                int(key[0]),
-                closed_islands + open_island,
-                closed_intervals + cur_n,
-                closed_cov + ((cur_end - cur_start) if open_island else 0),
-            )],
+            [(int(key[0]), *ivu_totals(st))],
             columns=["user_id", "n_islands", "n_intervals", "covered_sec"],
         )
 
