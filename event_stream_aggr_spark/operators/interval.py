@@ -207,6 +207,7 @@ UNION_HOLD_S = 300  # each event holds a 5-minute activity interval
 
 @register(
     "qj02_interval_union",
+    bench=True,
     tags=("interval", "window", "session"),
     oracle=f"""
 WITH iv AS (

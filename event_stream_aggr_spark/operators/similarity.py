@@ -2436,6 +2436,7 @@ HYB_OUT_K = 10
 
 @register(
     "qr01_hybrid_search",
+    bench=True,
     tags=("retrieval", "similarity", "text"),
     oracle=f"""
 WITH docs AS (
@@ -2821,6 +2822,7 @@ def _prf_bm25_ctes(terms_src: str, prefix: str) -> str:
 
 @register(
     "qr02_prf_expansion",
+    bench=True,
     tags=("retrieval", "text"),
     oracle=f"""
 WITH docs AS (
@@ -2914,11 +2916,13 @@ def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    stream = docs.select("doc_id", "dl", F.explode("toks").alias("term"))
-
     def bm25_pass(term_rel: DataFrame) -> DataFrame:
+        # (an arrays_overlap doc prefilter before this explode was
+        # measured and reverted — see qt17: 96% of docs match the
+        # query terms at this corpus, so it only added a scan)
         tf = (
-            stream.join(F.broadcast(term_rel), "term")
+            docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .join(F.broadcast(term_rel), "term")
             .groupBy("doc_id", "dl", "term", "weight_ppm")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
@@ -2949,7 +2953,14 @@ def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(
         [Row(term=t, weight_ppm=1_000_000) for t in BM25_TERMS]
     )
-    base = bm25_pass(qterms)
+    # PRF is two-pass BY DEFINITION: the first-pass scores are read by
+    # the feedback miner, the expansion's lineage, AND the final
+    # before/after rank join — materialize them once (the memoized
+    # intermediate every real PRF serving stack persists) instead of
+    # letting each consumer branch recompute the corpus tf pass.
+    from event_stream_aggr_spark.operators.stagecache import memoized_stage
+
+    base = memoized_stage("qr02_base_scores", docs, lambda: bm25_pass(qterms))
     fb = base.orderBy(F.desc("score_us"), "doc_id").limit(PRF_FEEDBACK_DOCS)
     # corpus-level document frequency is a pure derivative of the
     # tokenized corpus — memoized like the corpus itself, so repeated
@@ -2967,8 +2978,13 @@ def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("df"))
         ),
     )
+    # join the PRF_FEEDBACK_DOCS-row fb relation onto docs BEFORE the
+    # explode — only the feedback documents' tokens ever explode
+    # (Catalyst can't push a join through Generate, so ordering it
+    # by hand is the difference between 5 docs and the whole corpus)
     cand = (
-        stream.join(F.broadcast(fb.select("doc_id")), "doc_id")
+        docs.join(F.broadcast(fb.select("doc_id")), "doc_id")
+        .select(F.explode("toks").alias("term"))
         .filter(~F.col("term").isin(*BM25_TERMS))
         .filter(~F.col("term").isin(*STOPWORDS_EN))
         .groupBy("term")

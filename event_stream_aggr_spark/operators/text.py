@@ -1079,6 +1079,7 @@ BM25_TERMS = ("join", "vector", "stream")
 
 @register(
     "qt17_bm25_scores",
+    bench=True,
     tags=("text", "retrieval"),
     oracle=f"""
 WITH docs AS (
@@ -1133,6 +1134,11 @@ def qt17_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    # measured decision: an arrays_overlap doc prefilter before the
+    # explode was tried and REVERTED — 96% of docs contain a query
+    # term at this corpus, so it pruned ~nothing and paid a second
+    # full array scan (warm qt17 0.55s -> 1.0s). Worth re-adding only
+    # for rare query terms.
     tf = (
         docs.select("doc_id", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(*BM25_TERMS))
