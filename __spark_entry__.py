@@ -68,6 +68,15 @@ def _sample_priority_order(names: list[str], artifacts_dir=None) -> list[str]:
     crash) likewise demotes to never-checked: a red result must be
     re-examined next round, not aged out of the sample (round-5
     ADVICE: qt19/q29 fixed-but-red rows waited ~3 rounds otherwise).
+
+    Within the never-checked front (last_checked 0) a TIER breaks the
+    tie before registry order, so the fixed-size sample can't crowd
+    out the names that matter most: tier 0 = never had any driver row
+    at all (the true backlog — a bumped name here delays first-ever
+    verification a full round), tier 1 = latest driver row was red
+    (must be re-examined), tier 2 = demoted only because the source
+    was edited since its last green row (it HAS a green history; if
+    bumped it re-enters next round).
     """
     import json
     import re
@@ -95,9 +104,12 @@ def _sample_priority_order(names: list[str], artifacts_dir=None) -> list[str]:
                     )
         except (OSError, ValueError, AttributeError):
             continue
+
+    tier: dict[str, int] = {}
     for name, green in last_green.items():
         if not green:
             last_checked[name] = 0
+            tier[name] = 1
 
     try:
         snapshot = json.loads((here / "QUERY_HASHES.json").read_text())
@@ -105,11 +117,18 @@ def _sample_priority_order(names: list[str], artifacts_dir=None) -> list[str]:
 
         for name, live in source_hashes().items():
             if snapshot.get(name) != live:
-                last_checked[name] = 0
+                if last_checked.get(name, 0) != 0:
+                    last_checked[name] = 0
+                    tier[name] = 2
+                else:
+                    tier.setdefault(name, 2 if name in last_green else 0)
     except (OSError, ValueError, ImportError):
         pass  # no snapshot → pure staleness order, the pre-r5 behavior
 
-    return sorted(names, key=lambda n: (last_checked.get(n, 0), names.index(n)))
+    return sorted(
+        names,
+        key=lambda n: (last_checked.get(n, 0), tier.get(n, 0), names.index(n)),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
