@@ -59,10 +59,12 @@ def _sample_priority_order(names: list[str], artifacts_dir=None) -> list[str]:
 
     A green row only vouches for the SOURCE it ran against, so a query
     whose (fn source + oracle) hash no longer matches the committed
-    QUERY_HASHES.json snapshot (merge-regenerated at end of round by
-    tools/update_query_hashes.py — a name's hash refreshes ONLY when
+    QUERY_HASHES.json snapshot (merge-regenerated at the START of each
+    round by tools/update_query_hashes.py, when the tree still equals
+    the state the driver verified — a name's hash refreshes ONLY when
     the driver re-checked it that round, so in-round rewrites stay
-    demoted until re-verified) is demoted to never-checked — rewrites
+    demoted until re-verified; an end-of-round run would wrongly
+    re-snapshot in-round edits as verified) is demoted to never-checked — rewrites
     re-enter the sample immediately instead of inheriting pre-rewrite
     status. A name whose LATEST driver row is non-green (mismatch or
     crash) likewise demotes to never-checked: a red result must be

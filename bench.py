@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Headline timings for these ride the tokenized-corpus memo pre-warmed
+# by the retrieval_stage_sharing diagnostic (which runs first so its
+# cold pass is genuinely cold); their cold costs live in that block.
+WARM_MEMO_QUERIES = ("qt17_bm25_scores", "qr01_hybrid_search", "qr02_prf_expansion")
+
 
 def infer_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -173,6 +178,13 @@ def prev_round_deltas(timings: dict[str, float]) -> dict:
             continue
         out = {
             "baseline": os.path.basename(path),
+            "warm_memo_queries": sorted(WARM_MEMO_QUERIES),
+            "warm_memo_note": "these queries' headline timings ride the"
+            " tokenized-corpus memo pre-warmed by the"
+            " retrieval_stage_sharing diagnostic (since r6) — their"
+            " cross-round deltas vs r<=5 partly reflect that"
+            " measurement-protocol change, not query-cost improvements;"
+            " cold costs are in retrieval_stage_sharing.cold_sec",
             "method_note": "r4+ times are min-of-2; r<=3 were single-run"
             " (negative deltas partly reflect the lower-noise estimator)."
             " Rounds run on the same box but not the same boot: a"
@@ -197,7 +209,7 @@ def retrieval_stage_sharing(spark, specs) -> dict:
     materializes the stage); pass 2 re-runs it warm — every query
     after the first, in BOTH passes, reads the materialized token
     arrays instead of re-scanning + re-splitting the corpus."""
-    names = ("qt17_bm25_scores", "qr01_hybrid_search", "qr02_prf_expansion")
+    names = WARM_MEMO_QUERIES
     out: dict = {"cold_sec": {}, "warm_sec": {}}
     for key in ("cold_sec", "warm_sec"):
         for n in names:

@@ -2960,7 +2960,9 @@ def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # letting each consumer branch recompute the corpus tf pass.
     from event_stream_aggr_spark.operators.stagecache import memoized_stage
 
-    base = memoized_stage("qr02_base_scores", docs, lambda: bm25_pass(qterms))
+    base = memoized_stage(
+        "qr02_base_scores", docs, lambda: bm25_pass(qterms), params=tuple(BM25_TERMS)
+    )
     fb = base.orderBy(F.desc("score_us"), "doc_id").limit(PRF_FEEDBACK_DOCS)
     # corpus-level document frequency is a pure derivative of the
     # tokenized corpus — memoized like the corpus itself, so repeated

@@ -27,19 +27,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+_MEMO: dict[tuple, DataFrame] = {}
 
 
 def memoized_stage(
-    name: str, source: DataFrame, build: Callable[[], DataFrame]
+    name: str,
+    source: DataFrame,
+    build: Callable[[], DataFrame],
+    params: tuple = (),
 ) -> DataFrame:
     """Return the materialized stage ``name`` derived from ``source``,
-    building (and eagerly checkpointing) it on first use."""
+    building (and eagerly checkpointing) it on first use.
+
+    ``params`` must carry every non-source input the built plan depends
+    on (query terms, k, thresholds, …) — the memo keys on the SOURCE
+    plan's semantic hash plus ``params``, so two builds that differ
+    only in a parameter would otherwise silently alias."""
     spark = source.sparkSession
     key = (
         spark.sparkContext.applicationId,
         name,
         source._jdf.queryExecution().analyzed().semanticHash(),
+        params,
     )
     df = _MEMO.get(key)
     if df is None:

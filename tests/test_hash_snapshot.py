@@ -15,7 +15,7 @@ import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from tools.update_query_hashes import latest_correctness_names, merge_hashes
 
@@ -116,5 +116,7 @@ def test_live_registry_hash_coverage():
     start-of-round update_query_hashes.py run."""
     from event_stream_aggr_spark.plans.registry import source_hashes
 
-    snapshot = json.loads(Path("/root/repo/QUERY_HASHES.json").read_text())
+    snapshot = json.loads(
+        (Path(__file__).resolve().parents[1] / "QUERY_HASHES.json").read_text()
+    )
     assert set(snapshot) <= set(source_hashes())
