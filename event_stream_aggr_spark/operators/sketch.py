@@ -51,6 +51,22 @@ def cms_build(df: DataFrame, key: str) -> DataFrame:
     return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("c"))
 
 
+def cms_merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Cell-wise sum of two counter relations — the CMS monoid merge.
+
+    Because every cell is an exact count (same deterministic hashes on
+    both sides), merging per-partition / per-micro-batch / per-day
+    sketches is lossless: merge(build(A), build(B)) == build(A ∪ B)
+    cell-for-cell, which is what lets a streaming maintainer keep a
+    few-KB sketch current without ever re-scanning history (the same
+    monoid contract as qi01's rollup state; reference A1 merges its
+    interval stats across windows the same way, app.go:75-110).
+    """
+    return (
+        prev.unionAll(delta).groupBy("row", "col").agg(F.sum("c").alias("c"))
+    )
+
+
 def cms_estimate(keys: DataFrame, key: str, cms: DataFrame) -> DataFrame:
     """Point estimates: join each key's d cells against the broadcast
     counter table, take the min — adds ``cms_n`` to ``keys``."""

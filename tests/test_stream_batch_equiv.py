@@ -653,3 +653,72 @@ def test_stream_batch_equivalence_sliding_distinct(spark, sf_dir, tmp_path):
         k: (latest[k], batch[k]) for k in batch if latest.get(k) != batch[k]
     }
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_stream_batch_equivalence_count_min_sketch(spark, sf_dir, tmp_path):
+    """qh01's streaming twin: a foreachBatch maintainer that builds the
+    per-micro-batch count-min counter table and MERGES it cell-wise
+    into the stored sketch (operators/sketch.py:cms_merge — the same
+    monoid contract as qi01's rollup) converges to EXACTLY the batch
+    sketch, cell for cell, and the heavy-hitter estimates read through
+    the streamed sketch equal qh01's batch output."""
+    import os
+
+    from event_stream_aggr_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    src = str(tmp_path / "events_cms_stream")
+    state_dir = str(tmp_path / "cms_state")
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    events.repartition(6).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    batch_cells = {
+        (r.row, r.col): r.c for r in cms_build(stored, "user_id").collect()
+    }
+
+    n_batches = [0]
+
+    def upsert_sketch(bdf: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        delta = cms_build(bdf, "user_id")
+        if os.path.exists(state_dir):
+            prev = bdf.sparkSession.read.parquet(state_dir)
+            merged = cms_merge(prev, delta)
+        else:
+            merged = delta
+        # the sketch is <= d*w rows however big the batch: stage on the
+        # driver then atomically replace (the CDC-upsert sink pattern)
+        staged = merged.collect()
+        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(upsert_sketch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2  # sketch really merged across micro-batches
+
+    streamed = spark.read.parquet(state_dir)
+    streamed_cells = {(r.row, r.col): r.c for r in streamed.collect()}
+    assert streamed_cells == batch_cells and len(batch_cells) > 0
+
+    # estimates read through the streamed sketch: never underestimate,
+    # and equal the batch-sketch estimates key-for-key
+    exact = stored.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "user_id").limit(20)
+    est_stream = {
+        r.user_id: r.cms_n
+        for r in cms_estimate(top.select("user_id"), "user_id", streamed).collect()
+    }
+    exact_n = {r.user_id: r.exact_n for r in top.collect()}
+    assert set(est_stream) == set(exact_n)
+    assert all(est_stream[u] >= exact_n[u] for u in exact_n)
