@@ -2524,9 +2524,11 @@ def qr01_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (100 TB): each channel keeps its own proven shape
     (BM25: query-term filter BEFORE the tf shuffle, KB-scale stat
-    broadcasts; dense: one broadcast-query scoring pass). Fusion
-    joins two ≤|corpus|-row RANK relations on doc_id — in serving,
-    two k-row lists. Nothing quadratic anywhere."""
+    broadcasts; dense: one broadcast-query scoring pass). Each
+    channel's ranks come from distributed top-K (TakeOrderedAndProject
+    — per-partition top-K then a K·partitions driver merge), so the
+    only global window ever sees K rows and fusion full-outer-joins
+    two K-row lists. Nothing quadratic, no corpus-sized global sort."""
     from event_stream_aggr_spark.operators.text import (
         BM25_B,
         BM25_K1,
@@ -2564,7 +2566,15 @@ def qr01_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("su").cast("long").alias("score_us"))
     )
-    sparse_ranked = sparse.select(
+    # distributed top-k BEFORE the rank window: orderBy().limit(K)
+    # compiles to TakeOrderedAndProject (per-partition top-K, driver
+    # merge of K·partitions candidates) so the global row_number only
+    # ever sees K rows — the prior shape ranked the WHOLE corpus-sized
+    # score relation through a single-partition window, the classic
+    # global-sort bottleneck at scale. Value-identical: docs outside a
+    # channel's top-K contributed 0 and were filtered by rrf_ppm > 0.
+    sparse_top = sparse.orderBy(F.desc("score_us"), "doc_id").limit(HYB_CHANNEL_K)
+    sparse_ranked = sparse_top.select(
         "doc_id",
         F.row_number()
         .over(W.orderBy(F.desc("score_us"), "doc_id"))
@@ -2588,7 +2598,8 @@ def qr01_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    dense_ranked = dense.select(
+    dense_top = dense.orderBy(F.desc("cos_sim"), "doc_id").limit(HYB_CHANNEL_K)
+    dense_ranked = dense_top.select(
         "doc_id",
         F.row_number()
         .over(W.orderBy(F.desc("cos_sim"), "doc_id"))

@@ -597,3 +597,26 @@ def test_every_registered_query_has_scale_evidence(specs):
     # the grandfather list only shrinks: every entry must still exist
     gone = _SCALE_NOTE_GRANDFATHERED - set(specs)
     assert not gone, f"grandfathered names no longer registered: {gone}"
+
+
+def test_qr01_channel_ranks_are_distributed_topk(spark, sf_dir, specs):
+    """qr01's docstring scale claim: each retrieval channel's rank
+    comes from distributed top-K (TakeOrderedAndProject), NEVER a
+    global row_number over the corpus-sized score relation — the only
+    global windows in the plan run after a K-row limit. Fusion is a
+    join of two K-row lists; nothing Cartesian."""
+    plan = _plan(specs["qr01_hybrid_search"].fn(spark, sf_dir))
+    # two channel top-Ks + the final fused top-K
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_qt17_bm25_stats_broadcast_no_wide_join(spark, sf_dir, specs):
+    """qt17's docstring scale claim: corpus stats and per-term df join
+    back onto the term-filtered tf relation as BROADCASTS (KB-scale),
+    never a shuffled/sort-merge join; the only NLJ is the 1-row stats
+    crossJoin."""
+    plan = _plan(specs["qt17_bm25_scores"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
