@@ -79,6 +79,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     diagnostics = {
         "scaling": scaling_probe(spark, specs, headline, timings),
+        "scaling_up": upscale_probe(spark, specs, headline, timings),
         "retrieval_stage_sharing": sharing,
         # streaming rates are min-of-2 like the batch timings (r5
         # VERDICT ask #6: CEP varied 13.7k-23.3k across boots); both
@@ -149,6 +150,43 @@ def scaling_probe(spark, specs, headline, primary_timings) -> dict:
         sec = round(min(runs), 4)
         ratio = round(primary_timings[name] / sec, 2) if sec > 0 else None
         out["queries"][name] = {"sec": sec, "ratio_vs_primary": ratio}
+    return out
+
+
+def upscale_probe(spark, specs, headline, primary_timings, top_n: int = 10) -> dict:
+    """The OTHER direction of the scaling probe (round-7 VERDICT ask
+    #3): re-time the top-N most expensive headline queries at 5× the
+    primary SF (the synthesized .scale_probe/sf0.5 — see
+    tools/make_scale_probe.py: key-shifted replicas, so cardinalities
+    genuinely grow) and report t(5×)/t(primary). Data grows 5×, so a
+    linear operator shows well under 5 after fixed overhead; a ratio
+    at/above 5 flags super-linear work the sf0.01 probe was too small
+    to surface. Skipped silently when the probe dir hasn't been
+    generated."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    probe_dir = os.path.join(here, ".scale_probe", "sf0.5")
+    if not os.path.isdir(probe_dir):
+        return {}
+    top = sorted(headline, key=lambda n: -primary_timings[n])[:top_n]
+    out = {
+        "probe_sf": 0.5,
+        "data_ratio_vs_primary": round(0.5 / infer_sf(SF_DIR), 1),
+        "queries": {},
+    }
+    for name in sorted(top):
+        runs = []
+        for _ in range(2):  # min-of-2, matching the primary timings
+            t0 = time.perf_counter()
+            specs[name].fn(spark, probe_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        sec = round(min(runs), 4)
+        base = primary_timings[name]
+        out["queries"][name] = {
+            "sec": sec,
+            "ratio_vs_primary": round(sec / base, 2) if base > 0 else None,
+        }
     return out
 
 
