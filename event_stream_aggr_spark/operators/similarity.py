@@ -666,18 +666,18 @@ PQ_SUBDIM = 4
 PQ_LLOYD_ITERS = 2  # codebook refinement rounds after label-mean init
 
 
-def _pq_oracle(k: int = 5) -> str:
+def _pq_chain_ctes() -> str:
     # the CTE chain replays the exact Spark dataflow: label-mean init,
     # two Lloyd rounds (empty cells keep their previous codeword), then
-    # encode + ADC. Each squared term converts to integer micro-units
-    # BEFORE the subspace sum (not sum-then-round: a double SUM's
-    # accumulation order is unspecified in DuckDB while Spark's
-    # zip_with fold is sequential, and FP non-associativity at a
-    # rounding boundary could shift d_us by 1µ cross-engine), so every
-    # distance, comparison, and the M-term ADC sum are exact integer
-    # arithmetic in both engines.
-    return f"""
-WITH vd AS (
+    # encode (codes) + the per-query LUT. Each squared term converts to
+    # integer micro-units BEFORE the subspace sum (not sum-then-round:
+    # a double SUM's accumulation order is unspecified in DuckDB while
+    # Spark's zip_with fold is sequential, and FP non-associativity at
+    # a rounding boundary could shift d_us by 1µ cross-engine), so
+    # every distance, comparison, and the M-term ADC sum are exact
+    # integer arithmetic in both engines. Shared verbatim by the qe06
+    # (flat PQ) and qe21 (IVF+PQ composite) oracles.
+    return f"""vd AS (
   SELECT vec_id, label, CAST((u.pos - 1) // {PQ_SUBDIM} AS BIGINT) AS m,
          u.pos, u.x::DOUBLE AS x
   FROM embeddings,
@@ -730,7 +730,12 @@ codes AS (
     SELECT vec_id, m, code,
            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d_us, code) AS rnk
     FROM dfin) t WHERE rnk = 1),
-lut AS (SELECT vec_id AS qid, m, code, d_us FROM dfin WHERE vec_id < 8),
+lut AS (SELECT vec_id AS qid, m, code, d_us FROM dfin WHERE vec_id < 8)"""
+
+
+def _pq_oracle(k: int = 5) -> str:
+    return f"""
+WITH {_pq_chain_ctes()},
 adc AS (
   SELECT l.qid, c.cid, CAST(SUM(l.d_us) AS BIGINT) AS total_us
   FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
@@ -3161,3 +3166,110 @@ def qe20_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qe21: IVF+PQ composite index (the FAISS IVFPQ architecture)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_oracle(k: int = 5, nprobe: int = IVF_NPROBE) -> str:
+    # the PQ chain (codes + lut) verbatim from qe06's oracle, plus the
+    # IVF coarse-quantizer CTEs from qe04's (renamed i* so the two
+    # chains coexist), intersected at the ADC step: only cell-collided
+    # candidates are ADC-scored.
+    return f"""
+WITH {_pq_chain_ctes()},
+ivd AS (
+  SELECT vec_id, label, u.pos, u.x::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u),
+icentroid AS (
+  SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM ivd GROUP BY label, pos),
+idist AS (
+  SELECT v.vec_id, c.label AS cell,
+         ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6) AS d
+  FROM ivd v JOIN icentroid c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.label),
+icells AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rnk
+  FROM idist),
+corpus_cell AS (SELECT vec_id AS cid, cell FROM icells WHERE rnk = 1),
+query_cells AS (SELECT vec_id AS qid, cell FROM icells
+                WHERE rnk <= {nprobe} AND vec_id < 8),
+cand AS (
+  SELECT DISTINCT q.qid, c.cid
+  FROM query_cells q JOIN corpus_cell c USING (cell)
+  WHERE c.cid <> q.qid),
+adc AS (
+  SELECT l.qid, c.cid, CAST(SUM(l.d_us) AS BIGINT) AS total_us
+  FROM cand JOIN codes c ON cand.cid = c.cid
+  JOIN lut l ON cand.qid = l.qid AND c.m = l.m AND c.code = l.code
+  GROUP BY l.qid, c.cid),
+ranked AS (
+  SELECT qid, cid, CAST(total_us AS DOUBLE) / 1000000 AS adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY total_us, cid) AS BIGINT)
+           AS rank
+  FROM adc)
+SELECT qid, cid, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("qe21_ivf_pq_topk", tags=("similarity", "approx", "scale"), oracle=_ivf_pq_oracle())
+def qe21_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via the IVF+PQ COMPOSITE index (Jégou et al. 2011's IVFADC,
+    the FAISS-default architecture qe04 and qe06 each build half of):
+    the IVF coarse quantizer prunes the candidate set to vectors
+    sharing one of the query's nprobe=2 nearest cells, and PQ's
+    asymmetric-distance lookup scores ONLY those survivors — neither
+    the full-corpus ADC sweep qe06 pays nor qe04's exact float rerank.
+
+    Scale shape (100 TB): candidate pruning is the qe04 equi-join on
+    cell (never all-pairs); scoring joins the pruned (qid, cid) set to
+    the |N|·M byte-code relation on cid, then to the broadcast KB-scale
+    per-query LUT on (qid, m, code) — the corpus is touched once to
+    encode and once to probe, all shuffles are on ids, and the serving
+    memory is codes + centroids, not floats. Both trained artifacts
+    (IVF centroids, PQ codebook via the session-memoized
+    pq_codebook_shared) are reused verbatim from their standalone
+    queries, so a composed index build pays each training once.
+
+    Determinism: inherits qe04's 6dp-rounded cell assignment
+    (cell-id tiebreak) and qe06's integer-µs ADC (code tiebreak);
+    the final rank orders by exact integer total_us with cid
+    tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # IVF coarse pruning — same assignment relation as qe04
+    cells = ivf_assignments(emb, nprobe=IVF_NPROBE)
+    corpus_cell = cells.filter(F.col("rnk") == 1).select(
+        F.col("vec_id").alias("cid"), "cell"
+    )
+    query_cells = cells.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+    cand = (
+        query_cells.join(corpus_cell, "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    # PQ encode + per-query LUT — same artifacts as qe06
+    _vd, subs = _pq_views(emb)
+    dfin = _pq_dist(subs, pq_codebook_shared(emb)).localCheckpoint(eager=False)
+    codes = _pq_argmin(dfin).withColumnRenamed("vec_id", "cid")
+    lut = dfin.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "qid")
+    adc = (
+        cand.join(codes, "cid")
+        .join(F.broadcast(lut), ["qid", "m", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("d_us").alias("total_us"))
+    )
+    wr = W.partitionBy("qid").orderBy("total_us", "cid")
+    return adc.select(
+        "qid",
+        "cid",
+        (F.col("total_us").cast("double") / 1000000).alias("adc_dist"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= 5)
