@@ -171,20 +171,28 @@ def upscale_probe(spark, specs, headline, primary_timings, top_n: int = 10) -> d
     out = {
         "probe_sf": 0.5,
         "data_ratio_vs_primary": round(0.5 / infer_sf(SF_DIR), 1),
+        "note": "primary re-timed back-to-back with the probe run (same"
+        " JIT/cache state) — the headline loop ran minutes earlier and"
+        " its timings are not warm-for-warm comparable",
         "queries": {},
     }
     for name in sorted(top):
-        runs = []
-        for _ in range(2):  # min-of-2, matching the primary timings
-            t0 = time.perf_counter()
-            specs[name].fn(spark, probe_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        sec = round(min(runs), 4)
-        base = primary_timings[name]
+
+        def _min2(sf_path: str) -> float:
+            runs = []
+            for _ in range(2):  # min-of-2, matching the primary timings
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_path).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            return round(min(runs), 4)
+
+        base = _min2(SF_DIR)  # fresh primary, same session state as probe
+        sec = _min2(probe_dir)
         out["queries"][name] = {
             "sec": sec,
+            "primary_sec": base,
             "ratio_vs_primary": round(sec / base, 2) if base > 0 else None,
         }
     return out

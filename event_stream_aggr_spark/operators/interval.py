@@ -320,3 +320,112 @@ def qj02_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_iv").alias("n_intervals"),
         F.sum("cov").cast("long").alias("covered_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qj03: Allen interval-relation histogram (interval-algebra completeness)
+# ---------------------------------------------------------------------------
+
+#: Allen (1983) relation classifier over CLOSED integer intervals
+#: (ls, le) vs (rs, re), as a CASE precedence chain. The 11 "contact"
+#: relations are mutually exclusive for non-degenerate intervals; for
+#: point intervals the chain order resolves the ambiguity, and the
+#: SAME order runs in both engines so classification is deterministic.
+#: before/after (the 2 disjoint relations) are deliberately absent —
+#: enumerating them is the |L|·|R| complement of the overlap join.
+_ALLEN_CASE = """CASE
+  WHEN ls = rs AND le = re THEN 'equals'
+  WHEN ls = rs AND le < re THEN 'starts'
+  WHEN ls = rs AND le > re THEN 'started_by'
+  WHEN le = re AND ls > rs THEN 'finishes'
+  WHEN le = re AND ls < rs THEN 'finished_by'
+  WHEN ls > rs AND le < re THEN 'during'
+  WHEN ls < rs AND le > re THEN 'contains'
+  WHEN le = rs THEN 'meets'
+  WHEN re = ls THEN 'met_by'
+  WHEN ls < rs THEN 'overlaps'
+  ELSE 'overlapped_by'
+END"""
+
+
+@register(
+    "qj03_allen_relations",
+    tags=("join", "interval", "scale"),
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d') AS day,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events),
+spans AS (
+  SELECT user_id, day, MIN(sec) AS ls, MAX(sec) AS le
+  FROM ev GROUP BY user_id, day),
+inc AS (
+  SELECT sec - {INCIDENT_HALF_WIDTH_S} AS rs,
+         sec + {INCIDENT_HALF_WIDTH_S} AS re
+  FROM ev
+  WHERE event_type = 'error' AND event_id % {INCIDENT_SAMPLE_MOD} = 0),
+pairs AS (
+  SELECT s.ls, s.le, i.rs, i.re
+  FROM spans s JOIN inc i ON s.ls <= i.re AND i.rs <= s.le)
+SELECT {_ALLEN_CASE} AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(LEAST(le, re) - GREATEST(ls, rs)) AS BIGINT) AS contact_sec
+FROM pairs GROUP BY 1
+""",
+)
+def qj03_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over the qj01 interval pair space
+    (Allen 1983 — the 13-relation vocabulary every temporal-reasoning
+    and interval-join paper builds on): classify every touching
+    (span, incident) pair into its Allen relation and report the
+    relation histogram with total contact seconds — the temporal-
+    forensics profile that tells an operator whether incidents tend
+    to fall INSIDE activity spans ('during'/'contains'), clip their
+    edges ('overlaps'), or just graze them ('meets'). The 2 disjoint
+    relations (before/after) are the enumeration's complement and are
+    deliberately not emitted — they would be the |L|·|R| anti-join.
+
+    Scale shape: pair enumeration is qj01's bucketed equi-join
+    (overlap_join — never a theta/BNL join; the oracle phrases the
+    same predicate for DuckDB's IEJoin); classification is one
+    codegen'd CASE over the collided pairs; the result aggregates to
+    <= 11 rows. Integer epoch seconds everywhere — exact in both
+    engines, with the CASE precedence order identical on both sides
+    so point-interval ties classify identically."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr(_NTZ_EPOCH_S.format(col="ts"))
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        sec.alias("sec"),
+    )
+    spans = ev.groupBy("user_id", "day").agg(
+        F.min("sec").alias("ls"), F.max("sec").alias("le")
+    )
+    inc = ev.where(
+        (F.col("event_type") == "error")
+        & (F.col("event_id") % INCIDENT_SAMPLE_MOD == 0)
+    ).select(
+        (F.col("sec") - INCIDENT_HALF_WIDTH_S).alias("rs"),
+        (F.col("sec") + INCIDENT_HALF_WIDTH_S).alias("re"),
+    )
+    pairs = overlap_join(
+        spans,
+        inc,
+        l_start="ls",
+        l_end="le",
+        r_start="rs",
+        r_end="re",
+        bucket_width=OVERLAP_BUCKET_W,
+    )
+    return (
+        pairs.select(F.expr(_ALLEN_CASE).alias("relation"), "overlap_sec")
+        .groupBy("relation")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("overlap_sec").cast("long").alias("contact_sec"),
+        )
+    )

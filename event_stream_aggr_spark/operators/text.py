@@ -2323,3 +2323,111 @@ def qt29_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("vmr_ppm"), "tok").limit(BURST_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# qr03: query-likelihood retrieval with Dirichlet smoothing
+# ---------------------------------------------------------------------------
+
+MU_DIRICHLET = 2000  # Dirichlet prior mass (Zhai & Lafferty 2001's default range)
+QL_TOP_K = 10
+
+
+@register(
+    "qr03_lm_dirichlet_topk",
+    tags=("text", "retrieval", "scale"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS dl,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+totals AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM docs),
+q AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(toks) AS term FROM docs) u
+  WHERE term IN ('join', 'vector', 'stream')),
+cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM q GROUP BY term),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM q GROUP BY doc_id, term),
+scored AS (
+  SELECT f.doc_id,
+         CAST(ROUND(ln(
+           CAST(COALESCE(t.tf, 0) * tot.t + {MU_DIRICHLET} * f.cf AS DOUBLE)
+           / CAST(tot.t * (f.dl + {MU_DIRICHLET}) AS DOUBLE)) * 1000000)
+           AS BIGINT) AS s_us
+  FROM (SELECT d.doc_id, d.dl, c.term, c.cf FROM docs d CROSS JOIN cf c) f
+  LEFT JOIN tf t ON f.doc_id = t.doc_id AND f.term = t.term
+  CROSS JOIN totals tot),
+ql AS (SELECT doc_id, CAST(SUM(s_us) AS BIGINT) AS ql_us
+       FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, ql_us,
+         CAST(ROW_NUMBER() OVER (ORDER BY ql_us DESC, doc_id) AS BIGINT) AS rank
+  FROM ql)
+SELECT doc_id, CAST(ql_us AS DOUBLE) / 1000000 AS ql, rank
+FROM ranked WHERE rank <= {QL_TOP_K}
+""",
+)
+def qr03_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001 — the language-modeling ranker that sits beside
+    qt17's BM25 as the second classic sparse scorer): score(q, d) =
+    Σ_t ln((tf + μ·cf_t/T) / (dl + μ)), i.e. each document is a
+    Dirichlet-smoothed unigram LM and documents rank by the query's
+    log-likelihood under it. Smoothing gives unmatched terms the
+    collection probability, so short documents aren't spuriously
+    favored the way unsmoothed MLE does.
+
+    Determinism: the smoothed probability is the ratio of two exact
+    BIGINT products — (tf·T + μ·cf) / (T·(dl+μ)) — so ln() sees the
+    identical double in both engines (qt17's one-transcendental
+    recipe); per-term scores round to integer µ-units BEFORE the
+    per-doc sum; ranks tiebreak on doc_id.
+
+    Scale shape (100 TB): the corpus reads from the memoized
+    tokenized stage; the token stream filters to QUERY TERMS before
+    any shuffle (qt17's recipe), so cf/tf aggregate |docs|·|q| rows;
+    the doc×term fan is a broadcast of the |q|-row cf relation onto
+    the docs scan (no shuffle), and the final top-k is distributed
+    TakeOrderedAndProject, never a global sort."""
+    from pyspark.sql import Window as W
+
+    docs = tokenized_corpus(spark, sf_dir)
+    totals = docs.agg(F.sum("dl").alias("t"))
+    q = docs.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    cf = q.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tf = q.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    fan = docs.select("doc_id", "dl").crossJoin(F.broadcast(cf))
+    scored = (
+        fan.join(tf, ["doc_id", "term"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0)) * F.col("t")
+                        + MU_DIRICHLET * F.col("cf")
+                    ).cast("double")
+                    / (F.col("t") * (F.col("dl") + MU_DIRICHLET)).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("s_us"),
+        )
+    )
+    ql = scored.groupBy("doc_id").agg(F.sum("s_us").cast("long").alias("ql_us"))
+    top = ql.orderBy(F.desc("ql_us"), "doc_id").limit(QL_TOP_K)
+    return top.select(
+        "doc_id",
+        (F.col("ql_us").cast("double") / 1000000).alias("ql"),
+        F.row_number()
+        .over(W.orderBy(F.desc("ql_us"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+    )
