@@ -748,3 +748,137 @@ FROM ranked WHERE partner_rank <= {SUBST_TOP_PARTNERS}
 
 
 _register_substitution_path_query()
+
+
+# ---------------------------------------------------------------------------
+# qg07: k-core decomposition by bounded peeling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 100  # degree threshold (between the 25th and 50th pct at sf0.01)
+KCORE_ROUNDS = 4  # bounded peel rounds — both engines run exactly this many
+
+
+def _kcore_oracle() -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    # peeling chain where round r references round r-1 several times
+    # would re-evaluate the whole prefix exponentially (the round-5
+    # k-core attempt ran >13 min for exactly this reason; materialized,
+    # it runs in ~0.1 s).
+    parts = [
+        "li AS (SELECT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+    ]
+    sel = [
+        "SELECT CAST(0 AS BIGINT) AS round,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM"
+        " (SELECT u FROM e0 UNION SELECT v FROM e0)) AS n_nodes,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges"
+    ]
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM"
+            f" (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})"
+            " GROUP BY node)"
+        )
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {KCORE_K})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v FROM {prev}"
+            f" WHERE u IN (SELECT node FROM k{r})"
+            f" AND v IN (SELECT node FROM k{r}))"
+        )
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT),"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM k{r}),"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r})"
+        )
+        prev = f"e{r}"
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def _register_kcore_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register("qg07_kcore_peeling", tags=("graph", "scale"), oracle=_kcore_oracle())
+    def qg07_kcore_peeling(spark, sf_dir):
+        """k-core decomposition by degree peeling (Seidman 1983; the
+        curation-side cohesion filter — for a co-occurrence or link
+        graph, the k-core is the maximal subgraph where every node
+        keeps >= k neighbors, the standard dense-community extractor
+        and the graph analogue of qt14's quality gate): each round
+        drops nodes whose CURRENT degree is < k and the edges they
+        carried, until the core stabilizes. Rounds are BOUNDED at
+        {KCORE_ROUNDS} — a fixed iteration count both engines execute
+        identically (the qg01/qg05 bounded-Pregel contract) — and the
+        output is the per-round (n_nodes, n_edges) peeling trajectory,
+        so convergence (or not) is part of the verified result rather
+        than a driver-side loop condition.
+
+        Scale shape (100 TB): each round is one degree aggregation
+        (map-side combinable) + two semi-joins of the edge relation
+        against the surviving-node set — all equi-joins on node ids,
+        shuffles bounded by the shrinking edge relation;
+        ``localCheckpoint`` truncates the per-round lineage so round
+        r+1 never replays rounds 1..r (the qg05 recipe). The oracle
+        runs the identical bounded chain with MATERIALIZED CTEs
+        (plain CTEs re-evaluate the peeling prefix exponentially —
+        the documented DuckDB hazard that sank the first k-core
+        attempt)."""
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+        edges = (
+            li.join(b, "l_orderkey")
+            .filter(F.col("l_partkey") < F.col("v"))
+            .select(F.col("l_partkey").alias("u"), "v")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        def stats_row(r, nodes_df, edges_df):
+            return (
+                nodes_df.agg(F.count(F.lit(1)).alias("n_nodes"))
+                .crossJoin(edges_df.agg(F.count(F.lit(1)).alias("n_edges")))
+                .select(
+                    F.lit(r).cast("long").alias("round"),
+                    F.col("n_nodes").cast("long"),
+                    F.col("n_edges").cast("long"),
+                )
+            )
+
+        all_nodes = (
+            edges.select(F.col("u").alias("node"))
+            .union(edges.select("v"))
+            .distinct()
+        )
+        out = stats_row(0, all_nodes, edges)
+        cur = edges
+        for r in range(1, KCORE_ROUNDS + 1):
+            deg = (
+                cur.select(F.col("u").alias("node"))
+                .unionAll(cur.select("v"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(
+                eager=True
+            )
+            cur = (
+                cur.join(keep, cur["u"] == keep["node"], "left_semi")
+                .join(keep, F.col("v") == keep["node"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            out = out.unionAll(stats_row(r, keep, cur))
+        return out
+
+    return qg07_kcore_peeling
+
+
+_register_kcore_query()
