@@ -620,3 +620,35 @@ def test_qt17_bm25_stats_broadcast_no_wide_join(spark, sf_dir, specs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round7_ops_have_sane_join_physics(spark, sf_dir, specs):
+    """The round-7 operators keep their docstring scale claims:
+    qe21's composite scores only IVF-collided candidates with the
+    broadcast ADC LUT (no Cartesian anywhere, the LUT join is a
+    BroadcastHashJoin); qr03's top-k is distributed TakeOrdered and
+    its term/total relations broadcast; qj03's pair enumeration is
+    the bucketed equi-join, never BNL/Cartesian; qg07's peeling uses
+    semi-joins on node ids only."""
+    plan = _plan(specs["qe21_ivf_pq_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = _plan(specs["qr03_lm_dirichlet_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = _plan(specs["qj03_allen_relations"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # qg07's per-round semi-joins run eagerly inside localCheckpoint
+    # (lineage truncation — the qg05 recipe), so the FINAL plan is
+    # aggregates over checkpointed RDD scans; the only joins left are
+    # the 1-row×1-row stats crossJoins (the qb01-accepted singleton
+    # BNLJ), never a sort-merge or Cartesian over data.
+    plan = _plan(specs["qg07_kcore_peeling"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan
