@@ -155,22 +155,28 @@ def scaling_probe(spark, specs, headline, primary_timings) -> dict:
 
 def upscale_probe(spark, specs, headline, primary_timings, top_n: int = 10) -> dict:
     """The OTHER direction of the scaling probe (round-7 VERDICT ask
-    #3): re-time the top-N most expensive headline queries at 5× the
-    primary SF (the synthesized .scale_probe/sf0.5 — see
+    #3): re-time the top-N most expensive headline queries at the
+    LARGEST synthesized .scale_probe/sf* dir (see
     tools/make_scale_probe.py: key-shifted replicas, so cardinalities
-    genuinely grow) and report t(5×)/t(primary). Data grows 5×, so a
-    linear operator shows well under 5 after fixed overhead; a ratio
-    at/above 5 flags super-linear work the sf0.01 probe was too small
-    to surface. Skipped silently when the probe dir hasn't been
-    generated."""
+    genuinely grow) and report t(probe)/t(primary). With data grown
+    R× (data_ratio_vs_primary), a linear operator shows well under R
+    after fixed overhead; a ratio at/above R flags super-linear work
+    the sf0.01 probe was too small to surface. Skipped silently when
+    no probe dir has been generated."""
     here = os.path.dirname(os.path.abspath(__file__))
-    probe_dir = os.path.join(here, ".scale_probe", "sf0.5")
-    if not os.path.isdir(probe_dir):
+    root = os.path.join(here, ".scale_probe")
+    candidates = sorted(
+        (d for d in (os.listdir(root) if os.path.isdir(root) else [])
+         if d.startswith("sf") and os.path.isdir(os.path.join(root, d))),
+        key=infer_sf,
+    )
+    if not candidates:
         return {}
+    probe_dir = os.path.join(root, candidates[-1])  # largest synthesized SF
     top = sorted(headline, key=lambda n: -primary_timings[n])[:top_n]
     out = {
-        "probe_sf": 0.5,
-        "data_ratio_vs_primary": round(0.5 / infer_sf(SF_DIR), 1),
+        "probe_sf": infer_sf(probe_dir),
+        "data_ratio_vs_primary": round(infer_sf(probe_dir) / infer_sf(SF_DIR), 1),
         "note": "primary re-timed back-to-back with the probe run (same"
         " JIT/cache state) — the headline loop ran minutes earlier and"
         " its timings are not warm-for-warm comparable",
