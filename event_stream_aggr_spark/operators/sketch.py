@@ -527,3 +527,100 @@ def qh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qh05: the CMS merge law as a driver-checked query (IVM contract proof)
+# ---------------------------------------------------------------------------
+
+
+def _cms_merge_law_oracle() -> str:
+    cell = lambda r, k: (  # noqa: E731
+        f"(({k} * {_CMS_MIX[r][0]} + {_CMS_MIX[r][1]}) % {_MOD32}) % {CMS_W}"
+    )
+
+    def cells_over(pred: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT {r} AS row, {cell(r, 'user_id')} AS col"
+            f" FROM events WHERE {pred}"
+            for r in range(CMS_D)
+        )
+
+    return f"""
+WITH whole_cells AS ({cells_over('TRUE')}),
+whole AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS c
+          FROM whole_cells GROUP BY row, col),
+even_cells AS ({cells_over('user_id % 2 = 0')}),
+even AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS c
+         FROM even_cells GROUP BY row, col),
+odd_cells AS ({cells_over('user_id % 2 = 1')}),
+odd AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS c
+        FROM odd_cells GROUP BY row, col),
+merged AS (
+  SELECT row, col, CAST(SUM(c) AS BIGINT) AS c FROM (
+    SELECT * FROM even UNION ALL SELECT * FROM odd)
+  GROUP BY row, col)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM whole) AS n_cells_whole,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS n_cells_merged,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM whole w JOIN merged m
+          ON w.row = m.row AND w.col = m.col AND w.c = m.c)
+         AS n_cells_equal,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM whole) AS mass_whole,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM merged) AS mass_merged
+"""
+
+
+@register(
+    "qh05_cms_merge_law",
+    tags=("approx", "sketch", "incremental"),
+    oracle=_cms_merge_law_oracle(),
+)
+def qh05_cms_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS mergeability CONTRACT as a first-class verified query
+    (the qi01 IVM law applied to the sketch family, and the semantics
+    the round-7 streaming maintainer rides): build the sketch over two
+    disjoint partitions of the stream (user_id parity — a stand-in for
+    per-day / per-micro-batch shards), merge them cell-wise with
+    ``cms_merge``, and report merge(build(A), build(B)) == build(A∪B)
+    as data — n_cells_equal must equal both cell counts and the masses
+    must match, in BOTH engines, making the distributed-merge safety
+    argument itself driver-checked rather than pytest-only.
+
+    Scale shape: three map-side-combinable hash aggregations (each ≤
+    d·w rows out however long the stream) + a ≤ d·w-row broadcast-size
+    equality join — the whole audit's shuffle traffic is bounded by
+    the sketch size, not the data. The same law is exercised across
+    random batch splits by tests/test_property_cms.py and executed as
+    a foreachBatch streaming maintainer in test_stream_batch_equiv."""
+    e = load_table(spark, sf_dir, "events")
+    whole = cms_build(e, "user_id")
+    even = cms_build(e.filter(F.col("user_id") % 2 == 0), "user_id")
+    odd = cms_build(e.filter(F.col("user_id") % 2 == 1), "user_id")
+    merged = cms_merge(even, odd)
+    eq = whole.alias("w").join(
+        merged.alias("m"),
+        (F.col("w.row") == F.col("m.row"))
+        & (F.col("w.col") == F.col("m.col"))
+        & (F.col("w.c") == F.col("m.c")),
+    )
+    return (
+        whole.agg(
+            F.count(F.lit(1)).alias("n_cells_whole"),
+            F.sum("c").cast("long").alias("mass_whole"),
+        )
+        .crossJoin(
+            merged.agg(
+                F.count(F.lit(1)).alias("n_cells_merged"),
+                F.sum("c").cast("long").alias("mass_merged"),
+            )
+        )
+        .crossJoin(eq.agg(F.count(F.lit(1)).alias("n_cells_equal")))
+        .select(
+            "n_cells_whole",
+            "n_cells_merged",
+            "n_cells_equal",
+            "mass_whole",
+            "mass_merged",
+        )
+    )
