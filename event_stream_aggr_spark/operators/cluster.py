@@ -807,7 +807,7 @@ def _register_kcore_query():
     from event_stream_aggr_spark.plans.registry import register
     from event_stream_aggr_spark.tables import load_table
 
-    @register("qg07_kcore_peeling", tags=("graph", "scale"), oracle=_kcore_oracle())
+    @register("qg07_kcore_peeling", bench=True, tags=("graph", "scale"), oracle=_kcore_oracle())
     def qg07_kcore_peeling(spark, sf_dir):
         """k-core decomposition by degree peeling (Seidman 1983; the
         curation-side cohesion filter — for a co-occurrence or link

@@ -3217,7 +3217,7 @@ SELECT qid, cid, adc_dist, rank FROM ranked WHERE rank <= {k}
 """
 
 
-@register("qe21_ivf_pq_topk", tags=("similarity", "approx", "scale"), oracle=_ivf_pq_oracle())
+@register("qe21_ivf_pq_topk", bench=True, tags=("similarity", "approx", "scale"), oracle=_ivf_pq_oracle())
 def qe21_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via the IVF+PQ COMPOSITE index (Jégou et al. 2011's IVFADC,
     the FAISS-default architecture qe04 and qe06 each build half of):
