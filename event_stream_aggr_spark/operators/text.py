@@ -2431,3 +2431,56 @@ def qr03_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index incremental maintenance (qt19's streaming story)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index_build(docs: DataFrame) -> DataFrame:
+    """qt19's term-grain index WITHOUT the df floor: (term, df,
+    postings). The stored index must stay unfloored — a term below the
+    floor today can cross it when later batches arrive, so the floor
+    is a READ-time view (`inverted_index_view`), not a build-time drop.
+    Documents are assumed unique across calls (each doc indexed once),
+    which is what makes the index mergeable."""
+    pairs = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(F.array_sort(F.collect_list("doc_id")), " ").alias("postings"),
+    )
+
+
+def inverted_index_merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Term-grain monoid merge of two indexes over DISJOINT document
+    sets: df adds, postings are the sorted union (exact, because no
+    doc appears on both sides — the same disjointness contract as
+    qi01's rollup deltas and cms_merge's micro-batches). Postings
+    resort NUMERICALLY (split yields strings; a lexical sort would
+    order '10' before '9')."""
+    return (
+        prev.unionByName(delta)
+        .select(
+            "term",
+            "df",
+            F.expr("transform(split(postings, ' '), x -> cast(x AS bigint))").alias(
+                "p"
+            ),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.array_join(F.array_sort(F.flatten(F.collect_list("p"))), " ").alias(
+                "postings"
+            ),
+        )
+    )
+
+
+def inverted_index_view(index: DataFrame) -> DataFrame:
+    """The queryable (floored) view over the stored unfloored index —
+    exactly qt19's output contract."""
+    return index.filter(F.col("df") >= INDEX_MIN_DF)

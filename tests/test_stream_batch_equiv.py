@@ -722,3 +722,95 @@ def test_stream_batch_equivalence_count_min_sketch(spark, sf_dir, tmp_path):
     exact_n = {r.user_id: r.exact_n for r in top.collect()}
     assert set(est_stream) == set(exact_n)
     assert all(est_stream[u] >= exact_n[u] for u in exact_n)
+
+
+def test_stream_batch_equivalence_inverted_index(spark, sf_dir, tmp_path):
+    """qt19's streaming story: the inverted index maintained
+    incrementally — per micro-batch, build the arriving docs' term-
+    grain index and MERGE it into the stored index at term grain
+    (operators/text.py:inverted_index_merge; df adds, postings sorted
+    union — exact because batches carry disjoint docs) — equals the
+    batch-built index term for term, posting for posting. The df
+    floor is applied at READ time: a term crossing the floor only
+    after later batches must appear in the final view (asserted), so
+    the STORE stays unfloored."""
+    import os
+
+    from event_stream_aggr_spark.operators.text import (
+        INDEX_MIN_DF,
+        inverted_index_build,
+        inverted_index_merge,
+        inverted_index_view,
+    )
+
+    src = str(tmp_path / "docs_invidx_stream")
+    state_dir = str(tmp_path / "invidx_state")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(6).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    batch_index = {
+        r.term: (r.df, r.postings)
+        for r in inverted_index_view(inverted_index_build(stored)).collect()
+    }
+
+    n_batches = [0]
+    per_batch_df: dict[str, list[int]] = {}
+
+    def upsert_index(bdf: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        delta = inverted_index_build(bdf)
+        staged = delta.collect()
+        for r in staged:
+            per_batch_df.setdefault(r.term, []).append(r.df)
+        if os.path.exists(state_dir):
+            prev = bdf.sparkSession.read.parquet(state_dir)
+            merged = inverted_index_merge(prev, delta)
+            staged = merged.collect()
+        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(upsert_index)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "invidx_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2  # index really merged across micro-batches
+
+    final = spark.read.parquet(state_dir)
+    streamed_index = {
+        r.term: (r.df, r.postings) for r in inverted_index_view(final).collect()
+    }
+    assert streamed_index == batch_index and len(batch_index) > 0
+
+    # the synthetic corpus has a tiny vocabulary (31 terms, all df >=
+    # 15 even per batch), so the floor-crossing scenario can't occur
+    # naturally here — prove the unfloored-store property on a
+    # hand-built case instead: a term below the floor in EVERY batch
+    # must still reach the view once its merged df crosses the floor
+    # (a maintainer that floored each delta would lose it for good).
+    assert all(min(v) >= INDEX_MIN_DF for v in per_batch_df.values())
+    b1 = spark.createDataFrame(
+        [(i, "rare common") for i in range(INDEX_MIN_DF - 2)], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, "rare common") for i in range(INDEX_MIN_DF - 2)],
+        ["doc_id", "text"],
+    )
+    merged2 = inverted_index_merge(
+        inverted_index_build(b1), inverted_index_build(b2)
+    )
+    view2 = {r.term: r.df for r in inverted_index_view(merged2).collect()}
+    # each batch alone is sub-floor (floor-2 docs); merged df = 2*(floor-2)
+    # >= floor for floor >= 4 — the term must appear, with the SUMMED df
+    assert view2.get("rare") == 2 * (INDEX_MIN_DF - 2)
+    assert (
+        not {
+            r.term
+            for r in inverted_index_view(inverted_index_build(b1)).collect()
+        }
+    ), "a single sub-floor batch must be invisible through the view"
