@@ -429,3 +429,78 @@ def qj03_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("overlap_sec").cast("long").alias("contact_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qj04: interval stabbing (coverage depth of point events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qj04_interval_stabbing",
+    tags=("join", "interval", "scale"),
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type, epoch_us(ts) // 1000000 AS p
+  FROM events),
+inc AS (
+  SELECT p - {INCIDENT_HALF_WIDTH_S} AS i_start,
+         p + {INCIDENT_HALF_WIDTH_S} AS i_end
+  FROM ev
+  WHERE event_type = 'error' AND event_id % {INCIDENT_SAMPLE_MOD} = 0),
+hits AS (
+  SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS depth
+  FROM ev e JOIN inc i ON i.i_start <= e.p AND e.p <= i.i_end
+  GROUP BY e.event_id),
+depths AS (
+  SELECT ev.event_id, COALESCE(h.depth, 0) AS depth
+  FROM ev LEFT JOIN hits h USING (event_id))
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM depths GROUP BY depth
+""",
+)
+def qj04_interval_stabbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval STABBING — the point-query member of the interval
+    family (qj01 joins interval×interval, qj02 unions, qj03 classifies;
+    this asks "how many incident windows were ACTIVE at each event
+    instant", the was-it-during-an-incident enrichment an IDS pipeline
+    stamps on every alert): each event is a degenerate [p, p] interval,
+    stabbed through the same bucketed equi-join as qj01 (a point
+    explodes to exactly ONE bucket, so the probe side never amplifies),
+    and the result aggregates to the coverage-depth histogram —
+    n_events at depth 0, 1, 2, … — the concurrency profile that sizes
+    an incident-correlation backlog.
+
+    Scale shape: point probes cost one bucket row each (no explode
+    factor at all on the |events| side — strictly cheaper than qj01's
+    span side); incidents explode to ≤ 2 buckets; the only joins are
+    the bucket equi-join and the depth re-join on event_id (0-depth
+    events survive via left join + coalesce). Output is ≤ max-depth
+    rows. Integer epoch seconds everywhere."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr(_NTZ_EPOCH_S.format(col="ts"))
+    ev = e.select("event_id", "event_type", sec.alias("p"))
+    inc = ev.where(
+        (F.col("event_type") == "error")
+        & (F.col("event_id") % INCIDENT_SAMPLE_MOD == 0)
+    ).select(
+        (F.col("p") - INCIDENT_HALF_WIDTH_S).alias("i_start"),
+        (F.col("p") + INCIDENT_HALF_WIDTH_S).alias("i_end"),
+    )
+    pts = ev.select("event_id", F.col("p").alias("p_start"), F.col("p").alias("p_end"))
+    hits = overlap_join(
+        pts,
+        inc,
+        l_start="p_start",
+        l_end="p_end",
+        r_start="i_start",
+        r_end="i_end",
+        bucket_width=OVERLAP_BUCKET_W,
+    ).groupBy("event_id").agg(F.count(F.lit(1)).alias("depth"))
+    return (
+        ev.select("event_id")
+        .join(hits, "event_id", "left")
+        .select(F.coalesce("depth", F.lit(0)).alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
