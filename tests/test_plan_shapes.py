@@ -643,6 +643,12 @@ def test_round7_ops_have_sane_join_physics(spark, sf_dir, specs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
+    # qj04: point probes through the same bucketed equi-join — no
+    # NLJ/Cartesian anywhere in the stab either
+    plan = _plan(specs["qj04_interval_stabbing"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
     # qg07's per-round semi-joins run eagerly inside localCheckpoint
     # (lineage truncation — the qg05 recipe), so the FINAL plan is
     # aggregates over checkpointed RDD scans; the only joins left are
