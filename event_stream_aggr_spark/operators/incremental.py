@@ -321,3 +321,108 @@ def qi03_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p99_deci").cast("long").alias("p99_deci"),
         "n_mismatched_buckets",
     )
+
+
+# ---------------------------------------------------------------------------
+# qi04: incremental JOIN view maintenance (the delta-join algebra)
+# ---------------------------------------------------------------------------
+
+#: deterministic ingest split: every 10th order (by key) is "the new
+#: batch"; its lineitems arrive with it (FK-partitioned ingest, the
+#: realistic CDC shape where a delta carries whole order documents).
+JOIN_DELTA_MOD = 10
+
+
+@register(
+    "qi04_incremental_join",
+    tags=("incremental", "join", "scale"),
+    oracle=f"""
+WITH base_o AS (SELECT * FROM orders WHERE o_orderkey % {JOIN_DELTA_MOD} <> 0),
+delta_o AS (SELECT * FROM orders WHERE o_orderkey % {JOIN_DELTA_MOD} = 0),
+base_l AS (SELECT * FROM lineitem WHERE l_orderkey % {JOIN_DELTA_MOD} <> 0),
+delta_l AS (SELECT * FROM lineitem WHERE l_orderkey % {JOIN_DELTA_MOD} = 0),
+proj AS (
+  SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+v_old AS (
+  SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev
+  FROM base_o o JOIN base_l l ON o.o_orderkey = l.l_orderkey),
+d1 AS (
+  SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev
+  FROM delta_o o JOIN base_l l ON o.o_orderkey = l.l_orderkey),
+d2 AS (
+  SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev
+  FROM base_o o JOIN delta_l l ON o.o_orderkey = l.l_orderkey),
+d3 AS (
+  SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev
+  FROM delta_o o JOIN delta_l l ON o.o_orderkey = l.l_orderkey),
+inc AS (
+  SELECT * FROM v_old UNION ALL SELECT * FROM d1
+  UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+SELECT method, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT 'incremental' AS method, * FROM inc
+  UNION ALL
+  SELECT 'recomputed' AS method, * FROM proj)
+GROUP BY method, o_orderpriority
+""",
+)
+def qi04_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the delta-join algebra
+    qi01-qi03's aggregates sit on top of — DBSP/differential-dataflow's
+    bilinear rule): Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB,
+    so the maintained view is V_old plus three DELTA-SIDED joins —
+    history is never re-joined against itself. The query materializes
+    both the incrementally-maintained orders⋈lineitem view and the
+    from-scratch recompute, and reports per-priority row counts and
+    DECIMAL revenue for BOTH methods side by side: the driver-checked
+    result shows the two methods byte-equal per group, in both engines.
+
+    Scale shape: every delta term joins a |Δ|-sized side against the
+    base (equi-join on the order key — at 100 TB the base is bucketed
+    /clustered on that key, so delta terms co-locate and the refresh
+    cost is O(|Δ| + matches), never a base×base rescan); the recompute
+    branch exists only as the in-query ground truth, exactly like
+    qi01's full-scan oracle. The v_old term stands in for the stored
+    view a real deployment reads, not recomputes."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base_o = o.where(F.col("o_orderkey") % JOIN_DELTA_MOD != 0)
+    delta_o = o.where(F.col("o_orderkey") % JOIN_DELTA_MOD == 0)
+    base_l = li.where(F.col("l_orderkey") % JOIN_DELTA_MOD != 0)
+    delta_l = li.where(F.col("l_orderkey") % JOIN_DELTA_MOD == 0)
+
+    def proj(os: DataFrame, ls: DataFrame) -> DataFrame:
+        return (
+            os.join(ls, os["o_orderkey"] == ls["l_orderkey"])
+            .select(
+                "o_orderpriority",
+                "l_orderkey",
+                "l_linenumber",
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+                .alias("rev"),
+            )
+        )
+
+    inc = (
+        proj(base_o, base_l)
+        .unionAll(proj(delta_o, base_l))
+        .unionAll(proj(base_o, delta_l))
+        .unionAll(proj(delta_o, delta_l))
+    )
+    full = proj(o, li)
+    both = inc.select(F.lit("incremental").alias("method"), "*").unionAll(
+        full.select(F.lit("recomputed").alias("method"), "*")
+    )
+    return both.groupBy("method", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
