@@ -658,3 +658,12 @@ def test_round7_ops_have_sane_join_physics(spark, sf_dir, specs):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_qi04_delta_joins_are_equi_never_cartesian(spark, sf_dir, specs):
+    """qi04's docstring scale claim: all four join terms (v_old + the
+    three delta terms) are equi-joins on the order key — no Cartesian
+    or nested-loop anywhere in the maintained-vs-recomputed union."""
+    plan = _plan(specs["qi04_incremental_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -814,3 +814,94 @@ def test_stream_batch_equivalence_inverted_index(spark, sf_dir, tmp_path):
             for r in inverted_index_view(inverted_index_build(b1)).collect()
         }
     ), "a single sub-floor batch must be invisible through the view"
+
+
+def test_stream_batch_equivalence_join_view_maintenance(spark, sf_dir, tmp_path):
+    """qi04's streaming story — the bilinear delta-join maintainer with
+    BOTH sides arriving incrementally (stream-static covers one-sided;
+    this is the general case): orders and lineitems interleave across
+    micro-batches as a tagged union; per batch the maintainer emits
+    Δo ⋈ L_stored  ∪  O_stored ⋈ Δl  ∪  Δo ⋈ Δl, then appends the
+    deltas to the stored bases. History is never re-joined against
+    itself, and the accumulated view must equal the batch join row
+    for row regardless of arrival interleaving."""
+    import os
+
+    src = str(tmp_path / "tagged_stream")
+    o_store = str(tmp_path / "o_store")
+    l_store = str(tmp_path / "l_store")
+    view_dir = str(tmp_path / "join_view")
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("o").alias("kind"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.lit(None).cast("int").alias("ln"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("double").alias("disc"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("l").alias("kind"),
+        F.col("l_orderkey").alias("k"),
+        F.lit(None).cast("string").alias("prio"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+    )
+    # interleave both kinds across files so most batches carry a mix
+    o.unionAll(li).repartition(6).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    def rows(df):
+        return {
+            (r.k, r.ln, r.prio, round(r.price * (1 - r.disc), 4)) for r in df.collect()
+        }
+
+    oj = load_table(spark, sf_dir, "orders")
+    lj = load_table(spark, sf_dir, "lineitem")
+    batch_view = rows(
+        oj.join(lj, oj["o_orderkey"] == lj["l_orderkey"]).select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("disc"),
+        )
+    )
+
+    n_batches = [0]
+
+    def maintain(bdf: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        s = bdf.sparkSession
+        d_o = bdf.filter(F.col("kind") == "o").select("k", "prio").localCheckpoint()
+        d_l = bdf.filter(F.col("kind") == "l").select(
+            "k", "ln", "price", "disc"
+        ).localCheckpoint()
+        terms = []
+        if os.path.exists(l_store):
+            terms.append(d_o.join(s.read.parquet(l_store), "k"))
+        if os.path.exists(o_store):
+            terms.append(s.read.parquet(o_store).join(d_l, "k"))
+        terms.append(d_o.join(d_l, "k"))
+        delta_view = terms[0]
+        for t in terms[1:]:
+            delta_view = delta_view.unionByName(t)
+        delta_view.select("k", "ln", "prio", "price", "disc").write.mode(
+            "append"
+        ).parquet(view_dir)
+        d_o.write.mode("append").parquet(o_store)
+        d_l.write.mode("append").parquet(l_store)
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "jv_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert n_batches[0] >= 2  # the bilinear terms really crossed batches
+
+    streamed_view = rows(spark.read.parquet(view_dir))
+    assert streamed_view == batch_view and len(batch_view) > 0
