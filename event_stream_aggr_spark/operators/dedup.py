@@ -934,7 +934,15 @@ def curation_clean(d: DataFrame) -> DataFrame:
     ``(doc_id, clean_text)``. Separated so the streaming curation path
     (bench.py's foreachBatch docs/s metric,
     tests/test_streaming_curation.py) drives the REGISTERED dataflow
-    instead of re-implementing it."""
+    instead of re-implementing it. Composed from the three stage
+    functions below so qa08's per-stage ledger counts the SAME
+    relations this pipeline flows (value-identical split — each stage
+    body is the former inline block, unchanged)."""
+    return curation_exact_stage(curation_despan_stage(curation_quality_stage(d)))
+
+
+def curation_quality_stage(d: DataFrame) -> DataFrame:
+    """qd13 stage 1 — the quality gate: (doc_id, text, ts) survivors."""
     ts = F.filter(F.split("text", " "), lambda x: x != "")
     quality = (
         d.select("doc_id", "text", ts.alias("ts"))
@@ -953,6 +961,12 @@ def curation_clean(d: DataFrame) -> DataFrame:
             )
         )
     )
+    return quality
+
+
+def curation_despan_stage(quality: DataFrame) -> DataFrame:
+    """qd13 stage 2 — span dedup + reassembly: (doc_id, clean_text),
+    empty reassemblies dropped."""
     n_spans = F.ceil(F.size("ts") / F.lit(SPAN_TOKENS)).cast("int")
     # same empty-array guard as qd12: sequence(0, -1) yields a
     # DESCENDING [0, -1] in Spark, so without the guard a 0-token doc
@@ -995,6 +1009,11 @@ def curation_clean(d: DataFrame) -> DataFrame:
         )
         .filter(F.col("clean_text") != "")
     )
+    return cleaned
+
+
+def curation_exact_stage(cleaned: DataFrame) -> DataFrame:
+    """qd13 stage 3 — corpus exact dedup on the reassembled text."""
     dup_canon = cleaned.groupBy(F.md5("clean_text").alias("ch")).agg(
         F.min("doc_id").alias("first_doc")
     )
@@ -1474,4 +1493,106 @@ def qd18_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     return hits.groupBy("eval_id").agg(
         F.count(F.lit(1)).alias("n_containing_train_docs"),
         F.min("train_id").alias("first_train_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qa08: curation data-loss ledger (per-stage doc/token accounting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa08_curation_ledger",
+    tags=("audit", "dedup", "scale"),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+quality AS (
+  SELECT doc_id, ts FROM base
+  WHERE len(ts) BETWEEN 30 AND 100000
+    AND length(array_to_string(ts, '')) BETWEEN 3 * len(ts) AND 10 * len(ts)
+    AND len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is'))) * 50
+        >= 3 * len(ts)),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(list_slice(ts, i*10+1, i*10+10), ' ') AS span
+  FROM quality,
+       LATERAL (SELECT unnest(range(CAST(ceil(len(ts)/10.0) AS BIGINT))) AS i) g),
+ranked AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn
+  FROM spans),
+cleaned AS (
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '')
+           AS clean_text
+  FROM ranked GROUP BY doc_id),
+nonempty AS (SELECT doc_id, clean_text FROM cleaned WHERE clean_text <> ''),
+survivors AS (
+  SELECT doc_id, clean_text FROM (
+    SELECT doc_id, clean_text,
+           row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS dup_rn
+    FROM nonempty) s WHERE dup_rn = 1),
+tok AS (SELECT 1)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+  FROM base
+  UNION ALL
+  SELECT 1, 'quality_gate', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(len(ts)) AS BIGINT)
+  FROM quality
+  UNION ALL
+  SELECT 2, 'span_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(len(list_filter(string_split(clean_text, ' '), x -> x <> '')))
+              AS BIGINT)
+  FROM nonempty
+  UNION ALL
+  SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(len(list_filter(string_split(clean_text, ' '), x -> x <> '')))
+              AS BIGINT)
+  FROM survivors)
+""",
+)
+def qa08_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DATA-LOSS LEDGER — the per-stage accounting table
+    every real curation run publishes alongside its output (what did
+    the quality gate drop? how many tokens did span dedup shave? how
+    many whole documents were exact dups?): document and token counts
+    at each boundary of qd13's pipeline, computed over the SAME stage
+    relations the registered pipeline flows (curation_quality_stage /
+    curation_despan_stage / curation_exact_stage — the ledger can't
+    drift from the pipeline because they share the dataflow).
+
+    Scale shape: each stage row is one map-side-combinable count/sum
+    aggregate over the corresponding stage relation; the stages
+    themselves keep qd13's audited shapes (gate fused into the scan,
+    canonical-first span dedup as min-agg + skew-splittable equi-join,
+    digest-grain exact dedup). Output is exactly 4 rows. Token counts
+    are exact integers in both engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ts0 = F.filter(F.split("text", " "), lambda x: x != "")
+    q = curation_quality_stage(d)
+    c = curation_despan_stage(q)
+    e = curation_exact_stage(c)
+    clean_toks = F.size(F.filter(F.split("clean_text", " "), lambda x: x != ""))
+
+    def stage(idx: int, name: str, df: DataFrame, nt) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(nt).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(0, "ingest", d.select(ts0.alias("t0")), F.size("t0"))
+        .unionAll(stage(1, "quality_gate", q, F.size("ts")))
+        .unionAll(stage(2, "span_dedup", c, clean_toks))
+        .unionAll(stage(3, "exact_dedup", e, clean_toks))
     )
