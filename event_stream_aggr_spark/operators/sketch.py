@@ -337,6 +337,36 @@ KMV_K = 64
 _KMV_SPACE = 16**7
 
 
+def kmv_build(hashed: DataFrame, by: str = "source", k: int = KMV_K) -> DataFrame:
+    """Reduce each group's hash relation to its k smallest values — the
+    KMV sketch (Beyer et al. 2007). ``hashed`` must already be distinct
+    per (``by``, h): qh04 dedups once upstream, and keeping the
+    precondition out of this function keeps the build a single rank
+    window with no extra exchange. One shuffle on ``by``, ≤ k rows per
+    group out, however large the input."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(by).orderBy("h")
+    return (
+        hashed.select(by, "h")
+        .select(by, "h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select(by, "h")
+    )
+
+
+def kmv_merge(prev: DataFrame, delta: DataFrame, by: str = "source", k: int = KMV_K) -> DataFrame:
+    """KMV monoid merge: union the two sketches, dedup the shared hash
+    values, keep the k smallest per group. Lossless for distinct-value
+    estimation — merge(build(A), build(B)) == build(A ∪ B) because the
+    k smallest of a union can only come from the k smallest of each
+    side — so per-micro-batch / per-day / per-partition sketches fold
+    into the corpus sketch without re-scanning history (the same monoid
+    contract as cms_merge / qi01's rollup state). The merge runs on
+    ≤ 2k rows per group regardless of corpus size."""
+    return kmv_build(prev.unionByName(delta).distinct(), by, k)
+
+
 @register(
     "qh04_kmv_set_ops",
     tags=("sketch", "dedup", "stats"),
@@ -444,14 +474,7 @@ def qh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w_src = W.partitionBy("source").orderBy("h")
-    sketch = (
-        hashed.select(
-            "source", "h", F.row_number().over(w_src).alias("rn")
-        )
-        .filter(F.col("rn") <= KMV_K)
-        .select("source", "h")
-    )
+    sketch = kmv_build(hashed, by="source", k=KMV_K)
     sizes = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         hashed.alias("a")

@@ -905,3 +905,85 @@ def test_stream_batch_equivalence_join_view_maintenance(spark, sf_dir, tmp_path)
 
     streamed_view = rows(spark.read.parquet(view_dir))
     assert streamed_view == batch_view and len(batch_view) > 0
+
+
+def test_stream_batch_equivalence_kmv_sketch(spark, sf_dir, tmp_path):
+    """qh04's streaming twin: a foreachBatch maintainer that builds the
+    per-micro-batch KMV sketch of each source's token-hash set and
+    MERGES it into the stored sketch (operators/sketch.py:kmv_merge —
+    union, dedup, keep k smallest) converges to EXACTLY the batch
+    sketch. Exact because the k smallest of a union can only come from
+    the k smallest of each side — the merge is lossless for build, the
+    same monoid contract the CMS twin above proves cell-wise. Also
+    asserts the pure-batch split-fold law on a 3-way split, so the
+    streaming result isn't an artifact of the trigger batching."""
+    import os
+
+    from event_stream_aggr_spark.operators.sketch import kmv_build, kmv_merge
+    from event_stream_aggr_spark.operators.text import tokens
+
+    def hashed_tokens(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+            )
+            .select(
+                "source",
+                F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+            .distinct()
+        )
+
+    src = str(tmp_path / "docs_kmv_stream")
+    state_dir = str(tmp_path / "kmv_state")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs.repartition(6).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    batch_sketch = {
+        (r.source, r.h) for r in kmv_build(hashed_tokens(stored)).collect()
+    }
+
+    # split-fold law: fold of per-part sketches == sketch of the whole
+    parts = [
+        kmv_build(hashed_tokens(stored.filter(F.col("doc_id") % 3 == i)))
+        for i in range(3)
+    ]
+    folded = parts[0]
+    for p in parts[1:]:
+        folded = kmv_merge(folded, p)
+    assert {(r.source, r.h) for r in folded.collect()} == batch_sketch
+
+    n_batches = [0]
+
+    def upsert_sketch(bdf: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        delta = kmv_build(hashed_tokens(bdf))
+        if os.path.exists(state_dir):
+            prev = bdf.sparkSession.read.parquet(state_dir)
+            merged = kmv_merge(prev, delta)
+        else:
+            merged = delta
+        # <= k rows per source however big the batch: stage on the
+        # driver then atomically replace (the CDC-upsert sink pattern)
+        staged = merged.collect()
+        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(upsert_sketch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2  # sketch really merged across micro-batches
+
+    streamed = {
+        (r.source, r.h) for r in spark.read.parquet(state_dir).collect()
+    }
+    assert streamed == batch_sketch and len(batch_sketch) > 0
