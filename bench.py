@@ -45,7 +45,12 @@ def main() -> None:
     from event_stream_aggr_spark.session import get_spark
     from event_stream_aggr_spark.tables import load_table
 
-    spark = get_spark(app_name="bench")
+    # UI on (tests keep it off): the status REST API behind it is how
+    # the per-query stage metrics below are measured instead of guessed.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"},
+    )
     specs = load_all()
     headline = [name for name, spec in sorted(specs.items()) if spec.bench]
 
@@ -66,14 +71,20 @@ def main() -> None:
     # The methodology change is flagged in the output so cross-round
     # comparisons read min-of-2 vs r≤3's single-run accordingly.
     timings: dict[str, float] = {}
+    stage_metrics: dict[str, dict] = {}
     for name in headline:
         runs = []
-        for _ in range(2):
+        for i in range(2):
+            pre_max = _max_stage_id(spark) if i == 1 else None
             t0 = time.perf_counter()
             specs[name].fn(spark, SF_DIR).write.mode("overwrite").format(
                 "noop"
             ).save()
             runs.append(time.perf_counter() - t0)
+            if i == 1 and pre_max is not None:
+                m = _stage_metrics_since(spark, pre_max)
+                if m:
+                    stage_metrics[name] = m
         timings[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
@@ -92,6 +103,28 @@ def main() -> None:
             cep_stream_bench, spark, rate_key="events_per_sec"
         ),
         "deltas_vs_prev_round": prev_round_deltas(timings),
+        "stage_metrics": {
+            "note": "executor-reported bytes per headline query (warm "
+            "run), from the UI status REST API; zero spill everywhere "
+            "means no partition outgrew memory at this SF",
+            "totals": {
+                "shuffle_write_mb": round(
+                    sum(m["shuffle_write_mb"] for m in stage_metrics.values()), 1
+                ),
+                "input_mb": round(
+                    sum(m["input_mb"] for m in stage_metrics.values()), 1
+                ),
+                "spill_disk_mb": round(
+                    sum(m["spill_disk_mb"] for m in stage_metrics.values()), 1
+                ),
+                "queries_with_spill": sorted(
+                    n
+                    for n, m in stage_metrics.items()
+                    if m["spill_disk_mb"] > 0 or m["spill_mem_mb"] > 0
+                ),
+            },
+            "per_query": stage_metrics,
+        },
     }
     for key, payload in diagnostics.items():
         print(json.dumps({key: payload}))
@@ -122,6 +155,59 @@ def main() -> None:
         pass
     # the driver parses the LAST line only; keep it well under 2,000 chars
     print(json.dumps(headline_line))
+
+
+def _completed_stages(spark) -> list[dict]:
+    """Completed-stage rows from the local UI's status REST API — the
+    same AppStatusStore the Spark UI renders, so shuffle/input/spill
+    bytes are the executor-reported truth, not estimates. Returns []
+    when the UI is off or unreachable (metrics then simply omitted)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return []
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete&details=false"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.load(r)
+    except Exception:
+        return []
+
+
+def _max_stage_id(spark) -> int | None:
+    stages = _completed_stages(spark)
+    if not stages:
+        return None
+    return max(s.get("stageId", -1) for s in stages)
+
+
+def _stage_metrics_since(spark, prev_max_stage_id: int) -> dict | None:
+    """Sum the executor metrics of stages completed AFTER the snapshot
+    (stage IDs are monotonic, so eviction of old stages can't corrupt
+    the diff). Captured around the WARM run only: bytes are plan
+    properties, identical cold/warm, and the warm run is the one whose
+    timing usually wins the min-of-2. shuffle_write_mb is the number
+    that matters at 100 TB — it is the data actually exchanged;
+    spill > 0 would mean partitions outgrew executor memory."""
+    new = [
+        s
+        for s in _completed_stages(spark)
+        if s.get("stageId", -1) > prev_max_stage_id
+    ]
+    if not new:
+        return None
+    mb = lambda k: round(sum(s.get(k, 0) for s in new) / 1e6, 2)  # noqa: E731
+    return {
+        "stages": len(new),
+        "tasks": sum(s.get("numCompleteTasks", s.get("numTasks", 0)) for s in new),
+        "input_mb": mb("inputBytes"),
+        "shuffle_write_mb": mb("shuffleWriteBytes"),
+        "shuffle_read_mb": mb("shuffleReadBytes"),
+        "spill_mem_mb": mb("memoryBytesSpilled"),
+        "spill_disk_mb": mb("diskBytesSpilled"),
+    }
 
 
 def scaling_probe(spark, specs, headline, primary_timings) -> dict:
@@ -183,23 +269,37 @@ def upscale_probe(spark, specs, headline, primary_timings, top_n: int = 10) -> d
         "queries": {},
     }
     for name in sorted(top):
+        metrics = {}
 
-        def _min2(sf_path: str) -> float:
+        def _min2(sf_path: str, capture: bool = False) -> float:
             runs = []
-            for _ in range(2):  # min-of-2, matching the primary timings
+            for i in range(2):  # min-of-2, matching the primary timings
+                pre_max = _max_stage_id(spark) if capture and i == 1 else None
                 t0 = time.perf_counter()
                 specs[name].fn(spark, sf_path).write.mode("overwrite").format(
                     "noop"
                 ).save()
                 runs.append(time.perf_counter() - t0)
+                if pre_max is not None:
+                    m = _stage_metrics_since(spark, pre_max)
+                    if m:
+                        # at R× data the spill columns answer the 100 TB
+                        # question directly: did any partition outgrow
+                        # memory once the data actually grew?
+                        metrics.update(
+                            shuffle_write_mb=m["shuffle_write_mb"],
+                            spill_disk_mb=m["spill_disk_mb"],
+                            spill_mem_mb=m["spill_mem_mb"],
+                        )
             return round(min(runs), 4)
 
         base = _min2(SF_DIR)  # fresh primary, same session state as probe
-        sec = _min2(probe_dir)
+        sec = _min2(probe_dir, capture=True)
         out["queries"][name] = {
             "sec": sec,
             "primary_sec": base,
             "ratio_vs_primary": round(sec / base, 2) if base > 0 else None,
+            **metrics,
         }
     return out
 
