@@ -334,7 +334,6 @@ def qh03_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KMV_K = 64
-_KMV_SPACE = 16**7
 
 
 def kmv_build(hashed: DataFrame, by: str = "source", k: int = KMV_K) -> DataFrame:
