@@ -987,3 +987,93 @@ def test_stream_batch_equivalence_kmv_sketch(spark, sf_dir, tmp_path):
         (r.source, r.h) for r in spark.read.parquet(state_dir).collect()
     }
     assert streamed == batch_sketch and len(batch_sketch) > 0
+
+
+def test_stream_batch_equivalence_quantile_histogram(spark, sf_dir, tmp_path):
+    """qi03's streaming story, executed: the micro-bucket histogram is
+    a mergeable monoid (counts add cell-wise, like CMS cells), so a
+    foreachBatch maintainer that merges each micro-batch's bucket
+    histogram into the stored one converges to EXACTLY the batch
+    histogram — and p50/p90/p99 read off the streamed histogram equal
+    the registered qi03 query's output values. Uses qi03's own
+    bucketing constant so a drift in the production derivation breaks
+    this twin too."""
+    import os
+
+    from event_stream_aggr_spark.operators.incremental import QUANT_BUCKET_DECI
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    def bucket_hist(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.expr(
+                    f"cast(floor(value * {QUANT_BUCKET_DECI}) as bigint)"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    src = str(tmp_path / "events_hist_stream")
+    state_dir = str(tmp_path / "hist_state")
+    events = load_table(spark, sf_dir, "events").select("value")
+    events.repartition(6).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    batch_hist = {r.bucket: r.n for r in bucket_hist(stored).collect()}
+
+    n_batches = [0]
+
+    def upsert_hist(bdf: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        delta = bucket_hist(bdf)
+        if os.path.exists(state_dir):
+            prev = bdf.sparkSession.read.parquet(state_dir)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = delta
+        # domain-bounded bucket count however big the batch: stage on
+        # the driver then atomically replace (the CDC-upsert pattern)
+        staged = merged.collect()
+        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(upsert_hist)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2  # histogram really merged across batches
+
+    streamed = {
+        r.bucket: r.n for r in spark.read.parquet(state_dir).collect()
+    }
+    assert streamed == batch_hist and len(batch_hist) > 0
+
+    # nearest-rank percentiles read through the streamed histogram
+    # must equal the registered query's output (same derivation)
+    total = sum(streamed.values())
+    def pick(p):
+        c = 0
+        for b in sorted(streamed):
+            c += streamed[b]
+            if c * 100 >= total * p:
+                return b
+        return None
+
+    qi03 = load_all()["qi03_incremental_quantiles"].fn(spark, sf_dir).collect()[0]
+    assert qi03.n_mismatched_buckets == 0
+    assert (qi03.n_total, qi03.p50_deci, qi03.p90_deci, qi03.p99_deci) == (
+        total,
+        pick(50),
+        pick(90),
+        pick(99),
+    )
