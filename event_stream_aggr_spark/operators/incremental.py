@@ -327,10 +327,16 @@ def qi03_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # qi04: incremental JOIN view maintenance (the delta-join algebra)
 # ---------------------------------------------------------------------------
 
-#: deterministic ingest split: every 10th order (by key) is "the new
-#: batch"; its lineitems arrive with it (FK-partitioned ingest, the
-#: realistic CDC shape where a delta carries whole order documents).
+#: deterministic ingest split, deliberately NOT FK-aligned across the
+#: two tables: every 10th order (by key) is the orders delta, while the
+#: lineitem delta is the EVEN line numbers of every order.  An aligned
+#: split (both sides by orderkey % 10) would make the cross terms
+#: ΔA⋈B_old and A_old⋈ΔB provably empty, so the in-query
+#: incremental==recomputed equality could never catch a bug in them
+#: (round-7 ADVICE).  With this split all three delta-join terms carry
+#: rows and the equality genuinely constrains the bilinear rule.
 JOIN_DELTA_MOD = 10
+LINE_DELTA_MOD = 2
 
 
 @register(
@@ -339,8 +345,8 @@ JOIN_DELTA_MOD = 10
     oracle=f"""
 WITH base_o AS (SELECT * FROM orders WHERE o_orderkey % {JOIN_DELTA_MOD} <> 0),
 delta_o AS (SELECT * FROM orders WHERE o_orderkey % {JOIN_DELTA_MOD} = 0),
-base_l AS (SELECT * FROM lineitem WHERE l_orderkey % {JOIN_DELTA_MOD} <> 0),
-delta_l AS (SELECT * FROM lineitem WHERE l_orderkey % {JOIN_DELTA_MOD} = 0),
+base_l AS (SELECT * FROM lineitem WHERE l_linenumber % {LINE_DELTA_MOD} <> 0),
+delta_l AS (SELECT * FROM lineitem WHERE l_linenumber % {LINE_DELTA_MOD} = 0),
 proj AS (
   SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
          CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev
@@ -384,6 +390,10 @@ def qi04_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch recompute, and reports per-priority row counts and
     DECIMAL revenue for BOTH methods side by side: the driver-checked
     result shows the two methods byte-equal per group, in both engines.
+    The orders/lineitem deltas are split by NON-aligned predicates
+    (orderkey mod vs linenumber parity) so every one of the three
+    delta terms is non-empty and the equality actually exercises the
+    cross terms — see LINE_DELTA_MOD above.
 
     Scale shape: every delta term joins a |Δ|-sized side against the
     base (equi-join on the order key — at 100 TB the base is bucketed
@@ -396,8 +406,8 @@ def qi04_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     base_o = o.where(F.col("o_orderkey") % JOIN_DELTA_MOD != 0)
     delta_o = o.where(F.col("o_orderkey") % JOIN_DELTA_MOD == 0)
-    base_l = li.where(F.col("l_orderkey") % JOIN_DELTA_MOD != 0)
-    delta_l = li.where(F.col("l_orderkey") % JOIN_DELTA_MOD == 0)
+    base_l = li.where(F.col("l_linenumber") % LINE_DELTA_MOD != 0)
+    delta_l = li.where(F.col("l_linenumber") % LINE_DELTA_MOD == 0)
 
     def proj(os: DataFrame, ls: DataFrame) -> DataFrame:
         return (

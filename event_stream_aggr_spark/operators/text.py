@@ -1075,6 +1075,11 @@ def qt16_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TERMS = ("join", "vector", "stream")
+#: single SQL-side definition of the query-term set, interpolated into
+#: every oracle that filters on it — the Spark side reads BM25_TERMS
+#: directly, so an edit to the tuple can never desync the two engines
+#: (round-7 ADVICE: qr03 previously hardcoded the terms in its oracle).
+BM25_TERMS_SQL = ", ".join("'%s'" % t for t in BM25_TERMS)
 
 
 @register(
@@ -1095,7 +1100,7 @@ stats AS (
 tf AS (
   SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
     SELECT doc_id, dl, unnest(toks) AS term FROM docs) u
-  WHERE term IN ('join', 'vector', 'stream')
+  WHERE term IN ({BM25_TERMS_SQL})
   GROUP BY doc_id, dl, term),
 dfreq AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
@@ -2347,7 +2352,7 @@ totals AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM docs),
 q AS (
   SELECT doc_id, term FROM (
     SELECT doc_id, unnest(toks) AS term FROM docs) u
-  WHERE term IN ('join', 'vector', 'stream')),
+  WHERE term IN ({BM25_TERMS_SQL})),
 cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM q GROUP BY term),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
        FROM q GROUP BY doc_id, term),

@@ -667,3 +667,33 @@ def test_qi04_delta_joins_are_equi_never_cartesian(spark, sf_dir, specs):
     plan = _plan(specs["qi04_incremental_join"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qi04_all_three_delta_terms_nonempty(spark, sf_dir):
+    """Round-7 ADVICE: with an FK-aligned split the cross terms
+    ΔA⋈B_old and A_old⋈ΔB were provably empty, so the in-query
+    incremental==recomputed equality could not constrain them.  Pin
+    the fixed (non-aligned) split: every one of the three delta-join
+    terms must carry rows, so the equality genuinely exercises the
+    full bilinear rule."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.incremental import (
+        JOIN_DELTA_MOD,
+        LINE_DELTA_MOD,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base_o = o.where(F.col("o_orderkey") % JOIN_DELTA_MOD != 0)
+    delta_o = o.where(F.col("o_orderkey") % JOIN_DELTA_MOD == 0)
+    base_l = li.where(F.col("l_linenumber") % LINE_DELTA_MOD != 0)
+    delta_l = li.where(F.col("l_linenumber") % LINE_DELTA_MOD == 0)
+
+    def n(os, ls):
+        return os.join(ls, os["o_orderkey"] == ls["l_orderkey"]).count()
+
+    assert n(delta_o, base_l) > 0  # ΔA ⋈ B_old
+    assert n(base_o, delta_l) > 0  # A_old ⋈ ΔB
+    assert n(delta_o, delta_l) > 0  # ΔA ⋈ ΔB

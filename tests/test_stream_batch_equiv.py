@@ -853,9 +853,14 @@ def test_stream_batch_equivalence_join_view_maintenance(spark, sf_dir, tmp_path)
     stored = spark.read.parquet(src)
 
     def rows(df):
-        return {
+        # multiset, not set: a maintainer bug that emits a (k, ln) pair
+        # twice (e.g. overlapping delta terms double-counting) must fail
+        # the equivalence, not collapse silently (round-7 ADVICE).
+        from collections import Counter
+
+        return Counter(
             (r.k, r.ln, r.prio, round(r.price * (1 - r.disc), 4)) for r in df.collect()
-        }
+        )
 
     oj = load_table(spark, sf_dir, "orders")
     lj = load_table(spark, sf_dir, "lineitem")
