@@ -3029,27 +3029,68 @@ def qr02_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allterms = qterms.unionAll(expansion)
     exp = bm25_pass(allterms)
-    wb = W.orderBy(F.desc("score_us"), "doc_id")
-    base_ranked = base.select(
-        "doc_id",
-        F.col("score_us").alias("base_score_us"),
-        F.row_number().over(wb).alias("base_rank"),
+    # final top-K: orderBy+limit (TakeOrderedAndProject — per-partition
+    # top-K then a K-row merge on the driver, q13's pattern), THEN
+    # row_number over the already-K-row relation. The previous shape —
+    # a partitionless row_number over the FULL scored corpus, filtered
+    # to K afterwards — serialized every scored doc through one task;
+    # the round-8 plan lint (plans/lint.py) now forbids exactly that.
+    exp_topk = exp.orderBy(F.desc("score_us"), "doc_id").limit(PRF_OUT_K)
+    wk = W.orderBy(F.desc("exp_score_us"), "doc_id")  # K rows, bounded
+    exp_ranked = exp_topk.select(
+        "doc_id", F.col("score_us").alias("exp_score_us")
+    ).withColumn("new_rank", F.row_number().over(wk))
+    # base_rank of the K winners WITHOUT globally ranking base: rank =
+    # 1 + |rows that beat it| under the same (score DESC, doc_id) total
+    # order. The K-row side broadcasts; each base row compares against
+    # K constants map-side and the count shuffles K groups — O(|base|)
+    # work, no single-partition stage, identical to the full
+    # row_number for every doc that HAS a base score (docs without one
+    # report rank 0, as before).
+    # the reference score for ranking is the winner's BASE score (its
+    # rank among base is what "before" means); winners absent from
+    # base have no base rank and report 0 via the null check below
+    kref = F.broadcast(
+        exp_topk.select("doc_id")
+        .join(base, "doc_id")
+        .select(
+            F.col("doc_id").alias("k_doc"), F.col("score_us").alias("k_score")
+        )
     )
-    exp_ranked = exp.select(
-        "doc_id",
-        F.col("score_us").alias("exp_score_us"),
-        F.row_number().over(wb).alias("new_rank"),
+    beats = (
+        base.join(
+            kref,
+            (F.col("score_us") > F.col("k_score"))
+            | (
+                (F.col("score_us") == F.col("k_score"))
+                & (F.col("doc_id") < F.col("k_doc"))
+            ),
+        )
+        .groupBy("k_doc")
+        .agg(F.count(F.lit(1)).alias("n_beat"))
+    )
+    base_scored = base.select(
+        "doc_id", F.col("score_us").alias("base_score_us")
     )
     return (
-        exp_ranked.filter(F.col("new_rank") <= PRF_OUT_K)
-        .join(base_ranked, "doc_id", "left")
+        exp_ranked.join(base_scored, "doc_id", "left")
+        .join(
+            F.broadcast(beats),
+            exp_ranked["doc_id"] == beats["k_doc"],
+            "left",
+        )
         .select(
             "doc_id",
             "exp_score_us",
             F.coalesce("base_score_us", F.lit(0)).cast("long").alias(
                 "base_score_us"
             ),
-            F.coalesce("base_rank", F.lit(0)).cast("long").alias("base_rank"),
+            F.when(
+                F.col("base_score_us").isNull(), F.lit(0)
+            )
+            .otherwise(F.coalesce("n_beat", F.lit(0)) + 1)
+            .cast("long")
+            .alias("base_rank"),
             F.col("new_rank").cast("long").alias("new_rank"),
         )
     )
