@@ -680,22 +680,24 @@ def test_stream_batch_equivalence_count_min_sketch(spark, sf_dir, tmp_path):
         (r.row, r.col): r.c for r in cms_build(stored, "user_id").collect()
     }
 
+    from event_stream_aggr_spark.streaming.state_store import (
+        merge_state_sink,
+        read_state,
+    )
+
     n_batches = [0]
+    # the production epoch-gated merge store (chaos-tested for
+    # crash-mid-batch replay in test_maintainer_replay_chaos.py)
+    sink = merge_state_sink(
+        state_dir,
+        lambda s, b: cms_build(b, "user_id")
+        if s is None
+        else cms_merge(s, cms_build(b, "user_id")),
+    )
 
     def upsert_sketch(bdf: DataFrame, batch_id: int) -> None:
         n_batches[0] += 1
-        delta = cms_build(bdf, "user_id")
-        if os.path.exists(state_dir):
-            prev = bdf.sparkSession.read.parquet(state_dir)
-            merged = cms_merge(prev, delta)
-        else:
-            merged = delta
-        # the sketch is <= d*w rows however big the batch: stage on the
-        # driver then atomically replace (the CDC-upsert sink pattern)
-        staged = merged.collect()
-        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        sink(bdf, batch_id)
 
     stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
     q = (
@@ -707,7 +709,7 @@ def test_stream_batch_equivalence_count_min_sketch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert n_batches[0] >= 2  # sketch really merged across micro-batches
 
-    streamed = spark.read.parquet(state_dir)
+    streamed = read_state(spark, state_dir)[0]
     streamed_cells = {(r.row, r.col): r.c for r in streamed.collect()}
     assert streamed_cells == batch_cells and len(batch_cells) > 0
 
@@ -754,22 +756,27 @@ def test_stream_batch_equivalence_inverted_index(spark, sf_dir, tmp_path):
         for r in inverted_index_view(inverted_index_build(stored)).collect()
     }
 
+    from event_stream_aggr_spark.streaming.state_store import (
+        merge_state_sink,
+        read_state,
+    )
+
     n_batches = [0]
     per_batch_df: dict[str, list[int]] = {}
+    # the production epoch-gated merge store (chaos-tested for
+    # crash-mid-batch replay in test_maintainer_replay_chaos.py)
+    sink = merge_state_sink(
+        state_dir,
+        lambda s, b: inverted_index_build(b)
+        if s is None
+        else inverted_index_merge(s, inverted_index_build(b)),
+    )
 
     def upsert_index(bdf: DataFrame, batch_id: int) -> None:
         n_batches[0] += 1
-        delta = inverted_index_build(bdf)
-        staged = delta.collect()
-        for r in staged:
+        for r in inverted_index_build(bdf).collect():
             per_batch_df.setdefault(r.term, []).append(r.df)
-        if os.path.exists(state_dir):
-            prev = bdf.sparkSession.read.parquet(state_dir)
-            merged = inverted_index_merge(prev, delta)
-            staged = merged.collect()
-        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        sink(bdf, batch_id)
 
     stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
     q = (
@@ -781,7 +788,7 @@ def test_stream_batch_equivalence_inverted_index(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert n_batches[0] >= 2  # index really merged across micro-batches
 
-    final = spark.read.parquet(state_dir)
+    final = read_state(spark, state_dir)[0]
     streamed_index = {
         r.term: (r.df, r.postings) for r in inverted_index_view(final).collect()
     }
@@ -824,13 +831,17 @@ def test_stream_batch_equivalence_join_view_maintenance(spark, sf_dir, tmp_path)
     Δo ⋈ L_stored  ∪  O_stored ⋈ Δl  ∪  Δo ⋈ Δl, then appends the
     deltas to the stored bases. History is never re-joined against
     itself, and the accumulated view must equal the batch join row
-    for row regardless of arrival interleaving."""
-    import os
+    for row regardless of arrival interleaving. State (o/l pre-images
+    + accumulated view rows) lives in ONE tagged relation inside the
+    production epoch-gated merge store — chaos-tested for
+    crash-mid-batch replay in test_maintainer_replay_chaos.py."""
+    from event_stream_aggr_spark.streaming.state_store import (
+        merge_state_sink,
+        read_state,
+    )
 
     src = str(tmp_path / "tagged_stream")
-    o_store = str(tmp_path / "o_store")
-    l_store = str(tmp_path / "l_store")
-    view_dir = str(tmp_path / "join_view")
+    state_dir = str(tmp_path / "jv_state")
 
     o = load_table(spark, sf_dir, "orders").select(
         F.lit("o").alias("kind"),
@@ -876,27 +887,42 @@ def test_stream_batch_equivalence_join_view_maintenance(spark, sf_dir, tmp_path)
 
     n_batches = [0]
 
+    def tag(df, rel):
+        return df.select(F.lit(rel).alias("rel"), "k", "prio", "ln", "price", "disc")
+
+    def step(state: DataFrame | None, bdf: DataFrame) -> DataFrame:
+        d_o = bdf.filter(F.col("kind") == "o").select("k", "prio")
+        d_l = bdf.filter(F.col("kind") == "l").select("k", "ln", "price", "disc")
+        if state is None:
+            prev_o, prev_l = d_o.limit(0), d_l.limit(0)
+        else:
+            prev_o = state.filter(F.col("rel") == "o").select("k", "prio")
+            prev_l = state.filter(F.col("rel") == "l").select(
+                "k", "ln", "price", "disc"
+            )
+        delta_view = (
+            d_o.join(prev_l, "k")
+            .unionByName(prev_o.join(d_l, "k"))
+            .unionByName(d_o.join(d_l, "k"))
+            .select("k", "prio", "ln", "price", "disc")
+        )
+        fresh = (
+            tag(
+                d_o.withColumn("ln", F.lit(None).cast("int"))
+                .withColumn("price", F.lit(None).cast("double"))
+                .withColumn("disc", F.lit(None).cast("double")),
+                "o",
+            )
+            .unionByName(tag(d_l.withColumn("prio", F.lit(None).cast("string")), "l"))
+            .unionByName(tag(delta_view, "v"))
+        )
+        return fresh if state is None else state.unionByName(fresh)
+
+    sink = merge_state_sink(state_dir, step)
+
     def maintain(bdf: DataFrame, batch_id: int) -> None:
         n_batches[0] += 1
-        s = bdf.sparkSession
-        d_o = bdf.filter(F.col("kind") == "o").select("k", "prio").localCheckpoint()
-        d_l = bdf.filter(F.col("kind") == "l").select(
-            "k", "ln", "price", "disc"
-        ).localCheckpoint()
-        terms = []
-        if os.path.exists(l_store):
-            terms.append(d_o.join(s.read.parquet(l_store), "k"))
-        if os.path.exists(o_store):
-            terms.append(s.read.parquet(o_store).join(d_l, "k"))
-        terms.append(d_o.join(d_l, "k"))
-        delta_view = terms[0]
-        for t in terms[1:]:
-            delta_view = delta_view.unionByName(t)
-        delta_view.select("k", "ln", "prio", "price", "disc").write.mode(
-            "append"
-        ).parquet(view_dir)
-        d_o.write.mode("append").parquet(o_store)
-        d_l.write.mode("append").parquet(l_store)
+        sink(bdf, batch_id)
 
     stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
     q = (
@@ -908,7 +934,7 @@ def test_stream_batch_equivalence_join_view_maintenance(spark, sf_dir, tmp_path)
     q.awaitTermination(180)
     assert n_batches[0] >= 2  # the bilinear terms really crossed batches
 
-    streamed_view = rows(spark.read.parquet(view_dir))
+    streamed_view = rows(read_state(spark, state_dir)[0].filter(F.col("rel") == "v"))
     assert streamed_view == batch_view and len(batch_view) > 0
 
 
@@ -961,22 +987,24 @@ def test_stream_batch_equivalence_kmv_sketch(spark, sf_dir, tmp_path):
         folded = kmv_merge(folded, p)
     assert {(r.source, r.h) for r in folded.collect()} == batch_sketch
 
+    from event_stream_aggr_spark.streaming.state_store import (
+        merge_state_sink,
+        read_state,
+    )
+
     n_batches = [0]
+    # the production epoch-gated merge store (chaos-tested for
+    # crash-mid-batch replay in test_maintainer_replay_chaos.py)
+    sink = merge_state_sink(
+        state_dir,
+        lambda s, b: kmv_build(hashed_tokens(b))
+        if s is None
+        else kmv_merge(s, kmv_build(hashed_tokens(b))),
+    )
 
     def upsert_sketch(bdf: DataFrame, batch_id: int) -> None:
         n_batches[0] += 1
-        delta = kmv_build(hashed_tokens(bdf))
-        if os.path.exists(state_dir):
-            prev = bdf.sparkSession.read.parquet(state_dir)
-            merged = kmv_merge(prev, delta)
-        else:
-            merged = delta
-        # <= k rows per source however big the batch: stage on the
-        # driver then atomically replace (the CDC-upsert sink pattern)
-        staged = merged.collect()
-        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        sink(bdf, batch_id)
 
     stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
     q = (
@@ -989,7 +1017,7 @@ def test_stream_batch_equivalence_kmv_sketch(spark, sf_dir, tmp_path):
     assert n_batches[0] >= 2  # sketch really merged across micro-batches
 
     streamed = {
-        (r.source, r.h) for r in spark.read.parquet(state_dir).collect()
+        (r.source, r.h) for r in read_state(spark, state_dir)[0].collect()
     }
     assert streamed == batch_sketch and len(batch_sketch) > 0
 
@@ -1029,24 +1057,25 @@ def test_stream_batch_equivalence_quantile_histogram(spark, sf_dir, tmp_path):
 
     n_batches = [0]
 
+    from event_stream_aggr_spark.streaming.state_store import (
+        merge_state_sink,
+        read_state,
+    )
+
+    # the production epoch-gated merge store (chaos-tested for
+    # crash-mid-batch replay in test_maintainer_replay_chaos.py)
+    sink = merge_state_sink(
+        state_dir,
+        lambda s, b: bucket_hist(b)
+        if s is None
+        else s.unionByName(bucket_hist(b))
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n")),
+    )
+
     def upsert_hist(bdf: DataFrame, batch_id: int) -> None:
         n_batches[0] += 1
-        delta = bucket_hist(bdf)
-        if os.path.exists(state_dir):
-            prev = bdf.sparkSession.read.parquet(state_dir)
-            merged = (
-                prev.unionByName(delta)
-                .groupBy("bucket")
-                .agg(F.sum("n").alias("n"))
-            )
-        else:
-            merged = delta
-        # domain-bounded bucket count however big the batch: stage on
-        # the driver then atomically replace (the CDC-upsert pattern)
-        staged = merged.collect()
-        bdf.sparkSession.createDataFrame(staged, delta.schema).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        sink(bdf, batch_id)
 
     stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
     q = (
@@ -1059,7 +1088,7 @@ def test_stream_batch_equivalence_quantile_histogram(spark, sf_dir, tmp_path):
     assert n_batches[0] >= 2  # histogram really merged across batches
 
     streamed = {
-        r.bucket: r.n for r in spark.read.parquet(state_dir).collect()
+        r.bucket: r.n for r in read_state(spark, state_dir)[0].collect()
     }
     assert streamed == batch_hist and len(batch_hist) > 0
 
