@@ -28,6 +28,30 @@ Output dir defaults to /root/repo/.scale_probe/sf0.5 (gitignored;
 ~85 MB at k=5). Deterministic: pure column arithmetic, no RNG.
 
 Usage: python tools/make_scale_probe.py [k] [out_dir]
+
+--zipf mode (round-7 VERDICT ask #1 — the named 100 TB killer is a
+Zipf-skewed join/group key, and the replica probe above is uniform):
+
+    python tools/make_scale_probe.py --zipf [alpha] [out_dir]
+
+writes a SAME-SIZE twin of sf0.1 (row counts identical, so a timing
+ratio vs sf0.1 isolates the skew effect from data volume) in which the
+three hot join/group keys are remapped to a Zipf(alpha~1.1) rank over
+their own dense domains:
+
+- lineitem.l_orderkey  -> Zipf rank in [0, max(o_orderkey)]   (the
+  orders⋈lineitem fact join key: rank-1 order carries ~14% of ALL
+  lineitems at alpha=1.1)
+- orders.o_custkey     -> Zipf rank in [0, max(c_custkey)]    (the
+  customer⋈orders key)
+- events.user_id       -> Zipf rank in [0, max(user_id)]      (the
+  window-partition / groupBy key of q09/q10/qf01)
+
+Remapped values stay inside the referenced dimension's dense key
+domain, so every FK still resolves. The uniform deviate comes from
+xxhash64 of the row's own immutable ids — deterministic, no RNG —
+pushed through the standard continuous inverse CDF of the Zipf
+distribution: rank(u) = (1 - u·(1 - N^(1-a)))^(1/(1-a)).
 """
 
 from __future__ import annotations
@@ -38,16 +62,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-OUT = (
-    sys.argv[2]
-    if len(sys.argv) > 2
-    else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scale_probe",
-        f"sf{0.1 * K:g}",
+ZIPF_MODE = len(sys.argv) > 1 and sys.argv[1] == "--zipf"
+if ZIPF_MODE:
+    _here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ZIPF_ALPHA = float(sys.argv[2]) if len(sys.argv) > 2 else 1.1
+    _default_src = os.path.join(_here, ".scale_probe", "sf1")
+    ZIPF_SRC = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else (_default_src if os.path.isdir(_default_src) else SRC)
     )
-)
+    _src_sf = os.path.basename(ZIPF_SRC.rstrip("/")).replace("sf", "")
+    OUT = (
+        sys.argv[4]
+        if len(sys.argv) > 4
+        else os.path.join(_here, ".scale_probe", f"zipf{_src_sf}")
+    )
+    K = 1
+else:
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    OUT = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale_probe",
+            f"sf{0.1 * K:g}",
+        )
+    )
 
 #: key columns to offset per replica, per table (column -> True marks
 #: keys whose JOINED tables must use the SAME stride: the stride is
@@ -84,6 +126,71 @@ def _stride(v: int) -> int:
     while s <= v:
         s *= 10
     return s
+
+
+def _zipf_rank_sql(u_sql: str, n: int, alpha: float) -> str:
+    """SQL for the continuous inverse-CDF Zipf rank in [0, n-1]:
+    rank(u) = (1 - u·(1 - n^(1-a)))^(1/(1-a)) - 1, clamped. u in [0,1)."""
+    one_minus_a = 1.0 - alpha
+    tail = float(n) ** one_minus_a
+    return (
+        f"least(cast({n - 1} as bigint), greatest(cast(0 as bigint), "
+        f"cast(pow(1.0 - ({u_sql}) * (1.0 - {tail!r}), {1.0 / one_minus_a!r}) "
+        f"as bigint) - 1))"
+    )
+
+
+def _uniform_sql(*cols: str) -> str:
+    """Deterministic uniform deviate in [0,1) from the row's own ids."""
+    return f"pmod(xxhash64({', '.join(cols)}), 1000000) / 1000000.0"
+
+
+def zipf_main() -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.session import get_spark
+
+    spark = get_spark(app_name="make_zipf_probe")
+    os.makedirs(OUT, exist_ok=True)
+
+    #: fact table -> (remapped col, uniform-deviate source cols,
+    #:                key-domain table, key-domain col)
+    remaps = {
+        "lineitem": ("l_orderkey", ("l_orderkey", "l_linenumber"),
+                     "orders", "o_orderkey"),
+        "orders": ("o_custkey", ("o_orderkey",), "customer", "c_custkey"),
+        "events": ("user_id", ("event_id",), "events", "user_id"),
+    }
+    all_tables = TABLES + ("region", "nation")
+    for t in all_tables:
+        df = spark.read.parquet(f"{ZIPF_SRC}/{t}.parquet")
+        if t in remaps:
+            col, ucols, dom_t, dom_c = remaps[t]
+            # explicit rank -> key mapping over the ACTUAL key domain,
+            # so the remap is valid for any source keyspace (sf0.1 is
+            # dense; the k-replica probes are stride-sparse). Global
+            # row_number over the distinct keys — a one-off tool-side
+            # sort of the dimension-sized key set, not a query plan.
+            keys = (
+                spark.read.parquet(f"{ZIPF_SRC}/{dom_t}.parquet")
+                .select(F.col(dom_c).alias("_key"))
+                .distinct()
+            )
+            n = keys.count()
+            mapping = keys.withColumn(
+                "_rank", F.row_number().over(Window.orderBy("_key")) - 1
+            )
+            rank_expr = _zipf_rank_sql(_uniform_sql(*ucols), n, ZIPF_ALPHA)
+            df = (
+                df.withColumn("_zr", F.expr(rank_expr))
+                .join(mapping, F.col("_zr") == F.col("_rank"))
+                .withColumn(col, F.col("_key"))
+                .drop("_zr", "_rank", "_key")
+            )
+        df.repartition(8).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+        print(f"{t}: {'zipf-remapped ' + remaps[t][0] if t in remaps else 'copied'}")
+    print(f"wrote {OUT} (alpha={ZIPF_ALPHA}, src={ZIPF_SRC})")
 
 
 def main() -> None:
@@ -145,4 +252,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    zipf_main() if ZIPF_MODE else main()
