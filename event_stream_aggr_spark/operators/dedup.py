@@ -186,6 +186,86 @@ def qd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_filtered_pairs(
+    d: DataFrame,
+    set_col: str,
+    t_num: int,
+    t_den: int,
+    block_cols: list[str],
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin principle — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): identical output to the within-block all-pairs join, but
+    candidates come from an EQUI-join on prefix tokens instead of
+    enumerating every same-block pair.
+
+    ``d`` carries (doc_id, *block_cols, set_col: array<string>); the
+    threshold is the exact rational t = t_num/t_den. Steps:
+
+    1. global token order by (document frequency ASC, token) — rare
+       tokens first, the order that makes prefixes selective;
+    2. per doc: sort its set by that order and keep the PREFIX of
+       length n - ceil(t·n) + 1 (integer arithmetic, exact). The
+       prefix-filtering lemma: two sets with Jaccard >= t must share
+       at least ceil(t·max(n_a, n_b)) elements, and any two sets
+       sharing that much overlap share an element inside these
+       prefixes — so the candidate set is COMPLETE;
+    3. candidates: self equi-join on (prefix token, *block_cols),
+       doc_a < doc_b, distinct;
+    4. exact integer-arithmetic Jaccard verification on candidates
+       only, filter >= t.
+
+    Scale: every stage is linear or an equi-join. Candidate bucket
+    sizes are bounded by the df of PREFIX tokens (rare by
+    construction), not by block population — the structural fix for
+    the 100 TB block-blowup the all-pairs formulation had. A residual
+    hot prefix token is an ordinary skewed equi-join key (AQE
+    skew-split / salting territory), not a quadratic operator.
+    tests/test_dedup.py pins output equality against the quadratic
+    form at sf0.001; the unchanged all-pairs ORACLE pins it cross-
+    engine at every driver check."""
+    ids = ["doc_id", *block_cols]
+    toks = d.select(*ids, F.explode(set_col).alias("tok"))
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(tok_df, "tok").groupBy(*ids).agg(
+        F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("arr")
+    )
+    prefixes = ranked.select(
+        *ids,
+        F.explode(
+            F.expr("slice(transform(arr, s -> s.tok), 1, "
+                   f"size(arr) - cast(ceil(size(arr) * {t_num} / {t_den}) as int) + 1)")
+        ).alias("tok"),
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_a"), *block_cols, "tok"
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_b"), *block_cols, "tok"
+    )
+    cand = (
+        a.join(b, ["tok", *block_cols])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets_a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col(set_col).alias("set_a")
+    )
+    sets_b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col(set_col).alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t_num / t_den)
+    )
+
+
 @register(
     "qd02_near_dup_jaccard",
     tags=("dedup",),
@@ -205,45 +285,23 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """,
 )
 def qd02_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram/token Jaccard near-dup with blocking (L2 baseline).
-
-    ORACLE-ONLY QUADRATIC BASELINE: within-block all-pairs is O(n²)
-    per block by design — it is the exact ground truth the
-    sub-quadratic paths (qd04 MinHash/LSH, qd05 SimHash) are measured
-    against, and nothing else may build on its lineage
-    (tests/test_plan_shapes.py::test_quadratic_oracle_baselines_stay_isolated).
-
-    Candidates are blocked on (lang, n_chars/16) so the join is
-    per-bucket, not |D|^2; the Jaccard is exact integer arithmetic
-    (distinct-token sets) → bit-identical across engines.
-    """
+    """Token-set Jaccard near-dup, EXACT (L2 ground truth for the
+    sketch paths qd04/qd05) — same (lang, n_chars/16)-blocked
+    semantics as always, but since round 8 the Spark side generates
+    candidates by PREFIX FILTERING (see ``prefix_filtered_pairs``)
+    instead of within-block all-pairs: identical output (the lossless
+    AllPairs principle at the exact rational threshold 3/5), candidate
+    buckets keyed by rare prefix tokens instead of block population —
+    the former perf_weak quadratic block is gone while the oracle
+    stays the brute-force all-pairs spec, so every driver check
+    re-proves the equivalence cross-engine."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 16).cast("long").alias("bucket"),
         distinct_tokens(F.col("text")).alias("toks"),
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "bucket",
-        F.col("toks").alias("toks_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"),
-        "lang",
-        "bucket",
-        F.col("toks").alias("toks_b"),
-    )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size("toks_a") + F.size("toks_b") - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, ["lang", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.6)
-    )
+    return prefix_filtered_pairs(d, "toks", 3, 5, ["lang", "bucket"])
 
 
 def _minhash_oracle() -> str:
@@ -451,12 +509,15 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 def qd07_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 5-gram shingle Jaccard (the classic n-gram dedup unit,
     robust to token-boundary edits). Shingling is a pure array
-    expression (sequence + transform + substring) — no UDF; blocking
-    as in qd02 keeps the candidate join sub-quadratic per block.
+    expression (sequence + transform + substring) — no UDF.
 
-    ORACLE-ONLY QUADRATIC BASELINE like qd02: within-block all-pairs
-    ground truth for the sketch paths; isolated by the same lint test,
-    no other registered query consumes its lineage."""
+    Like qd02, the Spark side is prefix-filtered since round 8
+    (threshold 9/50): EXACT output, equi-join candidates. At this low
+    threshold the prefixes are long (~0.82·n), so the pruning is
+    weaker than qd02's — but candidates are still bucketed by
+    (shingle, lang, n_chars/16) rather than block population, and the
+    all-pairs ORACLE re-proves output equality at every driver
+    check."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") <= 200)
@@ -469,16 +530,7 @@ def qd07_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), "lang", "bucket", F.col("sh").alias("sha"))
-    b = d.select(F.col("doc_id").alias("doc_b"), "lang", "bucket", F.col("sh").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size("sha") + F.size("shb") - inter
-    return (
-        a.join(b, ["lang", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.18)
-    )
+    return prefix_filtered_pairs(d, "sh", 9, 50, ["lang", "bucket"])
 
 
 def _cc_ctes() -> str:

@@ -339,27 +339,21 @@ def test_registry_outputs_are_driver_hashable(spark, sf_dir, specs):
     )
 
 
-def test_quadratic_oracle_baselines_stay_isolated():
-    # qd02/qd07 are DELIBERATE within-block quadratic Jaccard baselines
-    # kept as cross-engine ground truth for the sub-quadratic paths
-    # (MinHash/LSH, SimHash). Nothing else may build on their lineage:
-    # the only call sites of either function must be their own
-    # @register decoration. Grep-level lint so a future refactor can't
-    # quietly promote the O(n^2)-per-block shape into a dependency.
-    import re
-    from pathlib import Path
-
-    pkg = Path(__file__).resolve().parents[1] / "event_stream_aggr_spark"
-    offenders = []
-    for py in pkg.rglob("*.py"):
-        src = py.read_text()
-        for fn in ("qd02_near_dup_jaccard", "qd07_char_shingle_jaccard"):
-            for m in re.finditer(rf"{fn}\s*\(", src):
-                line = src[: m.start()].count("\n") + 1
-                defline = f"def {fn}" in src[max(0, m.start() - 4): m.start() + len(fn) + 4]
-                if not defline:
-                    offenders.append(f"{py.name}:{line} calls {fn}")
-    assert not offenders, offenders
+def test_qd02_qd07_candidates_ride_prefix_token_equi_join(spark, sf_dir, specs):
+    # Round 8 retired the deliberate within-block quadratic baselines
+    # (the round-7 perf_weak pair): qd02/qd07 now generate candidates
+    # via exact prefix filtering (operators/dedup.py:
+    # prefix_filtered_pairs). Pin the shape: the candidate self-join
+    # keys on the prefix TOKEN (+ block attrs) — visible as a
+    # hashpartitioning/join on `tok` — and nothing in either plan is a
+    # Cartesian or nested loop. The old lineage-isolation lint is
+    # obsolete: the shared helper is now a first-class sub-quadratic
+    # operator other code MAY build on.
+    for name in ("qd02_near_dup_jaccard", "qd07_char_shingle_jaccard"):
+        plan = _plan(specs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "tok" in plan, name  # prefix-token key reaches the physical join
 
 
 def test_qt20_topic_tagging_is_zero_shuffle(spark, sf_dir, specs):
