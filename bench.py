@@ -503,6 +503,32 @@ def skew_probe(spark, specs) -> dict:
             "ratio_zipf_vs_uniform": round(z / u, 2) if u > 0 else None,
             **metrics,
         }
+    # the window-skew mitigation twin: the plain per-key cumulative
+    # window (q10 — the probe's one real victim, hot key's history
+    # serialized through one task) vs qz06's staged decomposition
+    # (within-day chains + day-grain prefix stitch), both on the Zipf
+    # twin. Same values (qz06's oracle IS the plain window); what
+    # differs is where the hot key's work lands.
+    out["window_twin"] = {}
+    for name in ("q10_running_totals", "qz06_staged_running_total"):
+        runs, metrics = [], {}
+        for i in range(2):
+            pre_stage = _max_stage_id(spark) if i == 1 else None
+            t0 = time.perf_counter()
+            specs[name].fn(spark, zdir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+            if i == 1 and pre_stage is not None:
+                new = _new_stages_since(spark, pre_stage)
+                m = _stage_metrics_since(spark, pre_stage)
+                if m:
+                    metrics.update(
+                        shuffle_write_mb=m["shuffle_write_mb"],
+                        spill_disk_mb=m["spill_disk_mb"],
+                    )
+                metrics.update(_task_time_dist(spark, new))
+        out["window_twin"][name] = {"sec": round(min(runs), 4), **metrics}
     out["salted_twin"] = _salted_twin(spark, zdir)
     return out
 

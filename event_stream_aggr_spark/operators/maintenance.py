@@ -1112,3 +1112,102 @@ GROUP BY o.o_orderpriority
 
 
 _register_salted_join_query()
+
+
+# ---------------------------------------------------------------------------
+# qz06: staged running total — the hot-partition WINDOW mitigation
+# ---------------------------------------------------------------------------
+
+
+def _register_staged_running_total_query():
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qz06_staged_running_total",
+        tags=("maintenance", "skew", "window", "scale"),
+        oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spent
+FROM orders
+""",
+    )
+    def qz06_staged_running_total(spark, sf_dir):
+        """q10's running total computed the way a Zipf-hot partition
+        key demands (the round-8 skew probe's one real victim: the hot
+        user's cumulative window serializes its whole history through
+        ONE task, 4.5x task imbalance). Two-phase decomposition:
+
+        1. within-day chain: cumulative sum over (custkey, orderdate)
+           sub-partitions — the hot key's work parallelizes across its
+           days;
+        2. day-grain stitch: per-(custkey, day) totals, EXCLUSIVE
+           prefix-summed per custkey (a chain of |days| rows, not
+           |orders| rows), joined back and added.
+
+        The ORACLE is the plain single-window running total — the
+        driver's hash check proves the decomposition is value-exact,
+        which it is because accumulation is DECIMAL (association order
+        irrelevant; q10's own recipe) and the (date, orderkey) order
+        is total. This is the documented mitigation pattern for
+        cumulative windows over power-law keys: sub-key on a time
+        grain, stitch prefixes at the sub-key grain — the same
+        monoid-merge shape qi01 streams with.
+
+        Scale shape: phase 1's window partitions are (key x day) — at
+        100 TB the hottest such partition is one key-day, bounded by
+        ingest-per-day, not by history; phase 2 runs at day grain
+        (|keys| x |days| rows); the stitch join is group-grain
+        broadcastable per day range. No stage sees a partition
+        proportional to a key's full history."""
+        o = load_table(spark, sf_dir, "orders")
+        dec = F.col("o_totalprice").cast("decimal(18,2)")
+        w_day = (
+            W.partitionBy("o_custkey", "o_orderdate")
+            .orderBy("o_orderkey")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        within = o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec).over(w_day).alias("cum_in_day"),
+        )
+        w_prefix = (
+            W.partitionBy("o_custkey")
+            .orderBy("o_orderdate")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        day_prefix = (
+            o.groupBy("o_custkey", "o_orderdate")
+            .agg(F.sum(dec).alias("day_total"))
+            .select(
+                "o_custkey",
+                "o_orderdate",
+                F.sum("day_total").over(w_prefix).alias("prefix"),
+            )
+        )
+        return (
+            within.join(day_prefix, ["o_custkey", "o_orderdate"])
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                (
+                    F.coalesce(F.col("prefix"), F.lit(0).cast("decimal(18,2)"))
+                    + F.col("cum_in_day")
+                )
+                .cast("double")
+                .alias("running_spent"),
+            )
+        )
+
+    return qz06_staged_running_total
+
+
+_register_staged_running_total_query()
