@@ -1211,3 +1211,124 @@ FROM orders
 
 
 _register_staged_running_total_query()
+
+
+# ---------------------------------------------------------------------------
+# qz07: Z-order (Morton) layout — multi-dimension pruning, verified as data
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8          # quantization bits per dimension
+ZORDER_BUCKET_SHIFT = 8  # bucket = zkey >> 8 → top 4 bits of EACH dim
+ZORDER_DATE_BASE = "1995-01-01"
+ZORDER_DATE_RANGE = 2600  # days spanned by l_shipdate in the test data
+
+
+def _morton_terms(q1: str, q2: str, shift_fn) -> str:
+    """Bit-interleave expression: bit i of q1 → position 2i, bit i of
+    q2 → 2i+1. ``shift_fn(expr, i)`` renders a right-shift in the
+    target dialect; the rest is shared integer arithmetic."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({shift_fn(q1, i)}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({shift_fn(q2, i)}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _register_zorder_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    duck_z = _morton_terms("q1", "q2", lambda e, i: f"{e} >> {i}")
+    spark_z = _morton_terms("q1", "q2", lambda e, i: f"shiftright({e}, {i})")
+
+    @register(
+        "qz07_zorder_layout",
+        tags=("maintenance", "layout", "scale"),
+        oracle=f"""
+WITH cal AS (SELECT CAST(MAX(l_partkey) + 1 AS BIGINT) AS pk_dom FROM lineitem),
+q AS (
+  SELECT CAST(LEAST({(1 << ZORDER_BITS) - 1}, GREATEST(0,
+           (date_diff('day', DATE '{ZORDER_DATE_BASE}', l_shipdate)
+            * {1 << ZORDER_BITS}) // {ZORDER_DATE_RANGE})) AS BIGINT) AS q1,
+         CAST((l_partkey * {1 << ZORDER_BITS}) // pk_dom AS BIGINT) AS q2
+  FROM lineitem, cal),
+z AS (SELECT q1, q2, CAST({duck_z} AS BIGINT) AS zkey FROM q)
+SELECT CAST(zkey // {1 << ZORDER_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(q1) AS BIGINT) AS min_date_q,
+       CAST(MAX(q1) AS BIGINT) AS max_date_q,
+       CAST(MIN(q2) AS BIGINT) AS min_part_q,
+       CAST(MAX(q2) AS BIGINT) AS max_part_q,
+       CAST(MAX(q1) - MIN(q1) AS BIGINT) AS date_span,
+       CAST(MAX(q2) - MIN(q2) AS BIGINT) AS part_span
+FROM z GROUP BY z_bucket
+""",
+    )
+    def qz07_zorder_layout(spark, sf_dir):
+        """Z-order (Morton) clustering — the multi-dimensional layout
+        technique behind Delta/Iceberg's OPTIMIZE ZORDER: quantize two
+        scan dimensions (ship date, part key) to {ZORDER_BITS}-bit
+        grids, bit-interleave them into one sort key, and report the
+        per-bucket min/max envelope of BOTH dimensions. The output IS
+        the pruning proof: every z-bucket (zkey >> {ZORDER_BUCKET_SHIFT},
+        i.e. the top 4 bits of each dimension) bounds BOTH dimensions
+        to a span <= 16 of 256 — so files written in z-bucket order
+        carry tight parquet min/max on date AND part key
+        simultaneously, and a scan filtering on EITHER dimension skips
+        ~15/16 of the files (a single-column sort gives that on one
+        dimension and nothing on the other). A plan/unit test pins the
+        span bound; the oracle recomputes the same interleave in SQL.
+
+        Scale shape: the z-key is pure per-row integer arithmetic (no
+        shuffle); the envelope report is one map-side-combinable agg
+        over <= 2^{ZORDER_BITS} buckets. The 100 TB layout job is
+        repartitionByRange(zkey) + sortWithinPartitions(zkey) + write
+        — range exchange of the data once, the same cost class as any
+        re-layout, amortized over every pruned scan after (qz02's
+        compaction economics). The partkey grid is calibrated from a
+        1-row broadcast max (design rule 11: calibrate small, apply
+        broadcast)."""
+        li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_partkey")
+        cal = li.agg((F.max("l_partkey") + 1).cast("long").alias("pk_dom"))
+        grid = (1 << ZORDER_BITS) - 1
+        q = li.crossJoin(F.broadcast(cal)).select(
+            F.least(
+                F.lit(grid),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(
+                        f"(datediff(l_shipdate, '{ZORDER_DATE_BASE}')"
+                        f" * {1 << ZORDER_BITS}) div {ZORDER_DATE_RANGE}"
+                    ),
+                ),
+            )
+            .cast("long")
+            .alias("q1"),
+            F.expr(f"(l_partkey * {1 << ZORDER_BITS}) div pk_dom")
+            .cast("long")
+            .alias("q2"),
+        )
+        z = q.select("q1", "q2", F.expr(spark_z).cast("long").alias("zkey"))
+        return (
+            z.groupBy(
+                F.expr(f"zkey div {1 << ZORDER_BUCKET_SHIFT}")
+                .cast("long")
+                .alias("z_bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("q1").cast("long").alias("min_date_q"),
+                F.max("q1").cast("long").alias("max_date_q"),
+                F.min("q2").cast("long").alias("min_part_q"),
+                F.max("q2").cast("long").alias("max_part_q"),
+                (F.max("q1") - F.min("q1")).cast("long").alias("date_span"),
+                (F.max("q2") - F.min("q2")).cast("long").alias("part_span"),
+            )
+        )
+
+    return qz07_zorder_layout
+
+
+_register_zorder_query()

@@ -194,3 +194,23 @@ def test_compaction_plan_bins_are_contiguous_and_sized(spark, sf_dir):
         for b in bins[:-1]:
             running += b.bin_chars
             assert running >= (b.bin_id + 1) * COMPACTION_TARGET_CHARS
+
+
+def test_qz07_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """The pruning property qz07's output claims: every z-bucket
+    (top 4 bits of each 8-bit dimension) bounds BOTH dimensions to a
+    span < 16 of 256 — a single-column sort can only do this for one
+    dimension. Also pin the plan: the z-key is per-row arithmetic, so
+    the only exchange is the final group-grain aggregation."""
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    df = load_all()["qz07_zorder_layout"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.date_span < 16, r
+        assert 0 <= r.part_span < 16, r
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two exchanges: the 1-row partkey-domain calibration agg and the
+    # <=256-bucket envelope agg — both group-grain, neither data-sized
+    assert plan.count("Exchange hashpartitioning") <= 2
