@@ -1332,3 +1332,121 @@ FROM z GROUP BY z_bucket
 
 
 _register_zorder_query()
+
+
+# ---------------------------------------------------------------------------
+# qa09: quality-scorer calibration (reliability diagram + ECE terms)
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+CALIB_GAIN = 5  # stopword-ratio score gain: ratio * 5, saturating at 1
+
+
+def _register_calibration_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qa09_calibration_ece",
+        tags=("quality", "monitoring"),
+        oracle=f"""
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(ts,
+              x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+           AS n_stop
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents)
+  WHERE len(ts) > 0),
+scored AS (
+  SELECT doc_id,
+         LEAST(999999, n_stop * {CALIB_GAIN} * 1000000 // n_tokens)
+           AS score_ppm,
+         CAST((n_tokens BETWEEN 50 AND 100000)
+              AND (n_stop * 50 >= 3 * n_tokens) AS BIGINT) AS kept
+  FROM stats),
+binned AS (
+  SELECT LEAST({CALIB_BINS - 1}, score_ppm * {CALIB_BINS} // 1000000)
+           AS bin,
+         score_ppm, kept
+  FROM scored)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm,
+       CAST(SUM(kept) * 1000000 // COUNT(*) AS BIGINT) AS keep_rate_ppm,
+       CAST(ABS(SUM(score_ppm) // COUNT(*)
+                - SUM(kept) * 1000000 // COUNT(*)) AS BIGINT) AS gap_ppm,
+       CAST(COUNT(*) * ABS(SUM(score_ppm) // COUNT(*)
+                - SUM(kept) * 1000000 // COUNT(*)) AS BIGINT)
+         AS ece_term
+FROM binned GROUP BY bin
+""",
+    )
+    def qa09_calibration_ece(spark, sf_dir):
+        """Reliability diagram for a document-quality scorer (the
+        calibration audit a curation pipeline runs before trusting a
+        filter's scores as probabilities — Guo et al. 2017's ECE,
+        relationalized): bucket docs into {CALIB_BINS} equal-width
+        score bins and report, per bin, the mean predicted score vs
+        the observed keep rate and the |gap|; Σ ece_term / N is the
+        expected calibration error. Scorer = saturating stopword-ratio
+        heuristic (score ≈ min(1, {CALIB_GAIN}·stop_ratio)); label =
+        the length+stopword subset of qt14's Gopher rules. A
+        well-calibrated scorer shows avg_score ≈ keep_rate per bin;
+        the audit quantifies where it over/under-claims.
+
+        Determinism: everything is integer ppm arithmetic (floor div,
+        integer abs) — no float thresholds anywhere, both engines
+        byte-equal. Scale shape: one zero-shuffle scan pass computing
+        per-doc (n_tokens, n_stop) as array expressions, then a
+        {CALIB_BINS}-group map-side-combinable aggregation — the
+        audit costs one corpus scan regardless of size."""
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ts = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        stop = F.filter(
+            ts, lambda x: x.isin("the", "a", "of", "and", "to", "in", "is")
+        )
+        stats = d.select(
+            F.size(ts).cast("long").alias("n_tokens"),
+            F.size(stop).cast("long").alias("n_stop"),
+        ).filter(F.col("n_tokens") > 0)
+        scored = stats.select(
+            F.least(
+                F.lit(999999),
+                F.expr(f"n_stop * {CALIB_GAIN} * 1000000 div n_tokens"),
+            ).alias("score_ppm"),
+            (
+                F.col("n_tokens").between(50, 100000)
+                & (F.col("n_stop") * 50 >= 3 * F.col("n_tokens"))
+            )
+            .cast("long")
+            .alias("kept"),
+        )
+        binned = scored.select(
+            F.least(
+                F.lit(CALIB_BINS - 1),
+                F.expr(f"score_ppm * {CALIB_BINS} div 1000000"),
+            ).alias("bin"),
+            "score_ppm",
+            "kept",
+        )
+        avg_ppm = F.expr("sum(score_ppm) div count(1)")
+        rate_ppm = F.expr("sum(kept) * 1000000 div count(1)")
+        return binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            avg_ppm.cast("long").alias("avg_score_ppm"),
+            rate_ppm.cast("long").alias("keep_rate_ppm"),
+            F.abs(avg_ppm - rate_ppm).cast("long").alias("gap_ppm"),
+            (F.count(F.lit(1)) * F.abs(avg_ppm - rate_ppm))
+            .cast("long")
+            .alias("ece_term"),
+        )
+
+    return qa09_calibration_ece
+
+
+_register_calibration_query()

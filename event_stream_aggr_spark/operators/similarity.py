@@ -3314,3 +3314,91 @@ def qe21_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_us").cast("double") / 1000000).alias("adc_dist"),
         F.row_number().over(wr).cast("long").alias("rank"),
     ).filter(F.col("rank") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# qe22: Matryoshka truncation recall — how much ranking survives a prefix
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIM = 16  # truncated prefix length (of 64)
+
+
+def _mrl_oracle(k: int = 5) -> str:
+    def pairs_cte(vec_expr: str) -> str:
+        return f"""
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         (SELECT SUM(a * b) FROM (SELECT unnest({vec_expr.replace('VEC', 'q.embedding')})::DOUBLE AS a,
+                                         unnest({vec_expr.replace('VEC', 'c.embedding')})::DOUBLE AS b)) AS dp,
+         (SELECT SUM(a * a) FROM (SELECT unnest({vec_expr.replace('VEC', 'q.embedding')})::DOUBLE AS a)) AS nq,
+         (SELECT SUM(b * b) FROM (SELECT unnest({vec_expr.replace('VEC', 'c.embedding')})::DOUBLE AS b)) AS nc
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id"""
+
+    def topk_cte(src: str) -> str:
+        return f"""
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY ROUND(dp / (SQRT(nq) * SQRT(nc)), 6) DESC, cid) AS rnk
+    FROM {src}) WHERE rnk <= {k}"""
+
+    return f"""
+WITH full_pairs AS ({pairs_cte("VEC")}),
+trunc_pairs AS ({pairs_cte(f"VEC[1:{MRL_PREFIX_DIM}]")}),
+full_topk AS ({topk_cte("full_pairs")}),
+trunc_topk AS ({topk_cte("trunc_pairs")})
+SELECT f.qid,
+       CAST(COUNT(t.cid) AS BIGINT) AS n_hits,
+       ROUND(COUNT(t.cid) / {k}.0, 6) AS recall
+FROM full_topk f
+LEFT JOIN trunc_topk t ON f.qid = t.qid AND f.cid = t.cid
+GROUP BY f.qid
+"""
+
+
+@register(
+    "qe22_matryoshka_recall",
+    tags=("similarity", "approx", "monitoring"),
+    oracle=_mrl_oracle(),
+)
+def qe22_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, the MRL
+    recipe behind adaptive-dimension retrieval): recall@5 of the
+    exact top-k computed on the FIRST {MRL_PREFIX_DIM} embedding
+    dimensions against the full-dimension ground truth, per query.
+    This is the number a serving stack needs before it ships
+    truncated vectors to the cheap first-pass tier (prefix cosine at
+    1/4 the dims = 1/4 the scan bytes and FLOPs): a prefix that keeps
+    recall@5 high lets the expensive full-dim scoring run on a
+    shortlist only — the same funnel as qe06's ADC rerank, with
+    truncation instead of quantization as the compressor.
+
+    Scale shape: both sides are the qe01 broadcast-anchor exact scan
+    (8 query rows broadcast; the corpus is scanned once per side,
+    never joined to itself); the audit is a k-row-per-query left
+    join. Determinism: cosine rounded to 6dp with cid tiebreak —
+    identical ordering rules to every other ranking query here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_full = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c_full = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    trunc = F.slice(F.col("embedding"), 1, MRL_PREFIX_DIM)
+    q_tr = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), trunc.alias("qe")
+    )
+    c_tr = emb.select(F.col("vec_id").alias("cid"), trunc.alias("ce"))
+    full_topk = cosine_topk(q_full, c_full, k=5).select("qid", "cid")
+    trunc_topk = cosine_topk(q_tr, c_tr, k=5).select(
+        "qid", F.col("cid").alias("t_cid")
+    )
+    joined = full_topk.join(
+        trunc_topk,
+        (full_topk["qid"] == trunc_topk["qid"])
+        & (full_topk["cid"] == trunc_topk["t_cid"]),
+        "left",
+    ).select(full_topk["qid"].alias("qid"), "t_cid")
+    return joined.groupBy("qid").agg(
+        F.count("t_cid").alias("n_hits"),
+        F.round(F.count("t_cid") / 5.0, 6).alias("recall"),
+    )
