@@ -200,40 +200,7 @@ def qv02_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("vdec"))
     )
-    tier = (
-        F.when(F.col("vdec") < TIER_MID_EDGE, "low")
-        .when(F.col("vdec") < TIER_HIGH_EDGE, "mid")
-        .otherwise("high")
-    )
-    wday = W.partitionBy("user_id").orderBy("day")
-    runs = (
-        daily.select("user_id", "day", tier.alias("tier"))
-        .withColumn("prev_tier", F.lag("tier").over(wday))
-        .withColumn(
-            "run_id",
-            F.sum(
-                F.when(
-                    F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier")), 1
-                ).otherwise(0)
-            ).over(wday.rowsBetween(W.unboundedPreceding, W.currentRow)),
-        )
-    )
-    versions = runs.groupBy("user_id", F.col("run_id").alias("version")).agg(
-        F.min("tier").alias("tier"),
-        F.min("day").alias("valid_from"),
-        F.max("day").alias("valid_to"),
-        F.count(F.lit(1)).alias("n_days"),
-    )
-    wuser = W.partitionBy("user_id")
-    return versions.select(
-        "user_id",
-        "version",
-        "tier",
-        "valid_from",
-        "valid_to",
-        "n_days",
-        (F.col("version") == F.max("version").over(wuser)).cast("long").alias("is_current"),
-    )
+    return scd2_versions(daily)
 
 
 # ---------------------------------------------------------------------------
@@ -369,3 +336,113 @@ def q76_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("day") >= F.col("valid_from"))
         & (F.col("day") <= F.col("valid_to")),
     ).select("event_id", facts["user_id"].alias("user_id"), "day", "tier")
+
+
+def scd2_versions(daily: "DataFrame") -> "DataFrame":
+    """The SCD2 gaps-and-islands core shared by the batch build (qv02)
+    and the streaming maintainer (scd2_state_step): (user_id, day,
+    vdec DECIMAL) → versioned validity intervals with is_current.
+    Two windows in ONE user-partitioned pass — LAG + running
+    change-count, then the per-run rollup and the is_current max ride
+    the same partitioning."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    tier = (
+        F.when(F.col("vdec") < TIER_MID_EDGE, "low")
+        .when(F.col("vdec") < TIER_HIGH_EDGE, "mid")
+        .otherwise("high")
+    )
+    wday = W.partitionBy("user_id").orderBy("day")
+    runs = (
+        daily.select("user_id", "day", tier.alias("tier"))
+        .withColumn("prev_tier", F.lag("tier").over(wday))
+        .withColumn(
+            "run_id",
+            F.sum(
+                F.when(
+                    F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier")), 1
+                ).otherwise(0)
+            ).over(wday.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    versions = runs.groupBy("user_id", F.col("run_id").alias("version")).agg(
+        F.min("tier").alias("tier"),
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wuser = W.partitionBy("user_id")
+    return versions.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from",
+        "valid_to",
+        "n_days",
+        (F.col("version") == F.max("version").over(wuser)).cast("long").alias("is_current"),
+    )
+
+
+def scd2_state_step(state: "DataFrame | None", batch: "DataFrame") -> "DataFrame":
+    """foreachBatch step for streaming/state_store.merge_state_sink:
+    maintain the SCD2 dimension incrementally as raw events arrive.
+
+    State is ONE tagged relation: 'd' rows carry the (user, day, vdec)
+    daily grain (kept so late events folding into an EXISTING day
+    re-sum exactly), 'v' rows carry the published versions table. Each
+    epoch recomputes the gaps-and-islands ONLY for the users present
+    in the batch — untouched users' d/v rows pass through unchanged.
+    That is the 100 TB shape of dimension maintenance: per-epoch cost
+    is O(affected keys' history), never a full-dimension rebuild, and
+    is_current is a per-user property so partial recomputation is
+    exact. Crash/replay safety comes from the store (pre-image reads
+    + epoch gate), chaos-tested like the other five maintainers."""
+    from pyspark.sql import functions as F
+
+    d_delta = (
+        batch.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("vdec"))
+    )
+    affected = d_delta.select("user_id").distinct()
+    if state is None:
+        merged_daily = d_delta
+        kept = None
+    else:
+        d_state = state.filter(F.col("rel") == "d").select(
+            "user_id", "day", "vdec"
+        )
+        touched = d_state.join(F.broadcast(affected), "user_id", "left_semi")
+        merged_daily = (
+            touched.unionByName(d_delta)
+            .groupBy("user_id", "day")
+            .agg(F.sum("vdec").alias("vdec"))
+        )
+        kept = state.join(F.broadcast(affected), "user_id", "left_anti")
+    new_versions = scd2_versions(merged_daily)
+    fresh = merged_daily.select(
+        F.lit("d").alias("rel"),
+        "user_id",
+        "day",
+        "vdec",
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("tier"),
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("long").alias("n_days"),
+        F.lit(None).cast("long").alias("is_current"),
+    ).unionByName(
+        new_versions.select(
+            F.lit("v").alias("rel"),
+            "user_id",
+            F.lit(None).cast("string").alias("day"),
+            F.lit(None).cast("decimal(18,6)").alias("vdec"),
+            "version",
+            "tier",
+            "valid_from",
+            "valid_to",
+            "n_days",
+            "is_current",
+        )
+    )
+    return fresh if kept is None else kept.unionByName(fresh)

@@ -271,3 +271,36 @@ def test_quantile_histogram_maintainer_replay_chaos(
 
     healed = _chaos_replay(spark, tmp_path, monkeypatch, batches, step, canon)
     assert healed == canon(bucket_hist(events))
+
+
+def test_scd2_maintainer_replay_chaos(spark, sf_dir, tmp_path, monkeypatch):
+    """The SCD2 dimension maintainer (affected-keys recompute over a
+    carried daily grain) through the same kill-replay-redeliver
+    gauntlet: the final versions table must equal the batch qv02
+    build exactly."""
+    from event_stream_aggr_spark.operators.versioning import scd2_state_step
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    batches = [
+        b.drop("event_id") for b in _split3(events, "event_id")
+    ]
+
+    def canon(df):
+        return Counter(
+            (r.user_id, r.version, r.tier, r.valid_from, r.valid_to,
+             r.n_days, r.is_current)
+            for r in df.filter(F.col("rel") == "v").collect()
+        )
+
+    healed = _chaos_replay(
+        spark, tmp_path, monkeypatch, batches, scd2_state_step, canon
+    )
+    expected = Counter(
+        (r.user_id, r.version, r.tier, r.valid_from, r.valid_to,
+         r.n_days, r.is_current)
+        for r in load_all()["qv02_scd2_dimension"].fn(spark, sf_dir).collect()
+    )
+    assert healed == expected and len(expected) > 0

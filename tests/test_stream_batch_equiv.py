@@ -1111,3 +1111,58 @@ def test_stream_batch_equivalence_quantile_histogram(spark, sf_dir, tmp_path):
         pick(90),
         pick(99),
     )
+
+
+def test_stream_batch_equivalence_scd2_dimension(spark, sf_dir, tmp_path):
+    """qv02's streaming story: the SCD2 dimension maintained
+    incrementally from the raw event stream through the epoch-gated
+    merge store (operators/versioning.py:scd2_state_step — per epoch,
+    re-derive gaps-and-islands ONLY for the users in the batch, carry
+    the daily grain so late events re-sum exactly) must equal the
+    batch qv02 build version-for-version, regardless of how events
+    are batched or which days straddle batch boundaries."""
+    from event_stream_aggr_spark.operators.versioning import scd2_state_step
+    from event_stream_aggr_spark.plans.registry import load_all
+    from event_stream_aggr_spark.streaming.state_store import (
+        merge_state_sink,
+        read_state,
+    )
+
+    src = str(tmp_path / "events_scd2_stream")
+    state_dir = str(tmp_path / "scd2_state")
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # repartition WITHOUT day alignment: most batches split days/users
+    events.repartition(6).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    def rows(df):
+        return {
+            (r.user_id, r.version, r.tier, r.valid_from, r.valid_to,
+             r.n_days, r.is_current)
+            for r in df.collect()
+        }
+
+    batch_versions = rows(load_all()["qv02_scd2_dimension"].fn(spark, sf_dir))
+
+    n_batches = [0]
+    sink = merge_state_sink(state_dir, scd2_state_step)
+
+    def maintain(bdf: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        sink(bdf, batch_id)
+
+    stream = stream_parquet_dir(spark, src, stored.schema, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "scd2_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert n_batches[0] >= 2  # versions really straddled batches
+
+    final = read_state(spark, state_dir)[0].filter(F.col("rel") == "v").select(
+        "user_id", "version", "tier", "valid_from", "valid_to", "n_days",
+        "is_current",
+    )
+    assert rows(final) == batch_versions and len(batch_versions) > 0
