@@ -57,3 +57,70 @@ def test_max_stage_id_none_when_unreachable(monkeypatch):
     the headline loop skips capture instead of mis-attributing."""
     monkeypatch.setattr(bench, "_completed_stages", lambda spark: [])
     assert bench._max_stage_id(None) is None
+
+
+def test_task_time_dist_picks_heaviest_stage(monkeypatch):
+    """The skew probe's per-task distribution must come from the stage
+    with the most total executor time — that's where a straggler
+    serializes — and report max/median from the taskSummary quantiles."""
+    captured = {}
+
+    class _Resp:
+        def __init__(self, payload):
+            self._p = payload
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            import json
+
+            return json.dumps(self._p).encode()
+
+    def fake_urlopen(url, timeout=10):
+        captured["url"] = url
+        return _Resp({"executorRunTime": [10.0, 120.0, 480.0]})
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    class _SC:
+        uiWebUrl = "http://localhost:4040"
+        applicationId = "app-1"
+
+    class _Spark:
+        sparkContext = _SC()
+
+    stages = [
+        _fake_stage(10, executorRunTime=500),
+        _fake_stage(11, executorRunTime=9_000, numCompleteTasks=32),
+        _fake_stage(12, executorRunTime=700),
+    ]
+    m = bench._task_time_dist(_Spark(), stages)
+    assert "/stages/11/0/taskSummary" in captured["url"]
+    assert m["heavy_stage_tasks"] == 32
+    assert m["task_med_ms"] == 120.0 and m["task_max_ms"] == 480.0
+    assert m["task_imbalance"] == 4.0
+
+
+def test_task_time_dist_empty_stages_yields_empty():
+    assert bench._task_time_dist(None, []) == {}
+
+
+def test_skew_split_detection_reads_only_new_executions(monkeypatch):
+    """skew=true in an OLD execution's plan must not count; a new
+    execution containing the AQE skew-split marker must."""
+    execs = [
+        {"id": 3, "planDescription": "SortMergeJoin skew=true"},
+        {"id": 7, "planDescription": "BroadcastHashJoin"},
+    ]
+    monkeypatch.setattr(bench, "_sql_executions", lambda spark: execs)
+    assert bench._skew_split_fired(None, prev_max_sql_id=3) is False
+    execs.append({"id": 9, "planDescription": "SortMergeJoin(skew=true)"})
+    assert bench._skew_split_fired(None, prev_max_sql_id=3) is True
+    monkeypatch.setattr(bench, "_sql_executions", lambda spark: [])
+    assert bench._skew_split_fired(None, prev_max_sql_id=0) is None
