@@ -1267,18 +1267,23 @@ FROM z GROUP BY z_bucket
 """,
     )
     def qz07_zorder_layout(spark, sf_dir):
-        """Z-order (Morton) clustering — the multi-dimensional layout
-        technique behind Delta/Iceberg's OPTIMIZE ZORDER: quantize two
-        scan dimensions (ship date, part key) to {ZORDER_BITS}-bit
-        grids, bit-interleave them into one sort key, and report the
-        per-bucket min/max envelope of BOTH dimensions. The output IS
-        the pruning proof: every z-bucket (zkey >> {ZORDER_BUCKET_SHIFT},
-        i.e. the top 4 bits of each dimension) bounds BOTH dimensions
-        to a span <= 16 of 256 — so files written in z-bucket order
-        carry tight parquet min/max on date AND part key
-        simultaneously, and a scan filtering on EITHER dimension skips
-        ~15/16 of the files (a single-column sort gives that on one
-        dimension and nothing on the other). A plan/unit test pins the
+        """Z-order (Morton) clustering with MONOTONE calibrated
+        quantization — the deployable form of what qz01 demonstrates.
+        qz01's mod-256 grid proves the curve-locality math (every
+        tile's bounding box <= 32x32 in GRID cells) but `pmod` is not
+        monotone in the raw column: partkey 255 and 256 land in
+        adjacent cells while 1 and 257 share one, so a mod-grid layout
+        gives tight stats on the synthetic cell value, NOT on the raw
+        column a predicate actually filters. Here both dimensions are
+        scaled monotonically over their real domains (days since
+        {ZORDER_DATE_BASE} / the broadcast-calibrated partkey range),
+        so the per-bucket envelope this query reports translates
+        DIRECTLY to raw-column parquet min/max: every z-bucket
+        (zkey >> {ZORDER_BUCKET_SHIFT} = top 4 bits of each dim)
+        bounds BOTH dimensions to a span <= 16 of 256 grid steps, and
+        a scan filtering on EITHER raw column skips ~15/16 of
+        z-bucket-ordered files (a single-column sort gives that on
+        one dimension and nothing on the other). A unit test pins the
         span bound; the oracle recomputes the same interleave in SQL.
 
         Scale shape: the z-key is pure per-row integer arithmetic (no
