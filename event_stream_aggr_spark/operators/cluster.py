@@ -889,127 +889,3 @@ def _register_kcore_query():
 
 
 _register_kcore_query()
-
-
-# ---------------------------------------------------------------------------
-# qg08: triangle count / global clustering via degree-ordered orientation
-# ---------------------------------------------------------------------------
-
-
-def _triangle_oracle() -> str:
-    return """
-WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-e AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-deg AS MATERIALIZED (
-  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
-    (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
-o AS MATERIALIZED (
-  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
-         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
-  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
-tri AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-  FROM o x JOIN o y ON x.dst = y.src JOIN o z
-    ON z.src = x.src AND z.dst = y.dst),
-wed AS (
-  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
-base AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges)
-SELECT n_nodes, n_edges, n_triangles, n_wedges,
-       CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) AS clustering_ppm
-FROM base, tri, wed
-"""
-
-
-def _register_triangle_query():
-    from pyspark.sql import functions as F
-
-    from event_stream_aggr_spark.plans.registry import register
-    from event_stream_aggr_spark.tables import load_table
-
-    @register("qg08_triangle_count", tags=("graph", "scale"), oracle=_triangle_oracle())
-    def qg08_triangle_count(spark, sf_dir):
-        """Triangle counting + global clustering coefficient over the
-        part co-occurrence graph (qg07's edge relation), via
-        DEGREE-ORDERED ORIENTATION — the classic sub-quadratic trick
-        (Chiba–Nishizeki / Schank–Wagner forward algorithm): orient
-        every edge from its (degree, id)-smaller endpoint to the
-        larger, so each node's OUT-degree is O(sqrt(m)) however hot
-        the node; each triangle then exists in exactly ONE oriented
-        form (a→b, b→c, a→c) and the count is two equi self-joins —
-        no per-triangle dedup, no direction double-count. Wedges come
-        from the degree relation alone (Σ d·(d−1)/2), so the global
-        clustering coefficient 3·Δ/wedges is pure integer arithmetic
-        (ppm, integer div — both engines identical).
-
-        Scale shape (100 TB): the orientation is two broadcast-able
-        joins of the edge list against the node-sized degree relation;
-        the 2-path join's blow-up is bounded by the orientation's
-        out-degree cap — the hub that would generate deg² wedges
-        unoriented generates at most ~sqrt(2m)·deg oriented paths,
-        the standard power-law-graph defense. All equi-joins on node
-        ids; AQE skew-split covers residual hot oriented sources."""
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-        e = (
-            li.join(b, "l_orderkey")
-            .filter(F.col("l_partkey") < F.col("v"))
-            .select(F.col("l_partkey").alias("u"), "v")
-            .distinct()
-        )
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select("v"))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-        u_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        o = (
-            e.join(F.broadcast(du), "u")
-            .join(F.broadcast(dv), "v")
-            .select(
-                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        x = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        y = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-        z = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-        tri = (
-            x.join(y, "b")
-            .join(z, ["a", "c"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_triangles"))
-        )
-        wed = deg.agg(
-            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
-        )
-        base = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-            F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
-        )
-        return (
-            base.crossJoin(F.broadcast(tri))
-            .crossJoin(F.broadcast(wed))
-            .select(
-                F.col("n_nodes").cast("long"),
-                F.col("n_edges").cast("long"),
-                F.col("n_triangles").cast("long"),
-                "n_wedges",
-                F.expr("3 * n_triangles * 1000000 div n_wedges")
-                .cast("long")
-                .alias("clustering_ppm"),
-            )
-        )
-
-    return qg08_triangle_count
-
-
-_register_triangle_query()
