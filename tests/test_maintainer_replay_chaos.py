@@ -304,3 +304,88 @@ def test_scd2_maintainer_replay_chaos(spark, sf_dir, tmp_path, monkeypatch):
         for r in load_all()["qv02_scd2_dimension"].fn(spark, sf_dir).collect()
     )
     assert healed == expected and len(expected) > 0
+
+
+def test_merge_store_survives_stream_restart_and_rejects_fresh_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """The two checkpoint-lifecycle contracts of the merge store,
+    exercised through REAL writeStream restarts (not direct sink
+    calls):
+
+    1. Same checkpoint, more data: a second availableNow run resumes
+       with HIGHER batch ids, so the new files fold in exactly once
+       and the state equals the one-shot batch build over everything.
+    2. Fresh checkpoint, same store: batch ids restart at 0, every
+       epoch is <= the committed epoch, the gate skips them all — the
+       state must be UNCHANGED (an additive store is married to one
+       checkpoint lineage; re-pointing a new stream at it must not
+       double-merge)."""
+    from event_stream_aggr_spark.operators.incremental import QUANT_BUCKET_DECI
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming.state_store import (
+        merge_state_sink,
+        read_state,
+    )
+
+    src = str(tmp_path / "events_restart_stream")
+    state_dir = str(tmp_path / "restart_state")
+    ckpt = str(tmp_path / "restart_ckpt")
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    part1 = events.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    part2 = events.filter(F.col("event_id") % 2 == 1).drop("event_id")
+
+    def bucket_hist(df):
+        return (
+            df.select(
+                F.expr(
+                    f"cast(floor(value * {QUANT_BUCKET_DECI}) as bigint)"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    sink = merge_state_sink(
+        state_dir,
+        lambda s, b: bucket_hist(b)
+        if s is None
+        else s.unionByName(bucket_hist(b)).groupBy("bucket").agg(
+            F.sum("n").alias("n")
+        ),
+    )
+
+    def run_stream(checkpoint):
+        stored = spark.read.parquet(src)
+        stream = stream_parquet_dir(
+            spark, src, stored.schema, max_files_per_trigger=2
+        )
+        q = (
+            stream.writeStream.foreachBatch(lambda b, i: sink(b, i))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    part1.repartition(4).write.mode("append").parquet(src)
+    run_stream(ckpt)
+    after_p1, epoch_p1 = read_state(spark, state_dir)
+    n_after_p1 = {r.bucket: r.n for r in after_p1.collect()}
+    assert n_after_p1 == {
+        r.bucket: r.n for r in bucket_hist(part1).collect()
+    }
+
+    part2.repartition(4).write.mode("append").parquet(src)
+    run_stream(ckpt)  # SAME checkpoint: resumes past the seen files
+    after_p2, epoch_p2 = read_state(spark, state_dir)
+    assert epoch_p2 > epoch_p1  # genuinely continued the batch-id line
+    expected = {
+        r.bucket: r.n for r in bucket_hist(part1.unionByName(part2)).collect()
+    }
+    assert {r.bucket: r.n for r in after_p2.collect()} == expected
+
+    run_stream(str(tmp_path / "fresh_ckpt"))  # replays ALL files from 0
+    final, final_epoch = read_state(spark, state_dir)
+    assert final_epoch == epoch_p2  # nothing committed
+    assert {r.bucket: r.n for r in final.collect()} == expected
