@@ -458,7 +458,13 @@ def skew_probe(spark, specs) -> dict:
     zdir = os.path.join(here, ".scale_probe", "zipf1")
     udir = os.path.join(here, ".scale_probe", "sf1")
     if not (os.path.isdir(zdir) and os.path.isdir(udir)):
-        return {}
+        # visible skip, not a silent {} — a fresh workspace must know
+        # the probe data is generatable, not that skew was unmeasured
+        return {
+            "skipped": "probe dirs missing; generate with "
+            "`python tools/make_scale_probe.py 10` then "
+            "`python tools/make_scale_probe.py --zipf`"
+        }
     out: dict = {
         "alpha": 1.1,
         "zipf_dir_sf": 1.0,
