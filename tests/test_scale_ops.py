@@ -279,3 +279,24 @@ def test_pagerank_handchecked_tiny_graph(spark, tmp_path):
     # rs2: s7 = 150000 + 850000*(622187 + 755625)//1e6 = 1321140
     #      s8 = 150000 + 850000*622187//1e6            =  678858
     assert got == {7: (2, 1321140), 8: (1, 678858)}
+
+
+def test_salted_join_salt_is_deterministic_and_spreads_hot_key(spark):
+    """The retry-safety contract (round 8): the salt is a pure
+    function of the left row — two evaluations of the same plan
+    produce byte-identical salted keys (a rand() salt re-draws per
+    task attempt, which is unsafe under stage retry) — AND the hot
+    key's distinct rows genuinely spread across salt buckets."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(200)], "k int, v int"  # one hot key
+    )
+    salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64("k", "v"), F.lit(4)).cast("int")
+    )
+    first = {(r.k, r.v, r._salt) for r in salted.collect()}
+    second = {(r.k, r.v, r._salt) for r in salted.collect()}
+    assert first == second  # deterministic across evaluations
+    buckets = {s for (_, _, s) in first}
+    assert len(buckets) == 4  # the hot key's rows use every salt bucket
