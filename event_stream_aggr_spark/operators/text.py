@@ -2489,3 +2489,119 @@ def inverted_index_view(index: DataFrame) -> DataFrame:
     """The queryable (floored) view over the stored unfloored index —
     exactly qt19's output contract."""
     return index.filter(F.col("df") >= INDEX_MIN_DF)
+
+
+# ---------------------------------------------------------------------------
+# qt26: winnowing fingerprints (rolling polynomial hash + window minima)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5          # k-gram length for the rolling hash
+WINNOW_W = 4          # winnowing window: one fingerprint per w hashes
+WINNOW_B = 31         # polynomial base
+WINNOW_M = 1048573    # modulus (prime < 2^20; 5 terms stay well in BIGINT)
+
+
+def _rolling_hash_terms(pos_fn, char_fn) -> str:
+    """The k-term polynomial hash of the k-gram at position i, written
+    out literally (c0·B^{k-1} + … + c_{k-1}) mod M so BOTH engines run
+    the identical integer expression — no fold builtin needed. In a
+    sequential scan this is the classic Rabin-Karp ROLLING recurrence
+    h_{i+1} = (h_i − c_i·B^{k-1})·B + c_{i+k}; relationally every
+    position's hash is independent, which is exactly what makes it
+    embarrassingly parallel."""
+    terms = []
+    for j in range(WINNOW_K):
+        coeff = WINNOW_B ** (WINNOW_K - 1 - j)
+        terms.append(f"{char_fn(pos_fn(j))} * {coeff}")
+    return "(" + " + ".join(terms) + f") % {WINNOW_M}"
+
+
+def _winnow_spark_exprs() -> tuple[str, str]:
+    h = _rolling_hash_terms(
+        lambda j: f"i + {j}" if j else "i",
+        lambda p: f"ascii(substring(text, {p}, 1))",
+    )
+    hashes = f"transform(sequence(1, length(text) - {WINNOW_K - 1}), i -> {h})"
+    fps = (
+        f"array_distinct(transform(sequence(1, size(_h) - {WINNOW_W - 1}),"
+        f" i -> array_min(slice(_h, i, {WINNOW_W}))))"
+    )
+    return hashes, fps
+
+
+def _winnow_oracle() -> str:
+    h = _rolling_hash_terms(
+        lambda j: f"i + {j}" if j else "i",
+        lambda p: f"ord(substring(text, {p}, 1))",
+    )
+    return f"""
+WITH hashes AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - {WINNOW_K - 1}),
+                        i -> {h}) AS h
+  FROM documents
+  WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}),
+fps AS (
+  SELECT doc_id, CAST(len(h) AS BIGINT) AS n_kgrams,
+         list_distinct(list_transform(
+           generate_series(1, len(h) - {WINNOW_W - 1}),
+           i -> list_aggregate(h[i:i + {WINNOW_W - 1}], 'min'))) AS sel
+  FROM hashes)
+SELECT doc_id, n_kgrams,
+       CAST(len(sel) AS BIGINT) AS n_selected,
+       CAST(list_aggregate(sel, 'min') AS BIGINT) AS fp_min,
+       CAST(list_aggregate(sel, 'max') AS BIGINT) AS fp_max,
+       CAST(len(sel) * 1000000 // n_kgrams AS BIGINT) AS density_ppm
+FROM fps
+"""
+
+
+@register("qt26_winnowing_fingerprints", tags=("text", "dedup"), oracle=_winnow_oracle())
+def qt26_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken
+    2003, the MOSS algorithm — the rolling-hash fingerprinting the
+    L4 brief names, where qt03's bag-of-words md5 is a whole-document
+    identity): hash every character {WINNOW_K}-gram with a Rabin-Karp
+    polynomial hash, then keep the MINIMUM hash of each
+    {WINNOW_W}-position window. The selection guarantee is what makes
+    it a fingerprint scheme rather than plain shingling: any shared
+    substring of length >= k + w - 1 between two documents is
+    certain to contribute at least one COMMON selected fingerprint,
+    while the expected density is only 2/(w+1) of all k-grams — local,
+    position-robust evidence at a fraction of the shingle volume.
+    Output is the per-doc audit (k-gram count, selected count, value
+    range, achieved density in ppm); the selected sets are what a
+    plagiarism/near-dup index would invert (qt19's shape).
+
+    Determinism: pure integer polynomial arithmetic mod a prime —
+    both engines evaluate the identical expanded expression (no float,
+    no library hash). Scale shape: a single zero-shuffle scan pass —
+    hashes, window minima, dedup and stats are all array expressions
+    inside one projection; no explode, so the token stream never hits
+    an exchange. At 100 TB the per-doc fingerprint arrays would feed
+    the qt19 inverted-index build (term = fingerprint), which is one
+    distinct + one group-by — the standard two-shuffle index path."""
+    hashes, fps = _winnow_spark_exprs()
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    )
+    return (
+        d.select("doc_id", F.expr(hashes).alias("_h"))
+        .select(
+            "doc_id",
+            F.size("_h").cast("long").alias("n_kgrams"),
+            F.expr(fps).alias("_sel"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("_sel").cast("long").alias("n_selected"),
+            F.array_min("_sel").cast("long").alias("fp_min"),
+            F.array_max("_sel").cast("long").alias("fp_max"),
+            F.expr("size(_sel) * 1000000 div n_kgrams")
+            .cast("long")
+            .alias("density_ppm"),
+        )
+    )

@@ -103,3 +103,67 @@ def test_prefix_filter_python_replay_matches_spark(spark):
     want = _prefix_filtered(corpora, 3, 5)
     assert got == want == _brute_force(corpora, Fraction(3, 5))
     assert (0, 1) in got  # the identical pair survived
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (qt26) — the selection guarantee, fuzzed
+# ---------------------------------------------------------------------------
+
+from event_stream_aggr_spark.operators.text import (  # noqa: E402
+    WINNOW_B,
+    WINNOW_K,
+    WINNOW_M,
+    WINNOW_W,
+)
+
+
+def _winnow_py(text: str) -> set[int]:
+    hs = []
+    for i in range(len(text) - WINNOW_K + 1):
+        h = 0
+        for c in text[i : i + WINNOW_K]:
+            h = h * WINNOW_B + ord(c)
+        hs.append(h % WINNOW_M)
+    return {
+        min(hs[i : i + WINNOW_W]) for i in range(len(hs) - WINNOW_W + 1)
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=30),
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=30),
+    st.text(alphabet="abcdefgh ", min_size=WINNOW_K + WINNOW_W - 1, max_size=20),
+)
+def test_winnowing_shared_substring_guarantee(prefix_a, prefix_b, shared):
+    """Schleimer et al.'s correctness theorem, executed: two documents
+    sharing a substring of length >= k + w - 1 MUST share at least one
+    selected fingerprint — the property that makes window-minima a
+    fingerprint scheme instead of lossy sampling."""
+    doc_a = prefix_a + shared
+    doc_b = prefix_b + shared
+    assert _winnow_py(doc_a) & _winnow_py(doc_b)
+
+
+def test_winnowing_python_replay_matches_spark(spark):
+    """Anchor the pure-python replay to the registered query on real
+    corpus docs, so the hypothesis property speaks for qt26."""
+    from event_stream_aggr_spark.plans.registry import load_all
+    from event_stream_aggr_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.doc_id: (r.n_kgrams, r.n_selected, r.fp_min, r.fp_max)
+        for r in load_all()["qt26_winnowing_fingerprints"].fn(spark, sf).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    checked = 0
+    for doc_id, (n_kgrams, n_selected, fp_min, fp_max) in list(out.items())[:25]:
+        sel = _winnow_py(texts[doc_id])
+        assert n_kgrams == len(texts[doc_id]) - WINNOW_K + 1
+        assert (n_selected, fp_min, fp_max) == (len(sel), min(sel), max(sel))
+        checked += 1
+    assert checked == 25
