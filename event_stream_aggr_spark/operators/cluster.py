@@ -822,70 +822,148 @@ def _register_kcore_query():
         so convergence (or not) is part of the verified result rather
         than a driver-side loop condition.
 
-        Scale shape (100 TB): each round is one degree aggregation
-        (map-side combinable) + two semi-joins of the edge relation
-        against the surviving-node set — all equi-joins on node ids,
-        shuffles bounded by the shrinking edge relation;
-        ``localCheckpoint`` truncates the per-round lineage so round
-        r+1 never replays rounds 1..r (the qg05 recipe). The oracle
-        runs the identical bounded chain with MATERIALIZED CTEs
-        (plain CTEs re-evaluate the peeling prefix exponentially —
-        the documented DuckDB hazard that sank the first k-core
-        attempt)."""
+        Scale shape (100 TB) — round-9 rewrite after the 30x probe
+        caught the previous variant hoarding EVERY round's eagerly
+        localCheckpoint'ed edge blocks in block-manager memory (round
+        4 still co-resident with round 0: ~31 GB at sf3 sharing ONE
+        unified pool with the edge-build agg hash maps → 7.9 GB
+        spill). Per-round state now has an explicit bounded lifecycle
+        (see ``_disk_checkpoint`` / ``_free_blocks``):
+
+        * each round's surviving edge set is localCheckpoint'ed at
+          ``DISK_ONLY`` — lineage truncated (round r+1 never replays
+          rounds 1..r) AND the bytes live on local disk, never as
+          evictable tenants of the unified execution pool;
+        * the per-round (n_nodes, n_edges) counts are taken EAGERLY
+          (they are the query's entire {KCORE_ROUNDS}+1-row output;
+          the same bounded driver-action contract as qe15/qe19's
+          documented loops), so nothing lazy references a prior round;
+        * round r-1's blocks are freed as soon as round r has
+          materialized — at most TWO generations of the shrinking edge
+          relation exist at any instant, independent of KCORE_ROUNDS.
+
+        Degree aggs stay map-side combinable; the two semi-join probes
+        broadcast the (small, shrinking) survivor node-list so the
+        edge relation never shuffles during a peel. If |nodes| ever
+        outgrew the broadcast budget, drop the hint and these become
+        shuffled equi semi-joins — still never more than 2 edge
+        shuffles/round (fallback executed in tests/test_plan_shapes).
+
+        Rejected alternatives, both measured at sf0.1: pure
+        recompute-over-checkpoint (no persistence, one job,
+        ReuseExchange dedup) ran 10x slower — optimizer tree-copying
+        destroys DAG sharing, so each stats branch re-ran the
+        self-join edge build; ``persist(DISK_ONLY)``+``unpersist``
+        ran 5x slower — un-caching round r-1 cascade-invalidates the
+        dependent round-r cache entry (SPARK-24596 semantics), so
+        round r+1 recomputed from parquet. localCheckpoint truncates
+        lineage, which makes the freed generation genuinely
+        unreferenced. The oracle runs the identical bounded chain with
+        MATERIALIZED CTEs (plain CTEs re-evaluate the peeling prefix
+        exponentially — the documented DuckDB hazard that sank the
+        first k-core attempt)."""
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-        edges = (
+        edges, n_edges, edge_ids = _disk_checkpoint(
             li.join(b, "l_orderkey")
             .filter(F.col("l_partkey") < F.col("v"))
             .select(F.col("l_partkey").alias("u"), "v")
             .distinct()
-            .localCheckpoint(eager=True)
         )
-
-        def stats_row(r, nodes_df, edges_df):
-            return (
-                nodes_df.agg(F.count(F.lit(1)).alias("n_nodes"))
-                .crossJoin(edges_df.agg(F.count(F.lit(1)).alias("n_edges")))
-                .select(
-                    F.lit(r).cast("long").alias("round"),
-                    F.col("n_nodes").cast("long"),
-                    F.col("n_edges").cast("long"),
-                )
-            )
-
-        all_nodes = (
+        n_nodes = (
             edges.select(F.col("u").alias("node"))
             .union(edges.select("v"))
             .distinct()
+            .count()
         )
-        out = stats_row(0, all_nodes, edges)
-        cur = edges
+        trajectory = [(0, n_nodes, n_edges)]
+
+        cur, cur_ids = edges, edge_ids
         for r in range(1, KCORE_ROUNDS + 1):
-            deg = (
-                cur.select(F.col("u").alias("node"))
-                .unionAll(cur.select("v"))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("d"))
-            )
-            keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(
-                eager=True
-            )
-            # surviving-node list ≪ edge relation (and shrinks every
-            # round) — broadcast both semi-join probes so the edge set
-            # never shuffles during a peel (measured ~1.7× on the cold
-            # pass at sf0.1). If |nodes| ever outgrew the broadcast
-            # budget, drop the hint and these become shuffled equi
-            # semi-joins — still never more than 2 edge shuffles/round.
-            kb = F.broadcast(keep)
-            cur = (
-                cur.join(kb, cur["u"] == kb["node"], "left_semi")
-                .join(kb, F.col("v") == kb["node"], "left_semi")
-                .localCheckpoint(eager=True)
-            )
-            out = out.unionAll(stats_row(r, keep, cur))
-        return out
+            # checkpoint the (tiny) survivor list too, so the degree
+            # agg runs once per round — the broadcast build and the
+            # n_nodes count both read the materialized node list
+            keep, n_keep, keep_ids = _disk_checkpoint(_kcore_survivors(cur))
+            nxt, n_nxt, nxt_ids = _disk_checkpoint(_kcore_prune(cur, keep))
+            trajectory.append((r, n_keep, n_nxt))
+            _free_blocks(spark, cur_ids + keep_ids)  # r-1: freed, not hoarded
+            cur, cur_ids = nxt, nxt_ids
+        _free_blocks(spark, cur_ids)
+        return spark.createDataFrame(
+            trajectory, "round long, n_nodes long, n_edges long"
+        )
 
     return qg07_kcore_peeling
+
+
+def _kcore_survivors(cur):
+    """Nodes whose current degree >= KCORE_K: one map-side combinable
+    hash agg over the checkpointed edge relation."""
+    from pyspark.sql import functions as F
+
+    deg = (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.filter(F.col("d") >= KCORE_K).select("node")
+
+
+def _kcore_prune(cur, keep):
+    """Surviving edges: two broadcast LEFT SEMI probes of the keep
+    list (lazy — the caller checkpoints and counts it). Split out of
+    qg07 so the per-round plan shape is assertable in isolation
+    (tests/test_plan_shapes.py pins: broadcast semi-joins, no
+    sort-merge/Cartesian)."""
+    from pyspark.sql import functions as F
+
+    kb = F.broadcast(keep)
+    return cur.join(kb, cur["u"] == kb["node"], "left_semi").join(
+        kb, F.col("v") == kb["node"], "left_semi"
+    )
+
+
+def _kcore_peel_round(cur):
+    """One peel round over a materialized edge relation: (keep, next)."""
+    keep = _kcore_survivors(cur)
+    return keep, _kcore_prune(cur, keep)
+
+
+def _disk_checkpoint(df):
+    """``localCheckpoint`` at DISK_ONLY, materialized by ``count()``,
+    returning ``(checkpointed_df, row_count, rdd_ids)``.
+
+    The lazy mark + count fold materialization and row-counting into
+    ONE job (eager=True would run a materialization job and the
+    caller's count would be a second). ``rdd_ids`` are the RDDs this
+    checkpoint registered in the block manager, so the caller can
+    free the generation deterministically with ``_free_blocks``
+    (Dataset.unpersist only talks to the SQL cache manager and cannot
+    release checkpoint blocks; without explicit freeing they linger
+    until driver-side GC happens to collect the plan — exactly the
+    accumulation the round-8 30x probe flagged)."""
+    from pyspark import StorageLevel
+
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    ck = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    n = ck.count()  # materializes the checkpoint blocks
+    after = sc._jsc.getPersistentRDDs().keySet().toArray()
+    return ck, n, [i for i in after if i not in before]
+
+
+def _free_blocks(spark, rdd_ids):
+    """Unpersist the given registered RDD ids (non-blocking).
+
+    ``JavaSparkContext.getPersistentRDDs`` is the public registry of
+    persisted RDDs; ids that were already freed (or GC-cleaned) are
+    simply absent and skipped."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
 
 
 _register_kcore_query()

@@ -643,15 +643,74 @@ def test_round7_ops_have_sane_join_physics(spark, sf_dir, specs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
-    # qg07's per-round semi-joins run eagerly inside localCheckpoint
-    # (lineage truncation — the qg05 recipe), so the FINAL plan is
-    # aggregates over checkpointed RDD scans; the only joins left are
-    # the 1-row×1-row stats crossJoins (the qb01-accepted singleton
-    # BNLJ), never a sort-merge or Cartesian over data.
+    # qg07 (round-9 rewrite): the trajectory counts are taken eagerly
+    # with an explicit persist/unpersist lifecycle, so the RETURNED
+    # plan is a 5-row local relation — no joins, scans, or exchanges
+    # survive into it (the per-round internals are pinned separately
+    # by test_qg07_peel_round_plan_shape below).
     plan = _plan(specs["qg07_kcore_peeling"].fn(spark, sf_dir))
-    assert "CartesianProduct" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_qg07_peel_round_plan_shape_and_block_lifecycle(spark, sf_dir):
+    """Round-9 qg07 lifecycle contract (the 30x-probe accumulation
+    fix): (a) a peel round over a checkpointed edge relation reads the
+    materialized blocks (Scan ExistingRDD — lineage truncated, round
+    r+1 never replays rounds 1..r) and probes survivors via broadcast
+    LEFT SEMI joins, never sort-merge or Cartesian; (b) the checkpoint
+    blocks live at DISK_ONLY — zero unified-pool tenancy; (c)
+    ``_free_blocks`` genuinely deregisters a generation from the block
+    manager, so at most two generations co-reside."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.cluster import (
+        _disk_checkpoint,
+        _free_blocks,
+        _kcore_peel_round,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    def registered_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    base = registered_ids()
+    edges, n_edges, edge_ids = _disk_checkpoint(
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("v"))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .distinct()
+    )
+    assert n_edges > 0
+    assert edge_ids and set(edge_ids) <= registered_ids()
+    # (b) blocks are disk-only: no memory tenancy anywhere
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in edge_ids:
+        lvl = jmap.get(rid).getStorageLevel()
+        assert lvl.useDisk() and not lvl.useMemory()
+
+    keep, nxt = _kcore_peel_round(edges)
+    plan = _plan(nxt)
+    assert "Scan ExistingRDD" in plan  # reads checkpointed blocks
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
-    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+    nxt, n_nxt, nxt_ids = _disk_checkpoint(nxt)
+    assert n_nxt <= n_edges
+    # (c) freeing the old generation deregisters exactly its RDDs
+    _free_blocks(spark, edge_ids)
+    left = registered_ids()
+    assert not (set(edge_ids) & left)
+    assert set(nxt_ids) <= left
+    _free_blocks(spark, nxt_ids)
+    assert registered_ids() == base
 
 
 def test_qi04_delta_joins_are_equi_never_cartesian(spark, sf_dir, specs):
