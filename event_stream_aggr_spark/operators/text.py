@@ -2492,7 +2492,7 @@ def inverted_index_view(index: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# qt26: winnowing fingerprints (rolling polynomial hash + window minima)
+# qt31: winnowing fingerprints (rolling polynomial hash + window minima)
 # ---------------------------------------------------------------------------
 
 WINNOW_K = 5          # k-gram length for the rolling hash
@@ -2556,8 +2556,8 @@ FROM fps
 """
 
 
-@register("qt26_winnowing_fingerprints", tags=("text", "dedup"), oracle=_winnow_oracle())
-def qt26_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("qt31_winnowing_fingerprints", tags=("text", "dedup"), oracle=_winnow_oracle())
+def qt31_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken
     2003, the MOSS algorithm — the rolling-hash fingerprinting the
     L4 brief names, where qt03's bag-of-words md5 is a whole-document

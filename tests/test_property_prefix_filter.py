@@ -106,7 +106,7 @@ def test_prefix_filter_python_replay_matches_spark(spark):
 
 
 # ---------------------------------------------------------------------------
-# Winnowing (qt26) — the selection guarantee, fuzzed
+# Winnowing (qt31) — the selection guarantee, fuzzed
 # ---------------------------------------------------------------------------
 
 from event_stream_aggr_spark.operators.text import (  # noqa: E402
@@ -154,7 +154,7 @@ def test_winnowing_python_replay_matches_spark(spark):
     sf = "/root/testdata/sf0.001"
     out = {
         r.doc_id: (r.n_kgrams, r.n_selected, r.fp_min, r.fp_max)
-        for r in load_all()["qt26_winnowing_fingerprints"].fn(spark, sf).collect()
+        for r in load_all()["qt31_winnowing_fingerprints"].fn(spark, sf).collect()
     }
     texts = {
         r.doc_id: r.text
