@@ -8,56 +8,124 @@ committed batch is harmless and it can safely read whatever state is
 current. Additive merges are not idempotent — redelivering a committed
 epoch would double-count — so this store adds the two missing pieces:
 
-1. **Epoch gating**: the ``_LATEST`` pointer encodes the last
-   committed epoch (``v{epoch}``); an arriving batch with
-   ``epoch_id <= committed`` is skipped outright. Structured
+1. **Epoch gating**: the committed epoch is encoded in atomic marker
+   files (``_COMMIT_v{epoch}``); an arriving batch with
+   ``epoch_id == committed`` is skipped outright. Structured
    Streaming's foreachBatch redelivers with the SAME batch_id after a
    restart (the reference's model is the same: process, then commit
    the consumer offset — reference internal/app/app.go:220 — so
    everything after the last commit is redelivered), which makes this
-   check exact, not heuristic.
+   check exact, not heuristic. An ``epoch_id`` STRICTLY BELOW the
+   committed epoch can never be a redelivery (batch ids only move
+   forward within one checkpoint lineage, and at most the single
+   uncommitted tail batch is redelivered) — it means a FRESH/FOREIGN
+   checkpoint directory was pointed at a non-empty store, whose
+   restarted batch ids the gate would otherwise silently swallow,
+   dropping real data. That misconfiguration raises immediately
+   instead (an additive store is married to one checkpoint lineage).
 2. **Pre-image reads**: a new epoch merges into the state AS OF THE
-   POINTER, writing version ``v{epoch}`` while reading ``v{prev}`` —
-   never read-modify-overwriting one directory. A crash anywhere
-   between the merge write and the pointer swap leaves the pointer on
-   the pre-image; the replayed epoch recomputes ``v{epoch}``
-   deterministically and completes the swap. Readers resolve the
-   pointer first and never observe a torn version.
+   committed version, writing version ``v{epoch}`` while reading
+   ``v{prev}`` — never read-modify-overwriting one directory. A crash
+   anywhere between the merge write and the marker commit leaves the
+   newest marker on the pre-image; the replayed epoch recomputes
+   ``v{epoch}`` deterministically and completes the commit. Readers
+   resolve the markers first and never observe a torn version.
+
+Durability & portability: ALL filesystem traffic — marker creation,
+marker listing, vacuuming — goes through the SparkSession's Hadoop
+``FileSystem`` for the store root, so the store works identically on
+file:/, hdfs:/ and object stores (round-8 ADVICE: the previous
+implementation managed the pointer with local-only ``os`` calls, so a
+non-local root silently resolved to "no state" and the gate never
+fired — the exact double-count the store exists to prevent). The
+commit itself is a zero-byte ``createNewFile`` — atomic on HDFS and
+object stores alike, unlike a rename-over-existing pointer swap whose
+delete+rename window would momentarily expose "no state".
 
 Together: at-least-once delivery + (epoch gate, pre-image merge,
-atomic pointer swap) = effectively-once state, chaos-tested in
+atomic marker commit) = effectively-once state, chaos-tested in
 tests/test_maintainer_replay_chaos.py (kill between merge and commit;
-restart; redeliver after commit).
+restart; redeliver after commit; fresh-checkpoint epoch regression).
 
 Scale: each epoch writes only the (sketch-sized / group-grain) state
 relation, reading the previous version directly — no driver-side
 staging, no lineage into the directory being overwritten (the version
-dirs are distinct). At 100 TB the version write is bucketed by the
-state key and old versions are vacuumed by retention, exactly like a
-lakehouse table's commit log.
+dirs are distinct). Superseded versions are vacuumed after every
+commit, keeping the committed version plus its pre-image (crash
+recovery needs exactly one generation back), so storage is bounded at
+two generations regardless of stream lifetime — exactly like a
+lakehouse table's retained commit log.
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_POINTER = "_LATEST"
+_MARKER = "_COMMIT_v"
+
+
+def _fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` via the session's conf —
+    resolves file:/, hdfs:/, s3a:/ ... identically."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _join(root: str, name: str) -> str:
+    return root.rstrip("/") + "/" + name  # URI-safe (os.path.join is not)
+
+
+def committed_epoch(spark: SparkSession, root: str) -> int:
+    """Highest epoch with a commit marker, or -1 when none committed."""
+    fs, jroot = _fs(spark, root)
+    if not fs.exists(jroot):
+        return -1
+    best = -1
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        if name.startswith(_MARKER):
+            best = max(best, int(name[len(_MARKER):]))
+    return best
 
 
 def read_state(spark: SparkSession, root: str) -> tuple[DataFrame | None, int]:
     """Resolve the committed state: (DataFrame, epoch), or (None, -1)
     when no epoch has ever committed. Readers never see a version
-    whose pointer swap did not complete."""
-    ptr = os.path.join(root, _POINTER)
-    if not os.path.exists(ptr):
+    whose marker commit did not complete."""
+    epoch = committed_epoch(spark, root)
+    if epoch < 0:
         return None, -1
-    with open(ptr) as f:
-        version = f.read().strip()
-    epoch = int(version[1:])
-    return spark.read.parquet(os.path.join(root, version)), epoch
+    return spark.read.parquet(_join(root, f"v{epoch}")), epoch
+
+
+def _commit(spark: SparkSession, root: str, epoch: int) -> None:
+    """Atomically commit ``epoch``: create its zero-byte marker file.
+    Module-level so the chaos tests can inject a crash exactly here."""
+    fs, _ = _fs(spark, root)
+    _, jmarker = _fs(spark, _join(root, f"{_MARKER}{epoch}"))
+    fs.createNewFile(jmarker)
+
+
+def _vacuum(spark: SparkSession, root: str, keep_from: int) -> None:
+    """Delete version dirs and markers for epochs < ``keep_from``
+    (the pre-image of the newest commit): bounded two-generation
+    retention. Best-effort — a failed delete is retried by the next
+    epoch's vacuum, and resolution always takes max(marker), so stray
+    old markers are harmless."""
+    fs, jroot = _fs(spark, root)
+    if keep_from < 0 or not fs.exists(jroot):
+        return
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        epoch = None
+        if name.startswith(_MARKER):
+            epoch = int(name[len(_MARKER):])
+        elif name.startswith("v") and name[1:].isdigit():
+            epoch = int(name[1:])
+        if epoch is not None and epoch < keep_from:
+            fs.delete(status.getPath(), True)
 
 
 def merge_state_sink(
@@ -73,22 +141,35 @@ def merge_state_sink(
             merge_state_sink(root, lambda s, b:
                 cms_build(b) if s is None else cms_merge(s, cms_build(b)))
         ).option("checkpointLocation", ckpt).start()
+
+    Raises ``ValueError`` on an epoch id strictly below the committed
+    epoch: that is the fresh-checkpoint-against-nonempty-store
+    signature (batch ids restarted at 0), where the gate would
+    otherwise silently drop every replayed-plus-new batch. The one
+    inherently ambiguous case — a fresh checkpoint whose FIRST batch
+    id equals the committed epoch — is indistinguishable from a
+    legitimate redelivery and is skipped like one.
     """
-    os.makedirs(root, exist_ok=True)
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         state, committed = read_state(spark, root)
-        if epoch_id <= committed:
+        if epoch_id < committed:
+            raise ValueError(
+                f"merge_state_sink at {root}: batch id {epoch_id} is below "
+                f"the committed epoch {committed}. Batch ids only move "
+                "forward within one checkpoint lineage, so this store was "
+                "built by a DIFFERENT (or deleted) streaming checkpoint; "
+                "silently gating would drop real data. Point the query at "
+                "its original checkpointLocation, or start a new state root."
+            )
+        if epoch_id == committed:
             # post-commit redelivery: this epoch is already folded in;
             # merging again would double-count an additive monoid
             return
         new_state = step(state, batch)
-        vdir = f"v{epoch_id}"
-        new_state.write.mode("overwrite").parquet(os.path.join(root, vdir))
-        tmp = os.path.join(root, _POINTER + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(vdir)
-        os.replace(tmp, os.path.join(root, _POINTER))
+        new_state.write.mode("overwrite").parquet(_join(root, f"v{epoch_id}"))
+        _commit(spark, root, epoch_id)
+        _vacuum(spark, root, keep_from=committed)
 
     return apply

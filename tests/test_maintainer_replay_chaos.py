@@ -41,19 +41,15 @@ def _chaos_replay(spark, tmp_path, monkeypatch, batches, step, canon):
         sink(b, i)
     committed = canon(read_state(spark, root)[0])
 
-    real_replace = os.replace
+    def crash_at_commit(spark_, root_, epoch_):
+        raise OSError("simulated kill between merge and commit")
 
-    def crash_at_swap(src, dst):
-        if os.path.basename(dst) == "_LATEST":
-            raise OSError("simulated kill between merge and commit")
-        return real_replace(src, dst)
-
-    monkeypatch.setattr(ss.os, "replace", crash_at_swap)
+    monkeypatch.setattr(ss, "_commit", crash_at_commit)
     with pytest.raises(OSError, match="simulated kill"):
         sink(batches[last], last)
     monkeypatch.undo()
 
-    # torn epoch: version dir exists, pointer (and readers) unchanged
+    # torn epoch: version dir exists, commit markers (and readers) unchanged
     assert os.path.isdir(os.path.join(root, f"v{last}"))
     assert canon(read_state(spark, root)[0]) == committed
 
@@ -316,11 +312,13 @@ def test_merge_store_survives_stream_restart_and_rejects_fresh_checkpoint(
     1. Same checkpoint, more data: a second availableNow run resumes
        with HIGHER batch ids, so the new files fold in exactly once
        and the state equals the one-shot batch build over everything.
-    2. Fresh checkpoint, same store: batch ids restart at 0, every
-       epoch is <= the committed epoch, the gate skips them all — the
-       state must be UNCHANGED (an additive store is married to one
-       checkpoint lineage; re-pointing a new stream at it must not
-       double-merge)."""
+       Vacuum keeps exactly two generations (committed + pre-image).
+    2. Fresh checkpoint, same store: batch ids restart at 0, STRICTLY
+       BELOW the committed epoch — that can never be a redelivery, so
+       the sink must FAIL LOUDLY (round-8 VERDICT ask #7: the gate
+       silently swallowing restarted ids would drop real batches; an
+       additive store is married to one checkpoint lineage). The
+       state must be unchanged after the rejected run."""
     from event_stream_aggr_spark.operators.incremental import QUANT_BUCKET_DECI
     from event_stream_aggr_spark.sources.files import stream_parquet_dir
     from event_stream_aggr_spark.streaming.state_store import (
@@ -385,7 +383,20 @@ def test_merge_store_survives_stream_restart_and_rejects_fresh_checkpoint(
     }
     assert {r.bucket: r.n for r in after_p2.collect()} == expected
 
-    run_stream(str(tmp_path / "fresh_ckpt"))  # replays ALL files from 0
+    # vacuum: exactly the committed version and its pre-image remain
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    assert len(versions) == 2 and versions[-1] == epoch_p2
+
+    # fresh checkpoint replays ALL files with batch ids restarting at
+    # 0 < committed: the sink must reject the lineage mismatch loudly
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="below[\\s\\S]*committed"):
+        run_stream(str(tmp_path / "fresh_ckpt"))
     final, final_epoch = read_state(spark, state_dir)
     assert final_epoch == epoch_p2  # nothing committed
     assert {r.bucket: r.n for r in final.collect()} == expected

@@ -61,6 +61,8 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     once = _snapshot_rows(read_snapshot(spark, root))
     sink(events, 0)  # at-least-once redelivery of the same epoch
     twice = _snapshot_rows(read_snapshot(spark, root))
+    events.unpersist()  # a leaked cache entry would substitute an
+    # unpruned InMemoryRelation into every later test's events scan
     assert once == twice
     assert open(os.path.join(root, "_LATEST")).read() == "v0"
 
@@ -124,6 +126,7 @@ def test_torn_epoch_invisible_to_readers_and_healed_on_replay(spark, tmp_path, m
     assert _snapshot_rows(read_snapshot(spark, root)) == committed
 
     sink(second, 1)  # replay heals: rewrites v1, completes the swap
+    events.unpersist()  # see test_epoch_replay_is_idempotent
     assert open(os.path.join(root, "_LATEST")).read() == "v1"
     expected = latest_wins(second.unionByName(first), KEYS, ORDER)
     assert _snapshot_rows(read_snapshot(spark, root)) == _snapshot_rows(expected)
