@@ -230,11 +230,18 @@ def prefix_filtered_pairs(
     ranked = toks.join(tok_df, "tok").groupBy(*ids).agg(
         F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("arr")
     )
+    # prefix length n - ceil(n·t) + 1 in PURE INTEGER arithmetic:
+    # ceil(n·t_num/t_den) = (n·t_num + t_den − 1) div t_den — the
+    # lossless-candidate bound is provably integral instead of resting
+    # on IEEE correctly-rounded double division (round-8 ADVICE)
     prefixes = ranked.select(
         *ids,
         F.explode(
-            F.expr("slice(transform(arr, s -> s.tok), 1, "
-                   f"size(arr) - cast(ceil(size(arr) * {t_num} / {t_den}) as int) + 1)")
+            F.expr(
+                "slice(transform(arr, s -> s.tok), 1, "
+                f"size(arr) - cast((size(arr) * {t_num} + {t_den} - 1) "
+                f"div {t_den} as int) + 1)"
+            )
         ).alias("tok"),
     )
     a = prefixes.select(
@@ -294,7 +301,8 @@ def qd02_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets keyed by rare prefix tokens instead of block population —
     the former perf_weak quadratic block is gone while the oracle
     stays the brute-force all-pairs spec, so every driver check
-    re-proves the equivalence cross-engine."""
+    re-proves the equivalence cross-engine. (r9: the helper's prefix
+    length is now pure integer ceil — see prefix_filtered_pairs.)"""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -517,7 +525,8 @@ def qd07_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     weaker than qd02's — but candidates are still bucketed by
     (shingle, lang, n_chars/16) rather than block population, and the
     all-pairs ORACLE re-proves output equality at every driver
-    check."""
+    check. (r9: the helper's prefix length is now pure integer ceil —
+    see prefix_filtered_pairs.)"""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") <= 200)

@@ -1092,9 +1092,18 @@ GROUP BY o.o_orderpriority
         hot key spreads over `salt` partitions; the right side
         replicates x salt (dimension-sized, affordable); aggregation
         stays partial+final. DECIMAL line math, DOUBLE only at the
-        final cast (q01's recipe), so both engines sum exactly."""
+        final cast (q01's recipe), so both engines sum exactly.
+
+        ``salt_cols`` names (l_orderkey, l_linenumber) explicitly
+        (round-8 ADVICE): the default — xxhash64 of ALL projected
+        columns — would collapse byte-identical (key, rev) duplicates
+        of the hot key onto one salt bucket, quietly resurrecting the
+        straggler; the line number is the fact table's unique-per-row
+        discriminator, so the spread is duplicate-proof AND still
+        deterministic (retry/speculation-safe, unlike rand())."""
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
+            "l_linenumber",
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .cast("decimal(18,6)")
             .alias("rev"),
@@ -1102,7 +1111,9 @@ GROUP BY o.o_orderpriority
         o = load_table(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
         )
-        joined = salted_join(li, o, "l_orderkey", salt=4)
+        joined = salted_join(
+            li, o, "l_orderkey", salt=4, salt_cols=["l_orderkey", "l_linenumber"]
+        )
         return joined.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("rev").cast("double").alias("revenue"),
@@ -1120,7 +1131,6 @@ _register_salted_join_query()
 
 
 def _register_staged_running_total_query():
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from event_stream_aggr_spark.plans.registry import register
@@ -1160,51 +1170,38 @@ FROM orders
         grain, stitch prefixes at the sub-key grain — the same
         monoid-merge shape qi01 streams with.
 
+        Round-9: routed through ``operators/skew.staged_running_total``
+        with ``force='staged'`` — the helper's auto mode (one
+        count-per-key stats pass, the qz04 recipe priced against the
+        session's parallelism) picks the PLAIN window when no key is
+        hot, since the staged form costs ~1.7x on uniform data;
+        forcing 'staged' here keeps the decomposition itself under the
+        driver's oracle check at every round. Branch selection is
+        unit-tested in tests/test_scale_ops.py.
+
         Scale shape: phase 1's window partitions are (key x day) — at
         100 TB the hottest such partition is one key-day, bounded by
         ingest-per-day, not by history; phase 2 runs at day grain
         (|keys| x |days| rows); the stitch join is group-grain
         broadcastable per day range. No stage sees a partition
         proportional to a key's full history."""
+        from event_stream_aggr_spark.operators.skew import staged_running_total
+
         o = load_table(spark, sf_dir, "orders")
         dec = F.col("o_totalprice").cast("decimal(18,2)")
-        w_day = (
-            W.partitionBy("o_custkey", "o_orderdate")
-            .orderBy("o_orderkey")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        staged = staged_running_total(
+            o,
+            key="o_custkey",
+            grain="o_orderdate",
+            order=["o_orderkey"],
+            value=dec,
+            out="running_dec",
+            force="staged",
         )
-        within = o.select(
+        return staged.select(
             "o_custkey",
             "o_orderkey",
-            "o_orderdate",
-            F.sum(dec).over(w_day).alias("cum_in_day"),
-        )
-        w_prefix = (
-            W.partitionBy("o_custkey")
-            .orderBy("o_orderdate")
-            .rowsBetween(W.unboundedPreceding, -1)
-        )
-        day_prefix = (
-            o.groupBy("o_custkey", "o_orderdate")
-            .agg(F.sum(dec).alias("day_total"))
-            .select(
-                "o_custkey",
-                "o_orderdate",
-                F.sum("day_total").over(w_prefix).alias("prefix"),
-            )
-        )
-        return (
-            within.join(day_prefix, ["o_custkey", "o_orderdate"])
-            .select(
-                "o_custkey",
-                "o_orderkey",
-                (
-                    F.coalesce(F.col("prefix"), F.lit(0).cast("decimal(18,2)"))
-                    + F.col("cum_in_day")
-                )
-                .cast("double")
-                .alias("running_spent"),
-            )
+            F.col("running_dec").cast("double").alias("running_spent"),
         )
 
     return qz06_staged_running_total
@@ -1219,8 +1216,6 @@ _register_staged_running_total_query()
 
 ZORDER_BITS = 8          # quantization bits per dimension
 ZORDER_BUCKET_SHIFT = 8  # bucket = zkey >> 8 → top 4 bits of EACH dim
-ZORDER_DATE_BASE = "1995-01-01"
-ZORDER_DATE_RANGE = 2600  # days spanned by l_shipdate in the test data
 
 
 def _morton_terms(q1: str, q2: str, shift_fn) -> str:
@@ -1247,11 +1242,15 @@ def _register_zorder_query():
         "qz07_zorder_layout",
         tags=("maintenance", "layout", "scale"),
         oracle=f"""
-WITH cal AS (SELECT CAST(MAX(l_partkey) + 1 AS BIGINT) AS pk_dom FROM lineitem),
+WITH cal AS (SELECT CAST(MAX(l_partkey) + 1 AS BIGINT) AS pk_dom,
+                    MIN(l_shipdate) AS d0,
+                    CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate))
+                         + 1 AS BIGINT) AS d_range
+             FROM lineitem),
 q AS (
   SELECT CAST(LEAST({(1 << ZORDER_BITS) - 1}, GREATEST(0,
-           (date_diff('day', DATE '{ZORDER_DATE_BASE}', l_shipdate)
-            * {1 << ZORDER_BITS}) // {ZORDER_DATE_RANGE})) AS BIGINT) AS q1,
+           (date_diff('day', d0, l_shipdate)
+            * {1 << ZORDER_BITS}) // d_range)) AS BIGINT) AS q1,
          CAST((l_partkey * {1 << ZORDER_BITS}) // pk_dom AS BIGINT) AS q2
   FROM lineitem, cal),
 z AS (SELECT q1, q2, CAST({duck_z} AS BIGINT) AS zkey FROM q)
@@ -1275,8 +1274,11 @@ FROM z GROUP BY z_bucket
         adjacent cells while 1 and 257 share one, so a mod-grid layout
         gives tight stats on the synthetic cell value, NOT on the raw
         column a predicate actually filters. Here both dimensions are
-        scaled monotonically over their real domains (days since
-        {ZORDER_DATE_BASE} / the broadcast-calibrated partkey range),
+        scaled monotonically over their real domains (BOTH calibrated
+        from the data by one broadcast min/max — round-8 ADVICE: the
+        date domain was previously a hard-coded base+2600-day window,
+        so dates outside it would silently clamp into edge cells and
+        erode the span<=16 property if the corpus date range shifted),
         so the per-bucket envelope this query reports translates
         DIRECTLY to raw-column parquet min/max: every z-bucket
         (zkey >> {ZORDER_BUCKET_SHIFT} = top 4 bits of each dim)
@@ -1296,7 +1298,13 @@ FROM z GROUP BY z_bucket
         1-row broadcast max (design rule 11: calibrate small, apply
         broadcast)."""
         li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_partkey")
-        cal = li.agg((F.max("l_partkey") + 1).cast("long").alias("pk_dom"))
+        cal = li.agg(
+            (F.max("l_partkey") + 1).cast("long").alias("pk_dom"),
+            F.min("l_shipdate").alias("d0"),
+            (F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) + 1)
+            .cast("long")
+            .alias("d_range"),
+        )
         grid = (1 << ZORDER_BITS) - 1
         q = li.crossJoin(F.broadcast(cal)).select(
             F.least(
@@ -1304,8 +1312,8 @@ FROM z GROUP BY z_bucket
                 F.greatest(
                     F.lit(0),
                     F.expr(
-                        f"(datediff(l_shipdate, '{ZORDER_DATE_BASE}')"
-                        f" * {1 << ZORDER_BITS}) div {ZORDER_DATE_RANGE}"
+                        f"(datediff(l_shipdate, d0)"
+                        f" * {1 << ZORDER_BITS}) div d_range"
                     ),
                 ),
             )

