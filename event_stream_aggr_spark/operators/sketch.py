@@ -502,9 +502,13 @@ def qh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     srcs = sketch.select("source").distinct()
+    # |sources| is the corpus's source cardinality — tiny next to the
+    # data, but only the author knows that, so assert it with the
+    # broadcast hint (the r9 nested-loop lint's contract: an unhinted,
+    # unbounded cross join is treated as an accident)
     pairs = (
         srcs.select(F.col("source").alias("source_a"))
-        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
         .where(F.col("source_a") < F.col("source_b"))
     )
     ska = sketch.select(F.col("source").alias("source_a"), "h")

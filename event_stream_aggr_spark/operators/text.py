@@ -1756,8 +1756,14 @@ def qt24_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum"),
     )
     tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    # pandas-built so the targets plan as a LocalRelation (provably
+    # literal to the r9 nested-loop lint and foldable by Catalyst)
+    # instead of an opaque driver RDD scan
+    import pandas as pd
+
     targets = spark.createDataFrame(
-        [(p,) for p in VOCAB_COVERAGE_TARGETS], "target_pct long"
+        pd.DataFrame({"target_pct": list(VOCAB_COVERAGE_TARGETS)}),
+        "target_pct long",
     )
     hit = (
         targets.crossJoin(F.broadcast(tot))

@@ -106,3 +106,247 @@ def partitionless_window_violations(df: DataFrame) -> list[str]:
     violations: list[str] = []
     _walk(root, violations)
     return violations
+
+
+# ---------------------------------------------------------------------------
+# Physical-plan lints: nested-loop joins and non-broadcast tiny-side joins
+# ---------------------------------------------------------------------------
+
+#: unary/pass-through physical nodes that preserve (or reduce) row
+#: count — boundedness flows straight through them.
+_PASS_THROUGH = {
+    "ProjectExec",
+    "FilterExec",
+    "SortExec",
+    "CoalesceExec",
+    "ShuffleExchangeExec",
+    "BroadcastExchangeExec",
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "ColumnarToRowExec",
+    "RowToColumnarExec",
+    "AQEShuffleReadExec",
+    "CustomShuffleReaderExec",
+    "ReusedExchangeExec",
+    "GenerateExec",  # NOT row-preserving — handled explicitly below
+}
+
+#: how many rows "tiny by construction" means for the limit/local
+#: leaves; scalar aggregates are exactly 1 row regardless.
+_TINY_ROWS = 10_000
+
+
+def _bounded_rows(node: dict[str, Any]) -> bool:
+    """True when this physical subtree provably produces a SMALL
+    number of rows BY CONSTRUCTION — the structural allowlist the
+    round-8 VERDICT asked for (structure, not query names):
+
+    - an aggregate with NO grouping expressions (exactly 1 row),
+    - GlobalLimit/CollectLimit/TakeOrderedAndProject with limit <=
+      {_TINY_ROWS},
+    - LocalTableScan (driver-built literal rows) or a Range of <=
+      {_TINY_ROWS},
+    - joins/unions of bounded inputs, and anything row-preserving
+      above those.
+
+    A grouped aggregate is NOT bounded (its cardinality is the group
+    count — data-dependent), an explode/Generate is NOT bounded, and
+    an unknown leaf (parquet scan, RDD scan, stream source) never is.
+    """
+    cls = _cls(node)
+    if cls.endswith("AggregateExec") and not node.get("groupingExpressions"):
+        return True
+    if cls in ("GlobalLimitExec", "CollectLimitExec", "TakeOrderedAndProjectExec"):
+        return (node.get("limit") or 0) <= _TINY_ROWS
+    if cls == "LocalTableScanExec":
+        return True
+    if cls == "RangeExec":
+        rng = (node.get("range") or [{}])[0]
+        try:
+            n = (int(rng["end"]) - int(rng["start"])) // int(rng["step"])
+        except (KeyError, TypeError, ValueError, ZeroDivisionError):
+            return False
+        return 0 <= n <= _TINY_ROWS
+    children = node["_children"]
+    if cls == "GenerateExec":
+        return False  # explode multiplies rows unboundedly
+    if cls == "UnionExec":
+        return bool(children) and all(_bounded_rows(c) for c in children)
+    if cls in ("BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec"):
+        # a KEYED join with a bounded side yields ~k x per-key-
+        # multiplicity rows (the top-K-driver-joined-back-to-its-rows
+        # shape, e.g. qr02's count-of-beaters): effectively bounded
+        # for this lint's purpose. Key skew can still inflate it, but
+        # that is AQE's territory, not a nested-loop problem.
+        return bool(children) and any(_bounded_rows(c) for c in children)
+    if cls.endswith("JoinExec"):
+        # keyless (cross / nested-loop): a bounded side is a row
+        # MULTIPLIER, not a bound — output ~ |other side|, so bounded
+        # only when every side is (the 1-row calibration crossJoins)
+        return bool(children) and all(_bounded_rows(c) for c in children)
+    if children and (cls in _PASS_THROUGH or len(children) == 1):
+        # unknown unary wrappers default to pass-through: they cannot
+        # mint rows a bounded child didn't have
+        return all(_bounded_rows(c) for c in children)
+    return False
+
+
+def _physical_tree(df: DataFrame) -> dict[str, Any]:
+    """The STATIC physical plan (pre-AQE), where join-strategy choices
+    (broadcast vs shuffle vs nested loop) are visible as node classes."""
+    nodes = json.loads(df._jdf.queryExecution().sparkPlan().toJSON())
+    return _build_tree(nodes)
+
+
+#: logical nodes boundedness flows straight through (unary,
+#: row-preserving-or-reducing).
+_LOGICAL_PASS = {
+    "Project",
+    "Filter",
+    "Sort",
+    "SubqueryAlias",
+    "ResolvedHint",
+    "UnresolvedHint",
+    "Repartition",
+    "RepartitionByExpression",
+    "Distinct",
+    "Deduplicate",
+    "WithCTE",
+    "CTERelationDef",
+}
+
+
+def _bounded_rows_logical(node: dict[str, Any]) -> bool:
+    """Logical-plan twin of ``_bounded_rows`` (see there for the rule).
+    ``Generate`` (explode) is unbounded; an unknown leaf (table scan,
+    LogicalRDD — checkpoints can be data-sized) never bounded."""
+    cls = _cls(node)
+    if cls == "Aggregate" and not node.get("groupingExpressions"):
+        return True
+    if cls in ("GlobalLimit", "LocalLimit"):
+        lim = (node.get("limitExpr") or [{}])[0]
+        try:
+            return int(lim.get("value")) <= _TINY_ROWS
+        except (TypeError, ValueError):
+            return False
+    if cls in ("LocalRelation", "OneRowRelation"):
+        return True
+    if cls == "Range":
+        try:
+            n = (int(node["end"]) - int(node["start"])) // int(node["step"])
+        except (KeyError, TypeError, ValueError, ZeroDivisionError):
+            return False
+        return 0 <= n <= _TINY_ROWS
+    children = node["_children"]
+    if cls == "Generate":
+        return False
+    if cls == "Union":
+        return bool(children) and all(_bounded_rows_logical(c) for c in children)
+    if cls == "Join":
+        # same keyed/keyless split as the physical rule: with equality
+        # keys a bounded side bounds the output (~k x multiplicity);
+        # keyless, a bounded side only multiplies the other side
+        cond = json.dumps(node.get("condition")) if node.get("condition") else ""
+        fold = any if (".EqualTo" in cond or ".EqualNullSafe" in cond) else all
+        return bool(children) and fold(_bounded_rows_logical(c) for c in children)
+    if children and (cls in _LOGICAL_PASS or len(children) == 1):
+        return all(_bounded_rows_logical(c) for c in children)
+    return False
+
+
+def _has_top_hint(node: dict[str, Any]) -> bool:
+    """True if a ResolvedHint/UnresolvedHint sits on the unary spine of
+    this side — i.e. the author explicitly asserted a join strategy
+    (``F.broadcast``/``df.hint``) for THIS relation, not for something
+    nested deeper under another join."""
+    cls = _cls(node)
+    if cls in ("ResolvedHint", "UnresolvedHint"):
+        return True
+    if len(node["_children"]) == 1:
+        return _has_top_hint(node["_children"][0])
+    return False
+
+
+def nested_loop_join_violations(df: DataFrame) -> list[str]:
+    """Round-8 VERDICT ask #6a: a join with NO equality keys (cross
+    join or pure theta condition) executes as CartesianProduct /
+    BroadcastNestedLoopJoin — quadratic when both sides are data-sized.
+    Each such join in the ANALYZED plan must have a side that is
+    either
+
+    - tiny BY CONSTRUCTION (``_bounded_rows_logical``: a scalar
+      aggregate, a small limit, literal rows — the documented 1-row
+      stats crossJoins pass structurally, not by name), or
+    - explicitly hinted by the author (``F.broadcast(side)`` — e.g.
+      the ANN query-vector relations, bounded by a selective literal
+      key filter that no static rule can prove tiny; the hint is the
+      author's auditable assertion, and hints are greppable).
+
+    An UNHINTED nested loop between two unbounded relations is the
+    accident this lint exists to catch. Uses the analyzed plan because
+    the optimizer folds hint nodes into join annotations that
+    ``toJSON`` drops."""
+    out: list[str] = []
+
+    def walk(node: dict[str, Any]) -> None:
+        cls = _cls(node)
+        if cls == "Join":
+            cond = json.dumps(node.get("condition")) if node.get("condition") else ""
+            equi = ".EqualTo" in cond or ".EqualNullSafe" in cond
+            if not equi:
+                sides = node["_children"]
+                ok = any(_bounded_rows_logical(s) for s in sides) or any(
+                    _has_top_hint(s) for s in sides
+                )
+                if not ok:
+                    out.append(
+                        "non-equi join (nested loop at execution) with no "
+                        "by-construction-tiny side and no explicit hint "
+                        f"(joinType={str(node.get('joinType'))[-40:]})"
+                    )
+        for c in node["_children"]:
+            walk(c)
+
+    nodes = json.loads(df._jdf.queryExecution().analyzed().toJSON())
+    walk(_build_tree(nodes))
+    return out
+
+
+def unbroadcast_tiny_side_violations(df: DataFrame) -> list[str]:
+    """Round-8 VERDICT ask #6b: a shuffle join (sort-merge or shuffled
+    hash) where one side is tiny BY CONSTRUCTION (a scalar aggregate,
+    a small limit, literal rows) shuffles the BIG side for nothing —
+    the tiny side should ride a broadcast. Fires only on provable
+    cases: a grouped aggregate's cardinality is data-dependent, so it
+    is never flagged (Catalyst's own stats handle the estimable
+    cases; this lint catches the ones that are certain)."""
+    out: list[str] = []
+
+    def walk(node: dict[str, Any]) -> None:
+        cls = _cls(node)
+        if cls in ("SortMergeJoinExec", "ShuffledHashJoinExec"):
+            jt = str(node.get("joinType", ""))
+            left, right = node["_children"][0], node["_children"][1]
+            # only flag a tiny side the join type can actually build
+            # from (probed on this Spark version): FullOuter broadcasts
+            # neither side; Left* joins stream the left, so only a tiny
+            # RIGHT is broadcastable; RightOuter only a tiny LEFT;
+            # Inner/Cross either.
+            if "FullOuter" in jt:
+                candidates = []
+            elif "RightOuter" in jt:
+                candidates = [left]
+            elif "Left" in jt or "Existence" in jt:
+                candidates = [right]
+            else:
+                candidates = [left, right]
+            if any(_bounded_rows(s) for s in candidates):
+                out.append(
+                    f"{cls} with a by-construction-tiny broadcastable "
+                    f"side (joinType={jt[-60:]}) — broadcast it"
+                )
+        for c in node["_children"]:
+            walk(c)
+
+    walk(_physical_tree(df))
+    return out

@@ -68,3 +68,112 @@ def test_lint_flags_fact_side_of_join_under_global_window(spark, sf_dir):
     joined = ev.join(per_type, "event_type")
     df = joined.withColumn("rk", F.row_number().over(W.orderBy("ts")))
     assert partitionless_window_violations(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 lints: nested-loop joins / unbroadcast tiny sides (VERDICT ask #6)
+# ---------------------------------------------------------------------------
+
+from event_stream_aggr_spark.plans.lint import (  # noqa: E402
+    nested_loop_join_violations,
+    unbroadcast_tiny_side_violations,
+)
+
+#: same contract as ALLOWLIST above: structural lints should need no
+#: name-based exemptions — keep these empty.
+NLJ_ALLOWLIST: dict[str, str] = {}
+TINY_SIDE_ALLOWLIST: dict[str, str] = {}
+
+
+def test_no_data_sized_nested_loop_join_anywhere(spark, sf_dir, specs):
+    """Every registered query: any CartesianProduct/BroadcastNestedLoop
+    join must have at least one BY-CONSTRUCTION-tiny side (scalar
+    aggregate, small limit, literal rows). The accepted 1-row stats
+    crossJoins pass structurally — the allowlist stays empty."""
+    bad: dict[str, list[str]] = {}
+    for name, spec in sorted(specs.items()):
+        if name in NLJ_ALLOWLIST:
+            continue
+        v = nested_loop_join_violations(spec.fn(spark, sf_dir))
+        if v:
+            bad[name] = v
+    assert not bad, f"data-sized nested-loop joins: {bad}"
+
+
+def test_no_shuffle_join_with_provably_tiny_side(spark, sf_dir, specs):
+    """Every registered query: a sort-merge/shuffled-hash join whose
+    one side is provably tiny shuffles the big side for nothing — the
+    tiny side must ride a broadcast."""
+    bad: dict[str, list[str]] = {}
+    for name, spec in sorted(specs.items()):
+        if name in TINY_SIDE_ALLOWLIST:
+            continue
+        v = unbroadcast_tiny_side_violations(spec.fn(spark, sf_dir))
+        if v:
+            bad[name] = v
+    assert not bad, f"shuffle joins with broadcastable tiny sides: {bad}"
+
+
+def test_nlj_lint_catches_data_sized_cross_join(spark, sf_dir):
+    """Deliberate violation: events x documents cross join — two
+    data-sized sides, the textbook 100 TB quadratic."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assert nested_loop_join_violations(ev.crossJoin(docs))
+
+
+def test_nlj_lint_accepts_scalar_aggregate_cross_join(spark, sf_dir):
+    """...and must NOT fire on the accepted calibration pattern: a
+    1-row global aggregate broadcast against the fact table (bounded
+    by structure, hint not even needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    cal = ev.agg(F.max("value").alias("mx"))
+    assert nested_loop_join_violations(ev.crossJoin(F.broadcast(cal))) == []
+    assert nested_loop_join_violations(ev.crossJoin(cal)) == []  # unhinted too
+
+
+def test_nlj_lint_accepts_explicit_hint_as_author_assertion(spark, sf_dir):
+    """An explicitly F.broadcast-hinted side passes even when no
+    static rule can bound it (the ANN query-vector pattern: a
+    selective literal key filter on a scan) — the hint is the
+    author's auditable, greppable assertion. The SAME join without
+    the hint must flag."""
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_id") < 3).select("event_id", "value")
+    theta = (F.col("v2") > F.col("value"))
+    hinted = ev.select(F.col("value").alias("v2")).join(F.broadcast(anchors), theta)
+    assert nested_loop_join_violations(hinted) == []
+    bare = ev.select(F.col("value").alias("v2")).join(anchors, theta)
+    assert nested_loop_join_violations(bare)
+
+
+def test_tiny_side_lint_catches_unbroadcast_scalar_agg_join(spark, sf_dir):
+    """Deliberate violation: with auto-broadcast disabled and no hint,
+    a scalar aggregate side lands in a sort-merge join — the lint must
+    flag it (the fix is F.broadcast on the tiny side)."""
+    ev = load_table(spark, sf_dir, "events")
+    cal = ev.agg(F.max("value").alias("value"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = ev.join(cal, "value")
+        assert unbroadcast_tiny_side_violations(j)
+        # and the broadcast-hinted twin is clean
+        j2 = ev.join(F.broadcast(ev.agg(F.max("value").alias("value"))), "value")
+        assert unbroadcast_tiny_side_violations(j2) == []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tiny_side_lint_ignores_grouped_aggregates(spark, sf_dir):
+    """A grouped aggregate's cardinality is data-dependent — never
+    flagged, even under a shuffle join."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("v"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = ev.join(per_user, "user_id")
+        assert unbroadcast_tiny_side_violations(j) == []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
