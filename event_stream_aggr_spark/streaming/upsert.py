@@ -2,14 +2,20 @@
 maintain a latest-wins per-key snapshot from a change stream with
 ``foreachBatch``, without requiring a table format.
 
-Commit protocol (poor-man's lakehouse commit): each epoch writes a full
-new snapshot version directory ``v{epoch}`` and then atomically swaps a
-``_LATEST`` pointer file. Readers always resolve the pointer first, so
-they never observe a half-written version; a crashed epoch leaves an
-orphan directory, and a REPLAYED epoch (at-least-once delivery)
-rewrites ``v{epoch}`` with the identical deterministic merge and
-re-swaps the pointer — idempotent, which is what upgrades foreachBatch
-to effectively-once.
+Since round 9 the commit protocol is shared with
+``streaming/state_store.py`` (``merge_state_sink``): each epoch writes
+a full new snapshot version ``v{epoch}`` reading the PRE-IMAGE version,
+then commits an atomic ``_COMMIT_v{epoch}`` marker file through the
+session's Hadoop FileSystem — portable to hdfs:/ and object stores,
+bounded two-generation retention, loud failure when a fresh/foreign
+checkpoint's restarted batch ids are pointed at a non-empty store.
+The earlier local-``os`` pointer-swap variant had two latent defects
+the shared store fixes: it silently resolved to "no snapshot" on any
+non-local root, and a post-commit REDELIVERY re-merged the batch into
+the same ``v{epoch}`` directory it was overwriting (reading a path
+while overwriting it). Latest-wins is an idempotent merge, so the
+epoch gate's skip-on-redelivery and the old re-merge produce the same
+snapshot — the gate just does it without the hazard.
 
 Merge order independence: latest-wins by (order_cols) is a per-key
 associative/commutative maximum, so the final snapshot is the same no
@@ -24,14 +30,16 @@ partitions containing changed keys), not a full-table rewrite.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-_POINTER = "_LATEST"
+from event_stream_aggr_spark.streaming.state_store import (
+    merge_state_sink,
+    read_state,
+)
 
 
 def latest_wins(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
@@ -46,37 +54,23 @@ def latest_wins(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
-    """Resolve the ``_LATEST`` pointer; None if no committed version."""
-    ptr = os.path.join(root, _POINTER)
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(root, version))
+    """Resolve the committed snapshot; None if no committed version."""
+    return read_state(spark, root)[0]
 
 
 def snapshot_upsert_sink(
     root: str, key_cols: list[str], order_cols: list[str]
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function maintaining a latest-wins snapshot
-    at ``root``. Use:
+    at ``root`` — ``merge_state_sink`` with the latest-wins step. Use:
 
         stream.writeStream.foreachBatch(
             snapshot_upsert_sink(root, ["user_id"], ["ts", "event_id"])
         ).option("checkpointLocation", ckpt).start()
     """
-    os.makedirs(root, exist_ok=True)
 
-    def apply(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        base = read_snapshot(spark, root)
-        unioned = batch if base is None else base.unionByName(batch)
-        merged = latest_wins(unioned, key_cols, order_cols)
-        vdir = f"v{epoch_id}"
-        merged.write.mode("overwrite").parquet(os.path.join(root, vdir))
-        tmp = os.path.join(root, _POINTER + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(vdir)
-        os.replace(tmp, os.path.join(root, _POINTER))
+    def step(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+        unioned = batch if state is None else state.unionByName(batch)
+        return latest_wins(unioned, key_cols, order_cols)
 
-    return apply
+    return merge_state_sink(root, step)

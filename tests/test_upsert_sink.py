@@ -54,6 +54,8 @@ def test_streamed_snapshot_equals_batch_merge(spark, tmp_path):
 
 
 def test_epoch_replay_is_idempotent(spark, tmp_path):
+    from event_stream_aggr_spark.streaming.state_store import committed_epoch
+
     events = load_table(spark, SF, "events").limit(100).cache()
     root = str(tmp_path / "snap")
     sink = snapshot_upsert_sink(root, KEYS, ORDER)
@@ -64,7 +66,7 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     events.unpersist()  # a leaked cache entry would substitute an
     # unpruned InMemoryRelation into every later test's events scan
     assert once == twice
-    assert open(os.path.join(root, "_LATEST")).read() == "v0"
+    assert committed_epoch(spark, root) == 0
 
 
 def test_older_change_never_overwrites_newer(spark, tmp_path):
@@ -89,12 +91,14 @@ def test_older_change_never_overwrites_newer(spark, tmp_path):
 
 
 def test_torn_epoch_invisible_to_readers_and_healed_on_replay(spark, tmp_path, monkeypatch):
-    """Chaos: kill between the v{epoch} snapshot write and the _LATEST
-    pointer swap. The torn epoch's directory exists on disk but readers
-    must keep resolving the previous committed version; replaying the
-    epoch (at-least-once) rewrites the version deterministically and
-    completes the swap."""
-    import event_stream_aggr_spark.streaming.upsert as up
+    """Chaos: kill between the v{epoch} snapshot write and the marker
+    commit (since r9 the upsert sink shares state_store's Hadoop-FS
+    marker protocol). The torn epoch's directory exists on disk but
+    readers must keep resolving the previous committed version;
+    replaying the epoch (at-least-once) rewrites the version
+    deterministically and completes the commit."""
+    import event_stream_aggr_spark.streaming.state_store as ss
+    from event_stream_aggr_spark.streaming.state_store import committed_epoch
 
     root = str(tmp_path / "snap3")
     sink = snapshot_upsert_sink(root, KEYS, ORDER)
@@ -105,28 +109,24 @@ def test_torn_epoch_invisible_to_readers_and_healed_on_replay(spark, tmp_path, m
     sink(first, 0)  # epoch 0 commits cleanly
     committed = _snapshot_rows(read_snapshot(spark, root))
 
-    real_replace = os.replace
+    def crash_at_commit(spark_, root_, epoch_):
+        raise OSError("simulated kill between snapshot write and commit")
 
-    def crash_at_swap(src, dst):
-        if os.path.basename(dst) == "_LATEST":
-            raise OSError("simulated kill between snapshot write and pointer swap")
-        return real_replace(src, dst)
-
-    monkeypatch.setattr(up.os, "replace", crash_at_swap)
+    monkeypatch.setattr(ss, "_commit", crash_at_commit)
     import pytest
 
     with pytest.raises(OSError, match="simulated kill"):
         sink(second, 1)
     monkeypatch.undo()
 
-    # torn state: v1 fully written, pointer still -> v0
+    # torn state: v1 fully written, commit markers still -> v0
     assert os.path.isdir(os.path.join(root, "v1"))
-    assert open(os.path.join(root, "_LATEST")).read() == "v0"
+    assert committed_epoch(spark, root) == 0
     # readers see only the committed epoch
     assert _snapshot_rows(read_snapshot(spark, root)) == committed
 
-    sink(second, 1)  # replay heals: rewrites v1, completes the swap
+    sink(second, 1)  # replay heals: rewrites v1, completes the commit
     events.unpersist()  # see test_epoch_replay_is_idempotent
-    assert open(os.path.join(root, "_LATEST")).read() == "v1"
+    assert committed_epoch(spark, root) == 1
     expected = latest_wins(second.unionByName(first), KEYS, ORDER)
     assert _snapshot_rows(read_snapshot(spark, root)) == _snapshot_rows(expected)
