@@ -517,9 +517,16 @@ def skew_probe(spark, specs) -> dict:
     # serialized through one task) vs qz06's staged decomposition
     # (within-day chains + day-grain prefix stitch), both on the Zipf
     # twin. Same values (qz06's oracle IS the plain window); what
-    # differs is where the hot key's work lands.
+    # differs is where the hot key's work lands. qz08 is the r9
+    # AUTO-selecting helper: on this Zipf twin its key-skew stats must
+    # route it to the staged form (task balance ~ qz06's), while on
+    # uniform data it takes the plain window's cheaper single pass.
     out["window_twin"] = {}
-    for name in ("q10_running_totals", "qz06_staged_running_total"):
+    for name in (
+        "q10_running_totals",
+        "qz06_staged_running_total",
+        "qz08_running_total_auto",
+    ):
         runs, metrics = [], {}
         for i in range(2):
             pre_stage = _max_stage_id(spark) if i == 1 else None

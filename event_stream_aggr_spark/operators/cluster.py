@@ -879,21 +879,56 @@ def _register_kcore_query():
         trajectory = [(0, n_nodes, n_edges)]
 
         cur, cur_ids = edges, edge_ids
+        prev_edges, prev_nodes = n_edges, n_nodes
         for r in range(1, KCORE_ROUNDS + 1):
             # checkpoint the (tiny) survivor list too, so the degree
             # agg runs once per round — the broadcast build and the
-            # n_nodes count both read the materialized node list
-            keep, n_keep, keep_ids = _disk_checkpoint(_kcore_survivors(cur))
-            nxt, n_nxt, nxt_ids = _disk_checkpoint(_kcore_prune(cur, keep))
+            # n_nodes count both read the materialized node list.
+            # Both checkpoints coalesce to a size derived from the
+            # PREVIOUS round's (known, monotonically shrinking) row
+            # counts: peeling leaves the shuffle's 64-partition layout
+            # on an ever-smaller relation, and checkpointing 64
+            # near-empty blocks per round costs more in task/block
+            # overhead than the data (measured ~25% of qg07's sf0.1
+            # wall-clock). ``coalesce`` is narrow — no extra shuffle.
+            keep, n_keep, keep_ids = _disk_checkpoint(
+                _kcore_survivors(cur).coalesce(
+                    _kcore_parts(prev_nodes, KCORE_NODE_ROWS_PER_PART)
+                )
+            )
+            nxt, n_nxt, nxt_ids = _disk_checkpoint(
+                _kcore_prune(cur, keep).coalesce(
+                    _kcore_parts(prev_edges, KCORE_EDGE_ROWS_PER_PART)
+                )
+            )
             trajectory.append((r, n_keep, n_nxt))
             _free_blocks(spark, cur_ids + keep_ids)  # r-1: freed, not hoarded
             cur, cur_ids = nxt, nxt_ids
+            prev_edges, prev_nodes = n_nxt, n_keep
         _free_blocks(spark, cur_ids)
         return spark.createDataFrame(
             trajectory, "round long, n_nodes long, n_edges long"
         )
 
     return qg07_kcore_peeling
+
+
+KCORE_EDGE_ROWS_PER_PART = 250_000  # edge checkpoint sizing (2 longs/row)
+#: node lists are denser per row AND their coalesce sits directly on
+#: the degree-agg's reduce side — too few partitions would collapse
+#: the whole node-grain aggregation into one task (measured ~1s/round
+#: at sf0.1), so node relations partition much finer per row
+KCORE_NODE_ROWS_PER_PART = 5_000
+
+
+def _kcore_parts(upper_bound_rows: int, rows_per_part: int) -> int:
+    """Partition count for a round's checkpoint, from the previous
+    round's row count (an upper bound — peeling only shrinks): enough
+    parallelism for the next round's scans, never 64 near-empty
+    blocks. Clamped to [1, 64] (the session's shuffle width)."""
+    import math
+
+    return max(1, min(64, math.ceil(max(upper_bound_rows, 1) / rows_per_part)))
 
 
 def _kcore_survivors(cur):
