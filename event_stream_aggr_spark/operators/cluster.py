@@ -18,8 +18,13 @@ localCheckpoint to avoid requiring a checkpoint dir).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: every iterative checkpoint in this module stores at DISK_ONLY —
+#: zero unified-pool tenancy (see operators/lifecycle.py)
+_DISK_ONLY = StorageLevel.DISK_ONLY
 
 
 def connected_components(
@@ -42,6 +47,13 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    from event_stream_aggr_spark.operators.lifecycle import (
+        disk_checkpoint_lazy,
+        free_blocks,
+    )
+
+    spark = pairs.sparkSession
+    prev_gen: list[int] = []
     for i in range(max_iter):
         # candidate labels: own label + the label of every neighbor
         neighbor_labels = (
@@ -54,8 +66,13 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        gen: list[int] = []
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # DISK_ONLY + freed predecessors (the qg07 lifecycle):
+            # lineage truncated, no block-manager memory tenancy, at
+            # most one superseded generation alive — the convergence
+            # count below is the materializing action
+            new_labels, gen = disk_checkpoint_lazy(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -63,9 +80,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        if gen:
+            free_blocks(spark, prev_gen)  # superseded generation only
+            prev_gen = gen
         labels = new_labels
         if changed == 0:
             break
+    # NOTE: the final generation stays registered — the returned frame
+    # reads those blocks; they are GC-cleaned when the caller drops it
     return labels
 
 
@@ -402,12 +424,12 @@ FROM mind GROUP BY dist
             )
             .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
         seed = e.agg(F.min("u").alias("node")).select(
             "node", F.lit(0).cast("long").alias("dist")
         )
-        visited = seed.localCheckpoint(eager=False)
+        visited = seed.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         frontier = visited
         for hop in range(1, BFS_MAX_HOPS + 1):
             nxt = (
@@ -416,9 +438,11 @@ FROM mind GROUP BY dist
                 .distinct()
                 .join(visited, "node", "left_anti")
                 .select("node", F.lit(hop).cast("long").alias("dist"))
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
             )
-            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            visited = visited.unionByName(nxt).localCheckpoint(
+                eager=False, storageLevel=_DISK_ONLY
+            )
             frontier = nxt
         return visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
 
@@ -965,40 +989,13 @@ def _kcore_peel_round(cur):
     return keep, _kcore_prune(cur, keep)
 
 
-def _disk_checkpoint(df):
-    """``localCheckpoint`` at DISK_ONLY, materialized by ``count()``,
-    returning ``(checkpointed_df, row_count, rdd_ids)``.
-
-    The lazy mark + count fold materialization and row-counting into
-    ONE job (eager=True would run a materialization job and the
-    caller's count would be a second). ``rdd_ids`` are the RDDs this
-    checkpoint registered in the block manager, so the caller can
-    free the generation deterministically with ``_free_blocks``
-    (Dataset.unpersist only talks to the SQL cache manager and cannot
-    release checkpoint blocks; without explicit freeing they linger
-    until driver-side GC happens to collect the plan — exactly the
-    accumulation the round-8 30x probe flagged)."""
-    from pyspark import StorageLevel
-
-    sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    ck = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    n = ck.count()  # materializes the checkpoint blocks
-    after = sc._jsc.getPersistentRDDs().keySet().toArray()
-    return ck, n, [i for i in after if i not in before]
-
-
-def _free_blocks(spark, rdd_ids):
-    """Unpersist the given registered RDD ids (non-blocking).
-
-    ``JavaSparkContext.getPersistentRDDs`` is the public registry of
-    persisted RDDs; ids that were already freed (or GC-cleaned) are
-    simply absent and skipped."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in rdd_ids:
-        jrdd = jmap.get(rid)
-        if jrdd is not None:
-            jrdd.unpersist(False)
+# the bounded-iteration lifecycle lives in operators/lifecycle.py
+# (shared with connected_components); these aliases keep qg07's
+# call sites and the plan-shape tests stable
+from event_stream_aggr_spark.operators.lifecycle import (  # noqa: E402
+    disk_checkpoint as _disk_checkpoint,
+    free_blocks as _free_blocks,
+)
 
 
 _register_kcore_query()
