@@ -391,3 +391,45 @@ def test_staged_running_total_rejects_unknown_force(spark):
         staged_running_total(
             df, key="k", grain="g", order=["o"], value=F.col("v"), force="auto"
         )
+
+
+def test_lifecycle_checkpoint_generations_are_freed(spark, sf_dir):
+    """The bounded-iteration lifecycle contract (operators/lifecycle):
+    ids are registered at mark time (lazy) or by the folded count
+    (eager), lineage is truncated (Scan ExistingRDD), blocks store at
+    DISK_ONLY, and free_blocks deregisters exactly the generation it
+    is given — the invariant qg07/connected_components rely on to keep
+    at most two generations alive."""
+    from event_stream_aggr_spark.operators.lifecycle import (
+        disk_checkpoint,
+        disk_checkpoint_lazy,
+        free_blocks,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    def registered():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    base = registered()
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    ck1, n1, gen1 = disk_checkpoint(ev)
+    assert n1 > 0 and gen1 and set(gen1) <= registered()
+    plan = ck1._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan  # lineage truncated
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in gen1:
+        lvl = jmap.get(rid).getStorageLevel()
+        assert lvl.useDisk() and not lvl.useMemory()
+
+    ck2, gen2 = disk_checkpoint_lazy(ck1.filter("event_id % 2 = 0"))
+    assert gen2 and set(gen2) <= registered()  # registered at MARK time
+    n2 = ck2.count()  # materializing action
+    assert 0 < n2 < n1
+
+    free_blocks(spark, gen1)
+    left = registered()
+    assert not (set(gen1) & left) and set(gen2) <= left
+    assert ck2.count() == n2  # successor generation survives its parent
+    free_blocks(spark, gen2)
+    assert registered() == base
