@@ -216,54 +216,75 @@ _LOGICAL_PASS = {
 }
 
 
-def _bounded_rows_logical(node: dict[str, Any]) -> bool:
-    """Logical-plan twin of ``_bounded_rows`` (see there for the rule).
-    ``Generate`` (explode) is unbounded; an unknown leaf (table scan,
-    LogicalRDD — checkpoints can be data-sized) never bounded."""
-    cls = _cls(node)
-    if cls == "Aggregate" and not node.get("groupingExpressions"):
+def _jcls(p) -> str:
+    return p.getClass().getSimpleName()
+
+
+def _jchildren(p) -> list:
+    cs = p.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _jexpr_has_equality(e) -> bool:
+    if _jcls(e) in ("EqualTo", "EqualNullSafe"):
+        return True
+    return any(_jexpr_has_equality(c) for c in _jchildren(e))
+
+
+def _jjoin_is_equi(p) -> bool:
+    cond = p.condition()
+    return cond.isDefined() and _jexpr_has_equality(cond.get())
+
+
+def _jbounded(p) -> bool:
+    """Logical twin of ``_bounded_rows`` over the analyzed plan's JVM
+    tree (see ``_bounded_rows`` for the rule). ``Generate`` (explode)
+    is unbounded; an unknown leaf (table scan, LogicalRDD — a
+    checkpoint can be data-sized) never bounded."""
+    cls = _jcls(p)
+    if cls == "Aggregate" and p.groupingExpressions().isEmpty():
         return True
     if cls in ("GlobalLimit", "LocalLimit"):
-        lim = (node.get("limitExpr") or [{}])[0]
         try:
-            return int(lim.get("value")) <= _TINY_ROWS
-        except (TypeError, ValueError):
+            return int(str(p.limitExpr().toString())) <= _TINY_ROWS
+        except ValueError:
             return False
     if cls in ("LocalRelation", "OneRowRelation"):
         return True
     if cls == "Range":
         try:
-            n = (int(node["end"]) - int(node["start"])) // int(node["step"])
-        except (KeyError, TypeError, ValueError, ZeroDivisionError):
+            return int(str(p.numElements().toString())) <= _TINY_ROWS
+        except Exception:  # py4j signature drift — treat as unbounded
             return False
-        return 0 <= n <= _TINY_ROWS
-    children = node["_children"]
+    children = _jchildren(p)
     if cls == "Generate":
         return False
     if cls == "Union":
-        return bool(children) and all(_bounded_rows_logical(c) for c in children)
+        return bool(children) and all(_jbounded(c) for c in children)
     if cls == "Join":
-        # same keyed/keyless split as the physical rule: with equality
-        # keys a bounded side bounds the output (~k x multiplicity);
-        # keyless, a bounded side only multiplies the other side
-        cond = json.dumps(node.get("condition")) if node.get("condition") else ""
-        fold = any if (".EqualTo" in cond or ".EqualNullSafe" in cond) else all
-        return bool(children) and fold(_bounded_rows_logical(c) for c in children)
+        # keyed: a bounded side bounds output (~k x multiplicity);
+        # keyless: a bounded side only multiplies the other side
+        fold = any if _jjoin_is_equi(p) else all
+        return bool(children) and fold(_jbounded(c) for c in children)
     if children and (cls in _LOGICAL_PASS or len(children) == 1):
-        return all(_bounded_rows_logical(c) for c in children)
+        return all(_jbounded(c) for c in children)
     return False
 
 
-def _has_top_hint(node: dict[str, Any]) -> bool:
-    """True if a ResolvedHint/UnresolvedHint sits on the unary spine of
-    this side — i.e. the author explicitly asserted a join strategy
-    (``F.broadcast``/``df.hint``) for THIS relation, not for something
-    nested deeper under another join."""
-    cls = _cls(node)
-    if cls in ("ResolvedHint", "UnresolvedHint"):
-        return True
-    if len(node["_children"]) == 1:
-        return _has_top_hint(node["_children"][0])
+def _jtop_broadcast_hint(p) -> bool:
+    """True if a BROADCAST hint sits on the unary spine of this side —
+    the author explicitly asserted broadcastability for THIS relation
+    (``F.broadcast``/``df.hint("broadcast")``), not for something
+    nested deeper under another join. A merge/shuffle_hash hint is NOT
+    an assertion of tininess and does not pass."""
+    cls = _jcls(p)
+    if cls == "ResolvedHint":
+        return "broadcast" in str(p.hints().toString()).lower()
+    if cls == "UnresolvedHint":
+        return "broadcast" in str(p.name()).lower()
+    children = _jchildren(p)
+    if len(children) == 1:
+        return _jtop_broadcast_hint(children[0])
     return False
 
 
@@ -274,41 +295,38 @@ def nested_loop_join_violations(df: DataFrame) -> list[str]:
     Each such join in the ANALYZED plan must have a side that is
     either
 
-    - tiny BY CONSTRUCTION (``_bounded_rows_logical``: a scalar
-      aggregate, a small limit, literal rows — the documented 1-row
-      stats crossJoins pass structurally, not by name), or
-    - explicitly hinted by the author (``F.broadcast(side)`` — e.g.
-      the ANN query-vector relations, bounded by a selective literal
-      key filter that no static rule can prove tiny; the hint is the
-      author's auditable assertion, and hints are greppable).
+    - tiny BY CONSTRUCTION (``_jbounded``: a scalar aggregate, a small
+      limit, literal rows — the documented 1-row stats crossJoins pass
+      structurally, not by name), or
+    - explicitly BROADCAST-hinted by the author (``F.broadcast(side)``
+      — e.g. the ANN query-vector relations, bounded by a selective
+      literal key filter that no static rule can prove tiny; the hint
+      is the author's auditable, greppable assertion — a merge or
+      shuffle_hash hint asserts nothing about size and does not pass).
 
     An UNHINTED nested loop between two unbounded relations is the
-    accident this lint exists to catch. Uses the analyzed plan because
-    the optimizer folds hint nodes into join annotations that
-    ``toJSON`` drops."""
+    accident this lint exists to catch. Walks the analyzed plan's JVM
+    tree because the optimizer folds hint nodes into join annotations
+    that ``toJSON`` drops, and the JSON serialization of
+    ``ResolvedHint`` drops the strategy."""
     out: list[str] = []
 
-    def walk(node: dict[str, Any]) -> None:
-        cls = _cls(node)
-        if cls == "Join":
-            cond = json.dumps(node.get("condition")) if node.get("condition") else ""
-            equi = ".EqualTo" in cond or ".EqualNullSafe" in cond
-            if not equi:
-                sides = node["_children"]
-                ok = any(_bounded_rows_logical(s) for s in sides) or any(
-                    _has_top_hint(s) for s in sides
+    def walk(p) -> None:
+        if _jcls(p) == "Join" and not _jjoin_is_equi(p):
+            sides = _jchildren(p)
+            ok = any(_jbounded(s) for s in sides) or any(
+                _jtop_broadcast_hint(s) for s in sides
+            )
+            if not ok:
+                out.append(
+                    "non-equi join (nested loop at execution) with no "
+                    "by-construction-tiny side and no broadcast hint "
+                    f"(joinType={p.joinType().toString()})"
                 )
-                if not ok:
-                    out.append(
-                        "non-equi join (nested loop at execution) with no "
-                        "by-construction-tiny side and no explicit hint "
-                        f"(joinType={str(node.get('joinType'))[-40:]})"
-                    )
-        for c in node["_children"]:
+        for c in _jchildren(p):
             walk(c)
 
-    nodes = json.loads(df._jdf.queryExecution().analyzed().toJSON())
-    walk(_build_tree(nodes))
+    walk(df._jdf.queryExecution().analyzed())
     return out
 
 

@@ -145,6 +145,9 @@ def test_nlj_lint_accepts_explicit_hint_as_author_assertion(spark, sf_dir):
     assert nested_loop_join_violations(hinted) == []
     bare = ev.select(F.col("value").alias("v2")).join(anchors, theta)
     assert nested_loop_join_violations(bare)
+    # a merge/shuffle_hash hint asserts nothing about SIZE — still flags
+    merged = ev.select(F.col("value").alias("v2")).join(anchors.hint("merge"), theta)
+    assert nested_loop_join_violations(merged)
 
 
 def test_tiny_side_lint_catches_unbroadcast_scalar_agg_join(spark, sf_dir):
