@@ -32,10 +32,26 @@ QUERIES = (
 
 
 def main() -> None:
+    import shutil
+    import subprocess
+
     import bench
 
     from event_stream_aggr_spark.plans.registry import load_all
     from event_stream_aggr_spark.session import get_spark
+
+    generated = False
+    if not os.path.isdir(PROBE):
+        # self-contained: synthesize the k=30 probe, and delete it
+        # again afterwards so the per-round bench keeps probing at sf1
+        # (bench.upscale_probe picks the LARGEST .scale_probe dir)
+        print(f"probe dir {PROBE} missing — generating (k=30)...")
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "tools", "make_scale_probe.py"),
+             "30", PROBE],
+            check=True,
+        )
+        generated = True
 
     spark = get_spark(
         app_name="upscale_30x",
@@ -73,6 +89,9 @@ def main() -> None:
         out["queries"][name] = row
         print(json.dumps({name: row}))
     print(json.dumps(out))
+    if generated:
+        shutil.rmtree(PROBE, ignore_errors=True)
+        print(f"deleted generated probe dir {PROBE}")
 
 
 if __name__ == "__main__":
