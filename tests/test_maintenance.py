@@ -214,3 +214,16 @@ def test_qz07_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     # two exchanges: the 1-row partkey-domain calibration agg and the
     # <=256-bucket envelope agg — both group-grain, neither data-sized
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_qz08_auto_picks_plain_on_uniform_orders(spark, sf_dir):
+    """Pin the auto decision on the actual test corpus: TPC-H-uniform
+    o_custkey must route to the PLAIN window (the staged form costs
+    ~1.7x there) — the driver's oracle is branch-independent, so
+    without this pin an accidental always-staged regression would
+    stay value-green while silently paying the premium."""
+    from event_stream_aggr_spark.operators.skew import running_total_strategy
+    from event_stream_aggr_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    assert running_total_strategy(o, "o_custkey") == "plain"
