@@ -904,6 +904,7 @@ def _register_kcore_query():
 
         cur, cur_ids = edges, edge_ids
         prev_edges, prev_nodes = n_edges, n_nodes
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
         for r in range(1, KCORE_ROUNDS + 1):
             # checkpoint the (tiny) survivor list too, so the degree
             # agg runs once per round — the broadcast build and the
@@ -917,12 +918,12 @@ def _register_kcore_query():
             # wall-clock). ``coalesce`` is narrow — no extra shuffle.
             keep, n_keep, keep_ids = _disk_checkpoint(
                 _kcore_survivors(cur).coalesce(
-                    _kcore_parts(prev_nodes, KCORE_NODE_ROWS_PER_PART)
+                    _kcore_parts(prev_nodes, KCORE_NODE_ROWS_PER_PART, width)
                 )
             )
             nxt, n_nxt, nxt_ids = _disk_checkpoint(
                 _kcore_prune(cur, keep).coalesce(
-                    _kcore_parts(prev_edges, KCORE_EDGE_ROWS_PER_PART)
+                    _kcore_parts(prev_edges, KCORE_EDGE_ROWS_PER_PART, width)
                 )
             )
             trajectory.append((r, n_keep, n_nxt))
@@ -945,14 +946,17 @@ KCORE_EDGE_ROWS_PER_PART = 250_000  # edge checkpoint sizing (2 longs/row)
 KCORE_NODE_ROWS_PER_PART = 5_000
 
 
-def _kcore_parts(upper_bound_rows: int, rows_per_part: int) -> int:
+def _kcore_parts(upper_bound_rows: int, rows_per_part: int, max_parts: int) -> int:
     """Partition count for a round's checkpoint, from the previous
     round's row count (an upper bound — peeling only shrinks): enough
-    parallelism for the next round's scans, never 64 near-empty
-    blocks. Clamped to [1, 64] (the session's shuffle width)."""
+    parallelism for the next round's scans, never ``max_parts``
+    near-empty blocks. Clamped to [1, max_parts] — the caller passes
+    the session's shuffle width, so the bound tracks configuration."""
     import math
 
-    return max(1, min(64, math.ceil(max(upper_bound_rows, 1) / rows_per_part)))
+    return max(
+        1, min(max_parts, math.ceil(max(upper_bound_rows, 1) / rows_per_part))
+    )
 
 
 def _kcore_survivors(cur):
