@@ -155,7 +155,12 @@ def staged_running_total(
     Value-exactness requires an associative ``value`` type (DECIMAL or
     integer — float addition is order-sensitive; qz06's driver-checked
     oracle pins the staged==plain equality for DECIMAL) and that
-    ``(grain, *order)`` is a TOTAL order within each key.
+    ``(grain, *order)`` is a TOTAL order within each key. NULL
+    semantics match the plain window exactly (round-9 review fix):
+    NULL key/grain values are ordinary partition values (the stitch
+    join is NULL-SAFE), and a NULL ``value`` is additive identity on
+    either side of the stitch, the way SUM skips NULLs — so the two
+    branches return identical rows for any input.
 
     ``force`` pins a branch ('plain'/'staged') without the stats pass —
     qz06 forces 'staged' so the decomposition itself stays under the
@@ -177,25 +182,34 @@ def staged_running_total(
         W.unboundedPreceding, W.currentRow
     )
     within = df.withColumn("_cum_in_grain", F.sum(value).over(w_in))
-    w_pre = W.partitionBy(key).orderBy(grain).rowsBetween(
-        W.unboundedPreceding, -1
-    )
     grain_prefix = (
         df.groupBy(key, grain)
         .agg(F.sum(value).alias("_g_total"))
         .select(
-            key,
-            grain,
-            F.sum("_g_total").over(w_pre).alias("_prefix"),
+            F.col(key).alias("_pk"),
+            F.col(grain).alias("_pg"),
+            F.sum("_g_total").over(
+                W.partitionBy(key).orderBy(grain).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ).alias("_prefix"),
         )
     )
+    # NULL-safe stitch: a NULL key or grain is a regular partition
+    # value to the plain window, so it must match here too; and either
+    # summand being NULL (no non-null values yet in the grain / no
+    # prior grains) acts as additive identity, exactly like SUM OVER
+    stitched = within.join(
+        grain_prefix,
+        within[key].eqNullSafe(F.col("_pk"))
+        & within[grain].eqNullSafe(F.col("_pg")),
+    )
+    total = (
+        F.when(F.col("_prefix").isNull(), F.col("_cum_in_grain"))
+        .when(F.col("_cum_in_grain").isNull(), F.col("_prefix"))
+        .otherwise(F.col("_prefix") + F.col("_cum_in_grain"))
+    )
     return (
-        within.join(grain_prefix, [key, grain])
-        .withColumn(
-            out,
-            F.when(F.col("_prefix").isNull(), F.col("_cum_in_grain")).otherwise(
-                F.col("_prefix") + F.col("_cum_in_grain")
-            ),
-        )
-        .drop("_cum_in_grain", "_prefix")
+        stitched.withColumn(out, total)
+        .drop("_pk", "_pg", "_cum_in_grain", "_prefix")
     )

@@ -135,6 +135,22 @@ _PASS_THROUGH = {
 #: leaves; scalar aggregates are exactly 1 row regardless.
 _TINY_ROWS = 10_000
 
+#: unary nodes that can MULTIPLY rows — never pass-through (round-9
+#: review fix: only Generate was special-cased; Expand — rollup/cube —
+#: and the arbitrary-output pandas maps can mint rows too)
+_MULTIPLIERS = {
+    "GenerateExec",
+    "ExpandExec",
+    "MapInPandasExec",
+    "MapInArrowExec",
+    "FlatMapGroupsInPandasExec",
+    "FlatMapCoGroupsInPandasExec",
+    "FlatMapGroupsWithStateExec",
+    "FlatMapGroupsInPandasWithStateExec",
+    "CoGroupExec",
+    "MapGroupsExec",
+}
+
 
 def _bounded_rows(node: dict[str, Any]) -> bool:
     """True when this physical subtree provably produces a SMALL
@@ -168,17 +184,20 @@ def _bounded_rows(node: dict[str, Any]) -> bool:
             return False
         return 0 <= n <= _TINY_ROWS
     children = node["_children"]
-    if cls == "GenerateExec":
-        return False  # explode multiplies rows unboundedly
+    if cls in _MULTIPLIERS:
+        return False  # explode/expand/mapInPandas can mint rows
     if cls == "UnionExec":
         return bool(children) and all(_bounded_rows(c) for c in children)
     if cls in ("BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec"):
-        # a KEYED join with a bounded side yields ~k x per-key-
-        # multiplicity rows (the top-K-driver-joined-back-to-its-rows
-        # shape, e.g. qr02's count-of-beaters): effectively bounded
-        # for this lint's purpose. Key skew can still inflate it, but
-        # that is AQE's territory, not a nested-loop problem.
-        return bool(children) and any(_bounded_rows(c) for c in children)
+        # a KEYED join's output is bounded when the sides the join
+        # type PRESERVES are bounded (~k x per-key multiplicity; the
+        # top-K-driver-joined-back shape, e.g. qr02's count-of-
+        # beaters). A left-outer/semi/anti output is at least/at most
+        # |left| regardless of the right side, so a bounded RIGHT
+        # proves nothing there (round-9 review fix) — and vice versa.
+        return _join_bounded(
+            str(node.get("joinType", "")), children, _bounded_rows
+        )
     if cls.endswith("JoinExec"):
         # keyless (cross / nested-loop): a bounded side is a row
         # MULTIPLIER, not a bound — output ~ |other side|, so bounded
@@ -189,6 +208,25 @@ def _bounded_rows(node: dict[str, Any]) -> bool:
         # mint rows a bounded child didn't have
         return all(_bounded_rows(c) for c in children)
     return False
+
+
+def _join_bounded(join_type: str, children: list, bounded) -> bool:
+    """Bounded-output rule for a KEYED join, by join type: the bounded
+    sides must be exactly the ones the type preserves. Inner/semi-ish
+    types with an unknown name fall back to requiring BOTH sides."""
+    if len(children) != 2:
+        return False
+    left_ok, right_ok = bounded(children[0]), bounded(children[1])
+    jt = join_type.lower()
+    if "fullouter" in jt:
+        return left_ok and right_ok
+    if "leftouter" in jt or "leftsemi" in jt or "leftanti" in jt or "existence" in jt:
+        return left_ok  # output rows ~ |left| x multiplicity (or <= |left|)
+    if "rightouter" in jt:
+        return right_ok
+    if "inner" in jt or "cross" in jt:
+        return left_ok or right_ok
+    return left_ok and right_ok  # unknown type: conservative
 
 
 def _physical_tree(df: DataFrame) -> dict[str, Any]:
@@ -225,15 +263,34 @@ def _jchildren(p) -> list:
     return [cs.apply(i) for i in range(cs.size())]
 
 
-def _jexpr_has_equality(e) -> bool:
-    if _jcls(e) in ("EqualTo", "EqualNullSafe"):
-        return True
-    return any(_jexpr_has_equality(c) for c in _jchildren(e))
-
-
 def _jjoin_is_equi(p) -> bool:
+    """True when the join condition contains a USABLE equi-key: an
+    EqualTo/EqualNullSafe conjunct (reachable through AND only — an
+    equality under OR cannot serve as a hash key) whose operands
+    reference the two sides separately and non-trivially (an
+    equality-to-literal or a single-side predicate extracts no key —
+    round-9 review fix: any EqualTo anywhere previously exempted pure
+    theta joins from the nested-loop lint). Mirrors Catalyst's
+    ExtractEquiJoinKeys."""
     cond = p.condition()
-    return cond.isDefined() and _jexpr_has_equality(cond.get())
+    if not cond.isDefined():
+        return False
+    left_out, right_out = p.left().outputSet(), p.right().outputSet()
+
+    def usable(e) -> bool:
+        cls = _jcls(e)
+        if cls == "And":
+            return any(usable(c) for c in _jchildren(e))
+        if cls in ("EqualTo", "EqualNullSafe"):
+            lr, rr = e.left().references(), e.right().references()
+            if lr.isEmpty() or rr.isEmpty():
+                return False  # equality to a literal: not a key
+            return (lr.subsetOf(left_out) and rr.subsetOf(right_out)) or (
+                lr.subsetOf(right_out) and rr.subsetOf(left_out)
+            )
+        return False
+
+    return usable(cond.get())
 
 
 def _jbounded(p) -> bool:
@@ -257,18 +314,36 @@ def _jbounded(p) -> bool:
         except Exception:  # py4j signature drift — treat as unbounded
             return False
     children = _jchildren(p)
-    if cls == "Generate":
-        return False
+    if cls in _LOGICAL_MULTIPLIERS:
+        return False  # explode/expand/mapInPandas can mint rows
     if cls == "Union":
         return bool(children) and all(_jbounded(c) for c in children)
     if cls == "Join":
-        # keyed: a bounded side bounds output (~k x multiplicity);
-        # keyless: a bounded side only multiplies the other side
-        fold = any if _jjoin_is_equi(p) else all
-        return bool(children) and fold(_jbounded(c) for c in children)
+        if not _jjoin_is_equi(p):
+            # keyless: a bounded side only multiplies the other side
+            return bool(children) and all(_jbounded(c) for c in children)
+        # keyed: bounded when the sides the join TYPE preserves are
+        # bounded (same rule as the physical walker's _join_bounded)
+        return _join_bounded(p.joinType().toString(), children, _jbounded)
     if children and (cls in _LOGICAL_PASS or len(children) == 1):
         return all(_jbounded(c) for c in children)
     return False
+
+
+#: logical twins of _MULTIPLIERS
+_LOGICAL_MULTIPLIERS = {
+    "Generate",
+    "Expand",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsWithState",
+    "FlatMapGroupsInPandasWithState",
+    "CoGroup",
+    "MapGroups",
+}
 
 
 def _jtop_broadcast_hint(p) -> bool:

@@ -24,17 +24,26 @@ def specs():
     return load_all()
 
 
-def test_no_partitionless_window_over_fact_grain(spark, sf_dir, specs):
+@pytest.fixture(scope="module")
+def frames(spark, sf_dir, specs):
+    """One DataFrame per registered query, built ONCE for the module:
+    three lint walks each need every query's plan, and several queries
+    now do eager driver-side work at construction time (qg07's peel,
+    qz08's stats pass, connected-components convergence loops) that
+    would otherwise execute once per walk."""
+    return {name: spec.fn(spark, sf_dir) for name, spec in sorted(specs.items())}
+
+
+def test_no_partitionless_window_over_fact_grain(frames):
     """Every registered query: any Window with an empty partitionSpec
     must sit above an Aggregate/Limit/Deduplicate on EVERY path to a
     leaf. This is the mechanical backstop for the documented
     tiny-derived-relation pattern (qa04 deciles, qt24 vocab prefix,
     qs11/qs15 quota ranks...)."""
     bad: dict[str, list[str]] = {}
-    for name, spec in sorted(specs.items()):
+    for name, df in frames.items():
         if name in ALLOWLIST:
             continue
-        df = spec.fn(spark, sf_dir)
         v = partitionless_window_violations(df)
         if v:
             bad[name] = v
@@ -85,30 +94,31 @@ NLJ_ALLOWLIST: dict[str, str] = {}
 TINY_SIDE_ALLOWLIST: dict[str, str] = {}
 
 
-def test_no_data_sized_nested_loop_join_anywhere(spark, sf_dir, specs):
+def test_no_data_sized_nested_loop_join_anywhere(frames):
     """Every registered query: any CartesianProduct/BroadcastNestedLoop
     join must have at least one BY-CONSTRUCTION-tiny side (scalar
-    aggregate, small limit, literal rows). The accepted 1-row stats
-    crossJoins pass structurally — the allowlist stays empty."""
+    aggregate, small limit, literal rows) or an explicit broadcast
+    hint. The accepted 1-row stats crossJoins pass structurally — the
+    allowlist stays empty."""
     bad: dict[str, list[str]] = {}
-    for name, spec in sorted(specs.items()):
+    for name, df in frames.items():
         if name in NLJ_ALLOWLIST:
             continue
-        v = nested_loop_join_violations(spec.fn(spark, sf_dir))
+        v = nested_loop_join_violations(df)
         if v:
             bad[name] = v
     assert not bad, f"data-sized nested-loop joins: {bad}"
 
 
-def test_no_shuffle_join_with_provably_tiny_side(spark, sf_dir, specs):
+def test_no_shuffle_join_with_provably_tiny_side(frames):
     """Every registered query: a sort-merge/shuffled-hash join whose
     one side is provably tiny shuffles the big side for nothing — the
     tiny side must ride a broadcast."""
     bad: dict[str, list[str]] = {}
-    for name, spec in sorted(specs.items()):
+    for name, df in frames.items():
         if name in TINY_SIDE_ALLOWLIST:
             continue
-        v = unbroadcast_tiny_side_violations(spec.fn(spark, sf_dir))
+        v = unbroadcast_tiny_side_violations(df)
         if v:
             bad[name] = v
     assert not bad, f"shuffle joins with broadcastable tiny sides: {bad}"
@@ -180,3 +190,53 @@ def test_tiny_side_lint_ignores_grouped_aggregates(spark, sf_dir):
         assert unbroadcast_tiny_side_violations(j) == []
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_nlj_lint_literal_equality_is_not_a_join_key(spark, sf_dir):
+    """Round-9 review fix: theta AND (col == literal) extracts no
+    equi-key — execution is still a nested loop over two data-sized
+    sides, so the lint must flag it; a genuine cross-side equality
+    conjunct makes it a keyed join and exempts it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("score")
+    )
+    theta_plus_literal = (F.col("v") < F.col("score")) & (F.col("doc_id") == 1)
+    assert nested_loop_join_violations(ev.join(docs, theta_plus_literal))
+    # equality under OR is not a usable key either
+    or_equality = (F.col("eid") == F.col("doc_id")) | (F.col("v") < F.col("score"))
+    assert nested_loop_join_violations(ev.join(docs, or_equality))
+    # a genuine cross-side equality conjunct IS a key: exempt
+    keyed = (F.col("eid") == F.col("doc_id")) & (F.col("v") < F.col("score"))
+    assert nested_loop_join_violations(ev.join(docs, keyed)) == []
+
+
+def test_boundedness_respects_join_type_and_multipliers(spark, sf_dir):
+    """Round-9 review fixes: (a) a left join with only a bounded RIGHT
+    side is fact-sized — a cross join above it must still flag; (b) a
+    scalar-agg 1-row cross multiplier does not make a fact relation
+    bounded; (c) explode under a limit is not bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    scalar = ev.agg(F.max("value").alias("mx"))
+
+    # (a) fact LEFT-joined to a 1-row agg keeps |fact| rows
+    fact_left = ev.withColumn("mx", F.lit(1.0)).join(
+        scalar.withColumnRenamed("mx", "value2"),
+        F.col("value") == F.col("value2"),
+        "left",
+    )
+    assert nested_loop_join_violations(fact_left.crossJoin(docs))
+
+    # (b) fact x 1-row scalar cross join is still fact-sized
+    widened = ev.crossJoin(F.broadcast(scalar))
+    assert nested_loop_join_violations(widened.crossJoin(docs))
+
+    # (c) explode multiplies: limit(10) then explode is unbounded
+    exploded = (
+        docs.limit(10)
+        .select(F.explode(F.expr("sequence(1, 100000)")).alias("x"))
+    )
+    assert nested_loop_join_violations(exploded.crossJoin(ev))

@@ -147,7 +147,7 @@ def test_winnowing_shared_substring_guarantee(prefix_a, prefix_b, shared):
 
 def test_winnowing_python_replay_matches_spark(spark):
     """Anchor the pure-python replay to the registered query on real
-    corpus docs, so the hypothesis property speaks for qt26."""
+    corpus docs, so the hypothesis property speaks for qt31."""
     from event_stream_aggr_spark.plans.registry import load_all
     from event_stream_aggr_spark.tables import load_table
 

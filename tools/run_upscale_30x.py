@@ -35,8 +35,6 @@ def main() -> None:
     import shutil
     import subprocess
 
-    import bench
-
     from event_stream_aggr_spark.plans.registry import load_all
     from event_stream_aggr_spark.session import get_spark
 
@@ -59,6 +57,20 @@ def main() -> None:
     )
     specs = load_all()
     out: dict = {"probe_dir": PROBE, "data_ratio_vs_primary": 30.0, "queries": {}}
+    try:
+        _probe(spark, specs, out)
+    finally:
+        # ALWAYS delete a generated probe dir — a crash mid-probe that
+        # leaked it would silently re-point every later round's bench
+        # at 30x (bench.upscale_probe picks the LARGEST dir)
+        if generated:
+            shutil.rmtree(PROBE, ignore_errors=True)
+            print(f"deleted generated probe dir {PROBE}")
+
+
+def _probe(spark, specs, out) -> None:
+    import bench
+
     # warmup
     specs[QUERIES[0]].fn(spark, BASE).write.mode("overwrite").format("noop").save()
 
@@ -89,9 +101,6 @@ def main() -> None:
         out["queries"][name] = row
         print(json.dumps({name: row}))
     print(json.dumps(out))
-    if generated:
-        shutil.rmtree(PROBE, ignore_errors=True)
-        print(f"deleted generated probe dir {PROBE}")
 
 
 if __name__ == "__main__":
