@@ -178,21 +178,43 @@ def staged_running_total(
             W.unboundedPreceding, W.currentRow
         )
         return df.withColumn(out, F.sum(value).over(w))
+    # Working-column names are uniquified against the input schema
+    # (round-9 ADVICE): a user column literally named "_cum_in_grain"
+    # would otherwise be silently replaced by withColumn and then
+    # dropped, making the staged branch's output schema diverge from
+    # the plain branch's for the same input.
+    taken = set(df.columns)
+
+    def _fresh(base: str) -> str:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken.add(name)
+        return name
+
+    c_cum, c_gt, c_pk, c_pg, c_pre = (
+        _fresh("_cum_in_grain"),
+        _fresh("_g_total"),
+        _fresh("_pk"),
+        _fresh("_pg"),
+        _fresh("_prefix"),
+    )
     w_in = W.partitionBy(key, grain).orderBy(*order).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    within = df.withColumn("_cum_in_grain", F.sum(value).over(w_in))
+    within = df.withColumn(c_cum, F.sum(value).over(w_in))
     grain_prefix = (
         df.groupBy(key, grain)
-        .agg(F.sum(value).alias("_g_total"))
+        .agg(F.sum(value).alias(c_gt))
         .select(
-            F.col(key).alias("_pk"),
-            F.col(grain).alias("_pg"),
-            F.sum("_g_total").over(
+            F.col(key).alias(c_pk),
+            F.col(grain).alias(c_pg),
+            F.sum(c_gt).over(
                 W.partitionBy(key).orderBy(grain).rowsBetween(
                     W.unboundedPreceding, -1
                 )
-            ).alias("_prefix"),
+            ).alias(c_pre),
         )
     )
     # NULL-safe stitch: a NULL key or grain is a regular partition
@@ -201,15 +223,15 @@ def staged_running_total(
     # prior grains) acts as additive identity, exactly like SUM OVER
     stitched = within.join(
         grain_prefix,
-        within[key].eqNullSafe(F.col("_pk"))
-        & within[grain].eqNullSafe(F.col("_pg")),
+        within[key].eqNullSafe(F.col(c_pk))
+        & within[grain].eqNullSafe(F.col(c_pg)),
     )
     total = (
-        F.when(F.col("_prefix").isNull(), F.col("_cum_in_grain"))
-        .when(F.col("_cum_in_grain").isNull(), F.col("_prefix"))
-        .otherwise(F.col("_prefix") + F.col("_cum_in_grain"))
+        F.when(F.col(c_pre).isNull(), F.col(c_cum))
+        .when(F.col(c_cum).isNull(), F.col(c_pre))
+        .otherwise(F.col(c_pre) + F.col(c_cum))
     )
     return (
         stitched.withColumn(out, total)
-        .drop("_pk", "_pg", "_cum_in_grain", "_prefix")
+        .drop(c_pk, c_pg, c_cum, c_pre)
     )

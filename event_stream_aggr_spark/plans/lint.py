@@ -213,7 +213,19 @@ def _bounded_rows(node: dict[str, Any]) -> bool:
 def _join_bounded(join_type: str, children: list, bounded) -> bool:
     """Bounded-output rule for a KEYED join, by join type: the bounded
     sides must be exactly the ones the type preserves. Inner/semi-ish
-    types with an unknown name fall back to requiring BOTH sides."""
+    types with an unknown name fall back to requiring BOTH sides.
+
+    Known false-negative class (accepted tradeoff, round-9 ADVICE): a
+    keyed INNER join is treated as bounded when EITHER side is, but
+    output is really bounded-side-rows x per-key multiplicity on the
+    other side — a 10k-row limit inner-joined to a fact table on a hot
+    key yields fact-sized output, so a data-sized nested loop above
+    such a join escapes the NLJ lint. Tightening would need uniqueness
+    metadata Spark plans don't carry (is the unbounded side's key
+    PK-like?), and every in-repo bounded-inner shape IS a ~k-row dim
+    or scalar-agg relation joined on its unique key, where the bound
+    holds. Revisit if a registered plan ever inner-joins a LIMIT
+    against a fact table below a nested loop."""
     if len(children) != 2:
         return False
     left_ok, right_ok = bounded(children[0]), bounded(children[1])

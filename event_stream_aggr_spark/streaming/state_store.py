@@ -39,8 +39,15 @@ implementation managed the pointer with local-only ``os`` calls, so a
 non-local root silently resolved to "no state" and the gate never
 fired — the exact double-count the store exists to prevent). The
 commit itself is a zero-byte ``createNewFile`` — atomic on HDFS and
-object stores alike, unlike a rename-over-existing pointer swap whose
-delete+rename window would momentarily expose "no state".
+local filesystems; on object stores (S3A) ``createNewFile`` is an
+exists-check followed by a PUT, which is NOT atomic by itself. What
+makes the check-then-create race unreachable everywhere is the store's
+**single-writer invariant**: exactly ONE foreachBatch maintainer owns
+a store root (it is married to one checkpoint lineage — see the epoch
+gate above), and Structured Streaming runs that query's epochs
+serially, so no two writers ever race on the same marker name. Either
+way the marker beats a rename-over-existing pointer swap, whose
+delete+rename window would momentarily expose "no state" to readers.
 
 Together: at-least-once delivery + (epoch gate, pre-image merge,
 atomic marker commit) = effectively-once state, chaos-tested in
@@ -85,7 +92,9 @@ def committed_epoch(spark: SparkSession, root: str) -> int:
     best = -1
     for status in fs.listStatus(jroot):
         name = status.getPath().getName()
-        if name.startswith(_MARKER):
+        # .isdigit(): one stray non-conforming file (editor backup,
+        # partial copy) must not poison every read of the store
+        if name.startswith(_MARKER) and name[len(_MARKER):].isdigit():
             best = max(best, int(name[len(_MARKER):]))
     return best
 
@@ -101,8 +110,10 @@ def read_state(spark: SparkSession, root: str) -> tuple[DataFrame | None, int]:
 
 
 def _commit(spark: SparkSession, root: str, epoch: int) -> None:
-    """Atomically commit ``epoch``: create its zero-byte marker file.
-    Module-level so the chaos tests can inject a crash exactly here."""
+    """Commit ``epoch``: create its zero-byte marker file (atomic on
+    HDFS/local; safe on object stores via the single-writer invariant —
+    module docstring). Module-level so the chaos tests can inject a
+    crash exactly here."""
     fs, _ = _fs(spark, root)
     _, jmarker = _fs(spark, _join(root, f"{_MARKER}{epoch}"))
     fs.createNewFile(jmarker)
@@ -120,7 +131,7 @@ def _vacuum(spark: SparkSession, root: str, keep_from: int) -> None:
     for status in fs.listStatus(jroot):
         name = status.getPath().getName()
         epoch = None
-        if name.startswith(_MARKER):
+        if name.startswith(_MARKER) and name[len(_MARKER):].isdigit():
             epoch = int(name[len(_MARKER):])
         elif name.startswith("v") and name[1:].isdigit():
             epoch = int(name[1:])

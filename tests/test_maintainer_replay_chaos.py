@@ -400,3 +400,38 @@ def test_merge_store_survives_stream_restart_and_rejects_fresh_checkpoint(
     final, final_epoch = read_state(spark, state_dir)
     assert final_epoch == epoch_p2  # nothing committed
     assert {r.bucket: r.n for r in final.collect()} == expected
+
+
+def test_store_tolerates_stray_nonconforming_files(spark, tmp_path):
+    """Round-9 ADVICE: one stray file whose name starts with the marker
+    prefix but has a non-numeric suffix (editor backup, partial copy)
+    must not poison committed_epoch/read_state/vacuum permanently."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "stray_state")
+    sink = merge_state_sink(
+        root,
+        lambda state, batch: batch
+        if state is None
+        else state.unionByName(batch).groupBy("k").agg(
+            F.sum("n").alias("n")
+        ),
+    )
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long")
+    sink(b0, 0)
+    committed = {r.k: r.n for r in read_state(spark, root)[0].collect()}
+    assert committed == {"a": 1, "b": 2}
+
+    # drop stray files the Hadoop listing will see
+    (tmp_path / "stray_state" / "_COMMIT_v0.bak").write_text("")
+    (tmp_path / "stray_state" / "_COMMIT_vpartial").write_text("")
+
+    assert ss.committed_epoch(spark, root) == 0  # not ValueError
+    assert {r.k: r.n for r in read_state(spark, root)[0].collect()} == committed
+
+    # next epoch (merge + vacuum) also survives the stray names
+    b1 = spark.createDataFrame([("a", 1)], "k string, n long")
+    sink(b1, 1)
+    assert ss.committed_epoch(spark, root) == 1
+    got = {r.k: r.n for r in read_state(spark, root)[0].collect()}
+    assert got == {"a": 2, "b": 2}

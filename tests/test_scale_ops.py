@@ -475,3 +475,39 @@ def test_staged_running_total_null_semantics_match_plain(spark):
     plain, staged = collect("plain"), collect("staged")
     assert set(plain) == set(staged)  # no row dropped/duplicated
     assert plain == staged
+
+
+def test_staged_running_total_survives_reserved_column_names(spark):
+    """Round-9 ADVICE: input columns named like the staged branch's
+    working columns (_cum_in_grain, _g_total, _pk, _pg, _prefix) must
+    pass through untouched — the helper uniquifies its internals, so
+    the staged output schema stays identical to the plain branch's."""
+    from decimal import Decimal as D
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.skew import staged_running_total
+
+    rows = [
+        (k, g, o, D(f"{k + g + o}.50"), f"u{k}{g}{o}")
+        for k in range(3) for g in range(3) for o in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, g int, o int, v decimal(18,2), _cum_in_grain string"
+    ).withColumn("_prefix", F.col("_cum_in_grain")).withColumn(
+        "_pk", F.col("k")
+    ).withColumn("_pg", F.col("g")).withColumn("_g_total", F.col("v"))
+
+    def snap(force):
+        got = staged_running_total(
+            df, key="k", grain="g", order=["o"], value=F.col("v"), force=force
+        )
+        return sorted(got.columns), {
+            (r.k, r.g, r.o): (str(r.running_total), r._cum_in_grain, r._pk)
+            for r in got.collect()
+        }
+
+    plain_cols, plain_rows = snap("plain")
+    staged_cols, staged_rows = snap("staged")
+    assert staged_cols == plain_cols  # user columns survive both branches
+    assert staged_rows == plain_rows
