@@ -18,13 +18,8 @@ localCheckpoint to avoid requiring a checkpoint dir).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-#: every iterative checkpoint in this module stores at DISK_ONLY —
-#: zero unified-pool tenancy (see operators/lifecycle.py)
-_DISK_ONLY = StorageLevel.DISK_ONLY
 
 
 def connected_components(
@@ -174,8 +169,15 @@ FROM rs2 r JOIN ds d ON d.k = r.k
         node relation is orders-of-magnitude smaller than edges and
         broadcast-eligible; at web scale it's the shuffle-keyed side
         and AQE skew-splits celebrity nodes). K iterations = K chained
-        shuffles; past ~5 iterations localCheckpoint the rank relation
-        (operators/cluster.connected_components shows the recipe)."""
+        shuffles. This loop deliberately does NOT checkpoint: at
+        PR_ITERS=2 the whole chain is 4 joins + 4 aggregations deep —
+        a plan Catalyst compiles in milliseconds with nothing
+        accumulated to free, so the lifecycle's per-round
+        materialization jobs would be pure overhead. A deeper rank
+        chain (~5+ iterations) must switch to the bounded lifecycle —
+        eager ``disk_checkpoint`` per round + ``free_blocks`` on the
+        superseded generation (operators/lifecycle.py; qg03/qg07 and
+        connected_components show the recipe)."""
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         edges = (
@@ -408,15 +410,28 @@ FROM mind GROUP BY dist
 
         Scale shape: per hop, |frontier| rows join the edge relation
         (key-shuffled, AQE-splittable) and the visited set grows
-        monotonically; ``localCheckpoint`` truncates the loop lineage
-        exactly as the other iterative operators do. The oracle walks
-        the identical graph with a recursive CTE under UNION-dedup —
-        a different fixpoint mechanism, identical distances.
+        monotonically. Per-round state runs on the qg07 lifecycle
+        (operators/lifecycle.py): each hop's frontier and visited set
+        is an EAGER ``disk_checkpoint`` (the fold of materialization
+        into the frontier count also gives early exit on an exhausted
+        frontier), and the superseded generation is freed the moment
+        its successor materializes — at most two generations of
+        visited/frontier blocks alive, the edge blocks freed at loop
+        end; only the final visited generation stays registered,
+        because the returned frame reads those blocks. The oracle
+        walks the identical graph with a recursive CTE under
+        UNION-dedup — a different fixpoint mechanism, identical
+        distances.
         """
+        from event_stream_aggr_spark.operators.lifecycle import (
+            disk_checkpoint,
+            free_blocks,
+        )
+
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         a = li.alias("a")
         b = li.alias("b")
-        e = (
+        e, _, e_ids = disk_checkpoint(
             a.join(
                 b,
                 (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -424,26 +439,33 @@ FROM mind GROUP BY dist
             )
             .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
             .distinct()
-            .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
         )
         seed = e.agg(F.min("u").alias("node")).select(
             "node", F.lit(0).cast("long").alias("dist")
         )
-        visited = seed.localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
-        frontier = visited
+        visited, _, vis_ids = disk_checkpoint(seed)
+        # hop 0's frontier IS the visited frame — empty id list so the
+        # first free doesn't hit the shared generation twice
+        frontier, front_ids = visited, []
         for hop in range(1, BFS_MAX_HOPS + 1):
-            nxt = (
+            nxt, n_nxt, nxt_ids = disk_checkpoint(
                 frontier.join(e, frontier["node"] == e["u"])
                 .select(F.col("v").alias("node"))
                 .distinct()
                 .join(visited, "node", "left_anti")
                 .select("node", F.lit(hop).cast("long").alias("dist"))
-                .localCheckpoint(eager=False, storageLevel=_DISK_ONLY)
             )
-            visited = visited.unionByName(nxt).localCheckpoint(
-                eager=False, storageLevel=_DISK_ONLY
+            if n_nxt == 0:  # frontier exhausted: later hops are no-ops
+                free_blocks(spark, nxt_ids)
+                break
+            visited_next, _, vis_next_ids = disk_checkpoint(
+                visited.unionByName(nxt)
             )
-            frontier = nxt
+            # both successors are materialized: round r-1 is superseded
+            free_blocks(spark, vis_ids + front_ids)
+            visited, vis_ids = visited_next, vis_next_ids
+            frontier, front_ids = nxt, nxt_ids
+        free_blocks(spark, e_ids + front_ids)  # final visited holds the rows
         return visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
 
     return qg03_bfs_distances
