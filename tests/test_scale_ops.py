@@ -532,3 +532,78 @@ def test_qg03_bfs_frees_superseded_generations(spark, sf_dir):
     leaked = _registered_ids(spark.sparkContext) - before
     # exactly one generation may remain: the final visited checkpoint
     assert len(leaked) <= 1, f"BFS loop leaked {len(leaked)} generations"
+
+
+def test_join_skew_strategy_selects_and_sizes_salt(spark):
+    """Round-9 VERDICT ask #4: the join helper must pick PLAIN on
+    uniform keys (the salted right side replicates x salt — a real
+    cost) and SALTED when one key's probe rows dominate an average
+    task's budget, with the salt sized to the measured excess
+    (ceil(mx*par / (ratio*total)), clamped to [2, max_salt])."""
+    import math
+
+    from event_stream_aggr_spark.operators.skew import (
+        SALTED_JOIN_TASK_BUDGET,
+        join_skew_strategy,
+    )
+
+    uniform = spark.createDataFrame(
+        [(k, i) for k in range(200) for i in range(5)], "k int, v int"
+    )
+    assert join_skew_strategy(uniform, "k") == ("plain", 1)
+
+    hot = spark.createDataFrame(
+        [(0, i) for i in range(600)]  # one key: 60% of all rows
+        + [(k, i) for k in range(1, 101) for i in range(4)],
+        "k int, v int",
+    )
+    choice, salt = join_skew_strategy(hot, "k")
+    assert choice == "salted"
+    par = spark.sparkContext.defaultParallelism
+    expected = max(
+        2, min(32, math.ceil(600 * par / (SALTED_JOIN_TASK_BUDGET * 1000.0)))
+    )
+    assert salt == expected
+
+    # clamp: a pathological stat cannot buy unbounded replication
+    assert join_skew_strategy(hot, "k", max_salt=4) == ("salted", 4)
+
+
+def test_auto_skew_join_branches_plan_pinned_and_equal(spark):
+    """Both auto_skew_join branches return identical rows on a hot-key
+    frame, and the plans differ the way the docstring claims: the
+    plain branch joins on the bare key (no salt expression anywhere),
+    the salted/auto branch spreads via the deterministic xxhash64
+    salt. Auto on the hot frame must route to salted."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.skew import auto_skew_join
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(600)]
+        + [(k, i) for k in range(1, 101) for i in range(4)],
+        "k int, v int",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(101)], "k int, d int"
+    )
+
+    def rows(df):
+        return sorted((r.k, r.v, r.d) for r in df.collect())
+
+    plain = auto_skew_join(left, right, "k", force="plain")
+    salted = auto_skew_join(left, right, "k", force="salted", salt=4)
+    auto = auto_skew_join(left, right, "k")
+    assert rows(plain) == rows(salted) == rows(auto)
+
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    salted_plan = salted._jdf.queryExecution().executedPlan().toString()
+    auto_plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in plain_plan
+    assert "xxhash64" in salted_plan  # the deterministic spread
+    assert "xxhash64" in auto_plan  # hot frame: stats routed to salted
+
+    import pytest
+
+    with pytest.raises(ValueError, match="force"):
+        auto_skew_join(left, right, "k", force="auto")
