@@ -910,12 +910,62 @@ def _register_kcore_query():
         first k-core attempt)."""
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-        edges, n_edges, edge_ids = _disk_checkpoint(
-            li.join(b, "l_orderkey")
-            .filter(F.col("l_partkey") < F.col("v"))
-            .select(F.col("l_partkey").alias("u"), "v")
-            .distinct()
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # The ONE-SHOT edge build is the loop's residual spill source
+        # (round-9 30x probe: ~36M pre-distinct pairs deduped through
+        # the session's default 32-wide shuffle put pairs/32 rows in
+        # each hash map — 8.6 GB map-side spill in one JVM; widening
+        # to 256 cut it 45%). Derive that ONE exchange's width from
+        # the estimated pair count (sum over orders of C(lines,2) —
+        # one map-side-combinable count agg, the qz04 stats recipe)
+        # instead of shipping the lucky constant: the conf is set only
+        # around this materialization (the planner reads
+        # shuffle.partitions when the action compiles the exchange),
+        # so every later stage keeps the session width. At bench scale
+        # the estimate lands BELOW the session width and the clamp
+        # keeps 32 — behavior only changes where the spill lives.
+        in_bytes = _lineitem_bytes(sf_dir)
+        if in_bytes is not None and in_bytes < KCORE_PAIR_STATS_MIN_BYTES:
+            # small local input: the session layout is already
+            # spill-safe, so don't spend the stats job (free gate — a
+            # file stat, no Spark action; bench-scale behavior is
+            # byte-identical to the ungated plan)
+            pair_width = width
+        else:
+            pair_width = _kcore_pair_width(li, width)
+        saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        saved_adv = spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         )
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(pair_width))
+            if pair_width > width:
+                # without this, AQE re-coalesces the widened exchanges
+                # back to its 64 MB advisory and the dedup hash maps
+                # spill anyway (same-boot A/B at k=30: width alone cut
+                # spill 8.6 GB -> 4.3 GB; width + 8 MB advisory -> 0,
+                # at ~+16% wall-clock of which 3.2s is the stats job)
+                spark.conf.set(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
+                )
+            edges, n_edges, edge_ids = _disk_checkpoint(
+                li.join(b, "l_orderkey")
+                .filter(F.col("l_partkey") < F.col("v"))
+                .select(F.col("l_partkey").alias("u"), "v")
+                .distinct()
+                # narrow coalesce back to the session width: the WIDE
+                # part (each dedup hash map sees a bounded pair slice
+                # — the spill bound) fuses upstream of it, while the
+                # checkpoint blocks and every later round's scan keep
+                # the session layout (a 288-block edge relation taxed
+                # each peel round ~14% in the A/B without this)
+                .coalesce(width)
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", saved_adv
+            )
         n_nodes = (
             edges.select(F.col("u").alias("node"))
             .union(edges.select("v"))
@@ -926,7 +976,6 @@ def _register_kcore_query():
 
         cur, cur_ids = edges, edge_ids
         prev_edges, prev_nodes = n_edges, n_nodes
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
         for r in range(1, KCORE_ROUNDS + 1):
             # checkpoint the (tiny) survivor list too, so the degree
             # agg runs once per round — the broadcast build and the
@@ -966,6 +1015,72 @@ KCORE_EDGE_ROWS_PER_PART = 250_000  # edge checkpoint sizing (2 longs/row)
 #: the whole node-grain aggregation into one task (measured ~1s/round
 #: at sf0.1), so node relations partition much finer per row
 KCORE_NODE_ROWS_PER_PART = 5_000
+
+
+#: below this local input size the edge-build stats job is skipped
+#: outright (the session layout is already spill-safe there): sf0.1's
+#: lineitem is ~11 MB, the k=30 probe's ~364 MB — the gate separates
+#: "bench scale, keep the exact old plan for free" from "probe/cluster
+#: scale, spend one count-per-order agg to bound the dedup spill"
+KCORE_PAIR_STATS_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _lineitem_bytes(sf_dir: str):
+    """Best-effort LOCAL byte size of the lineitem input (file or
+    dir); None for non-local paths — the caller then runs the stats
+    pass unconditionally (anything reached through a cluster
+    filesystem is big enough for the stats job to pay off)."""
+    import os
+
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+    except OSError:
+        pass
+    return None
+
+
+#: target pre-distinct pair rows per edge-build dedup task: sized so
+#: each task's partial-agg hash map stays well inside executor memory
+#: (2 longs/row + open-hash overhead; the measured-good 256 width at
+#: ~36M pairs is ~140k rows/task — 125k adds headroom)
+KCORE_PAIR_ROWS_PER_PART = 125_000
+KCORE_PAIR_MAX_PARTS = 4096  # runaway-estimate backstop
+
+
+def _kcore_pair_width(li, session_width: int) -> int:
+    """Shuffle width for the one-shot edge-build dedup, derived from
+    the estimated pre-distinct pair count: each order with n lines
+    emits C(n,2) = n*(n-1)/2 candidate pairs through the self-join's
+    ``u < v`` filter (an upper bound — duplicate partkeys within an
+    order emit fewer). The estimate is ONE count-per-order aggregate
+    reduced to a single sum — metadata-grain, map-side combinable —
+    and the width is clamped to [session_width, KCORE_PAIR_MAX_PARTS]
+    so small inputs keep the session layout and a bad stat can't buy
+    unbounded tiny tasks."""
+    import math
+
+    row = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("pairs"))
+        .first()
+    )
+    pairs = int(row.pairs or 0) if row else 0
+    return max(
+        session_width,
+        min(
+            KCORE_PAIR_MAX_PARTS,
+            math.ceil(max(pairs, 1) / KCORE_PAIR_ROWS_PER_PART),
+        ),
+    )
 
 
 def _kcore_parts(upper_bound_rows: int, rows_per_part: int, max_parts: int) -> int:
