@@ -958,18 +958,31 @@ def vs_prev_same_boot(spark, specs, headline) -> dict:
             cur_runs: list = []
             prev_runs: list = []
             err = None
-            for _ in range(2):
+
+            def _time_cur():
                 t0 = time.perf_counter()
                 specs[name].fn(spark, SF_DIR).write.mode("overwrite").format(
                     "noop"
                 ).save()
                 cur_runs.append(time.perf_counter() - t0)
+
+            def _time_prev():
+                t0 = time.perf_counter()
+                prev_fns[name](spark, SF_DIR).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                prev_runs.append(time.perf_counter() - t0)
+
+            # alternate which side runs first: whoever runs second in
+            # a pair rides caches the first just warmed, so a fixed
+            # order would bias the ratio toward the second side
+            for i in range(2):
+                first, second = (
+                    (_time_cur, _time_prev) if i == 0 else (_time_prev, _time_cur)
+                )
                 try:
-                    t0 = time.perf_counter()
-                    prev_fns[name](spark, SF_DIR).write.mode(
-                        "overwrite"
-                    ).format("noop").save()
-                    prev_runs.append(time.perf_counter() - t0)
+                    first()
+                    second()
                 except Exception as exc:  # noqa: BLE001 — per-query fence
                     err = repr(exc)[:200]
                     break
