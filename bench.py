@@ -860,59 +860,96 @@ def curation_stream_bench(spark) -> dict:
 
 def _prev_round_commit(here: str) -> str | None:
     """Hash of the most recent round-close commit (subject 'round N:
-    ...') — the exact tree the previous round's bench measured."""
+    ...') whose TREE differs from HEAD's — the exact tree the previous
+    round's bench measured. The tree check prevents a self-comparison:
+    re-running bench right at a round-close commit would otherwise
+    pair HEAD against its own code and report a meaningless ~1.0."""
     import re
     import subprocess
 
+    def _git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=here, check=True, capture_output=True, text=True
+        ).stdout
+
     try:
-        out = subprocess.run(
-            ["git", "log", "--format=%H %s", "-n", "500"],
-            cwd=here,
-            check=True,
-            capture_output=True,
-            text=True,
-        )
+        head_tree = _git("rev-parse", "HEAD^{tree}").strip()
+        out = _git("log", "--format=%H %T %s", "-n", "500")
     except (OSError, subprocess.CalledProcessError):
         return None
-    for line in out.stdout.splitlines():
-        h, _, subj = line.partition(" ")
-        if re.match(r"round \d+:", subj):
+    for line in out.splitlines():
+        parts = line.split(" ", 2)
+        if len(parts) < 3:
+            continue
+        h, tree, subj = parts
+        if re.match(r"round \d+:", subj) and tree != head_tree:
             return h
     return None
 
 
-def _load_registry_from(worktree: str) -> dict:
-    """{name: fn} from the worktree's query registry, imported under
-    temporary sys.path + sys.modules isolation. The returned closures
-    keep their own module objects alive via their globals, so they
-    stay callable after the live package's module table is restored —
-    two versions of the engine coexist in one interpreter, which is
-    what makes the SAME-session A/B possible."""
+def _pkg_modules() -> dict:
     import sys
 
-    saved = {
-        k: v for k, v in sys.modules.items()
+    return {
+        k: v
+        for k, v in sys.modules.items()
         if k == "event_stream_aggr_spark"
         or k.startswith("event_stream_aggr_spark.")
     }
+
+
+def _load_registry_from(worktree: str) -> tuple[dict, dict]:
+    """(fns, modules) from the worktree's query registry, imported
+    under temporary sys.path + sys.modules isolation. The closures
+    keep their own module objects alive via their globals, so they
+    stay callable after the live package's module table is restored —
+    two versions of the engine coexist in one interpreter, which is
+    what makes the SAME-session A/B possible. The prev module table is
+    returned so callers can REINSTALL it around each prev run
+    (``_swapped_modules``): a prev query body doing a call-time
+    ``from event_stream_aggr_spark.x import y`` would otherwise
+    resolve against the live cached modules and silently measure
+    live-vs-live for exactly the helpers that changed."""
+    import sys
+
+    saved = _pkg_modules()
     for k in saved:
         del sys.modules[k]
     sys.path.insert(0, worktree)
     try:
         import event_stream_aggr_spark.plans.registry as prev_registry
 
-        return {
-            name: spec.fn for name, spec in prev_registry.load_all().items()
-        }
+        fns = {name: spec.fn for name, spec in prev_registry.load_all().items()}
+        return fns, _pkg_modules()
     finally:
         sys.path.remove(worktree)
-        for k in [
-            k for k in sys.modules
-            if k == "event_stream_aggr_spark"
-            or k.startswith("event_stream_aggr_spark.")
-        ]:
+        for k in _pkg_modules():
             del sys.modules[k]
         sys.modules.update(saved)
+
+
+class _swapped_modules:
+    """Context manager: run with the prev round's package modules
+    installed in sys.modules, restoring the live table on exit."""
+
+    def __init__(self, prev_modules: dict):
+        self.prev = prev_modules
+
+    def __enter__(self):
+        import sys
+
+        self.live = _pkg_modules()
+        for k in self.live:
+            del sys.modules[k]
+        sys.modules.update(self.prev)
+
+    def __exit__(self, *exc):
+        import sys
+
+        for k in _pkg_modules():
+            del sys.modules[k]
+        sys.modules.update(self.live)
+        return False
 
 
 def vs_prev_same_boot(spark, specs, headline) -> dict:
@@ -949,7 +986,7 @@ def vs_prev_same_boot(spark, specs, headline) -> dict:
             check=True,
             capture_output=True,
         )
-        prev_fns = _load_registry_from(wt)
+        prev_fns, prev_modules = _load_registry_from(wt)
         per_query: dict = {}
         for name in headline:
             if name not in prev_fns:
@@ -967,11 +1004,14 @@ def vs_prev_same_boot(spark, specs, headline) -> dict:
                 cur_runs.append(time.perf_counter() - t0)
 
             def _time_prev():
-                t0 = time.perf_counter()
-                prev_fns[name](spark, SF_DIR).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                prev_runs.append(time.perf_counter() - t0)
+                # prev modules installed so even call-time imports
+                # inside the prev fn resolve to the prev code
+                with _swapped_modules(prev_modules):
+                    t0 = time.perf_counter()
+                    prev_fns[name](spark, SF_DIR).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    prev_runs.append(time.perf_counter() - t0)
 
             # alternate which side runs first: whoever runs second in
             # a pair rides caches the first just warmed, so a fixed
@@ -1000,6 +1040,13 @@ def vs_prev_same_boot(spark, specs, headline) -> dict:
             for v in per_query.values()
             if v.get("ratio_cur_over_prev")
         )
+        if not ratios:
+            median = None
+        elif len(ratios) % 2:
+            median = ratios[len(ratios) // 2]
+        else:  # true even-n median, not the upper-middle element
+            mid = len(ratios) // 2
+            median = round((ratios[mid - 1] + ratios[mid]) / 2, 3)
         return {
             "prev_commit": prev[:12],
             "method": "interleaved min-of-2 per side, same session/boot",
@@ -1007,14 +1054,14 @@ def vs_prev_same_boot(spark, specs, headline) -> dict:
             " previous round-close on identical host state; cross-round"
             " deltas should be read from this, not from cross-boot"
             " absolute seconds",
-            "median_ratio_cur_over_prev": (
-                ratios[len(ratios) // 2] if ratios else None
-            ),
+            "median_ratio_cur_over_prev": median,
             "n_compared": len(ratios),
             "queries": per_query,
         }
-    except (OSError, subprocess.CalledProcessError) as exc:
-        return {"error": f"worktree setup failed: {exc!r}"[:300]}
+    except Exception as exc:  # noqa: BLE001 — a broken prev tree (its
+        # package import raising anything at load_all()) must cost the
+        # A/B block, never the whole bench run's measurements
+        return {"error": f"vs_prev setup failed: {exc!r}"[:300]}
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", wt],

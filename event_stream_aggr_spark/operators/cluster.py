@@ -423,10 +423,11 @@ FROM mind GROUP BY dist
         UNION-dedup — a different fixpoint mechanism, identical
         distances.
         """
-        from event_stream_aggr_spark.operators.lifecycle import (
-            disk_checkpoint,
-            free_blocks,
-        )
+        # module-level aliases (bottom of this file), not a call-time
+        # import: the fn's globals resolve to ITS OWN module version,
+        # which keeps a version-pinned copy of this query (e.g. under
+        # bench's same-boot A/B) running its own lifecycle helpers
+        disk_checkpoint, free_blocks = _disk_checkpoint, _free_blocks
 
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         a = li.alias("a")
@@ -926,10 +927,13 @@ def _register_kcore_query():
         # keeps 32 — behavior only changes where the spill lives.
         in_bytes = _lineitem_bytes(sf_dir)
         if in_bytes is not None and in_bytes < KCORE_PAIR_STATS_MIN_BYTES:
-            # small local input: the session layout is already
-            # spill-safe, so don't spend the stats job (free gate — a
+            # small local input: skip the stats job (free gate — a
             # file stat, no Spark action; bench-scale behavior is
-            # byte-identical to the ungated plan)
+            # byte-identical to the ungated plan). Honest caveat: the
+            # BYTES gate assumes this repo's data shape (bounded lines
+            # per order) — the spill hazard is sum C(n,2), so a tiny
+            # file with one million-line order would slip through;
+            # set KCORE_PAIR_STATS_MIN_BYTES = 0 to always price it
             pair_width = width
         else:
             pair_width = _kcore_pair_width(li, width)

@@ -38,6 +38,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _fresh_name(base: str, taken_cols) -> str:
+    """A column name not colliding with any name in ``taken_cols`` —
+    CASE-INSENSITIVELY, because Spark resolves references with
+    ``spark.sql.caseSensitive=false`` by default, so a user column
+    ``_SALT`` collides with a working ``_salt`` at resolution and at
+    ``drop`` time even though the strings differ."""
+    lowered = {c.lower() for c in taken_cols}
+    name, i = base, 0
+    while name.lower() in lowered:
+        i += 1
+        name = f"{base}_{i}"
+    return name
+
+
 #: join types whose result is unchanged by replicating the right side
 #: (every right row's contribution is gated on a matching left row).
 _SALT_SAFE_HOW = {
@@ -81,14 +95,21 @@ def salted_join(
             "under right/full outer semantics"
         )
     cols = salt_cols if salt_cols is not None else list(left.columns)
+    # the working column is uniquified against BOTH sides (round-10
+    # review): a user column literally named "_salt" would otherwise
+    # be clobbered by withColumn and removed by the final drop — and
+    # under auto_skew_join that schema change would appear or vanish
+    # with the measured key distribution
+    salt_col = _fresh_name("_salt", list(left.columns) + list(right.columns))
     salted_left = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt)).cast("int")
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt)).cast("int"),
     )
     salted_right = right.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    out = salted_left.join(salted_right, [on, "_salt"], how)
-    return out.drop("_salt")
+    out = salted_left.join(salted_right, [on, salt_col], how)
+    return out.drop(salt_col)
 
 
 # ---------------------------------------------------------------------------
@@ -179,18 +200,17 @@ def staged_running_total(
         )
         return df.withColumn(out, F.sum(value).over(w))
     # Working-column names are uniquified against the input schema
-    # (round-9 ADVICE): a user column literally named "_cum_in_grain"
-    # would otherwise be silently replaced by withColumn and then
-    # dropped, making the staged branch's output schema diverge from
-    # the plain branch's for the same input.
-    taken = set(df.columns)
+    # (round-9 ADVICE; case-insensitively since round 10 — Spark
+    # resolves with caseSensitive=false, so "_PK" collides with
+    # "_pk"): a user column named like a working column would
+    # otherwise be silently replaced by withColumn and then dropped,
+    # making the staged branch's output schema diverge from the plain
+    # branch's for the same input.
+    taken = list(df.columns)
 
     def _fresh(base: str) -> str:
-        name, i = base, 0
-        while name in taken:
-            i += 1
-            name = f"{base}_{i}"
-        taken.add(name)
+        name = _fresh_name(base, taken)
+        taken.append(name)
         return name
 
     c_cum, c_gt, c_pk, c_pg, c_pre = (

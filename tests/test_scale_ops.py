@@ -547,6 +547,11 @@ def test_join_skew_strategy_selects_and_sizes_salt(spark):
         join_skew_strategy,
     )
 
+    if spark.sparkContext.defaultParallelism < 4:
+        import pytest
+
+        pytest.skip("hot-frame routing assumes >= 4 task slots")
+
     uniform = spark.createDataFrame(
         [(k, i) for k in range(200) for i in range(5)], "k int, v int"
     )
@@ -579,6 +584,11 @@ def test_auto_skew_join_branches_plan_pinned_and_equal(spark):
 
     from event_stream_aggr_spark.operators.skew import auto_skew_join
 
+    if spark.sparkContext.defaultParallelism < 4:
+        import pytest
+
+        pytest.skip("hot-frame routing assumes >= 4 task slots")
+
     left = spark.createDataFrame(
         [(0, i) for i in range(600)]
         + [(k, i) for k in range(1, 101) for i in range(4)],
@@ -607,3 +617,54 @@ def test_auto_skew_join_branches_plan_pinned_and_equal(spark):
 
     with pytest.raises(ValueError, match="force"):
         auto_skew_join(left, right, "k", force="auto")
+
+
+def test_salted_join_survives_user_salt_column(spark):
+    """Round-10 review: a user column literally named ``_salt`` (any
+    case) must pass through salted_join untouched — the working column
+    is uniquified against both sides, so the salted branch's output
+    schema equals the plain join's."""
+    from event_stream_aggr_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k % 5, i, f"s{i}") for k in range(10) for i in range(4)],
+        "k int, v int, _salt string",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(5)], "k int, d int"
+    )
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, "k", salt=3)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_staged_running_total_uniquifies_case_insensitively(spark):
+    """Round-10 review: Spark resolves columns with
+    caseSensitive=false, so a user column ``_PK`` must not collide
+    with the staged branch's ``_pk`` working column (ambiguous
+    reference / wrong drop)."""
+    from decimal import Decimal as D
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.skew import staged_running_total
+
+    df = spark.createDataFrame(
+        [(k, g, o, D(f"{k + o}.25"), k * 100) for k in range(3)
+         for g in range(2) for o in range(2)],
+        "k int, g int, o int, v decimal(18,2), _PK int",
+    )
+
+    def snap(force):
+        got = staged_running_total(
+            df, key="k", grain="g", order=["o"], value=F.col("v"), force=force
+        )
+        return sorted(got.columns), {
+            (r.k, r.g, r.o): (str(r.running_total), r._PK)
+            for r in got.collect()
+        }
+
+    assert snap("plain") == snap("staged")
