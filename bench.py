@@ -930,10 +930,21 @@ def _load_registry_from(worktree: str) -> tuple[dict, dict]:
 
 class _swapped_modules:
     """Context manager: run with the prev round's package modules
-    installed in sys.modules, restoring the live table on exit."""
+    installed in sys.modules, restoring the live table on exit.
 
-    def __init__(self, prev_modules: dict):
+    Two subtleties both matter (found when qd16's prev side measured
+    45x slow): the WORKTREE path goes on sys.path for the swap's
+    duration, so a prev fn's call-time import of a module the registry
+    load never touched resolves to PREV code (not the live repo via
+    cwd); and modules imported during the swap are ADOPTED into the
+    prev table on exit instead of discarded, so prev module-level
+    state (e.g. the stagecache memo) persists across prev runs exactly
+    like live state does — otherwise every prev run rebuilds memoized
+    stages and the paired ratio wildly flatters the live side."""
+
+    def __init__(self, prev_modules: dict, worktree: str):
         self.prev = prev_modules
+        self.wt = worktree
 
     def __enter__(self):
         import sys
@@ -942,10 +953,16 @@ class _swapped_modules:
         for k in self.live:
             del sys.modules[k]
         sys.modules.update(self.prev)
+        sys.path.insert(0, self.wt)
 
     def __exit__(self, *exc):
         import sys
 
+        try:
+            sys.path.remove(self.wt)
+        except ValueError:
+            pass
+        self.prev.update(_pkg_modules())
         for k in _pkg_modules():
             del sys.modules[k]
         sys.modules.update(self.live)
@@ -1006,7 +1023,7 @@ def vs_prev_same_boot(spark, specs, headline) -> dict:
             def _time_prev():
                 # prev modules installed so even call-time imports
                 # inside the prev fn resolve to the prev code
-                with _swapped_modules(prev_modules):
+                with _swapped_modules(prev_modules, wt):
                     t0 = time.perf_counter()
                     prev_fns[name](spark, SF_DIR).write.mode(
                         "overwrite"
