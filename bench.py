@@ -1032,10 +1032,20 @@ def vs_prev_same_boot(spark, specs, headline) -> dict:
 
             # alternate which side runs first: whoever runs second in
             # a pair rides caches the first just warmed, so a fixed
-            # order would bias the ratio toward the second side
-            for i in range(2):
+            # order would bias the ratio toward the second side.
+            # Pairs 3 and 4 run ONLY when the first two leave the
+            # ratio outside [0.8, 1.25]: sub-second queries show ±40%
+            # per-run scheduling/GC noise even paired, and recurring
+            # false tails on unchanged queries send readers chasing
+            # phantom regressions — a genuine plan change survives the
+            # extra pairs, noise usually does not.
+            for i in range(4):
+                if i >= 2:
+                    c, p = min(cur_runs), min(prev_runs)
+                    if p > 0 and 0.8 <= c / p <= 1.25:
+                        break
                 first, second = (
-                    (_time_cur, _time_prev) if i == 0 else (_time_prev, _time_cur)
+                    (_time_cur, _time_prev) if i % 2 == 0 else (_time_prev, _time_cur)
                 )
                 try:
                     first()
@@ -1051,6 +1061,7 @@ def vs_prev_same_boot(spark, specs, headline) -> dict:
                 "cur_sec": round(c, 4),
                 "prev_sec": round(p, 4),
                 "ratio_cur_over_prev": round(c / p, 3) if p > 0 else None,
+                "n_pairs": min(len(cur_runs), len(prev_runs)),
             }
         ratios = sorted(
             v["ratio_cur_over_prev"]
