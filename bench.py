@@ -602,10 +602,12 @@ def _salted_twin(spark, zdir: str) -> dict:
             # imbalance it removes
             return revenue(salted_join(li, o, "l_orderkey", salt=4))
         if mode == "auto":
-            # the r10 deployable default (qz09): the stats pass must
-            # route this Zipf-hot key to the salted branch with the
-            # excess-sized salt — measured here so the auto path's
-            # balance is comparable to the hand-salted variant's
+            # the deployable default (qz09): since the round-11
+            # re-price the selector credits an armed AQE skew-split —
+            # under the aqe-on variant it must route this in-capacity
+            # Zipf key to PLAIN and match plain_aqe_skewjoin's time
+            # and balance; under the aqe-off variant it must fall back
+            # to the excess-sized salt
             return revenue(auto_skew_join(li, o, "l_orderkey"))
         return revenue(li.join(o, "l_orderkey"))
 
@@ -627,7 +629,8 @@ def _salted_twin(spark, zdir: str) -> dict:
             ("plain_aqe_skewjoin", "plain", "true"),
             ("plain_unmitigated", "plain", "false"),
             ("salted_join", "salted", "false"),
-            ("auto_join", "auto", "false"),
+            ("auto_join", "auto", "true"),
+            ("auto_join_aqe_off", "auto", "false"),
         ):
             conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
             if skew_on == "true":
@@ -682,16 +685,21 @@ def _salted_twin(spark, zdir: str) -> dict:
                 "n_groups": build(mode).count(),
                 **metrics,
             }
-        # record the auto selector's actual decision on this twin so a
-        # threshold regression is visible in the artifact, not just in
-        # the timing
-        from event_stream_aggr_spark.operators.skew import join_skew_strategy
+            # record the auto selector's actual decision UNDER THIS
+            # VARIANT'S CONF (the r11 selector reads the AQE confs) so
+            # a threshold regression is visible in the artifact, not
+            # just in the timing: aqe-on must say plain (the credit),
+            # aqe-off must say salted with the excess-sized count
+            if mode == "auto":
+                from event_stream_aggr_spark.operators.skew import (
+                    join_skew_strategy,
+                )
 
-        choice, k = join_skew_strategy(
-            load_table(spark, zdir, "lineitem").select("l_orderkey"),
-            "l_orderkey",
-        )
-        results["auto_join"]["strategy"] = {"choice": choice, "salt": k}
+                choice, k = join_skew_strategy(
+                    load_table(spark, zdir, "lineitem").select("l_orderkey"),
+                    "l_orderkey",
+                )
+                results[label]["strategy"] = {"choice": choice, "salt": k}
     finally:
         for k, v in saved.items():
             conf.set(k, v)
@@ -702,12 +710,13 @@ def _salted_twin(spark, zdir: str) -> dict:
         " scale with volume/parallelism): AQE skew-split cuts"
         " max/median task time ~3.8x -> ~1.4x with zero extra shuffle;"
         " salted_join achieves the same balance at the cost of"
-        " replicating the right side x salt, which is why AQE-on is"
-        " the default and salting the explicit fallback for a single"
-        " key too hot for even one split partition; auto_join (qz09)"
-        " is the priced selector — its count-per-key stats pass must"
-        " route this Zipf key to the salted branch with the"
-        " excess-sized salt, and to the plain join on uniform keys"
+        " replicating the right side x salt. auto_join (qz09, r11"
+        " re-price) credits the armed backstop: with AQE skew-split on"
+        " and the hot key within advisory x parallelism it rides the"
+        " plain+AQE plan (strategy must say plain, time ~="
+        " plain_aqe_skewjoin); auto_join_aqe_off proves the fallback"
+        " still fires — same stats pass, backstop disarmed, salted"
+        " with the excess-sized count"
     )
     return results
 

@@ -937,6 +937,16 @@ def _register_kcore_query():
             pair_width = width
         else:
             pair_width = _kcore_pair_width(li, width)
+        # SCOPE CAVEAT (round-10 ADVICE): these two confs are
+        # SESSION-GLOBAL for the duration of the edge-build action —
+        # any query COMPILED concurrently in the same SparkSession
+        # during that window would pick up the widened width / 8 MB
+        # advisory. This repo's drivers (bench, tests, the CLI) run
+        # queries strictly sequentially per session, so the window is
+        # private in practice; a caller embedding qg07 in a
+        # concurrent-query server should run it in its own
+        # spark.newSession() (confs are per-session there) before
+        # relying on this block.
         saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
         saved_adv = spark.conf.get(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes"

@@ -43,8 +43,22 @@ _ratio = st.one_of(
 
 
 def _frame_from_multiplicities(spark, mults):
+    """Built by exploding a LITERAL struct array over spark.range(1),
+    not createDataFrame: an RDD-backed frame reports Catalyst's
+    unknown-size sentinel, and the AQE-credit dimension below needs a
+    plan whose bytes-per-row IS estimable (the selector refuses the
+    credit otherwise — deliberately, but that path would then be the
+    only one property-exercised)."""
     rows = [(k, i) for k, n in enumerate(mults) for i in range(n)]
-    return spark.createDataFrame(rows, "k int, o int")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("k"), F.lit(o).cast("int").alias("o")
+            )
+            for k, o in rows
+        ]
+    )
+    return spark.range(1).select(F.inline(arr))
 
 
 @_SETTINGS
@@ -69,6 +83,8 @@ def test_running_total_strategy_flips_at_documented_boundary(
 @_SETTINGS
 @given(mults=_multiplicities, ratio=_ratio)
 def test_join_skew_strategy_flips_at_documented_boundary(spark, mults, ratio):
+    """The row-skew boundary, AQE credit pinned off — the pre-round-11
+    decision expression, still the one that sizes the salt."""
     import math
 
     from event_stream_aggr_spark.operators.skew import join_skew_strategy
@@ -82,7 +98,77 @@ def test_join_skew_strategy_flips_at_documented_boundary(spark, mults, ratio):
         expected = ("salted", max(2, min(32, math.ceil(mx * par / (ratio * total)))))
     else:
         expected = ("plain", 1)
-    assert join_skew_strategy(df, "k", task_budget_ratio=ratio) == expected
+    assert (
+        join_skew_strategy(df, "k", task_budget_ratio=ratio, aqe_backstop=False)
+        == expected
+    )
+
+
+@_SETTINGS
+@given(
+    mults=_multiplicities,
+    ratio=_ratio,
+    backstop=st.sampled_from([None, True, False]),
+    how=st.sampled_from(["inner", "left_semi", "full", "right"]),
+    advisory=st.sampled_from(["64MB", "1b"]),
+)
+def test_join_skew_strategy_aqe_credit_dimension(
+    spark, mults, ratio, backstop, how, advisory
+):
+    """Round-10 VERDICT ask #1 guard: the AQE-credit gate composes with
+    the row boundary exactly as documented. The mirror recomputes
+    eligibility (conf + left-splittable ``how``, or the pinned
+    ``aqe_backstop``) and capacity (Catalyst bytes-per-row estimate vs
+    advisory × parallelism) with the SAME helpers the selector calls,
+    so any refactor that moves either boundary — crediting an
+    ineligible shape, skipping the capacity price, flipping <= for < —
+    disagrees on some draw."""
+    import math
+
+    from event_stream_aggr_spark.operators.skew import (
+        _aqe_skew_eligible,
+        _conf_get,
+        _est_bytes_per_row,
+        _parse_bytes,
+        join_skew_strategy,
+    )
+
+    df = _frame_from_multiplicities(spark, mults)
+    par = spark.sparkContext.defaultParallelism
+    mx, total = max(mults), sum(mults)
+    if ratio is None:
+        ratio = (mx * par) / total
+    adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = _conf_get(spark, adv_key, "64MB")
+    spark.conf.set(adv_key, advisory)
+    try:
+        if mx * par <= ratio * total:
+            expected = ("plain", 1)
+        else:
+            eligible = (
+                backstop
+                if backstop is not None
+                else _aqe_skew_eligible(spark, how)
+            )
+            bpr = _est_bytes_per_row(df, total)
+            covered = (
+                bpr is not None and mx * bpr <= _parse_bytes(advisory) * par
+            )
+            if eligible and covered:
+                expected = ("plain", 1)
+            else:
+                expected = (
+                    "salted",
+                    max(2, min(32, math.ceil(mx * par / (ratio * total)))),
+                )
+        assert (
+            join_skew_strategy(
+                df, "k", task_budget_ratio=ratio, how=how, aqe_backstop=backstop
+            )
+            == expected
+        )
+    finally:
+        spark.conf.set(adv_key, saved)
 
 
 # DECIMAL values (or NULL); keys/grains small ints or NULL so the

@@ -539,7 +539,9 @@ def test_join_skew_strategy_selects_and_sizes_salt(spark):
     uniform keys (the salted right side replicates x salt — a real
     cost) and SALTED when one key's probe rows dominate an average
     task's budget, with the salt sized to the measured excess
-    (ceil(mx*par / (ratio*total)), clamped to [2, max_salt])."""
+    (ceil(mx*par / (ratio*total)), clamped to [2, max_salt]).
+    ``aqe_backstop=False`` pins the pre-AQE-credit path — the sizing
+    logic under test; the crediting itself is the next test."""
     import math
 
     from event_stream_aggr_spark.operators.skew import (
@@ -562,7 +564,7 @@ def test_join_skew_strategy_selects_and_sizes_salt(spark):
         + [(k, i) for k in range(1, 101) for i in range(4)],
         "k int, v int",
     )
-    choice, salt = join_skew_strategy(hot, "k")
+    choice, salt = join_skew_strategy(hot, "k", aqe_backstop=False)
     assert choice == "salted"
     par = spark.sparkContext.defaultParallelism
     expected = max(
@@ -571,15 +573,70 @@ def test_join_skew_strategy_selects_and_sizes_salt(spark):
     assert salt == expected
 
     # clamp: a pathological stat cannot buy unbounded replication
-    assert join_skew_strategy(hot, "k", max_salt=4) == ("salted", 4)
+    assert join_skew_strategy(hot, "k", max_salt=4, aqe_backstop=False) == (
+        "salted",
+        4,
+    )
+
+    # precomputed stats skip the aggregation pass but price identically
+    assert join_skew_strategy(
+        hot, "k", stats=(600, 1000), aqe_backstop=False
+    ) == ("salted", expected)
+
+
+def test_join_skew_strategy_credits_aqe_backstop(spark):
+    """Round-10 VERDICT ask #1: row skew alone must no longer buy a
+    salt. With AQE skew-split armed (the session default) and the hot
+    key's bytes within advisory × parallelism, the selector returns
+    PLAIN — the runtime split already restores balance without the
+    salt's right-side replication. Salting survives only when (a) AQE
+    is pinned off, (b) the join type is outside the left-splittable
+    set, or (c) the hot key outgrows the advisory × split budget."""
+    from event_stream_aggr_spark.operators.skew import join_skew_strategy
+
+    if spark.sparkContext.defaultParallelism < 4:
+        import pytest
+
+        pytest.skip("hot-frame routing assumes >= 4 task slots")
+
+    from pyspark.sql import functions as F
+
+    # built from spark.range so Catalyst CAN estimate bytes-per-row (a
+    # Python createDataFrame is RDD-backed → unknown-size sentinel →
+    # the selector conservatively salts, the very path under test)
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit(0))
+        .otherwise(((F.col("id") - 600) % 100 + 1))
+        .cast("int")
+        .alias("k"),
+        F.col("id").cast("int").alias("v"),
+    )
+    # (session: adaptive + skewJoin on, advisory 64MB) — a 600-row hot
+    # key is far inside AQE's split capacity → plain, AQE owns it
+    assert join_skew_strategy(hot, "k") == ("plain", 1)
+    # non-left-splittable type: AQE can't split the probe side → salt
+    choice, _ = join_skew_strategy(hot, "k", how="full")
+    assert choice == "salted"
+    # (c): shrink the advisory so even map-granularity splits overflow
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = spark.conf.get(key, "64MB")
+    spark.conf.set(key, "1b")
+    try:
+        choice, _ = join_skew_strategy(hot, "k")
+        assert choice == "salted"
+    finally:
+        spark.conf.set(key, saved)
 
 
 def test_auto_skew_join_branches_plan_pinned_and_equal(spark):
     """Both auto_skew_join branches return identical rows on a hot-key
     frame, and the plans differ the way the docstring claims: the
     plain branch joins on the bare key (no salt expression anywhere),
-    the salted/auto branch spreads via the deterministic xxhash64
-    salt. Auto on the hot frame must route to salted."""
+    the salted branch spreads via the deterministic xxhash64 salt.
+    Auto on the hot frame under the session's armed AQE routes PLAIN
+    (round-10 re-price: the runtime skew-split owns in-capacity hot
+    keys); shrinking the advisory below the hot key's bytes flips auto
+    back to the salted plan."""
     from pyspark.sql import functions as F
 
     from event_stream_aggr_spark.operators.skew import auto_skew_join
@@ -589,34 +646,87 @@ def test_auto_skew_join_branches_plan_pinned_and_equal(spark):
 
         pytest.skip("hot-frame routing assumes >= 4 task slots")
 
-    left = spark.createDataFrame(
-        [(0, i) for i in range(600)]
-        + [(k, i) for k in range(1, 101) for i in range(4)],
-        "k int, v int",
+    # range-derived so Catalyst can estimate row width (see the
+    # selector test above): auto's AQE credit requires a usable
+    # bytes-per-row, and an RDD-backed frame has none
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit(0))
+        .otherwise(((F.col("id") - 600) % 100 + 1))
+        .cast("int")
+        .alias("k"),
+        F.col("id").cast("int").alias("v"),
     )
-    right = spark.createDataFrame(
-        [(k, k * 10) for k in range(101)], "k int, d int"
+    right = spark.range(101).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("int").alias("d"),
     )
 
     def rows(df):
         return sorted((r.k, r.v, r.d) for r in df.collect())
 
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = spark.conf.get(key, "64MB")
+
     plain = auto_skew_join(left, right, "k", force="plain")
     salted = auto_skew_join(left, right, "k", force="salted", salt=4)
     auto = auto_skew_join(left, right, "k")
-    assert rows(plain) == rows(salted) == rows(auto)
+    spark.conf.set(key, "1b")
+    try:
+        auto_uncovered = auto_skew_join(left, right, "k")
+        auto_uncovered_plan = (
+            auto_uncovered._jdf.queryExecution().executedPlan().toString()
+        )
+        uncovered_rows = rows(auto_uncovered)
+    finally:
+        spark.conf.set(key, saved)
+    assert rows(plain) == rows(salted) == rows(auto) == uncovered_rows
 
     plain_plan = plain._jdf.queryExecution().executedPlan().toString()
     salted_plan = salted._jdf.queryExecution().executedPlan().toString()
     auto_plan = auto._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" not in plain_plan
     assert "xxhash64" in salted_plan  # the deterministic spread
-    assert "xxhash64" in auto_plan  # hot frame: stats routed to salted
+    # hot frame, AQE armed, key within advisory x par → AQE-credited plain
+    assert "xxhash64" not in auto_plan
+    # same frame, advisory shrunk below the hot key → salted fallback
+    assert "xxhash64" in auto_uncovered_plan
 
     import pytest
 
     with pytest.raises(ValueError, match="force"):
         auto_skew_join(left, right, "k", force="auto")
+
+
+def test_auto_skew_join_validates_how_eagerly(spark):
+    """Round-10 ADVICE (medium): a non-left-preserving ``how`` must be
+    handled at ENTRY, not explode data-dependently from salted_join
+    the day the stats pass measures skew. Auto mode routes right/full
+    outer deterministically to the plain join (AQE is the only sound
+    mitigation there — identical rows to the plain join by
+    construction); force='salted' with such a type raises
+    immediately, even on data the stats pass would call uniform."""
+    import pytest
+
+    from event_stream_aggr_spark.operators.skew import auto_skew_join
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(600)]
+        + [(k, i) for k in range(1, 101) for i in range(4)],
+        "k int, v int",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(150)], "k int, d int"
+    )
+
+    for how in ("right", "full", "full_outer", "rightouter"):
+        got = auto_skew_join(left, right, "k", how=how)
+        want = left.join(right, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert "xxhash64" not in got._jdf.queryExecution().executedPlan().toString()
+        with pytest.raises(ValueError, match="cannot salt"):
+            auto_skew_join(left, right, "k", how=how, force="salted")
 
 
 def test_salted_join_survives_user_salt_column(spark):
