@@ -1,0 +1,151 @@
+"""Doc-number reconciliation (round-10 VERDICT ask #4): verify that
+every CURRENT-STATE numeric claim in README/COVERAGE that cites a
+committed artifact actually matches that artifact, so the recurring
+class — a claim written from a pre-final run and never regenerated
+(r10: "imbalance 3.19 → 1.66" vs the shipped artifact's 4.36 → 1.82)
+— fails loudly at round close instead of surviving into the judge's
+diff.
+
+Scope: claims about the CURRENT artifacts (BENCH_LOCAL.json and
+friends). Historical per-round notes ("round 7: 29.51 s") are frozen
+history and deliberately unchecked.
+
+Each check is (doc file, regex with named groups, {group: artifact
+path}, note). An artifact path is "FILE.json#dotted.key.path". A doc
+number matches when the artifact value, rounded to the same number of
+decimals the doc printed, equals it — docs may round, they may not
+drift. A missing claim pattern is itself a failure: it means the doc
+was rewritten without updating the check (or the claim silently
+dropped), both worth a look.
+
+Usage: python tools/check_docs.py   → exit 0 (all match) / 1 + report
+Run at round close, after the final bench.py run regenerates
+BENCH_LOCAL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def artifact(path: str):
+    fname, dotted = path.split("#", 1)
+    with open(os.path.join(HERE, fname)) as f:
+        val = json.load(f)
+    for part in dotted.split("."):
+        val = val[part]
+    return val
+
+
+def _matches(doc_text: str, want) -> bool:
+    """Doc string vs artifact value: exact for strings/ints, and for
+    floats equal after rounding the artifact to the doc's printed
+    precision (the doc may round 1.0298 to '1.03', not restate it)."""
+    if isinstance(want, bool):
+        return doc_text.lower() == str(want).lower()
+    if isinstance(want, (int, float)):
+        try:
+            got_num = float(doc_text)
+        except ValueError:
+            return False
+        decimals = len(doc_text.split(".")[1]) if "." in doc_text else 0
+        return round(float(want), decimals) == got_num
+    return doc_text == str(want)
+
+
+#: (doc file, claim regex (named groups), {group: artifact path}, note)
+CHECKS: list[tuple[str, str, dict[str, str], str]] = [
+    (
+        "README.md",
+        r"unmitigated imbalance (?P<unmit>[\d.]+) vs plain\+AQE "
+        r"(?P<aqe>[\d.]+); auto strategy `(?P<choice>\w+)/(?P<salt>\d+)` at "
+        r"(?P<auto_sec>[\d.]+) s vs plain_aqe_skewjoin (?P<paqe_sec>[\d.]+) s"
+        r"; backstop disarmed: `(?P<off_choice>\w+)/(?P<off_salt>\d+)`",
+        {
+            "unmit": "BENCH_LOCAL.json#skew.salted_twin.plain_unmitigated.task_imbalance",
+            "aqe": "BENCH_LOCAL.json#skew.salted_twin.plain_aqe_skewjoin.task_imbalance",
+            "choice": "BENCH_LOCAL.json#skew.salted_twin.auto_join.strategy.choice",
+            "salt": "BENCH_LOCAL.json#skew.salted_twin.auto_join.strategy.salt",
+            "auto_sec": "BENCH_LOCAL.json#skew.salted_twin.auto_join.sec",
+            "paqe_sec": "BENCH_LOCAL.json#skew.salted_twin.plain_aqe_skewjoin.sec",
+            "off_choice": "BENCH_LOCAL.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
+            "off_salt": "BENCH_LOCAL.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
+        },
+        "r11 salted-twin claim (the r10 drift class)",
+    ),
+    (
+        "COVERAGE.md",
+        r"salted_twin: auto `(?P<choice>\w+)/(?P<salt>\d+)` under armed AQE, "
+        r"`(?P<off_choice>\w+)/(?P<off_salt>\d+)` disarmed",
+        {
+            "choice": "BENCH_LOCAL.json#skew.salted_twin.auto_join.strategy.choice",
+            "salt": "BENCH_LOCAL.json#skew.salted_twin.auto_join.strategy.salt",
+            "off_choice": "BENCH_LOCAL.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
+            "off_salt": "BENCH_LOCAL.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
+        },
+        "COVERAGE skew-row selector claim",
+    ),
+    (
+        "README.md",
+        r"stage budget covers (?P<frac>[\d.]+)x? of the measured batch",
+        {
+            "frac": "BENCH_LOCAL.json#streaming_curation.stages.covers_frac_of_sec",
+        },
+        "curation full-batch budget coverage claim",
+    ),
+    (
+        "README.md",
+        r"paired median (?P<med>[\d.]+) over (?P<n>\d+)(?:/\d+)? "
+        r"(?:headline )?queries",
+        {
+            "med": "BENCH_LOCAL.json#vs_prev_same_boot.median_ratio_cur_over_prev",
+            "n": "BENCH_LOCAL.json#vs_prev_same_boot.n_compared",
+        },
+        "same-boot A/B headline claim",
+    ),
+]
+
+
+def main() -> int:
+    failures: list[str] = []
+    for fname, pattern, mapping, note in CHECKS:
+        path = os.path.join(HERE, fname)
+        try:
+            text = open(path).read()
+        except OSError as exc:
+            failures.append(f"{fname}: unreadable ({exc})")
+            continue
+        m = re.search(pattern, text)
+        if not m:
+            failures.append(
+                f"{fname}: claim not found ({note}) — pattern {pattern!r}"
+            )
+            continue
+        for group, apath in mapping.items():
+            try:
+                want = artifact(apath)
+            except (OSError, KeyError, ValueError) as exc:
+                failures.append(f"{apath}: unreadable ({exc!r})")
+                continue
+            got = m.group(group)
+            if not _matches(got, want):
+                failures.append(
+                    f"{fname} ({note}): doc says {group}={got!r}, "
+                    f"artifact {apath} = {want!r}"
+                )
+    if failures:
+        print(f"{len(failures)} doc/artifact mismatch(es):")
+        for f in failures:
+            print(f"  - {f}")
+        return 1
+    print(f"all {len(CHECKS)} doc claims match their artifacts")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,6 +28,10 @@ QUERIES = (
     "qg07_kcore_peeling",
     "q58_volume_shipping",
     "q01_pricing_summary",
+    # round-10 VERDICT ask #7: qz09's stats pass + selected plan at 30x
+    # (uniform custkey here — the plain branch; the Zipf-hot branch is
+    # exercised by _skew_probe below on a Zipf twin of the probe dir)
+    "qz09_auto_skew_join",
 )
 
 
@@ -57,12 +61,28 @@ def main() -> None:
     )
     specs = load_all()
     out: dict = {"probe_dir": PROBE, "data_ratio_vs_primary": 30.0, "queries": {}}
+    zdir = os.path.join(HERE, ".scale_probe", "zipf_30x_probe")
     try:
         _probe(spark, specs, out)
+        print(f"generating Zipf twin of the probe at {zdir}...")
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(HERE, "tools", "make_scale_probe.py"),
+                "--zipf",
+                "1.1",
+                PROBE,
+                zdir,
+            ],
+            check=True,
+        )
+        _skew_probe(spark, out, zdir)
+        print(json.dumps(out))
     finally:
-        # ALWAYS delete a generated probe dir — a crash mid-probe that
-        # leaked it would silently re-point every later round's bench
+        # ALWAYS delete generated probe dirs — a crash mid-probe that
+        # leaked one would silently re-point every later round's bench
         # at 30x (bench.upscale_probe picks the LARGEST dir)
+        shutil.rmtree(zdir, ignore_errors=True)
         if generated:
             shutil.rmtree(PROBE, ignore_errors=True)
             print(f"deleted generated probe dir {PROBE}")
@@ -101,6 +121,119 @@ def _probe(spark, specs, out) -> None:
         out["queries"][name] = row
         print(json.dumps({name: row}))
     print(json.dumps(out))
+
+
+def _skew_probe(spark, out, zdir: str) -> None:
+    """Round-10 VERDICT ask #7: exercise auto_skew_join where the hot
+    key is ~30x the sf0.1 grain — the orders⋈lineitem revenue rollup
+    (bench._salted_twin's shape, broadcast escape hatch closed) on a
+    Zipf(1.1) twin of the 30x probe (hot order ≈ 9% of ~18M
+    lineitems), with .scale_probe/zipf1 (same shape at sf1) as the
+    sub-linearity baseline. Per dir: the selector's decision + timing
+    + spill + heavy-stage balance under ARMED AQE (the r11 default —
+    must credit the backstop and ride plain), then the selector's
+    decision and the executed salted plan with the backstop disarmed
+    (the fallback — the excess-sized salt-count formula at 30x)."""
+    import bench
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.skew import (
+        auto_skew_join,
+        join_skew_strategy,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    z1 = os.path.join(HERE, ".scale_probe", "zipf1")
+    dirs = ([("zipf1_baseline", z1)] if os.path.isdir(z1) else []) + [
+        ("zipf_30x", zdir)
+    ]
+
+    def build(sf_path):
+        li = load_table(spark, sf_path, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = load_table(spark, sf_path, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        return li, o
+
+    def revenue(joined):
+        return joined.groupBy("o_orderpriority").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    section: dict = {
+        "alpha": 1.1,
+        "note": "salted-twin join at 30x; same scaled-down AQE triggers"
+        " as bench._salted_twin (8m/2x/4m — the 100 TB deployment uses"
+        " the defaults, the MECHANISM is what scales); aqe_on.strategy"
+        " must say plain (the r11 credit), aqe_off.strategy salted with"
+        " the excess-sized count",
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        for label, sf_path in dirs:
+            row: dict = {}
+            for variant, skew_on in (("aqe_on", "true"), ("aqe_off", "false")):
+                conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+                li, o = build(sf_path)
+                choice, k = join_skew_strategy(li, "l_orderkey")
+                runs, metrics = [], {}
+                for i in range(2):
+                    pre = bench._max_stage_id(spark) if i == 1 else None
+                    t0 = time.perf_counter()
+                    li2, o2 = build(sf_path)
+                    revenue(auto_skew_join(li2, o2, "l_orderkey")).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    runs.append(time.perf_counter() - t0)
+                    if i == 1 and pre is not None:
+                        m = bench._stage_metrics_since(spark, pre)
+                        if m:
+                            metrics.update(
+                                shuffle_write_mb=m["shuffle_write_mb"],
+                                spill_disk_mb=m["spill_disk_mb"],
+                                spill_mem_mb=m["spill_mem_mb"],
+                            )
+                        metrics.update(
+                            bench._task_time_dist(
+                                spark, bench._new_stages_since(spark, pre)
+                            )
+                        )
+                row[variant] = {
+                    "sec": round(min(runs), 4),
+                    "strategy": {"choice": choice, "salt": k},
+                    **metrics,
+                }
+            section[label] = row
+            print(json.dumps({label: row}))
+        if "zipf1_baseline" in section and "zipf_30x" in section:
+            base = section["zipf1_baseline"]["aqe_on"]["sec"]
+            if base > 0:
+                section["time_ratio_30x_vs_zipf1_aqe_on"] = round(
+                    section["zipf_30x"]["aqe_on"]["sec"] / base, 2
+                )
+                section["data_ratio_30x_vs_zipf1"] = 3.0
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    out["skew_twin_30x"] = section
 
 
 if __name__ == "__main__":
