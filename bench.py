@@ -691,11 +691,22 @@ def _salted_twin(spark, zdir: str) -> dict:
                     join_skew_strategy,
                 )
 
+                t0 = time.perf_counter()
                 choice, k = join_skew_strategy(
                     load_table(spark, zdir, "lineitem").select("l_orderkey"),
                     "l_orderkey",
                 )
-                results[label]["strategy"] = {"choice": choice, "salt": k}
+                # the auto rows' sec INCLUDES this one-shot count-per-key
+                # pass on every timed run (pricing is part of the
+                # deployable default's cost); recording it separately
+                # lets the reader see auto = selected plan + stats pass
+                # — callers amortize it with stats=(mx, total) or by
+                # checkpointing the probe side
+                results[label]["strategy"] = {
+                    "choice": choice,
+                    "salt": k,
+                    "stats_pass_sec": round(time.perf_counter() - t0, 4),
+                }
     finally:
         for k, v in saved.items():
             conf.set(k, v)
@@ -709,10 +720,12 @@ def _salted_twin(spark, zdir: str) -> dict:
         " replicating the right side x salt. auto_join (qz09, r11"
         " re-price) credits the armed backstop: with AQE skew-split on"
         " and the hot key within advisory x parallelism it rides the"
-        " plain+AQE plan (strategy must say plain, time ~="
-        " plain_aqe_skewjoin); auto_join_aqe_off proves the fallback"
-        " still fires — same stats pass, backstop disarmed, salted"
-        " with the excess-sized count"
+        " plain+AQE plan (strategy must say plain; sec ="
+        " plain_aqe_skewjoin's plan + the one-shot stats pass recorded"
+        " in strategy.stats_pass_sec, amortizable via stats=(mx,"
+        " total)); auto_join_aqe_off proves the fallback still fires —"
+        " same stats pass, backstop disarmed, salted with the"
+        " excess-sized count"
     )
     return results
 

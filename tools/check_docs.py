@@ -120,6 +120,9 @@ def main() -> int:
         except OSError as exc:
             failures.append(f"{fname}: unreadable ({exc})")
             continue
+        # markdown hard-wraps prose; collapse all whitespace runs so
+        # patterns are written with plain single spaces
+        text = re.sub(r"\s+", " ", text)
         m = re.search(pattern, text)
         if not m:
             failures.append(
