@@ -1242,10 +1242,24 @@ def _vs_prev_streams(spark, prev_modules: dict, wt: str) -> dict:
             with _swapped_modules(prev_modules, wt), _conf_fence(spark):
                 acc.append(fn(spark)[rate_key])
 
+        ratio_first_two = None
         try:
             # alternated order, same as the batch pairs: the second
-            # run of a pair rides the caches the first just warmed
-            for first, second in ((_cur, _prev), (_prev, _cur)):
+            # run of a pair rides the caches the first just warmed.
+            # A third pair runs ONLY when the first two leave the
+            # ratio outside [0.8, 1.25] — stream rates show 1.5-2x
+            # in-session spread (documented at median_of_3_stream), so
+            # a single out-of-band pair is usually noise; as in the
+            # batch path the pre-re-measure ratio is kept beside the
+            # final one so the suppression stays auditable
+            for i, (first, second) in enumerate(
+                ((_cur, _prev), (_prev, _cur), (_cur, _prev))
+            ):
+                if i == 2:
+                    c, p = max(cur_rates), max(prev_rates)
+                    if p > 0 and 0.8 <= c / p <= 1.25:
+                        break
+                    ratio_first_two = round(c / p, 3) if p > 0 else None
                 first()
                 second()
         except Exception as exc:  # noqa: BLE001 — per-stream fence
@@ -1259,10 +1273,12 @@ def _vs_prev_streams(spark, prev_modules: dict, wt: str) -> dict:
             "cur_rate": round(c, 1),
             "prev_rate": round(p, 1),
             "ratio_cur_over_prev": round(c / p, 3) if p > 0 else None,
-            "n_pairs": 2,
+            "n_pairs": min(len(cur_rates), len(prev_rates)),
             "cur_rates": [round(r, 1) for r in cur_rates],
             "prev_rates": [round(r, 1) for r in prev_rates],
         }
+        if ratio_first_two is not None:
+            out[sname]["ratio_first_two"] = ratio_first_two
     return out
 
 

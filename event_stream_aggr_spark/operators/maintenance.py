@@ -1613,3 +1613,72 @@ GROUP BY c.c_mktsegment
 
 
 _register_auto_skew_join_query()
+
+
+def _register_aqe_credited_join_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qz10_aqe_credited_join",
+        tags=("maintenance", "skew", "join", "scale"),
+        oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM (SELECT CASE WHEN o_orderkey % 10 < 6 THEN 1 ELSE o_custkey END
+         AS c_custkey,
+       o_totalprice
+      FROM orders) o
+JOIN customer c ON o.c_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    )
+    def qz10_aqe_credited_join(spark, sf_dir):
+        """qz09's shape with a DELIBERATELY hot probe key — 60% of all
+        orders remapped onto custkey 1 (``o_orderkey % 10 < 6``), so
+        the selector's row-skew gate FIRES on the driver's own test
+        data — driving the round-11 AQE-credit decision
+        (``operators/skew.join_skew_strategy``) under the oracle: AQE
+        skew-split is armed in every session this runs under, the hot
+        key's estimated bytes sit far inside advisory × parallelism,
+        so auto mode must ride the PLAIN join and leave the skew to
+        the runtime backstop (the r10 selector would have bought a
+        salt here). qz05 remains the always-salted pin and qz09 the
+        uniform-key plain pin; this query pins the credit itself.
+
+        The oracle is branch-INDEPENDENT (the plain join), so the
+        value check holds whichever branch a session's conf routes to
+        — under a conf with AQE disabled the salted fallback produces
+        identical rows (salting only routes rows across shuffle
+        partitions). DECIMAL order-total math, DOUBLE at the final
+        cast, exactly like qz09.
+
+        Scale shape: one count-per-key stats agg (metadata grain) +
+        one equi-join shuffle whose oversized partitions AQE splits by
+        map-output ranges at runtime — no right-side replication paid.
+        """
+        from event_stream_aggr_spark.operators.skew import auto_skew_join
+
+        o = load_table(spark, sf_dir, "orders").select(
+            F.when(F.col("o_orderkey") % 10 < 6, F.lit(1).cast("long"))
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        joined = auto_skew_join(o, c, "c_custkey")
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+
+    return qz10_aqe_credited_join
+
+
+_register_aqe_credited_join_query()

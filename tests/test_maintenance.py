@@ -244,3 +244,33 @@ def test_qz09_auto_picks_plain_on_uniform_orders(spark, sf_dir):
         F.col("o_custkey").alias("c_custkey")
     )
     assert join_skew_strategy(o, "c_custkey") == ("plain", 1)
+
+
+def test_qz10_skew_gate_fires_and_aqe_credit_takes_it(spark, sf_dir):
+    """Pin qz10's reason for existing (r11): on its deliberately hot
+    key (60% of orders on custkey 1) the ROW-SKEW GATE FIRES — with
+    the backstop pinned off the selector salts — and the armed-AQE
+    credit is what flips the decision to plain, which is the branch
+    the registered query's executed plan must carry (no salt
+    expression). Without the backstop=False assertion this would be
+    indistinguishable from the gate never firing (qz09's uniform
+    case); without the plan assertion the credit could silently stop
+    being taken while the branch-independent oracle stayed green."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.skew import join_skew_strategy
+    from event_stream_aggr_spark.plans.registry import load_all
+    from event_stream_aggr_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 10 < 6, F.lit(1).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey")
+    )
+    choice, salt = join_skew_strategy(o, "c_custkey", aqe_backstop=False)
+    assert choice == "salted" and salt >= 2  # the gate fires
+    assert join_skew_strategy(o, "c_custkey") == ("plain", 1)  # the credit
+
+    df = load_all()["qz10_aqe_credited_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in plan  # the registered plan rides plain+AQE
