@@ -697,6 +697,43 @@ def test_auto_skew_join_branches_plan_pinned_and_equal(spark):
         auto_skew_join(left, right, "k", force="auto")
 
 
+def test_parse_bytes_and_size_estimate_guards(spark):
+    """The AQE-credit capacity check leans on two small helpers whose
+    failure modes must stay conservative: ``_parse_bytes`` handles
+    every Spark byte-size spelling (and falls back to the shipped
+    64 MB default on garbage, never raising), and
+    ``_est_bytes_per_row`` returns None — refusing the credit — for
+    RDD-backed frames (Catalyst's Long.MaxValue unknown sentinel) and
+    for zero totals."""
+    from event_stream_aggr_spark.operators.skew import (
+        _est_bytes_per_row,
+        _parse_bytes,
+    )
+
+    mb64 = 64 * 1024**2
+    assert _parse_bytes("64MB") == mb64
+    assert _parse_bytes("64mb") == mb64
+    assert _parse_bytes("8m") == 8 * 1024**2
+    assert _parse_bytes("4M") == 4 * 1024**2
+    assert _parse_bytes("1b") == 1
+    assert _parse_bytes("1048576") == 1048576
+    assert _parse_bytes("2g") == 2 * 1024**3
+    assert _parse_bytes(" 16 kb ") == 16 * 1024
+    assert _parse_bytes("garbage") == mb64
+    assert _parse_bytes("") == mb64
+    assert _parse_bytes(None) == mb64
+    assert _parse_bytes("12parsecs") == mb64
+
+    # RDD-backed frame → unknown-size sentinel → None (no credit)
+    rdd_backed = spark.createDataFrame([(1, 2)], "a int, b int")
+    assert _est_bytes_per_row(rdd_backed, 1) is None
+    # range-derived frame → a real positive estimate
+    est = _est_bytes_per_row(spark.range(100), 100)
+    assert est is not None and est > 0
+    # zero/negative totals can't divide
+    assert _est_bytes_per_row(spark.range(100), 0) is None
+
+
 def test_auto_skew_join_validates_how_eagerly(spark):
     """Round-10 ADVICE (medium): a non-left-preserving ``how`` must be
     handled at ENTRY, not explode data-dependently from salted_join
