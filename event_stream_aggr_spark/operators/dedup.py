@@ -68,6 +68,29 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def band_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """``(id_col, bucket)`` — one row per (doc, band), where ``bucket``
+    is the struct(band, v0..v{rows-1}) of that band's signature slice.
+    Two docs agreeing on any band produce an EQUAL bucket value, so
+    every LSH consumer (pair generation, the streaming band store) is
+    an equi-join/groupBy on this one column — never a cross join."""
+    rows = MINHASH_K // bands
+    sigs = minhash_signatures(docs, id_col, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"sig_{b * rows + r}").alias(f"v{r}") for r in range(rows)],
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    return sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
+
+
 def lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -79,16 +102,7 @@ def lsh_candidates(
     The shared sub-quadratic candidate generator behind
     ``minhash_lsh_pairs`` (Jaccard) and ``containment_pairs``
     (asymmetric containment)."""
-    rows = MINHASH_K // bands
-    sigs = minhash_signatures(docs, id_col, text_col)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            *[F.col(f"sig_{b * rows + r}").alias(f"v{r}") for r in range(rows)],
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
+    banded = band_buckets(docs, id_col, text_col, bands)
     return (
         banded.alias("a")
         .join(banded.alias("b"), on="bucket")
@@ -1657,3 +1671,128 @@ def qa08_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(2, "span_dedup", c, clean_toks))
         .unionAll(stage(3, "exact_dedup", e, clean_toks))
     )
+
+
+# ---------------------------------------------------------------------------
+# Band-canonical near-dedup: the batch kernel of the streaming near-dup
+# operator (streaming/near_dedup.py) — round 11
+# ---------------------------------------------------------------------------
+
+
+def band_canonical_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    seen_buckets: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Greedy band-canonical near-dedup of ONE batch of documents,
+    optionally against the band buckets of previously KEPT docs —
+    the batch kernel `streaming/near_dedup.py` folds over micro-batches
+    (an ingest-time near-dup gate: drop arriving docs that look like
+    anything already admitted to the corpus).
+
+    A doc is DROPPED iff
+    (a) any of its MinHash band buckets appears in ``seen_buckets``
+        (near-dup of an earlier kept doc — cross-batch), else
+    (b) any of its buckets contains a smaller ``id_col`` among the
+        docs surviving (a) in this batch (the qd12 canonical-first
+        rule at band grain: one min-aggregate + one equi-join, no
+        iteration).
+    Rule (b) is deliberately GREEDY, not transitively closed: if A<B
+    share band 1 and B<C share band 2 (A≁C), C is dropped even though
+    its bucket's canonical B was itself dropped. Note the asymmetry
+    with rule (a): across batches only ADMITTED docs veto (a next-batch
+    C would be kept — B never entered the store), so batch boundaries
+    matter exactly at chain middles; the precise contract is stated in
+    streaming/near_dedup.py and pinned in
+    tests/test_streaming_near_dedup.py. Connected-component closure is
+    qd08's job, offline.
+
+    Returns ``(kept_ids, kept_buckets)``: the surviving ids and THEIR
+    band buckets (what the streaming store persists — state is
+    buckets-of-kept-docs, a few longs per admitted doc, not text).
+
+    Scale shape: banding is one explode + one shuffle keyed by doc id
+    (``band_buckets``); both rules are bucket-grain equi-joins
+    (left_semi/left_anti — AQE-splittable) plus one min-agg; no
+    window, no quadratic block, and the candidate structure is the
+    same bucket equality qd04's LSH uses."""
+    banded = band_buckets(docs, id_col, text_col, bands)
+    if seen_buckets is not None:
+        hit = (
+            banded.join(seen_buckets.select("bucket"), "bucket", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        survivors = banded.join(hit, id_col, "left_anti")
+    else:
+        survivors = banded
+    canon = survivors.groupBy("bucket").agg(F.min(id_col).alias("_canon"))
+    dropped = (
+        survivors.join(canon, "bucket")
+        .filter(F.col(id_col) != F.col("_canon"))
+        .select(id_col)
+        .distinct()
+    )
+    kept_buckets = survivors.join(dropped, id_col, "left_anti")
+    kept_ids = kept_buckets.select(id_col).distinct()
+    return kept_ids, kept_buckets
+
+
+def _band_canonical_oracle(bands: int = 2, max_chars: int = 160) -> str:
+    """Replays the single-batch kernel in SQL: same md5-derived
+    signatures as ``_minhash_oracle``, a doc dropped iff a smaller
+    doc_id agrees with it on any band."""
+    rows = MINHASH_K // bands
+    sig_exprs = ",\n         ".join(
+        f"CAST(MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS BIGINT)"
+        f" AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.sig_{b * rows + r} = b.sig_{b * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH short_docs AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+  FROM documents WHERE n_chars <= {max_chars}),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM short_docs)),
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM h GROUP BY doc_id),
+dropped AS (
+  SELECT DISTINCT a.doc_id
+  FROM sigs a JOIN sigs b ON b.doc_id < a.doc_id AND ({band_conds}))
+SELECT doc_id FROM sigs
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register(
+    "qd17_band_canonical_dedup",
+    tags=("dedup", "streaming-twin"),
+    oracle=_band_canonical_oracle(),
+)
+def qd17_band_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-batch form of ``band_canonical_dedup`` (the streaming
+    near-dup gate's kernel, round 11) over the short documents — the
+    kept doc_ids under the greedy smaller-id-wins band rule. Short-doc
+    restriction and bands=2 match qd04 (the synthetic corpus's
+    ~30-word vocabulary makes long-doc signatures all collide —
+    MinHash's degenerate case). The oracle replays the exact dataflow
+    in SQL: identical md5-derived signatures, drop iff a smaller
+    doc_id agrees on any band. tests/test_streaming_near_dedup.py
+    proves the streaming fold over micro-batches admits exactly this
+    set regardless of batch boundaries."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
+    kept, _ = band_canonical_dedup(d, bands=2)
+    return kept
