@@ -104,6 +104,11 @@ def main() -> None:
         "streaming_cep": median_of_3_stream(
             cep_stream_bench, spark, rate_key="events_per_sec"
         ),
+        # the r11 near-dup gate; joins the paired A/B set next round,
+        # once a prev round-close commit contains the module
+        "streaming_near_dedup": median_of_3_stream(
+            near_dedup_stream_bench, spark, rate_key="docs_per_sec"
+        ),
         "deltas_vs_prev_round": prev_round_deltas(timings),
         "stage_metrics": {
             "note": "executor-reported bytes per headline query (warm "
@@ -149,6 +154,9 @@ def main() -> None:
             "cep_events_per_sec": diagnostics["streaming_cep"].get(
                 "events_per_sec"
             ),
+            "near_dedup_docs_per_sec": diagnostics[
+                "streaming_near_dedup"
+            ].get("docs_per_sec"),
         },
         "queries": {n: round(s, 2) for n, s in timings.items()},
         # compact A/B summary (full per-query block in the
@@ -874,6 +882,54 @@ def curation_stream_bench(spark) -> dict:
         }
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def near_dedup_stream_bench(spark) -> dict:
+    """Streaming near-dedup gate throughput (round 11,
+    streaming/near_dedup.py): documents replayed as micro-batches
+    through the band-store foreachBatch — MinHash banding + bucket
+    joins against the admitted corpus + store fold per epoch. docs/s
+    counts INPUT documents (the gate's drop rate must not inflate the
+    number). Fresh state root + checkpoint per run so every run pays
+    the same empty-store start; kept output goes to a temp dir."""
+    import shutil
+    import tempfile
+
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming.near_dedup import near_dedup_sink
+    from event_stream_aggr_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_near_dedup_")
+    try:
+        src = os.path.join(work, "src")
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        docs.repartition(16).write.mode("overwrite").parquet(src)
+        n_docs = spark.read.parquet(src).count()
+        schema = spark.read.parquet(src).schema
+
+        stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=8)
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(
+                near_dedup_sink(
+                    os.path.join(work, "state"), os.path.join(work, "out")
+                )
+            )
+            .option("checkpointLocation", os.path.join(work, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        kept = spark.read.parquet(os.path.join(work, "out", "epoch=*")).count()
+        return {
+            "input_docs": n_docs,
+            "kept_docs": kept,
+            "sec": round(elapsed, 4),
+            "docs_per_sec": round(n_docs / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _prev_round_commit(here: str) -> str | None:

@@ -19,8 +19,14 @@ was rewritten without updating the check (or the claim silently
 dropped), both worth a look.
 
 Usage: python tools/check_docs.py   → exit 0 (all match) / 1 + report
-Run at round close, after the final bench.py run regenerates
-BENCH_LOCAL.json.
+Run at round close: copy the final bench run's BENCH_LOCAL.json to
+BENCH_R{N}_CLOSE.json (an immutable committed snapshot), point CHECKS
+at it, and regenerate the doc claims from it. Claims must cite the
+SNAPSHOT, not the live BENCH_LOCAL.json — the driver re-runs bench.py
+after the builder's turns end and overwrites BENCH_LOCAL with
+noise-shifted numbers, which would fail the check for no real reason
+(run-to-run timing drift is the documented ±25-65%; the paired
+same-boot A/B inside the artifact is the cross-run signal).
 """
 
 from __future__ import annotations
@@ -67,14 +73,14 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         r"(?P<auto_sec>[\d.]+) s vs plain_aqe_skewjoin (?P<paqe_sec>[\d.]+) s"
         r"; backstop disarmed: `(?P<off_choice>\w+)/(?P<off_salt>\d+)`",
         {
-            "unmit": "BENCH_LOCAL.json#skew.salted_twin.plain_unmitigated.task_imbalance",
-            "aqe": "BENCH_LOCAL.json#skew.salted_twin.plain_aqe_skewjoin.task_imbalance",
-            "choice": "BENCH_LOCAL.json#skew.salted_twin.auto_join.strategy.choice",
-            "salt": "BENCH_LOCAL.json#skew.salted_twin.auto_join.strategy.salt",
-            "auto_sec": "BENCH_LOCAL.json#skew.salted_twin.auto_join.sec",
-            "paqe_sec": "BENCH_LOCAL.json#skew.salted_twin.plain_aqe_skewjoin.sec",
-            "off_choice": "BENCH_LOCAL.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
-            "off_salt": "BENCH_LOCAL.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
+            "unmit": "BENCH_R11_CLOSE.json#skew.salted_twin.plain_unmitigated.task_imbalance",
+            "aqe": "BENCH_R11_CLOSE.json#skew.salted_twin.plain_aqe_skewjoin.task_imbalance",
+            "choice": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join.strategy.choice",
+            "salt": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join.strategy.salt",
+            "auto_sec": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join.sec",
+            "paqe_sec": "BENCH_R11_CLOSE.json#skew.salted_twin.plain_aqe_skewjoin.sec",
+            "off_choice": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
+            "off_salt": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
         },
         "r11 salted-twin claim (the r10 drift class)",
     ),
@@ -83,10 +89,10 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         r"salted_twin: auto `(?P<choice>\w+)/(?P<salt>\d+)` under armed AQE, "
         r"`(?P<off_choice>\w+)/(?P<off_salt>\d+)` disarmed",
         {
-            "choice": "BENCH_LOCAL.json#skew.salted_twin.auto_join.strategy.choice",
-            "salt": "BENCH_LOCAL.json#skew.salted_twin.auto_join.strategy.salt",
-            "off_choice": "BENCH_LOCAL.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
-            "off_salt": "BENCH_LOCAL.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
+            "choice": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join.strategy.choice",
+            "salt": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join.strategy.salt",
+            "off_choice": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
+            "off_salt": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
         },
         "COVERAGE skew-row selector claim",
     ),
@@ -94,7 +100,7 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         "README.md",
         r"stage budget covers (?P<frac>[\d.]+)x? of the measured batch",
         {
-            "frac": "BENCH_LOCAL.json#streaming_curation.stages.covers_frac_of_sec",
+            "frac": "BENCH_R11_CLOSE.json#streaming_curation.stages.covers_frac_of_sec",
         },
         "curation full-batch budget coverage claim",
     ),
@@ -103,8 +109,8 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         r"paired median (?P<med>[\d.]+) over (?P<n>\d+)(?:/\d+)? "
         r"(?:headline )?queries",
         {
-            "med": "BENCH_LOCAL.json#vs_prev_same_boot.median_ratio_cur_over_prev",
-            "n": "BENCH_LOCAL.json#vs_prev_same_boot.n_compared",
+            "med": "BENCH_R11_CLOSE.json#vs_prev_same_boot.median_ratio_cur_over_prev",
+            "n": "BENCH_R11_CLOSE.json#vs_prev_same_boot.n_compared",
         },
         "same-boot A/B headline claim",
     ),
