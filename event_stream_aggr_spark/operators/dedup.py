@@ -1790,9 +1790,16 @@ def qd17_band_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30-word vocabulary makes long-doc signatures all collide —
     MinHash's degenerate case). The oracle replays the exact dataflow
     in SQL: identical md5-derived signatures, drop iff a smaller
-    doc_id agrees on any band. tests/test_streaming_near_dedup.py
-    proves the streaming fold over micro-batches admits exactly this
-    set regardless of batch boundaries."""
+    doc_id agrees on any band. tests/test_streaming_near_dedup.py pins
+    the streaming fold's contract against this kernel (single batch ==
+    kernel; across batches only ADMITTED docs veto).
+
+    Scale shape: banding is one explode + one per-doc-keyed shuffle
+    (signature width k longs regardless of document size); both drop
+    rules are bucket-grain equi-joins (left_semi/left_anti, AQE-
+    splittable) plus one map-side-combinable min-aggregate — the same
+    sub-quadratic bucket structure as qd04's LSH, never an all-pairs
+    block, no window."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
     kept, _ = band_canonical_dedup(d, bands=2)
     return kept
