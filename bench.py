@@ -933,11 +933,16 @@ def near_dedup_stream_bench(spark) -> dict:
 
 
 def _prev_round_commit(here: str) -> str | None:
-    """Hash of the most recent round-close commit (subject 'round N:
-    ...') whose TREE differs from HEAD's — the exact tree the previous
-    round's bench measured. The tree check prevents a self-comparison:
-    re-running bench right at a round-close commit would otherwise
-    pair HEAD against its own code and report a meaningless ~1.0."""
+    """Hash of the most recent DRIVER round-close commit whose TREE
+    differs from HEAD's — the exact tree the previous round's bench
+    measured. Only the driver's two round-close subject forms match
+    ('round N: verdict/advice/correctness/bench' and 'round N:
+    end-of-round snapshot ...'): a builder commit that merely BEGINS
+    'round N:' must not be picked, or the A/B silently pairs against a
+    mid-round tree and measures this round's own edits as ~1.0
+    (observed in round 11 before this tightening). The tree check
+    prevents a self-comparison: re-running bench right at a round-close
+    commit would otherwise pair HEAD against its own code."""
     import re
     import subprocess
 
@@ -951,12 +956,15 @@ def _prev_round_commit(here: str) -> str | None:
         out = _git("log", "--format=%H %T %s", "-n", "500")
     except (OSError, subprocess.CalledProcessError):
         return None
+    close_subject = re.compile(
+        r"round \d+: (verdict/advice/correctness/bench|end-of-round snapshot)"
+    )
     for line in out.splitlines():
         parts = line.split(" ", 2)
         if len(parts) < 3:
             continue
         h, tree, subj = parts
-        if re.match(r"round \d+:", subj) and tree != head_tree:
+        if close_subject.match(subj) and tree != head_tree:
             return h
     return None
 
