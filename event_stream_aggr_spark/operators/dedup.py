@@ -91,6 +91,21 @@ def band_buckets(
     return sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
 
 
+def tokenless_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Ids of docs whose shingle set is EMPTY (empty, whitespace-only,
+    or NULL text). Such docs produce no MinHash rows — the explode in
+    ``minhash_signatures`` yields nothing — so every band-bucket
+    consumer must handle them explicitly or silently lose them
+    (round-11 ADVICE on the streaming gate). A scan-side size filter,
+    no join, no shuffle; ``coalesce(size, 0)`` covers NULL text
+    (``size(NULL)`` is NULL under Spark's non-legacy default)."""
+    return docs.filter(
+        F.coalesce(F.size(distinct_tokens(F.col(text_col))), F.lit(0)) <= 0
+    ).select(id_col)
+
+
 def lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1699,6 +1714,15 @@ def band_canonical_dedup(
         docs surviving (a) in this batch (the qd12 canonical-first
         rule at band grain: one min-aggregate + one equi-join, no
         iteration).
+    TOKEN-LESS docs (empty, whitespace-only, or NULL ``text_col``)
+    have no shingle set, hence no MinHash signature and no band
+    buckets — they can be a near-duplicate of nothing, so they are
+    ALWAYS KEPT (round-11 ADVICE: the band dataflow alone would
+    silently drop them — data loss for inputs that are not near-dups
+    of anything). They contribute no buckets to ``kept_buckets``
+    (nothing to match on), so the streaming store never grows by
+    them; collapsing IDENTICAL empty docs is exact dedup's job
+    (``streaming/dedup.py`` / qd01), not a similarity gate's.
     Rule (b) is deliberately GREEDY, not transitively closed: if A<B
     share band 1 and B<C share band 2 (A≁C), C is dropped even though
     its bucket's canonical B was itself dropped. Note the asymmetry
@@ -1736,14 +1760,20 @@ def band_canonical_dedup(
         .distinct()
     )
     kept_buckets = survivors.join(dropped, id_col, "left_anti")
-    kept_ids = kept_buckets.select(id_col).distinct()
+    kept_ids = (
+        kept_buckets.select(id_col)
+        .unionByName(tokenless_ids(docs, id_col, text_col))
+        .distinct()
+    )
     return kept_ids, kept_buckets
 
 
 def _band_canonical_oracle(bands: int = 2, max_chars: int = 160) -> str:
     """Replays the single-batch kernel in SQL: same md5-derived
     signatures as ``_minhash_oracle``, a doc dropped iff a smaller
-    doc_id agrees with it on any band."""
+    doc_id agrees with it on any band; token-less docs (no shingle
+    set → no signature row) are kept via the UNION ALL branch,
+    mirroring the kernel's ``tokenless_ids`` path."""
     rows = MINHASH_K // bands
     sig_exprs = ",\n         ".join(
         f"CAST(MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS BIGINT)"
@@ -1774,6 +1804,8 @@ dropped AS (
   FROM sigs a JOIN sigs b ON b.doc_id < a.doc_id AND ({band_conds}))
 SELECT doc_id FROM sigs
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+UNION ALL
+SELECT doc_id FROM short_docs WHERE coalesce(len(toks), 0) = 0
 """
 
 

@@ -1644,8 +1644,10 @@ GROUP BY c.c_mktsegment
         data — driving the round-11 AQE-credit decision
         (``operators/skew.join_skew_strategy``) under the oracle: AQE
         skew-split is armed in every session this runs under, the hot
-        key's estimated bytes sit far inside advisory × parallelism,
-        so auto mode must ride the PLAIN join and leave the skew to
+        key's estimated bytes sit far inside advisory × map-spread
+        (parallelism capped by the estimated input-split count —
+        round-12 re-price), so auto mode must ride the PLAIN join and
+        leave the skew to
         the runtime backstop (the r10 selector would have bought a
         salt here). qz05 remains the always-salted pin and qz09 the
         uniform-key plain pin; this query pins the credit itself.

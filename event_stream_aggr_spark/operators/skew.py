@@ -350,29 +350,58 @@ def _aqe_skew_eligible(spark, how: str) -> bool:
     )
 
 
+def _map_spread(left: DataFrame, total: int, par: int, bpr: float) -> int:
+    """How many upstream map tasks the hot key's rows plausibly spread
+    over — the granularity floor of AQE's skew-split. ``par``
+    (defaultParallelism) is the ceiling, but a probe side SMALLER than
+    ``par × maxPartitionBytes`` scans in fewer input splits than the
+    session has cores, so the hot key lands on fewer map outputs than
+    ``par`` assumes (round-11 ADVICE: crediting the full ``par`` there
+    over-states AQE's split granularity and can skip a still-needed
+    salt). The split count is estimated the way Spark's own file
+    source derives it — plan bytes / ``spark.sql.files.
+    maxPartitionBytes`` — from the SAME Catalyst size estimate the
+    capacity check already uses, so no extra stats pass."""
+    import math
+
+    mpb = _parse_bytes(
+        _conf_get(
+            left.sparkSession, "spark.sql.files.maxPartitionBytes", "128MB"
+        ),
+        default=128 * 1024**2,
+    )
+    est_splits = max(1, math.ceil(bpr * total / mpb))
+    return min(par, est_splits)
+
+
 def _aqe_covers_hot_key(left: DataFrame, mx: int, total: int, par: int) -> bool:
     """Can AQE's skew-split absorb a hot key of ``mx`` rows? AQE splits
     an oversized sort-merge partition by MAP-OUTPUT ranges into chunks
     of ~``advisoryPartitionSizeInBytes`` — a single key CAN be split
     (unlike any hash re-key), but never below one map task's output
-    for that partition. With the hot key's rows spread over ~``par``
-    upstream map tasks, the smallest reachable chunk is ``mx/par``
-    rows, so AQE's splits hit their advisory target whenever the hot
-    key's total estimated bytes fit ``advisory × par`` — the "advisory
-    × split budget" bound. Beyond it (or when Catalyst can't estimate
-    row width) the pre-shuffle salt is the remaining lever.
+    for that partition. With the hot key's rows spread over
+    ``_map_spread`` upstream map tasks (defaultParallelism capped by
+    the estimated input-split count, so a small probe side is not
+    credited with spread it cannot have), the smallest reachable chunk
+    is ``mx/spread`` rows, so AQE's splits hit their advisory target
+    whenever the hot key's total estimated bytes fit ``advisory ×
+    spread`` — the "advisory × split budget" bound. Beyond it (or when
+    Catalyst can't estimate row width) the pre-shuffle salt is the
+    remaining lever.
 
     Caveat, documented not detected: an input CLUSTERED by the join
     key concentrates the hot key in few map tasks, shrinking AQE's
     real split granularity below this uniform-spread estimate — force
-    ``'salted'`` for that corpus shape."""
+    ``'salted'`` for that corpus shape. (The few-partitions case is
+    now detected by the split-count cap; clustering within big inputs
+    remains the documented residual.)"""
     bpr = _est_bytes_per_row(left, total)
     if bpr is None:
         return False
     advisory = _parse_bytes(
         _conf_get(left.sparkSession, _AQE_ADVISORY_KEY, "64MB")
     )
-    return mx * bpr <= advisory * par
+    return mx * bpr <= advisory * _map_spread(left, total, par, bpr)
 
 
 def _conf_get(spark, key: str, default: str) -> str:

@@ -20,7 +20,16 @@ use, with the same replay contract):
 - per epoch: drop batch docs hitting any stored bucket (cross-batch
   near-dups), apply the within-batch greedy rule, write the kept docs
   to ``out_dir/epoch=N`` (``overwrite`` — replay-idempotent), fold
-  the kept docs' buckets into the store, commit the epoch.
+  the kept docs' buckets into the store, commit the epoch. The band
+  dataflow is DISK_ONLY-checkpointed once per epoch and both writes
+  (output + store fold) probe the materialized blocks — MinHash and
+  the drop rules never run twice per batch.
+- TOKEN-LESS docs (empty/whitespace/NULL text) have no buckets and
+  can near-match nothing: they are always ADMITTED and never enter
+  the store (collapsing identical empties is exact dedup's job —
+  ``streaming/dedup.py``). The store's ``canon`` column keeps
+  ``id_col``'s native type (string UUIDs attribute correctly;
+  first-writer-wins needs only an orderable type).
 - redelivery of a committed epoch is a no-op (outputs already on
   disk, merging the buckets again would be harmless for membership
   but would still cost a write — the gate skips it, exactly like
@@ -71,7 +80,14 @@ def near_dedup_sink(
     """
     from pyspark.sql import functions as F
 
-    from event_stream_aggr_spark.operators.dedup import band_canonical_dedup
+    from event_stream_aggr_spark.operators.dedup import (
+        band_canonical_dedup,
+        tokenless_ids,
+    )
+    from event_stream_aggr_spark.operators.lifecycle import (
+        disk_checkpoint,
+        free_blocks,
+    )
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -89,34 +105,57 @@ def near_dedup_sink(
             # post-commit redelivery: kept rows for this epoch are
             # already on disk and its buckets already folded in
             return
-        kept_ids, kept_buckets = band_canonical_dedup(
+        _, kept_buckets = band_canonical_dedup(
             batch, id_col=id_col, text_col=text_col, bands=bands,
             seen_buckets=state,
         )
-        kept_rows = batch.join(kept_ids, id_col, "left_semi")
-        # output BEFORE the state commit: a crash in between replays
-        # this epoch, which rewrites the same rows (overwrite) and
-        # folds the buckets exactly once
-        kept_rows.write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={epoch_id}"
-        )
-        entries = kept_buckets.select(
-            "bucket", F.col(id_col).cast("long").alias("canon")
-        )
-        if state is not None:
-            # first-writer wins per bucket: earlier epochs' canon ids
-            # stay canonical (min over the union is deterministic and
-            # epoch-order-independent for membership; the store only
-            # ever grows by NEW buckets)
-            entries = (
-                state.unionByName(entries)
-                .groupBy("bucket")
-                .agg(F.min("canon").alias("canon"))
+        # ONE evaluation of the band dataflow per epoch (round-11
+        # ADVICE: the output semi-join and the store fold each
+        # re-ran MinHash + both drop rules): checkpoint the kept
+        # buckets, then both writes below probe the materialized
+        # blocks. Freed after the commit — the epoch's only consumers
+        # are inside this function.
+        kept_buckets, _, blocks = disk_checkpoint(kept_buckets)
+        try:
+            # kept ids = bucketed survivors ∪ token-less docs — the
+            # latter have no buckets (nothing to near-match on) and
+            # are ALWAYS admitted; the band store never grows by them
+            # (contract in operators/dedup.band_canonical_dedup)
+            kept = (
+                kept_buckets.select(id_col)
+                .unionByName(tokenless_ids(batch, id_col, text_col))
+                .distinct()
             )
-        entries.write.mode("overwrite").parquet(
-            ss._join(root, f"v{epoch_id}")
-        )
-        ss._commit(spark, root, epoch_id)
-        ss._vacuum(spark, root, keep_from=committed)
+            kept_rows = batch.join(kept, id_col, "left_semi")
+            # output BEFORE the state commit: a crash in between
+            # replays this epoch, which rewrites the same rows
+            # (overwrite) and folds the buckets exactly once
+            kept_rows.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
+            # canon keeps id_col's NATIVE type (round-11 ADVICE: a
+            # cast-to-long nulled canonical attribution for string
+            # ids); first-writer-wins needs only an orderable type
+            entries = kept_buckets.select(
+                "bucket", F.col(id_col).alias("canon")
+            )
+            if state is not None:
+                # first-writer wins per bucket: earlier epochs' canon
+                # ids stay canonical (min over the union is
+                # deterministic and epoch-order-independent for
+                # membership; the store only ever grows by NEW
+                # buckets)
+                entries = (
+                    state.unionByName(entries)
+                    .groupBy("bucket")
+                    .agg(F.min("canon").alias("canon"))
+                )
+            entries.write.mode("overwrite").parquet(
+                ss._join(root, f"v{epoch_id}")
+            )
+            ss._commit(spark, root, epoch_id)
+            ss._vacuum(spark, root, keep_from=committed)
+        finally:
+            free_blocks(spark, blocks)
 
     return apply

@@ -119,7 +119,7 @@ def test_join_skew_strategy_aqe_credit_dimension(
     the row boundary exactly as documented. The mirror recomputes
     eligibility (conf + left-splittable ``how``, or the pinned
     ``aqe_backstop``) and capacity (Catalyst bytes-per-row estimate vs
-    advisory × parallelism) with the SAME helpers the selector calls,
+    advisory × map-spread) with the SAME helpers the selector calls,
     so any refactor that moves either boundary — crediting an
     ineligible shape, skipping the capacity price, flipping <= for < —
     disagrees on some draw."""
@@ -129,6 +129,7 @@ def test_join_skew_strategy_aqe_credit_dimension(
         _aqe_skew_eligible,
         _conf_get,
         _est_bytes_per_row,
+        _map_spread,
         _parse_bytes,
         join_skew_strategy,
     )
@@ -151,9 +152,13 @@ def test_join_skew_strategy_aqe_credit_dimension(
                 else _aqe_skew_eligible(spark, how)
             )
             bpr = _est_bytes_per_row(df, total)
-            covered = (
-                bpr is not None and mx * bpr <= _parse_bytes(advisory) * par
-            )
+            # spread = par capped by the estimated input-split count
+            # (round-11 ADVICE: a probe side smaller than par ×
+            # maxPartitionBytes cannot spread its hot key over par
+            # map outputs)
+            covered = bpr is not None and mx * bpr <= _parse_bytes(
+                advisory
+            ) * _map_spread(df, total, par, bpr)
             if eligible and covered:
                 expected = ("plain", 1)
             else:

@@ -150,3 +150,55 @@ def test_end_to_end_stream_matches_hand_driven(spark, tmp_path):
     q2.awaitTermination()
     assert read_state(spark, root)[1] == committed_before
     assert _kept_ids(spark, out) == {1, 3, 4}
+
+
+def test_tokenless_docs_are_admitted_not_silently_dropped(spark, tmp_path):
+    """Round-11 ADVICE (medium): docs with no tokens (empty,
+    whitespace-only, NULL text) produce no band rows — the pre-fix
+    gate silently dropped them even though they are near-duplicates
+    of nothing. The exact reported corpus: only doc 1 was admitted;
+    now 1, 2, 3 and 4 all are. They must also NOT enter the band
+    store (nothing to match on), and a later batch's token-less doc
+    is admitted again (exact dedup of identical empties is W4's job,
+    not the similarity gate's)."""
+    docs = _docs(
+        spark, [(1, "a b c"), (2, ""), (3, "   "), (4, None)]
+    )
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    sink = near_dedup_sink(root, out)
+    sink(docs, 0)
+    assert _kept_ids(spark, out) == {1, 2, 3, 4}
+    # the store holds only doc 1's buckets — token-less docs add none
+    state, _ = read_state(spark, root)
+    assert {r.canon for r in state.collect()} == {1}
+    # next epoch: another empty doc sails through the gate
+    sink(_docs(spark, [(9, "")]), 1)
+    assert 9 in _kept_ids(spark, out)
+
+
+def test_kernel_keeps_tokenless_docs(spark):
+    """Same contract at the batch-kernel grain (qd17's operator):
+    kept_ids includes token-less docs, kept_buckets does not."""
+    docs = _docs(
+        spark, [(1, "a b c"), (2, "a b c"), (3, ""), (4, None)]
+    )
+    kept_ids, kept_buckets = band_canonical_dedup(docs)
+    assert {r.doc_id for r in kept_ids.collect()} == {1, 3, 4}
+    assert {r.doc_id for r in kept_buckets.collect()} == {1}
+
+
+def test_store_canon_keeps_native_id_type(spark, tmp_path):
+    """Round-11 ADVICE (low): the store's canon column used to cast to
+    long, nulling canonical attribution for string ids. Native-typed
+    ids (UUID-ish strings) must round-trip: canon stays a string, and
+    first-writer-wins picks the lexicographically smallest id."""
+    docs = spark.createDataFrame(
+        [("uuid-b", _TXT_X), ("uuid-a", _TXT_X), ("uuid-z", _TXT_Y)],
+        "doc_id string, text string",
+    )
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    near_dedup_sink(root, out)(docs, 0)
+    assert _kept_ids(spark, out) == {"uuid-a", "uuid-z"}
+    state, _ = read_state(spark, root)
+    assert dict(state.dtypes)["canon"] == "string"
+    assert {r.canon for r in state.collect()} == {"uuid-a", "uuid-z"}
