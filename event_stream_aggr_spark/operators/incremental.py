@@ -436,3 +436,130 @@ def qi04_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qi05: retraction-safe rollup — IVM under CDC DELETEs
+# ---------------------------------------------------------------------------
+
+#: Epochs are order years; a row's retraction arrives one epoch AFTER
+#: its insert, so the fold genuinely exercises cross-epoch deletes.
+RETRACT_EPOCH_COL = "epoch"
+
+
+def signed_partial(changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Aggregate a batch of SIGNED changes (+1 insert / -1 delete, the
+    Flink-changelog / DBSP Z-set convention) to the retraction-safe
+    state at ``keys`` grain: ``n`` (signed row multiplicity) and
+    ``sdec`` (signed exact DECIMAL sum). Expects columns ``w``
+    (±1 long) and ``v`` (DECIMAL(18,2) measure)."""
+    return changes.groupBy(*keys).agg(
+        F.sum("w").alias("n"),
+        F.sum(F.col("w") * F.col("v")).cast("decimal(18,2)").alias("sdec"),
+    )
+
+
+def merge_signed(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold one epoch's signed partial into the state: a union +
+    re-aggregation of |state|-sized relations, identical algebra to
+    ``merge_rollups`` but over the SIGNED monoid — counts and sums
+    add, negative weights cancel prior inserts. Groups are NOT
+    filtered here: a group at n=0 must stay mergeable (a later
+    re-insert revives it); zero-groups disappear at ``finalize``
+    read time, the only place liveness is a fact."""
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sdec").cast("decimal(18,2)").alias("sdec"),
+        )
+    )
+
+
+def finalize_signed(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Presentation view: only LIVE groups (n > 0) survive — the part
+    the additive qi01 monoid cannot express (a fully-retracted group
+    must vanish, not report a stale sum). MIN/MAX are deliberately
+    absent from the signed state: they are not retraction-safe (the
+    deleted row might BE the min), which is exactly why qi01 keeps
+    them and qi05 does not."""
+    return state.filter(F.col("n") > 0).select(
+        *keys,
+        F.col("n").alias("n_live"),
+        F.col("sdec").cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "qi05_retraction_rollup",
+    tags=("incremental", "cdc", "scale"),
+    oracle="""
+WITH chg AS (
+  SELECT o_orderstatus, o_orderpriority, 1 AS w,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders
+  UNION ALL
+  SELECT o_orderstatus, o_orderpriority, -1 AS w,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders WHERE o_orderstatus = 'F')
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(w) AS BIGINT) AS n_live,
+       CAST(SUM(w * v) AS DOUBLE) AS total_price
+FROM chg
+GROUP BY o_orderstatus, o_orderpriority
+HAVING SUM(w) > 0
+""",
+)
+def qi05_retraction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM under DELETES — the capability qi01-qi04's additive monoids
+    lack: maintain a grouped rollup from a CDC changelog containing
+    retractions, by keeping SIGNED (count, exact-decimal-sum) state
+    (a Z-set / Flink-retract-stream in monoid form). The CDC feed is
+    derived deterministically from orders: every order INSERTs (+1) in
+    its order-year epoch; every 'F' (fulfilled-then-cancelled in this
+    scenario) order RETRACTS (-1) one epoch later. The state is folded
+    one epoch at a time — deletes land epochs after their inserts, and
+    the final state equals the oracle's one-pass signed aggregate
+    bit-for-bit. Fully-retracted groups (every 'F' group, since each
+    F-insert is eventually cancelled) hit n=0 and vanish at finalize;
+    MIN/MAX are deliberately NOT maintained (not retraction-safe — the
+    deleted row might be the extremum; re-scan or a deletable sketch
+    is the honest answer there).
+
+    Scale shape (100 TB): each epoch aggregates ONLY its delta to
+    |grain| signed rows (map-side combinable), and every merge
+    shuffles 2·|grain| state rows — refresh cost is O(|Δ| + |rollup|),
+    independent of history, exactly qi01's bound but now valid under
+    deletes. The epoch fold is a BOUNDED driver loop over the data's
+    order-year domain (one scalar min/max agg discovers it — a
+    metadata-grain stats pass, the qz04 pattern; ~8 iterations, each
+    a tiny union-aggregate — no growing-lineage hazard at 8
+    state-sized plans)."""
+    keys = ["o_orderstatus", "o_orderpriority"]
+    o = load_table(spark, sf_dir, "orders").select(
+        *keys,
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    inserts = o.select(
+        *keys, F.col("yr").alias(RETRACT_EPOCH_COL), F.lit(1).cast("long").alias("w"), "v"
+    )
+    deletes = o.filter(F.col("o_orderstatus") == "F").select(
+        *keys,
+        (F.col("yr") + 1).alias(RETRACT_EPOCH_COL),
+        F.lit(-1).cast("long").alias("w"),
+        "v",
+    )
+    changes = inserts.unionByName(deletes)
+    # epoch domain from the data (one scalar agg): insert years plus
+    # the trailing epoch the last year's retractions land in
+    b = o.agg(F.min("yr").alias("lo"), F.max("yr").alias("hi")).first()
+    lo, hi = int(b.lo), int(b.hi) + 1
+    state = None
+    for ep in range(lo, hi + 1):
+        delta = signed_partial(
+            changes.filter(F.col(RETRACT_EPOCH_COL) == ep), keys
+        )
+        state = delta if state is None else merge_signed(state, delta, keys)
+    return finalize_signed(state, keys)

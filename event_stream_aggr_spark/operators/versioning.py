@@ -446,3 +446,84 @@ def scd2_state_step(state: "DataFrame | None", batch: "DataFrame") -> "DataFrame
         )
     )
     return fresh if kept is None else kept.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# qv04: changelog snapshot — CDC upsert WITH deletes (tombstone-retaining)
+# ---------------------------------------------------------------------------
+
+#: Deterministic price bump a CDC UPDATE applies in the qv04 scenario
+#: (exact DECIMAL addition — engine-portable, unlike a float factor).
+CDC_UPDATE_BUMP = "100.00"
+
+
+@register(
+    "qv04_changelog_snapshot",
+    tags=("versioning", "cdc", "streaming-twin"),
+    oracle=f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN 'U' ELSE 'I' END AS op,
+       CAST(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) + {CDC_UPDATE_BUMP}
+                 ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+            AS DOUBLE) AS val
+FROM orders WHERE o_orderstatus <> 'F'
+""",
+)
+def qv04_changelog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kernel of ``streaming/changelog.changelog_sink`` — the
+    CDC capability q52/qv02's upserts lack: DELETES. A Debezium-style
+    change log is derived deterministically from orders (every order
+    INSERTs at seq 1; 'O' orders are later UPDATEd to price+100.00 at
+    seq 2; 'F' orders are DELETEd at seq 3), folded by the
+    tombstone-retaining latest-change-per-key rule, and read through
+    ``live_view``: deleted keys are gone, updated keys show the new
+    value, untouched keys the original. The oracle computes the same
+    end state directly from orders — correct iff latest-wins picked
+    the right change per key AND tombstones actually suppress their
+    keys. Tombstone retention (vs dropping deleted keys outright) is
+    what makes a replayed stale insert unable to resurrect a deleted
+    key across epochs — that cross-epoch contract is the streaming
+    suite's to pin (tests/test_streaming_changelog.py); retention
+    expiry is qv03's purge.
+
+    Scale shape (100 TB): ONE hash shuffle of the change log on the
+    key; the per-key window partitions at order_id grain (a handful
+    of change rows each, never history-proportional), and the live
+    filter is a scan-stage predicate on the result — no second
+    shuffle, no window over an unbounded partition."""
+    from event_stream_aggr_spark.streaming.changelog import (
+        changelog_snapshot,
+        live_view,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    inserts = o.select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("price").alias("val"),
+    )
+    updates = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("price") + F.lit(CDC_UPDATE_BUMP).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("val"),
+    )
+    deletes = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.col("price").alias("val"),
+    )
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    snap = changelog_snapshot(changes, ["o_orderkey"], ["seq"])
+    return live_view(snap).select(
+        "o_orderkey", "op", F.col("val").cast("double").alias("val")
+    )

@@ -85,3 +85,43 @@ def test_hll_sketch_union_matches_global_sketch(spark, sf_dir):
     )
     merged_est = {r.event_type: r.est for r in merged.collect()}
     assert merged_est == global_est and len(global_est) > 0
+
+
+def test_signed_state_full_retraction_and_revival(spark):
+    """qi05's retraction contract at the helper grain: a fully
+    retracted group reaches n=0 and vanishes from the FINALIZED view
+    but stays mergeable — a later re-insert revives it with fresh
+    (not stale) sums; and the fold is batch-order independent."""
+    from decimal import Decimal
+
+    from event_stream_aggr_spark.operators.incremental import (
+        finalize_signed,
+        merge_signed,
+        signed_partial,
+    )
+
+    def chg(rows):
+        return spark.createDataFrame(
+            [(k, w, Decimal(v)) for k, w, v in rows],
+            "k string, w long, v decimal(18,2)",
+        )
+
+    keys = ["k"]
+    e0 = signed_partial(chg([("a", 1, "10.00"), ("b", 1, "20.00")]), keys)
+    e1 = signed_partial(chg([("a", -1, "10.00")]), keys)  # full retraction
+    e2 = signed_partial(chg([("a", 1, "99.00")]), keys)  # revival
+
+    s1 = merge_signed(e0, e1, keys)
+    live1 = {r.k: (r.n_live, str(r.total_price)) for r in finalize_signed(s1, keys).collect()}
+    assert live1 == {"b": (1, "20.0")}
+    # the n=0 group is retained in state (mergeable), hidden at read
+    assert {r.k for r in s1.collect()} == {"a", "b"}
+
+    s2 = merge_signed(s1, e2, keys)
+    live2 = {r.k: (r.n_live, str(r.total_price)) for r in finalize_signed(s2, keys).collect()}
+    assert live2 == {"a": (1, "99.0"), "b": (1, "20.0")}
+
+    # batch-order independence: folding e2 before e1 ends identically
+    alt = merge_signed(merge_signed(e0, e2, keys), e1, keys)
+    alt_live = {r.k: (r.n_live, str(r.total_price)) for r in finalize_signed(alt, keys).collect()}
+    assert alt_live == live2

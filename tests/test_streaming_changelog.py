@@ -1,0 +1,153 @@
+"""Streaming CDC changelog sink (round 12): deletes via retained
+tombstones, folded over micro-batches through the shared versioned
+merge store.
+
+Pins the module contract (streaming/changelog.py):
+1. one epoch == the qv04 batch kernel (changelog_snapshot + live_view);
+2. cross-epoch: a later DELETE kills a previously-admitted key, a
+   later UPDATE replaces its value;
+3. the resurrection guard — a STALE insert (lower seq) replayed in a
+   LATER epoch cannot revive a tombstoned key, because the tombstone
+   row is retained in state and wins latest-per-key;
+4. merge-order independence: any batching of the same change set
+   yields the same live view;
+5. the store-protocol inheritance: post-commit redelivery is a no-op,
+   an epoch id below the committed one raises.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.streaming.changelog import (
+    changelog_sink,
+    changelog_snapshot,
+    live_view,
+)
+from event_stream_aggr_spark.streaming.state_store import read_state
+
+_SCHEMA = "order_id long, seq long, op string, val decimal(18,2)"
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        [(k, s, op, Decimal(v)) for k, s, op, v in rows], _SCHEMA
+    )
+
+
+def _live(spark, root):
+    state, _ = read_state(spark, root)
+    return {
+        r.order_id: (r.op, str(r.val))
+        for r in live_view(state).collect()
+    }
+
+
+def test_single_epoch_equals_batch_kernel(spark, tmp_path):
+    rows = [
+        (1, 1, "I", "10.00"),
+        (2, 1, "I", "20.00"),
+        (2, 2, "U", "25.00"),
+        (3, 1, "I", "30.00"),
+        (3, 2, "D", "30.00"),
+    ]
+    root = str(tmp_path / "state")
+    changelog_sink(root, ["order_id"], ["seq"])(_changes(spark, rows), 0)
+    got = _live(spark, root)
+    kernel = {
+        r.order_id: (r.op, str(r.val))
+        for r in live_view(
+            changelog_snapshot(_changes(spark, rows), ["order_id"], ["seq"])
+        ).collect()
+    }
+    assert got == kernel == {1: ("I", "10.00"), 2: ("U", "25.00")}
+
+
+def test_cross_epoch_delete_and_update(spark, tmp_path):
+    root = str(tmp_path / "state")
+    sink = changelog_sink(root, ["order_id"], ["seq"])
+    sink(_changes(spark, [(1, 1, "I", "10.00"), (2, 1, "I", "20.00")]), 0)
+    assert set(_live(spark, root)) == {1, 2}
+    # epoch 1: delete 1, update 2
+    sink(_changes(spark, [(1, 2, "D", "10.00"), (2, 2, "U", "22.00")]), 1)
+    assert _live(spark, root) == {2: ("U", "22.00")}
+    # the tombstone row is retained in raw state (qv03's purge input)
+    state, committed = read_state(spark, root)
+    assert committed == 1
+    ops = {r.order_id: r.op for r in state.collect()}
+    assert ops[1] == "D"
+
+
+def test_stale_insert_cannot_resurrect_tombstoned_key(spark, tmp_path):
+    root = str(tmp_path / "state")
+    sink = changelog_sink(root, ["order_id"], ["seq"])
+    # epoch 0 delivers the delete (seq 3); the at-least-once source
+    # then replays the ORIGINAL insert (seq 1) in a later epoch
+    sink(_changes(spark, [(7, 3, "D", "70.00")]), 0)
+    sink(_changes(spark, [(7, 1, "I", "70.00")]), 1)
+    assert _live(spark, root) == {}
+    state, _ = read_state(spark, root)
+    assert {(r.order_id, r.op) for r in state.collect()} == {(7, "D")}
+
+
+def test_merge_order_independence(spark, tmp_path):
+    rows = [
+        (1, 1, "I", "10.00"),
+        (1, 2, "U", "11.00"),
+        (2, 1, "I", "20.00"),
+        (2, 2, "D", "20.00"),
+        (3, 1, "I", "30.00"),
+    ]
+    one_root = str(tmp_path / "one")
+    changelog_sink(one_root, ["order_id"], ["seq"])(_changes(spark, rows), 0)
+    # same set, batched out of order (updates/deletes arrive first)
+    two_root = str(tmp_path / "two")
+    sink = changelog_sink(two_root, ["order_id"], ["seq"])
+    sink(_changes(spark, rows[1::2]), 0)
+    sink(_changes(spark, rows[0::2]), 1)
+    assert _live(spark, one_root) == _live(spark, two_root) == {
+        1: ("U", "11.00"),
+        3: ("I", "30.00"),
+    }
+
+
+def test_redelivery_noop_and_stale_checkpoint_raises(spark, tmp_path):
+    root = str(tmp_path / "state")
+    sink = changelog_sink(root, ["order_id"], ["seq"])
+    sink(_changes(spark, [(1, 1, "I", "10.00")]), 0)
+    sink(_changes(spark, [(2, 1, "I", "20.00")]), 1)
+    before = _live(spark, root)
+    sink(_changes(spark, [(2, 1, "I", "20.00")]), 1)  # redelivery
+    assert _live(spark, root) == before
+    with pytest.raises(ValueError, match="below"):
+        sink(_changes(spark, [(9, 1, "I", "90.00")]), 0)
+
+
+def test_end_to_end_stream_matches_hand_driven(spark, tmp_path):
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+
+    rows = [
+        (1, 1, "I", "10.00"),
+        (2, 1, "I", "20.00"),
+        (1, 2, "U", "12.00"),
+        (2, 2, "D", "20.00"),
+        (3, 1, "I", "30.00"),
+    ]
+    src = str(tmp_path / "src")
+    df = _changes(spark, rows)
+    df.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    root = str(tmp_path / "state")
+    q = (
+        stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(changelog_sink(root, ["order_id"], ["seq"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _live(spark, root) == {1: ("U", "12.00"), 3: ("I", "30.00")}
