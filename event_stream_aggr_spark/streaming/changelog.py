@@ -94,3 +94,33 @@ def changelog_sink(
         return changelog_snapshot(unioned, key_cols, order_cols)
 
     return merge_state_sink(root, step)
+
+
+def retraction_rollup_sink(
+    root: str, keys: list[str]
+) -> Callable[[DataFrame, int], None]:
+    """qi05's streaming twin: fold SIGNED change batches (columns
+    ``w`` = ±1, ``v`` = DECIMAL measure, plus ``keys``) into the
+    grouped Z-set state at ``root`` — the aggregate-grain counterpart
+    of ``changelog_sink``'s snapshot grain. Deletes arriving epochs
+    after their inserts cancel exactly (signed sums), fully-retracted
+    groups persist at n=0 in state (mergeable — a revival must see
+    them) and disappear only through ``finalize_signed`` at read
+    time. Inherits ``merge_state_sink``'s commit protocol: redelivery
+    no-op (an additive monoid would double-count otherwise),
+    fresh-checkpoint raise.
+
+    Scale: each epoch aggregates only its batch to |grain| signed
+    rows map-side, then shuffles 2·|grain| state rows — O(|Δ| +
+    |rollup|) per micro-batch, history-independent.
+    """
+    from event_stream_aggr_spark.operators.incremental import (
+        merge_signed,
+        signed_partial,
+    )
+
+    def step(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+        delta = signed_partial(batch, keys)
+        return delta if state is None else merge_signed(state, delta, keys)
+
+    return merge_state_sink(root, step)

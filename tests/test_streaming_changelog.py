@@ -20,7 +20,6 @@ from __future__ import annotations
 from decimal import Decimal
 
 import pytest
-from pyspark.sql import functions as F
 
 from event_stream_aggr_spark.streaming.changelog import (
     changelog_sink,
@@ -151,3 +150,52 @@ def test_end_to_end_stream_matches_hand_driven(spark, tmp_path):
     )
     q.awaitTermination()
     assert _live(spark, root) == {1: ("U", "12.00"), 3: ("I", "30.00")}
+
+
+def test_retraction_rollup_sink_matches_one_pass_signed_aggregate(
+    spark, tmp_path
+):
+    """qi05's streaming twin: fold signed CDC batches (deletes arrive
+    an epoch after their inserts) and the finalized state equals the
+    one-pass signed aggregate over the whole change set; redelivery
+    of a committed epoch does not double-count."""
+    from event_stream_aggr_spark.operators.incremental import (
+        finalize_signed,
+        signed_partial,
+    )
+    from event_stream_aggr_spark.streaming.changelog import (
+        retraction_rollup_sink,
+    )
+
+    def chg(rows):
+        return spark.createDataFrame(
+            [(k, w, Decimal(v)) for k, w, v in rows],
+            "k string, w long, v decimal(18,2)",
+        )
+
+    batches = [
+        [("a", 1, "10.00"), ("a", 1, "15.00"), ("b", 1, "20.00")],
+        [("a", -1, "10.00"), ("c", 1, "30.00")],   # cross-epoch delete
+        [("b", -1, "20.00")],                      # fully retracts b
+    ]
+    root = str(tmp_path / "state")
+    sink = retraction_rollup_sink(root, ["k"])
+    for i, rows in enumerate(batches):
+        sink(chg(rows), i)
+    sink(chg(batches[2]), 2)  # redelivery: must not double-retract
+
+    state, committed = read_state(spark, root)
+    assert committed == 2
+    got = {
+        r.k: (r.n_live, str(r.total_price))
+        for r in finalize_signed(state, ["k"]).collect()
+    }
+    one_pass = {
+        r.k: (r.n_live, str(r.total_price))
+        for r in finalize_signed(
+            signed_partial(chg([x for b in batches for x in b]), ["k"]), ["k"]
+        ).collect()
+    }
+    assert got == one_pass == {"a": (1, "15.0"), "c": (1, "30.0")}
+    # b is retained at n=0 in raw state (mergeable), hidden at read
+    assert {r.k for r in state.collect()} == {"a", "b", "c"}
