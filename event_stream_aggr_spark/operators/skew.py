@@ -353,24 +353,36 @@ def _aqe_skew_eligible(spark, how: str) -> bool:
 def _map_spread(left: DataFrame, total: int, par: int, bpr: float) -> int:
     """How many upstream map tasks the hot key's rows plausibly spread
     over — the granularity floor of AQE's skew-split. ``par``
-    (defaultParallelism) is the ceiling, but a probe side SMALLER than
-    ``par × maxPartitionBytes`` scans in fewer input splits than the
-    session has cores, so the hot key lands on fewer map outputs than
-    ``par`` assumes (round-11 ADVICE: crediting the full ``par`` there
-    over-states AQE's split granularity and can skip a still-needed
-    salt). The split count is estimated the way Spark's own file
-    source derives it — plan bytes / ``spark.sql.files.
-    maxPartitionBytes`` — from the SAME Catalyst size estimate the
-    capacity check already uses, so no extra stats pass."""
+    (defaultParallelism) is the ceiling, but a SMALL probe side scans
+    in fewer input splits than the session has cores, so the hot key
+    lands on fewer map outputs than ``par`` assumes (round-11 ADVICE:
+    crediting the full ``par`` there over-states AQE's split
+    granularity and can skip a still-needed salt).
+
+    The split count mirrors Spark's own ``FilePartition.maxSplitBytes``
+    derivation (the file source targets ~``defaultParallelism``
+    partitions, not bytes/maxPartitionBytes): ``maxSplit =
+    min(maxPartitionBytes, max(openCostInBytes, bytes/par))``, splits
+    = bytes/maxSplit. Consequence: a probe side of at least ``par ×
+    openCostInBytes`` (4 MB default — i.e. anything over ~128 MB on 32
+    cores) spreads over the full ``par`` exactly as before; only
+    genuinely small inputs are de-credited. Uses the SAME Catalyst
+    size estimate the capacity check already has — no extra stats
+    pass."""
     import math
 
+    spark = left.sparkSession
     mpb = _parse_bytes(
-        _conf_get(
-            left.sparkSession, "spark.sql.files.maxPartitionBytes", "128MB"
-        ),
+        _conf_get(spark, "spark.sql.files.maxPartitionBytes", "128MB"),
         default=128 * 1024**2,
     )
-    est_splits = max(1, math.ceil(bpr * total / mpb))
+    open_cost = _parse_bytes(
+        _conf_get(spark, "spark.sql.files.openCostInBytes", "4MB"),
+        default=4 * 1024**2,
+    )
+    total_bytes = bpr * total
+    max_split = min(mpb, max(open_cost, total_bytes / max(1, par)))
+    est_splits = max(1, math.ceil(total_bytes / max_split))
     return min(par, est_splits)
 
 

@@ -154,8 +154,8 @@ def test_join_skew_strategy_aqe_credit_dimension(
             bpr = _est_bytes_per_row(df, total)
             # spread = par capped by the estimated input-split count
             # (round-11 ADVICE: a probe side smaller than par ×
-            # maxPartitionBytes cannot spread its hot key over par
-            # map outputs)
+            # openCostInBytes scans in fewer splits than par, so its
+            # hot key cannot spread over par map outputs)
             covered = bpr is not None and mx * bpr <= _parse_bytes(
                 advisory
             ) * _map_spread(df, total, par, bpr)
