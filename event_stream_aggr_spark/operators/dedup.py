@@ -1438,7 +1438,7 @@ def semantic_drops_shared(emb: DataFrame) -> DataFrame:
 
 
 @register(
-    "qd17_soft_dedup_weights",
+    "qd19_soft_dedup_weights",
     tags=("dedup", "sampling"),
     oracle=f"""
 WITH {_lsh_pairs_ctes()},
@@ -1456,7 +1456,7 @@ LEFT JOIN comp c ON d.doc_id = c.node
 LEFT JOIN sizes s ON c.component = s.component
 """,
 )
-def qd17_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd19_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft deduplication: instead of DROPPING near-duplicates (qd08's
     clusters keep one exemplar), keep every copy but weight it
     1/|cluster| so a duplicated document contributes one document's

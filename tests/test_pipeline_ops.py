@@ -345,7 +345,7 @@ def test_qd17_weights_conserve_unit_mass_per_cluster(spark, sf_dir):
 
     from event_stream_aggr_spark.plans.registry import load_all
 
-    df = load_all()["qd17_soft_dedup_weights"].fn(spark, sf_dir)
+    df = load_all()["qd19_soft_dedup_weights"].fn(spark, sf_dir)
     per_size = (
         df.groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("weight").alias("w"))
