@@ -493,6 +493,7 @@ def finalize_signed(state: DataFrame, keys: list[str]) -> DataFrame:
 
 @register(
     "qi05_retraction_rollup",
+    bench=True,
     tags=("incremental", "cdc", "scale"),
     oracle="""
 WITH chg AS (

@@ -125,3 +125,63 @@ def test_signed_state_full_retraction_and_revival(spark):
     alt = merge_signed(merge_signed(e0, e2, keys), e1, keys)
     alt_live = {r.k: (r.n_live, str(r.total_price)) for r in finalize_signed(alt, keys).collect()}
     assert alt_live == live2
+
+
+def test_signed_state_split_invariance_property(spark):
+    """Hypothesis guard for qi05's monoid law: for ANY signed change
+    set and ANY split into epochs, folding the epochs equals the
+    one-pass aggregate — including chains that dip a group negative
+    mid-fold (a delete folded before its insert) and recover."""
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_aggr_spark.operators.incremental import (
+        finalize_signed,
+        merge_signed,
+        signed_partial,
+    )
+
+    rows_st = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([1, -1]),
+            st.integers(min_value=0, max_value=999),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_st, cut=st.integers(min_value=0, max_value=12))
+    def run(rows, cut):
+        cut = min(cut, len(rows))
+
+        def chg(rs):
+            return spark.createDataFrame(
+                [(k, w, Decimal(v) / 4) for k, w, v in rs],
+                "k string, w long, v decimal(18,2)",
+            )
+
+        keys = ["k"]
+        one_pass = signed_partial(chg(rows), keys)
+        if cut in (0, len(rows)):
+            folded = one_pass
+        else:
+            folded = merge_signed(
+                signed_partial(chg(rows[:cut]), keys),
+                signed_partial(chg(rows[cut:]), keys),
+                keys,
+            )
+        as_dict = lambda df: {  # noqa: E731
+            r.k: (r.n_live, str(r.total_price))
+            for r in finalize_signed(df, keys).collect()
+        }
+        assert as_dict(folded) == as_dict(one_pass)
+
+    run()
