@@ -1684,3 +1684,123 @@ GROUP BY c.c_mktsegment
 
 
 _register_aqe_credited_join_query()
+
+
+# ---------------------------------------------------------------------------
+# qz11: consistent sharding — minimal-movement re-shard (rendezvous/HRW)
+# ---------------------------------------------------------------------------
+
+#: Shard counts for the qz11 re-shard scenario: grow 8 → 10. Under
+#: HRW only keys whose new argmax IS one of the two added shards move
+#: (expected fraction 2/10); mod-hash would reassign ~ (1 - gcd/new)
+#: = 7/8 of all keys — the difference between rewriting 20% and 90%
+#: of a 100 TB store.
+HRW_SHARDS_OLD = 8
+HRW_SHARDS_NEW = 10
+
+
+def hrw_shard(key, n: int):
+    """Highest-random-weight (rendezvous) shard for ``key`` among
+    shards ``0..n-1``: argmax over per-(key, shard) hashes — the
+    classic Thaler/Ravishankar rule. The hash is the engine-portable
+    md5-prefix long (60 bits — collision odds ~1e-10 at test scale,
+    and a collision only flips a tie-break, never correctness of the
+    movement bound): DuckDB replays it verbatim, so shard assignment
+    is value-identical across engines. A PER-ROW expression — arrays,
+    no explode, no shuffle, no UDF; ``array_position`` takes the
+    FIRST max, so ties deterministically break to the smallest shard
+    id in both engines."""
+    from pyspark.sql import functions as F
+
+    key_s = key.cast("string")
+    hs = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", key_s, F.lit(str(s)))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            for s in range(n)
+        ]
+    )
+    return (F.array_position(hs, F.array_max(hs)) - 1).cast("long")
+
+
+def _hrw_oracle(n_old: int = HRW_SHARDS_OLD, n_new: int = HRW_SHARDS_NEW) -> str:
+    def arr(n: int) -> str:
+        return "[" + ", ".join(
+            f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{s}'), 1, 15))::BIGINT"
+            for s in range(n)
+        ) + "]"
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, {arr(n_old)} AS h_old, {arr(n_new)} AS h_new
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_indexof(h_old, list_aggregate(h_old, 'max')) - 1 AS shard_old,
+         list_indexof(h_new, list_aggregate(h_new, 'max')) - 1 AS shard_new
+  FROM h)
+SELECT CAST(shard_new AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in
+FROM s GROUP BY shard_new
+"""
+
+
+def _register_consistent_sharding_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qz11_consistent_sharding",
+        tags=("maintenance", "layout", "scale"),
+        oracle=_hrw_oracle(),
+    )
+    def qz11_consistent_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Minimal-movement re-shard audit (rendezvous hashing): assign
+        every document to a shard under the OLD (8) and NEW (10) shard
+        counts by highest-random-weight — shard = argmax over
+        per-(key, shard) hashes — and report, per new shard, how many
+        keys landed there and how many MOVED to get there. The HRW
+        guarantee this query turns into checkable data: a key moves on a
+        grow ONLY if its new argmax is one of the added shards (its old
+        hashes and their order are unchanged), so n_moved_in is 0 for
+        every surviving shard and ~|keys|/10 for each of the two new
+        ones — against mod-hash's ~7/8 total reshuffle. At 100 TB that
+        is the difference between rewriting two shards' worth of data
+        and rewriting the store. Same md5-prefix hash in both engines,
+        value-identical assignment; ties break to the smallest shard id
+        (first-max) in both.
+
+        Scale shape: shard assignment is a PER-ROW array expression
+        (no explode, no join, no UDF — whole-stage codegen over the
+        scan); the only shuffle is the final 10-group aggregate,
+        map-side combined to |shards| rows per task. Re-sharding a real
+        store with it co-locates by the same expression via
+        repartition(shard) — still one exchange."""
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        s = d.select(
+            hrw_shard(F.col("doc_id"), HRW_SHARDS_OLD).alias("shard_old"),
+            hrw_shard(F.col("doc_id"), HRW_SHARDS_NEW).alias("shard_new"),
+        )
+        return (
+            s.groupBy(F.col("shard_new").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(
+                    F.when(F.col("shard_old") != F.col("shard_new"), 1).otherwise(0)
+                ).alias("n_moved_in"),
+            )
+        )
+
+    return qz11_consistent_sharding
+
+
+_register_consistent_sharding_query()

@@ -274,3 +274,47 @@ def test_qz10_skew_gate_fires_and_aqe_credit_takes_it(spark, sf_dir):
     df = load_all()["qz10_aqe_credited_join"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" not in plan  # the registered plan rides plain+AQE
+
+
+def test_qz11_hrw_movement_bound_and_mod_hash_contrast(spark, sf_dir):
+    """qz11's minimal-movement guarantee as an executable invariant:
+    on a grow (8 -> 10 shards) a key's old-shard hashes are unchanged,
+    so it moves ONLY if a new shard wins its argmax — every surviving
+    shard must show n_moved_in == 0, total movement ~= 2/10 of keys.
+    The mod-hash contrast (the policy HRW replaces) moves ~7/8."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.maintenance import (
+        HRW_SHARDS_NEW,
+        HRW_SHARDS_OLD,
+        hrw_shard,
+    )
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    rows = load_all()["qz11_consistent_sharding"].fn(spark, sf_dir).collect()
+    per = {r.shard: (r.n_keys, r.n_moved_in) for r in rows}
+    total = sum(n for n, _ in per.values())
+    moved = sum(m for _, m in per.values())
+    # surviving shards receive zero movers; added shards receive ALL
+    for shard in range(HRW_SHARDS_OLD):
+        if shard in per:
+            assert per[shard][1] == 0, f"shard {shard} received movers"
+    for shard in range(HRW_SHARDS_OLD, HRW_SHARDS_NEW):
+        assert per[shard][0] == per[shard][1], "new shard keys must all be movers"
+    # movement share ~ added/new (binomial tolerance, 500+ keys)
+    frac = moved / total
+    assert 0.10 <= frac <= 0.32, frac
+
+    # contrast: mod-hash reassigns the vast majority on the same grow
+    from event_stream_aggr_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    mod_moved = d.filter(
+        (F.col("doc_id") % HRW_SHARDS_OLD) != (F.col("doc_id") % HRW_SHARDS_NEW)
+    ).count()
+    assert mod_moved / total > 2.5 * frac
+
+    # determinism + argmax stability: assignment is a pure expression
+    a = d.select(hrw_shard(F.col("doc_id"), HRW_SHARDS_NEW).alias("s"))
+    b = d.select(hrw_shard(F.col("doc_id"), HRW_SHARDS_NEW).alias("s"))
+    assert a.exceptAll(b).count() == 0
