@@ -564,3 +564,80 @@ def qi05_retraction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = delta if state is None else merge_signed(state, delta, keys)
     return finalize_signed(state, keys)
+
+
+@register(
+    "qi06_retraction_distinct",
+    tags=("incremental", "cdc", "scale"),
+    oracle="""
+WITH chg AS (
+  SELECT o_orderpriority, o_custkey, 1 AS w FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_custkey, -1 AS w
+  FROM orders WHERE o_orderstatus = 'F'),
+live AS (
+  SELECT o_orderpriority, o_custkey
+  FROM chg GROUP BY o_orderpriority, o_custkey HAVING SUM(w) > 0)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_custkeys
+FROM live GROUP BY o_orderpriority
+""",
+)
+def qi06_retraction_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT maintained under DELETES — the aggregate qi01's
+    module docstring calls non-decomposable, made decomposable the
+    classic way: lift the state grain from (group) to (group, value).
+    Per-(priority, custkey) SIGNED multiplicities are a mergeable
+    Z-set (qi05's monoid — adds commute, deletes cancel), and the
+    group's distinct count is simply the number of values with live
+    multiplicity > 0, computed at READ time. qi02's HLL sketch cannot
+    do this (sketch deletions need the inflate-prone sketch-of-deltas
+    trick); the exact lifted state can, at the cost of state
+    proportional to |distinct pairs| — the honest trade, stated.
+    The CDC feed mirrors qi05: every order inserts its custkey in its
+    order-year epoch, every 'F' order retracts it one epoch later; a
+    customer stays counted while ANY of its orders is live.
+
+    Scale shape (100 TB): each epoch aggregates its delta to
+    |live pairs touched| signed rows (map-side combinable); merges
+    shuffle only state rows at (group, value) grain; the read is one
+    further map-side-combinable count to |groups| rows. Refresh cost
+    O(|delta| + |state|), independent of history — the same bounded
+    driver loop over the data-derived year domain as qi05 (one scalar
+    min/max agg, ~8 epochs)."""
+    keys = ["o_orderpriority", "o_custkey"]
+    o = load_table(spark, sf_dir, "orders").select(
+        *keys,
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    inserts = o.select(
+        *keys, F.col("yr").alias(RETRACT_EPOCH_COL), F.lit(1).cast("long").alias("w")
+    )
+    deletes = o.filter(F.col("status") == "F").select(
+        *keys,
+        (F.col("yr") + 1).alias(RETRACT_EPOCH_COL),
+        F.lit(-1).cast("long").alias("w"),
+    )
+    changes = inserts.unionByName(deletes)
+    b = o.agg(F.min("yr").alias("lo"), F.max("yr").alias("hi")).first()
+    state = None
+    for ep in range(int(b.lo), int(b.hi) + 2):
+        delta = (
+            changes.filter(F.col(RETRACT_EPOCH_COL) == ep)
+            .groupBy(*keys)
+            .agg(F.sum("w").alias("n"))
+        )
+        if state is None:
+            state = delta
+        else:
+            state = (
+                state.unionByName(delta)
+                .groupBy(*keys)
+                .agg(F.sum("n").alias("n"))
+            )
+    return (
+        state.filter(F.col("n") > 0)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_distinct_custkeys"))
+    )
