@@ -650,3 +650,94 @@ def qh05_cms_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mass_merged",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qh06: Count-Min under retractions — the sketch is LINEAR
+# ---------------------------------------------------------------------------
+
+
+def _cms_retraction_oracle() -> str:
+    cell = lambda r, k: (  # noqa: E731
+        f"(({k} * {_CMS_MIX[r][0]} + {_CMS_MIX[r][1]}) % {_MOD32}) % {CMS_W}"
+    )
+    signed = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {cell(r, 'o_custkey')} AS col, 1 AS w FROM orders"
+        f"\nUNION ALL\n"
+        f"SELECT {r} AS row, {cell(r, 'o_custkey')} AS col, -1 AS w "
+        f"FROM orders WHERE o_orderstatus = 'F'"
+        for r in range(CMS_D)
+    )
+    probes = "\nUNION ALL\n".join(
+        f"SELECT o_custkey, {r} AS row, {cell(r, 'o_custkey')} AS col FROM top"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH cells AS ({signed}),
+cms AS (SELECT row, col, CAST(SUM(w) AS BIGINT) AS c
+        FROM cells GROUP BY row, col),
+exact AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_custkey),
+top AS (SELECT o_custkey, exact_n FROM exact
+        ORDER BY exact_n DESC, o_custkey LIMIT {TOPN}),
+probes AS ({probes}),
+est AS (SELECT p.o_custkey, CAST(MIN(cms.c) AS BIGINT) AS cms_n
+        FROM probes p JOIN cms USING (row, col) GROUP BY p.o_custkey)
+SELECT t.o_custkey, t.exact_n, e.cms_n,
+       CAST(e.cms_n >= t.exact_n AS BIGINT) AS never_underestimates,
+       ROUND(CAST(e.cms_n - t.exact_n AS DOUBLE) / t.exact_n, 6) AS rel_err
+FROM top t JOIN est e USING (o_custkey)
+"""
+
+
+@register(
+    "qh06_cms_retraction",
+    tags=("approx", "sketch", "cdc", "scale"),
+    oracle=_cms_retraction_oracle(),
+)
+def qh06_cms_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min under CDC DELETES — the sketch-path counterpart of
+    qi05/qi06's exact signed state, and the capability qi02's HLL
+    lacks (HLL cannot delete): CMS is a LINEAR sketch, so a
+    retraction is just a negative update. Executed exactly that way —
+    the delete stream's counter table is built by the SAME
+    ``cms_build`` as the insert stream's and folded in through the
+    SAME ``cms_merge`` with its counts negated, no special-cased
+    kernel. Per-cell counts stay exact data (deterministic mixers,
+    oracle-replayed cell-for-cell), and because every key's NET count
+    is non-negative in a CDC feed (you only delete what you
+    inserted), each cell remains a sum of non-negative key totals —
+    the never-underestimates guarantee survives retraction, asserted
+    per row exactly like qh01. (Under arbitrary negative weights that
+    guarantee would NOT hold; the CDC precondition is the contract,
+    stated here.)
+
+    Scale shape: two map-side-combinable aggregations to ≤ d·w cells
+    each (a few KB regardless of stream length), one cell-grain merge,
+    and a broadcast probe of the 20 heavy keys — no key-grain shuffle
+    anywhere except the exact twin the oracle needs."""
+    o = load_table(spark, sf_dir, "orders")
+    inserts = o.select(F.col("o_custkey"))
+    deletes = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey"))
+    ins_cms = cms_build(inserts, "o_custkey")
+    del_cms = cms_build(deletes, "o_custkey").withColumn("c", -F.col("c"))
+    net = cms_merge(ins_cms, del_cms)
+    exact = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    top = exact.orderBy(F.desc("exact_n"), "o_custkey").limit(TOPN)
+    est = cms_estimate(top.select("o_custkey"), "o_custkey", net)
+    return top.join(est, "o_custkey").select(
+        "o_custkey",
+        "exact_n",
+        F.col("cms_n").cast("long").alias("cms_n"),
+        (F.col("cms_n") >= F.col("exact_n")).cast("long").alias(
+            "never_underestimates"
+        ),
+        F.round(
+            (F.col("cms_n") - F.col("exact_n")).cast("double") / F.col("exact_n"),
+            6,
+        ).alias("rel_err"),
+    )
