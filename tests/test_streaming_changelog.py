@@ -199,3 +199,56 @@ def test_retraction_rollup_sink_matches_one_pass_signed_aggregate(
     assert got == one_pass == {"a": (1, "15.0"), "c": (1, "30.0")}
     # b is retained at n=0 in raw state (mergeable), hidden at read
     assert {r.k for r in state.collect()} == {"a", "b", "c"}
+
+
+def test_streaming_cms_retraction_matches_batch_net_sketch(spark, tmp_path):
+    """qh06's streaming story: the CMS maintainer (merge_state_sink,
+    unchanged) absorbs a DELETE batch as a negated cms_build — the
+    folded store equals the batch net sketch cell-for-cell, and point
+    estimates through it never underestimate the LIVE counts."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from event_stream_aggr_spark.streaming.state_store import (
+        merge_state_sink,
+        read_state,
+    )
+
+    def keys(vals):
+        return spark.createDataFrame([(v,) for v in vals], "k long")
+
+    inserts = keys([1, 1, 1, 2, 2, 3])
+    deletes = keys([1, 3])  # retract one of key 1's, key 3 entirely
+
+    def step(state, batch):
+        # batch carries a signed weight column; negate delete cells
+        built = cms_build(batch.select("k"), "k")
+        w = batch.select(F.first("w")).first()[0]
+        if w < 0:
+            built = built.withColumn("c", -F.col("c"))
+        return built if state is None else cms_merge(state, built)
+
+    root = str(tmp_path / "state")
+    sink = merge_state_sink(root, step)
+    sink(inserts.withColumn("w", F.lit(1)), 0)
+    sink(deletes.withColumn("w", F.lit(-1)), 1)
+
+    streamed, _ = read_state(spark, root)
+    batch_net = cms_merge(
+        cms_build(inserts, "k"),
+        cms_build(deletes, "k").withColumn("c", -F.col("c")),
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_net.collect())
+    )
+    live = {1: 2, 2: 2, 3: 0}
+    est = {
+        r.k: r.cms_n
+        for r in cms_estimate(keys(live), "k", streamed).collect()
+    }
+    for k, n in live.items():
+        assert est[k] >= n, (k, est[k], n)
