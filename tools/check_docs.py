@@ -89,10 +89,10 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         r"salted_twin: auto `(?P<choice>\w+)/(?P<salt>\d+)` under armed AQE, "
         r"`(?P<off_choice>\w+)/(?P<off_salt>\d+)` disarmed",
         {
-            "choice": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join.strategy.choice",
-            "salt": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join.strategy.salt",
-            "off_choice": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
-            "off_salt": "BENCH_R11_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
+            "choice": "BENCH_R12_CLOSE.json#skew.salted_twin.auto_join.strategy.choice",
+            "salt": "BENCH_R12_CLOSE.json#skew.salted_twin.auto_join.strategy.salt",
+            "off_choice": "BENCH_R12_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
+            "off_salt": "BENCH_R12_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
         },
         "COVERAGE skew-row selector claim",
     ),
@@ -100,7 +100,7 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         "README.md",
         r"stage budget covers (?P<frac>[\d.]+)x? of the measured batch",
         {
-            "frac": "BENCH_R11_CLOSE.json#streaming_curation.stages.covers_frac_of_sec",
+            "frac": "BENCH_R12_CLOSE.json#streaming_curation.stages.covers_frac_of_sec",
         },
         "curation full-batch budget coverage claim",
     ),
@@ -109,10 +109,18 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         r"paired median (?P<med>[\d.]+) over (?P<n>\d+)(?:/\d+)? "
         r"(?:headline )?queries",
         {
-            "med": "BENCH_R11_CLOSE.json#vs_prev_same_boot.median_ratio_cur_over_prev",
-            "n": "BENCH_R11_CLOSE.json#vs_prev_same_boot.n_compared",
+            "med": "BENCH_R12_CLOSE.json#vs_prev_same_boot.median_ratio_cur_over_prev",
+            "n": "BENCH_R12_CLOSE.json#vs_prev_same_boot.n_compared",
         },
         "same-boot A/B headline claim",
+    ),
+    (
+        "README.md",
+        r"near-dedup gate at (?P<nd>[\d.]+) docs/s",
+        {
+            "nd": "BENCH_R12_CLOSE.json#streaming_near_dedup.docs_per_sec",
+        },
+        "r12 near-dedup gate rate claim",
     ),
 ]
 
