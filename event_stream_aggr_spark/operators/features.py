@@ -746,3 +746,88 @@ def qf08_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qf09: weighted median / weighted quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qf09_weighted_median",
+    tags=("features", "window", "agg"),
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+  FROM lineitem GROUP BY l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2))),
+cum AS (
+  SELECT l_returnflag, price, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM pts)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN cw * 2 >= total THEN price END) AS DOUBLE)
+         AS w_median,
+       CAST(MIN(CASE WHEN cw * 10 >= total THEN price END) AS DOUBLE)
+         AS w_p10,
+       CAST(MIN(CASE WHEN cw * 10 >= total * 9 THEN price END) AS DOUBLE)
+         AS w_p90,
+       CAST(SUM(w) AS DOUBLE) AS total_weight
+FROM cum GROUP BY l_returnflag
+""",
+)
+def qf09_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantiles per group — the feature-engineering stat
+    percentile_approx cannot express: each lineitem price counts with
+    its QUANTITY as mass, and the weighted p10/p50/p90 are the smallest
+    prices whose cumulative quantity mass reaches 10/50/90% of the
+    group's total. Exact DECIMAL mass end-to-end; the quantile rule is
+    the integer-free cross-multiplied form (cw * k >= total * j), so no
+    division and no float threshold ever decides a row.
+
+    Scale shape (100 TB): lineitem first collapses to distinct
+    (flag, price) grain with a map-side-combinable DECIMAL weight sum —
+    the window then runs over the collapsed point set, partitioned by
+    group (never a global or row-grain window), and the final fold is
+    one more map-side-combinable aggregate. Two shuffles total, both at
+    point grain, independent of row count at fixed price cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = (
+        li.groupBy(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"))
+    )
+    from pyspark.sql import Window as W
+
+    cum = pts.select(
+        "l_returnflag",
+        "price",
+        "w",
+        F.sum("w")
+        .over(
+            W.partitionBy("l_returnflag")
+            .orderBy("price")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("total"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("total"), F.col("price")))
+        .cast("double")
+        .alias("w_median"),
+        F.min(F.when(F.col("cw") * 10 >= F.col("total"), F.col("price")))
+        .cast("double")
+        .alias("w_p10"),
+        F.min(
+            F.when(F.col("cw") * 10 >= F.col("total") * 9, F.col("price"))
+        )
+        .cast("double")
+        .alias("w_p90"),
+        F.sum("w").cast("double").alias("total_weight"),
+    )

@@ -1804,3 +1804,131 @@ def _register_consistent_sharding_query():
 
 
 _register_consistent_sharding_query()
+
+
+# ---------------------------------------------------------------------------
+# qa10: k-anonymity / l-diversity audit (training-data governance)
+# ---------------------------------------------------------------------------
+
+#: Privacy thresholds for the qa10 audit: an equivalence class is
+#: re-identifying when fewer than K_ANON customers share its
+#: quasi-identifier tuple, and attribute-disclosing when the orders it
+#: links to carry fewer than L_DIV distinct sensitive values.
+K_ANON = 5
+L_DIV = 2
+
+
+def _register_k_anonymity_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qa10_k_anonymity",
+        tags=("maintenance", "quality", "governance"),
+        oracle=f"""
+WITH qi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer),
+k_side AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band),
+l_side AS (
+  SELECT q.c_nationkey, q.c_mktsegment, q.bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l
+  FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
+  GROUP BY q.c_nationkey, q.c_mktsegment, q.bal_band),
+cls AS (
+  SELECT k.c_nationkey, k.k,
+         COALESCE(l.n_orders, 0) AS n_orders, COALESCE(l.l, 0) AS l
+  FROM k_side k LEFT JOIN l_side l
+    ON l.c_nationkey = k.c_nationkey
+   AND l.c_mktsegment = k.c_mktsegment
+   AND l.bal_band = k.bal_band)
+SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN k < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(SUM(CASE WHEN k < {K_ANON} THEN k ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(SUM(CASE WHEN n_orders > 0 AND l < {L_DIV} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_diversity
+FROM cls GROUP BY c_nationkey
+""",
+    )
+    def qa10_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """k-anonymity / l-diversity audit (Sweeney; Machanavajjhala et
+        al.) — the governance gate a training-data pipeline runs before
+        publishing user-derived records: group customers into
+        equivalence classes by quasi-identifier tuple (nation, market
+        segment, account-balance band), measure each class's size k and
+        the diversity l of a linked sensitive attribute (distinct order
+        priorities reached through the class's customers), and roll up
+        per nation how many classes re-identify (k < K_ANON), how many
+        rows they expose, and how many classes leak an attribute
+        (orders present but fewer than L_DIV distinct values — every
+        member provably shares the same sensitive value).
+
+        Scale shape (100 TB): the k side is ONE map-side-combinable
+        groupBy over the customer scan (class grain out, never row
+        grain); the l side shuffles orders once on its customer key and
+        folds straight to class grain; the class-grain LEFT join and
+        the per-nation rollup both run on relations bounded by
+        |QI classes|, orders of magnitude smaller than either input.
+        No distinct-expansion over the fact join (k deliberately comes
+        from the customer-only side), no window, no crossJoin."""
+        qi = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        k_side = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+            F.count(F.lit(1)).alias("k")
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority"
+        )
+        l_side = (
+            qi.join(o, o["o_custkey"] == qi["c_custkey"])
+            .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_orderpriority").alias("l"),
+            )
+        )
+        cls = k_side.join(
+            l_side, ["c_nationkey", "c_mktsegment", "bal_band"], "left"
+        ).select(
+            "c_nationkey",
+            "k",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("l", F.lit(0)).alias("l"),
+        )
+        return cls.groupBy(
+            F.col("c_nationkey").cast("long").alias("nation_key")
+        ).agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("k") < K_ANON, 1).otherwise(0)).alias(
+                "n_small_classes"
+            ),
+            F.sum(F.when(F.col("k") < K_ANON, F.col("k")).otherwise(0)).alias(
+                "n_rows_at_risk"
+            ),
+            F.min("k").alias("min_k"),
+            F.sum(
+                F.when(
+                    (F.col("n_orders") > 0) & (F.col("l") < L_DIV), 1
+                ).otherwise(0)
+            ).alias("n_low_diversity"),
+        )
+
+    return qa10_k_anonymity
+
+
+_register_k_anonymity_query()

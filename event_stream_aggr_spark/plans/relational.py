@@ -4150,3 +4150,67 @@ def q85_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_imbalance",
         "max_abs_diff",
     )
+
+
+# ---------------------------------------------------------------------------
+# q86: Pareto frontier (skyline) per brand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q86_pareto_frontier",
+    tags=("window", "agg", "skyline"),
+    oracle="""
+WITH pts AS (
+  SELECT p_brand, p_retailprice AS price, p_size,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_brand, p_retailprice, p_size)
+SELECT p.p_brand, p.price, p.p_size, p.n_parts
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.p_brand = p.p_brand
+    AND q.price <= p.price AND q.p_size >= p.p_size
+    AND (q.price < p.price OR q.p_size > p.p_size))
+""",
+)
+def q86_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony et al.'s SKYLINE OF,
+    the multi-criteria shortlist OLAP engines answer with a dominance
+    filter): per brand, the parts no other part dominates on
+    (cheaper-or-equal price, larger-or-equal size, strictly better on
+    at least one) — the "efficient frontier" of the catalog. Points
+    collapse to (brand, price, size) grain first with a part count, so
+    identical offers neither dominate each other nor duplicate the
+    frontier.
+
+    Scale shape (100 TB): the textbook skyline is a quadratic self-join
+    (the oracle's NOT EXISTS replays exactly that, independently); this
+    plan is the O(n log n) sweep instead — one map-side-combinable
+    groupBy to distinct points, then ONE window partitioned by brand
+    ordered (price asc, size desc): a point is on the frontier iff its
+    size strictly exceeds the running max size of every strictly
+    cheaper (or same-price-bigger) point before it. No self-join, no
+    cross product, and the window is partitioned (per-brand linear
+    scan), never global; at 1000 executors each brand's sweep is one
+    task over its pre-aggregated point set."""
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            "p_brand", F.col("p_retailprice").alias("price"), "p_size"
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    sweep = (
+        W.partitionBy("p_brand")
+        .orderBy(F.col("price").asc(), F.col("p_size").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("run_max_size", F.max("p_size").over(sweep))
+        .filter(
+            F.col("run_max_size").isNull()
+            | (F.col("p_size") > F.col("run_max_size"))
+        )
+        .drop("run_max_size")
+    )
