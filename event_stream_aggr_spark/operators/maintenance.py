@@ -1932,3 +1932,256 @@ FROM cls GROUP BY c_nationkey
 
 
 _register_k_anonymity_query()
+
+
+# ---------------------------------------------------------------------------
+# qz12: file-grain bloom-filter data skipping (point lookups)
+# ---------------------------------------------------------------------------
+
+#: qz12 layout + bloom geometry. 16 hash-partitioned "files", one
+#: 1024-bit bloom per file stored as 32x32-bit BIGINT words, 3
+#: md5-derived hash probes per key — every bit DuckDB-replayable.
+#: 1024 bits holds ~300 distinct keys/file (sf0.1's load) at a ~20%
+#: false-positive rate; production sizing is the same arithmetic at
+#: ~10-16 bits per distinct key, chosen per file at write time from
+#: the writer's ndv estimate (the bloom is per-file METADATA, so m
+#: grows with file cardinality, not with file count).
+BLOOM_FILES = 16
+BLOOM_BITS = 1024
+BLOOM_WORDS = 32
+BLOOM_HASHES = 3
+
+
+def _register_bloom_skipping_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    def _fp_spark(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    def _idx_spark(fp, j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", fp.cast("string"), F.lit(str(j)))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_BITS
+        )
+
+    def _fp_sql(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    def _idx_sql(fp_expr: str, j: int) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST({fp_expr} AS VARCHAR) || ':{j}'), 1, 8))"
+            f"::BIGINT % {BLOOM_BITS})"
+        )
+
+    idx_cols_sql = ", ".join(
+        f"{_idx_sql('fp', j)} AS idx{j}" for j in range(BLOOM_HASHES)
+    )
+    word_aggs_sql = ", ".join(
+        "bit_or("
+        + " | ".join(
+            f"(CASE WHEN idx{j} // 32 = {w} "
+            f"THEN (CAST(1 AS BIGINT) << (idx{j} % 32)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for j in range(BLOOM_HASHES)
+        )
+        + f") AS w{w}"
+        for w in range(BLOOM_WORDS)
+    )
+    pidx_cols_sql = ", ".join(
+        f"{_idx_sql('probe_fp', j)} AS pidx{j}" for j in range(BLOOM_HASHES)
+    )
+    bloom_hit_sql = " AND ".join(
+        f"((words[pidx{j} // 32 + 1]"
+        f" & (CAST(1 AS BIGINT) << (pidx{j} % 32))) <> 0)"
+        for j in range(BLOOM_HASHES)
+    )
+
+    oracle = f"""
+WITH d AS (
+  SELECT doc_id % {BLOOM_FILES} AS file_id, {_fp_sql("text")} AS fp
+  FROM documents),
+di AS (
+  SELECT file_id, fp, {idx_cols_sql} FROM d),
+stats AS (
+  SELECT file_id, MIN(fp) AS min_fp, MAX(fp) AS max_fp, {word_aggs_sql}
+  FROM di GROUP BY file_id),
+probes AS (
+  SELECT 'present:' || CAST(doc_id AS VARCHAR) AS probe_label,
+         {_fp_sql("text")} AS probe_fp
+  FROM documents WHERE doc_id <= 5
+  UNION ALL
+  SELECT 'absent:' || CAST(range AS VARCHAR),
+         {_fp_sql("'absent:' || CAST(range AS VARCHAR)")}
+  FROM range(1, 6)),
+pi AS (
+  SELECT probe_label, probe_fp, {pidx_cols_sql} FROM probes),
+pairs AS (
+  SELECT p.probe_label, p.probe_fp,
+         {", ".join(f"p.pidx{j}" for j in range(BLOOM_HASHES))},
+         s.min_fp, s.max_fp,
+         [{", ".join(f"s.w{w}" for w in range(BLOOM_WORDS))}] AS words
+  FROM stats s CROSS JOIN pi p),
+flags AS (
+  SELECT probe_label,
+         CASE WHEN probe_fp BETWEEN min_fp AND max_fp THEN 1 ELSE 0 END
+           AS zone_scan,
+         CASE WHEN {bloom_hit_sql} THEN 1 ELSE 0 END AS bloom_scan
+  FROM pairs),
+truth AS (
+  SELECT p.probe_label,
+         CAST(COUNT(DISTINCT d.file_id) AS BIGINT) AS n_true_files
+  FROM probes p JOIN d ON d.fp = p.probe_fp
+  GROUP BY p.probe_label)
+SELECT f.probe_label,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(zone_scan) AS BIGINT) AS n_scan_zonemap,
+       CAST(SUM(bloom_scan) AS BIGINT) AS n_scan_bloom,
+       COALESCE(ANY_VALUE(t.n_true_files), 0) AS n_true_files
+FROM flags f LEFT JOIN truth t ON t.probe_label = f.probe_label
+GROUP BY f.probe_label
+"""
+
+    @register(
+        "qz12_bloom_skipping",
+        tags=("maintenance", "layout", "scale"),
+        oracle=oracle,
+    )
+    def qz12_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """File-grain bloom-filter data skipping, audited against zone
+        maps (qz03's min/max) for POINT lookups — the workload where
+        zone maps fail: the lookup key is a uniform content
+        fingerprint, so every file's [min, max] spans the whole domain
+        and zone maps prune nothing, while a 1024-bit per-file bloom
+        (32x32-bit BIGINT words, 3 md5-derived probes — Parquet's
+        column-index bloom in auditable form) prunes almost every file
+        for absent keys and all-but-the-true-file(s) (+ the occasional
+        false positive) for present ones. Per probe key: files a
+        zone-map planner must scan, files a bloom planner must scan,
+        and the ground-truth file count.
+
+        Scale shape (100 TB): the bloom build is ONE map-side-
+        combinable aggregate over the scan (bit_or is commutative and
+        associative; each file collapses to 34 BIGINTs of metadata —
+        the same metadata-not-data grain as qz02/qz03, and each row
+        computes its 3 hash indexes ONCE in a pre-projection); probe
+        evaluation is a |probes| x |files| METADATA cross product with
+        the bounded probe side explicitly broadcast (never a data-grain
+        nested loop), and the ground-truth check is a broadcast
+        equi-join on the fingerprint. m scales with per-file key count
+        (writer-side ndv), not with corpus size — at 1000 executors the
+        data is read once and the skipping decision costs |files| rows
+        of arithmetic."""
+        d = load_table(spark, sf_dir, "documents").select(
+            (F.col("doc_id") % BLOOM_FILES).alias("file_id"),
+            _fp_spark(F.col("text")).alias("fp"),
+        )
+        di = d.select(
+            "file_id",
+            "fp",
+            *[
+                _idx_spark(F.col("fp"), j).alias(f"idx{j}")
+                for j in range(BLOOM_HASHES)
+            ],
+        )
+
+        def _word_expr(w: int) -> str:
+            terms = " | ".join(
+                f"(case when idx{j} div 32 = {w} "
+                f"then shiftleft(cast(1 as bigint), cast(idx{j} % 32 as int)) "
+                f"else cast(0 as bigint) end)"
+                for j in range(BLOOM_HASHES)
+            )
+            return f"bit_or({terms})"
+
+        stats = di.groupBy("file_id").agg(
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+            *[
+                F.expr(_word_expr(w)).alias(f"w{w}")
+                for w in range(BLOOM_WORDS)
+            ],
+        )
+
+        present = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") <= 5)
+            .select(
+                F.concat(
+                    F.lit("present:"), F.col("doc_id").cast("string")
+                ).alias("probe_label"),
+                _fp_spark(F.col("text")).alias("probe_fp"),
+            )
+        )
+        absent = spark.range(1, 6).select(
+            F.concat(F.lit("absent:"), F.col("id").cast("string")).alias(
+                "probe_label"
+            ),
+            _fp_spark(
+                F.concat(F.lit("absent:"), F.col("id").cast("string"))
+            ).alias("probe_fp"),
+        )
+        probes = present.unionAll(absent)
+        pi = probes.select(
+            "probe_label",
+            "probe_fp",
+            *[
+                _idx_spark(F.col("probe_fp"), j).alias(f"pidx{j}")
+                for j in range(BLOOM_HASHES)
+            ],
+        )
+
+        pairs = stats.crossJoin(F.broadcast(pi)).withColumn(
+            "words", F.array(*[F.col(f"w{w}") for w in range(BLOOM_WORDS)])
+        )
+        bloom_hit = " and ".join(
+            f"((element_at(words, cast(pidx{j} div 32 + 1 as int))"
+            f" & shiftleft(cast(1 as bigint), cast(pidx{j} % 32 as int)))"
+            f" <> 0)"
+            for j in range(BLOOM_HASHES)
+        )
+        flags = pairs.select(
+            "probe_label",
+            F.when(
+                F.col("probe_fp").between(F.col("min_fp"), F.col("max_fp")), 1
+            )
+            .otherwise(0)
+            .alias("zone_scan"),
+            F.when(F.expr(bloom_hit), 1).otherwise(0).alias("bloom_scan"),
+        )
+        truth = (
+            d.join(F.broadcast(probes), d["fp"] == F.col("probe_fp"))
+            .groupBy("probe_label")
+            .agg(F.countDistinct("file_id").alias("n_true_files"))
+        )
+        return (
+            flags.groupBy("probe_label")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("zone_scan").alias("n_scan_zonemap"),
+                F.sum("bloom_scan").alias("n_scan_bloom"),
+            )
+            .join(truth, "probe_label", "left")
+            .select(
+                "probe_label",
+                "n_files",
+                "n_scan_zonemap",
+                "n_scan_bloom",
+                F.coalesce("n_true_files", F.lit(0)).alias("n_true_files"),
+            )
+        )
+
+    return qz12_bloom_skipping
+
+
+_register_bloom_skipping_query()
