@@ -1,0 +1,350 @@
+"""Probabilistic record linkage (entity resolution) — the Fellegi-
+Sunter model (JASA 1969; the Splink/dedupe.io production shape) as
+Spark-first dataflow: multi-pass equi-join BLOCKING generates candidate
+pairs sub-quadratically, per-field agreement patterns score each pair
+with log2(m/u) evidence weights, thresholds classify pairs into
+match / possible (clerical review) / non-match, and matched pairs fold
+into entities via connected components.
+
+The linked corpus is ``customer`` against a deterministically derived
+"second source" twin (a CRM-vs-billing scenario): every customer
+reappears under a new id with an md5-band perturbation — identical,
+segment lost, balance drifted, or name corrupted — so ground truth is
+known and the report can audit the linker's precision per decision
+class, while the LINKER itself never consults the ground-truth key.
+
+Cross-engine determinism: evidence weights are 4-decimal Python-float
+literals embedded verbatim in both the Spark expressions and the
+DuckDB oracle SQL (identical doubles, fixed summation order); balances
+compare as exact DECIMAL(12,2); the md5 band and blocking keys replay
+bit-for-bit in SQL.
+
+Scale shape (100 TB): blocking is two equi-joins (exact name;
+nation x balance-band) — candidate volume is bounded by block sizes,
+never |A| x |B|; pair dedup, scoring, and the decision rollup are one
+distinct + per-row expressions + one map-side-combinable aggregate.
+Entity formation reuses operators/cluster.py's iterative min-label
+propagation (one shuffle per round, bounded by match-graph diameter).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.plans.registry import register
+from event_stream_aggr_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Model constants (m = P(agree | same entity), u = P(agree | different))
+# ---------------------------------------------------------------------------
+
+#: Per-field (m, u) probabilities — published-textbook magnitudes: a
+#: name agreement is strong evidence (u ~ 1e-4: names rarely collide),
+#: segment agreement is weak (1-in-5 chance collision), a close
+#: balance is moderate.
+FS_M_U: dict[str, tuple[float, float]] = {
+    "name": (0.95, 0.0001),
+    "seg": (0.90, 0.20),
+    "bal": (0.85, 0.05),
+}
+
+#: log2(m/u) agreement / log2((1-m)/(1-u)) disagreement weights,
+#: rounded to 4 decimals and embedded as LITERALS in both engines so
+#: every pair's score is the same double bit-for-bit.
+W_AGREE: dict[str, float] = {
+    f: round(math.log2(m / u), 4) for f, (m, u) in FS_M_U.items()
+}
+W_DISAGREE: dict[str, float] = {
+    f: round(math.log2((1 - m) / (1 - u)), 4) for f, (m, u) in FS_M_U.items()
+}
+
+#: Decision thresholds on the summed log2 evidence.
+T_MATCH = 10.0
+T_POSSIBLE = 0.0
+
+#: Balance agreement tolerance (DECIMAL comparison) and the coarse
+#: balance band used by blocking pass P2.
+BAL_TOL = "5.00"
+BAL_BAND = 100
+
+#: Twin ids live in a disjoint namespace: b_id = c_custkey + offset.
+B_ID_OFFSET = 10_000_000
+
+#: md5-band perturbations applied to the twin source:
+#: 0 = identical, 1 = segment lost ('UNKNOWN'), 2 = balance drifted
+#: (+7.00, outside BAL_TOL), 3 = name corrupted ('X' prefix).
+N_BANDS = 4
+BAND2_DRIFT = "7.00"
+
+
+# ---------------------------------------------------------------------------
+# Shared dataflow (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _a_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("a_bal"),
+        F.col("c_nationkey").alias("a_nation"),
+    )
+
+
+def _twin_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the second source: same entities, new ids, md5-band
+    perturbations. The band hash replays verbatim in the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lnk:"), F.col("c_custkey").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % N_BANDS
+    )
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    return c.select(
+        (F.col("c_custkey") + B_ID_OFFSET).alias("b_id"),
+        band.alias("band"),
+        F.when(band == 3, F.concat(F.lit("X"), F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.when(band == 1, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        F.when(band == 2, bal + F.lit(BAND2_DRIFT).cast("decimal(12,2)"))
+        .otherwise(bal)
+        .cast("decimal(13,2)")
+        .alias("b_bal"),
+        F.col("c_nationkey").alias("b_nation"),
+    )
+
+
+def scored_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Blocking (two equi-join passes, deduped) + Fellegi-Sunter
+    scoring. Returns (a_id, b_id, w, decision) at pair grain.
+
+    Pass P1 blocks on exact name (catches every twin whose name
+    survived); pass P2 blocks on (nation, floor(balance / BAL_BAND))
+    (catches name-corrupted twins AND mints the accidental same-band
+    pairs the classifier must reject — that rejection is the point of
+    the u probabilities). Candidate volume is sum of block-pair sizes,
+    never |A| x |B|.
+    """
+    p1 = a.join(b, a["a_name"] == b["b_name"]).select("a_id", "b_id")
+    p2 = a.join(
+        b,
+        (a["a_nation"] == b["b_nation"])
+        & (F.floor(a["a_bal"] / BAL_BAND) == F.floor(b["b_bal"] / BAL_BAND)),
+    ).select("a_id", "b_id")
+    cand = p1.unionAll(p2).distinct()
+    pairs = cand.join(a, "a_id").join(b, "b_id")
+    w = (
+        F.when(F.col("a_name") == F.col("b_name"), F.lit(W_AGREE["name"]))
+        .otherwise(F.lit(W_DISAGREE["name"]))
+        + F.when(F.col("a_seg") == F.col("b_seg"), F.lit(W_AGREE["seg"]))
+        .otherwise(F.lit(W_DISAGREE["seg"]))
+        + F.when(
+            F.abs(F.col("a_bal") - F.col("b_bal"))
+            <= F.lit(BAL_TOL).cast("decimal(12,2)"),
+            F.lit(W_AGREE["bal"]),
+        ).otherwise(F.lit(W_DISAGREE["bal"]))
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        w.alias("w"),
+        F.when(w >= T_MATCH, F.lit("match"))
+        .when(w >= T_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared dataflow (oracle side) — the same pipeline as DuckDB CTEs
+# ---------------------------------------------------------------------------
+
+
+def _scored_ctes() -> str:
+    return f"""a AS (
+  SELECT c_custkey AS a_id, c_name AS a_name, c_mktsegment AS a_seg,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS a_bal,
+         c_nationkey AS a_nation
+  FROM customer),
+twin AS (
+  SELECT c_custkey + {B_ID_OFFSET} AS b_id,
+         band,
+         CASE WHEN band = 3 THEN 'X' || c_name ELSE c_name END AS b_name,
+         CASE WHEN band = 1 THEN 'UNKNOWN' ELSE c_mktsegment END AS b_seg,
+         CAST(CASE WHEN band = 2
+              THEN CAST(c_acctbal AS DECIMAL(12,2)) + {BAND2_DRIFT}
+              ELSE CAST(c_acctbal AS DECIMAL(12,2)) END
+              AS DECIMAL(13,2)) AS b_bal,
+         c_nationkey AS b_nation
+  FROM (SELECT *,
+          (('0x' || substr(md5('lnk:' || CAST(c_custkey AS VARCHAR)), 1, 2))
+             ::BIGINT % {N_BANDS}) AS band
+        FROM customer)),
+cand AS (
+  SELECT a.a_id, t.b_id FROM a JOIN twin t ON a.a_name = t.b_name
+  UNION
+  SELECT a.a_id, t.b_id FROM a JOIN twin t
+    ON a.a_nation = t.b_nation
+   AND FLOOR(a.a_bal / {BAL_BAND}) = FLOOR(t.b_bal / {BAL_BAND})),
+scored AS (
+  SELECT c.a_id, c.b_id,
+         (CASE WHEN a.a_name = t.b_name
+               THEN {W_AGREE["name"]} ELSE {W_DISAGREE["name"]} END
+          + CASE WHEN a.a_seg = t.b_seg
+                 THEN {W_AGREE["seg"]} ELSE {W_DISAGREE["seg"]} END
+          + CASE WHEN ABS(a.a_bal - t.b_bal) <= {BAL_TOL}
+                 THEN {W_AGREE["bal"]} ELSE {W_DISAGREE["bal"]} END) AS w
+  FROM cand c JOIN a ON a.a_id = c.a_id JOIN twin t ON t.b_id = c.b_id),
+decided AS (
+  SELECT a_id, b_id, w,
+         CASE WHEN w >= {T_MATCH} THEN 'match'
+              WHEN w >= {T_POSSIBLE} THEN 'possible'
+              ELSE 'non_match' END AS decision
+  FROM scored)"""
+
+
+# ---------------------------------------------------------------------------
+# qer01: decision-class report with ground-truth precision audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qer01_record_linkage",
+    tags=("linkage", "join", "agg"),
+    oracle=f"""
+WITH {_scored_ctes()}
+SELECT decision,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN b_id - {B_ID_OFFSET} = a_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_pairs,
+       CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_weight
+FROM decided GROUP BY decision
+""",
+)
+def qer01_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage between customer and
+    a derived second source (see module docstring): multi-pass blocking
+    -> per-field agreement weights (log2 m/u literals, identical in
+    both engines) -> threshold decisions. Reports, per decision class,
+    the pair count, how many pairs are ground-truth correct (the twin's
+    provenance key, which the linker never uses), and the average
+    evidence weight — i.e. the linker's own precision audit: 'match'
+    rows should be ~all true, 'possible' is the clerical-review queue
+    (name-corrupted twins score 1.94 here), 'non_match' the rejected
+    blocking collisions.
+
+    Scale shape (100 TB): both blocking passes are equi-joins
+    (AQE-splittable, candidate volume = sum of block-pair products,
+    never |A| x |B|); the pair set dedups with one distinct, scoring is
+    per-row literal arithmetic, and the report is one map-side-
+    combinable aggregate over pair grain. Weight sums use exact
+    DECIMAL accumulation (order-independent) and divide once in
+    DOUBLE."""
+    a = _a_side(spark, sf_dir)
+    b = _twin_side(spark, sf_dir)
+    return (
+        scored_pairs(a, b)
+        .groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.col("b_id") - B_ID_OFFSET == F.col("a_id"), 1
+                ).otherwise(0)
+            ).alias("n_true_pairs"),
+            (
+                F.sum(F.col("w").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qer02: matched pairs → entities (connected components) → size census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qer02_entity_clusters",
+    tags=("linkage", "cluster"),
+    oracle=f"""
+WITH {_scored_ctes()},
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM decided WHERE decision = 'match'
+  UNION
+  SELECT b_id, a_id FROM decided WHERE decision = 'match'),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+  SELECT a, b FROM r),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component
+  FROM reach GROUP BY a),
+allnodes AS (
+  SELECT a_id AS node FROM a
+  UNION ALL
+  SELECT b_id FROM twin),
+labeled AS (
+  SELECT n.node, COALESCE(c.component, n.node) AS component
+  FROM allnodes n LEFT JOIN comp c ON c.node = n.node),
+sizes AS (
+  SELECT component, COUNT(*) AS entity_size FROM labeled GROUP BY component)
+SELECT CAST(entity_size AS BIGINT) AS entity_size,
+       CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM sizes GROUP BY entity_size
+""",
+)
+def qer02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity formation over qer01's 'match' pairs: records from both
+    sources are nodes (disjoint id namespaces), matched pairs are
+    edges, entities are connected components, and the report is the
+    entity-size census — size 2 = cleanly linked record pairs, size 1
+    = unlinked residue (the name-corrupted band only reaches
+    'possible', so its twins stay singletons until reviewed), size 3+
+    would expose transitive over-linking (none on this corpus; the
+    census is how you'd notice).
+
+    Scale shape (100 TB): match edges reuse qer01's sub-quadratic
+    blocking; components run on operators/cluster.py's iterative
+    min-label propagation (one shuffle per round, rounds bounded by
+    the match-graph diameter — here 1-2); singletons enter via ONE
+    left join of the node census against the component labels, and
+    both rollups are map-side-combinable counts. The oracle reaches
+    the same fixpoint through a recursive-CTE transitive closure — a
+    different algorithm entirely, same entities."""
+    from event_stream_aggr_spark.operators.cluster import connected_components
+
+    a = _a_side(spark, sf_dir)
+    b = _twin_side(spark, sf_dir)
+    matches = scored_pairs(a, b).filter(F.col("decision") == "match")
+    labels = connected_components(matches, a_col="a_id", b_col="b_id")
+    allnodes = a.select(F.col("a_id").alias("node")).unionAll(
+        b.select(F.col("b_id").alias("node"))
+    )
+    labeled = allnodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("entity_size")
+    )
+    return sizes.groupBy("entity_size").agg(
+        F.count(F.lit(1)).alias("n_entities")
+    )

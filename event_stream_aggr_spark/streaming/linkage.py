@@ -1,0 +1,221 @@
+"""Streaming entity resolution (round 12): the W5×ER intersection.
+
+``streaming/near_dedup.py`` gates CONTENT (drop near-duplicate text);
+this module gates IDENTITY: each arriving record is linked against the
+registry of entities the stream has already admitted — the incremental
+form of ``operators/linkage.py``'s Fellegi-Sunter linker, and the shape
+a 100 TB ingest uses to keep one golden record per real-world entity
+while shards arrive over months.
+
+Mechanism: the batch linker's blocking + scoring (``scored_pairs`` —
+equi-join blocking on exact name and nation×balance-band, literal
+log2(m/u) weights, the T_MATCH threshold) folded over micro-batches via
+the repo's versioned merge store (``streaming/state_store.py``, same
+epoch-gated atomic-pointer-swap protocol as the sketch/near-dedup
+maintainers):
+
+- state at ``root``: the entity REGISTRY — one row per admitted
+  entity: (entity_id, name, seg, bal, nation), i.e. the canonical
+  record's compare fields, never its payload. Growth is proportional
+  to distinct entities admitted.
+- per epoch: arrivals score against the registry AND against each
+  other. Within-batch 'match' pairs form entities by CONNECTED
+  COMPONENTS (operators/cluster.py — the same transitive semantics as
+  the offline qer02, so a single-batch run and the batch job agree);
+  a component that contains any registry match adopts the minimum
+  matched entity_id (two members matching two different store
+  entities is an entity-merge signal — min wins, deterministically);
+  a component with no store match founds ONE new entity under its
+  minimum rec_id. Assignments (rec_id, entity_id, is_new) land in
+  ``out_dir/epoch=N`` (overwrite — replay-idempotent); new entities
+  fold into the registry; the epoch commits.
+- linked records NEVER update the registry: the first-admitted record
+  stays canonical (first-writer-wins, the same discipline as the band
+  store's ``canon``).
+- redelivery of a committed epoch is a no-op; an epoch id below the
+  committed one is the fresh-checkpoint-against-nonempty-store
+  signature and raises (protocol shared with ``near_dedup_sink``).
+
+Batch-boundary semantics, stated precisely (pinned in
+tests/test_streaming_linkage.py): the registry holds CANONICAL records
+only, so an arrival links across batches only by matching a canonical
+record (or a same-batch peer). An arrival that would match only a
+non-canonical alias admitted earlier (A~B admitted with B linked to A;
+later C matches B but not A) founds a duplicate entity — the
+first-writer-wins trade every streaming ER makes, the exact analogue
+of ``near_dedup_sink``'s B-never-entered-the-store case; offline qer02
+over the full corpus is the reconciliation job. Records are assumed
+exact/near-deduped upstream (this repo's W4 gates) and rec_ids unique
+across the stream.
+
+Scale shape (100 TB): every scoring join is an equi-join on a blocking
+key (name; nation×balance-band) — arrival×registry cost is sum of
+block products, never |batch|×|registry|; the component step runs on
+the match-pair graph of ONE micro-batch (bounded by batch size, one
+AQE-splittable shuffle per round, rounds bounded by that graph's
+diameter — in a deduped feed, 1-2); the per-epoch dataflow is
+DISK_ONLY-checkpointed once so the output write and the registry fold
+never recompute the scoring.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.linkage import scored_pairs
+from event_stream_aggr_spark.streaming import state_store as ss
+
+#: Registry / record compare-field schema (rec_id + these four).
+FIELDS = ("name", "seg", "bal", "nation")
+
+
+def _as_a(records: DataFrame, id_col: str) -> DataFrame:
+    return records.select(
+        F.col(id_col).alias("a_id"),
+        F.col("name").alias("a_name"),
+        F.col("seg").alias("a_seg"),
+        F.col("bal").cast("decimal(13,2)").alias("a_bal"),
+        F.col("nation").alias("a_nation"),
+    )
+
+
+def _as_b(records: DataFrame, id_col: str) -> DataFrame:
+    return records.select(
+        F.col(id_col).alias("b_id"),
+        F.col("name").alias("b_name"),
+        F.col("seg").alias("b_seg"),
+        F.col("bal").cast("decimal(13,2)").alias("b_bal"),
+        F.col("nation").alias("b_nation"),
+    )
+
+
+def link_batch(
+    records: DataFrame, registry: DataFrame | None, id_col: str = "rec_id"
+) -> DataFrame:
+    """One linking round: assign every record an entity id.
+
+    Returns (rec_id, entity_id, is_new) at record grain. ``registry``
+    rows carry (entity_id, name, seg, bal, nation) or None for a cold
+    store. Pure dataflow — no state I/O; ``entity_resolution_sink``
+    wraps it in the epoch protocol, and tests pin single-batch
+    equivalence against the offline component semantics.
+    """
+    from event_stream_aggr_spark.operators.cluster import connected_components
+
+    recs_a = _as_a(records, id_col)
+
+    # store matches: min entity_id among registry rows scoring >= T_MATCH
+    if registry is not None:
+        store_match = (
+            scored_pairs(recs_a, _as_b(registry, "entity_id"))
+            .filter(F.col("decision") == "match")
+            .groupBy(F.col("a_id").alias("rid"))
+            .agg(F.min("b_id").alias("store_ent"))
+        )
+    else:
+        store_match = None
+
+    # within-batch entities: transitive closure over 'match' pairs
+    # (identical to qer02's offline rule; component = min rec_id)
+    batch_pairs = scored_pairs(recs_a, _as_b(records, id_col)).filter(
+        (F.col("decision") == "match") & (F.col("a_id") < F.col("b_id"))
+    )
+    comp = connected_components(batch_pairs, a_col="a_id", b_col="b_id")
+
+    rec_comp = (
+        recs_a.select(F.col("a_id").alias("rid"))
+        .join(comp, F.col("rid") == comp["node"], "left")
+        .select("rid", F.coalesce("component", F.col("rid")).alias("comp"))
+    )
+    if store_match is not None:
+        rec_comp = rec_comp.join(store_match, "rid", "left")
+    else:
+        rec_comp = rec_comp.withColumn(
+            "store_ent", F.lit(None).cast("long")
+        )
+    # a component adopts the min store entity any member matched;
+    # otherwise its min rec_id (== comp, by the CC min-label rule)
+    comp_ent = rec_comp.groupBy("comp").agg(
+        F.min("store_ent").alias("comp_store_ent")
+    )
+    return (
+        rec_comp.join(comp_ent, "comp")
+        .select(
+            F.col("rid").alias("rec_id"),
+            F.coalesce("comp_store_ent", "comp").alias("entity_id"),
+        )
+        .withColumn("is_new", F.col("entity_id") == F.col("rec_id"))
+    )
+
+
+def entity_resolution_sink(
+    root: str,
+    out_dir: str,
+    id_col: str = "rec_id",
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function: link each micro-batch against the
+    entity registry at ``root``, write assignments to
+    ``out_dir/epoch=<id>``, fold newly founded entities into the
+    registry. Use::
+
+        stream.writeStream.foreachBatch(
+            entity_resolution_sink(root, out_dir)
+        ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    """
+    from event_stream_aggr_spark.operators.lifecycle import (
+        disk_checkpoint,
+        free_blocks,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        state, committed = ss.read_state(spark, root)
+        if epoch_id < committed:
+            raise ValueError(
+                f"entity_resolution_sink at {root}: batch id {epoch_id} is "
+                f"below the committed epoch {committed}. Batch ids only move "
+                "forward within one checkpoint lineage, so this store was "
+                "built by a DIFFERENT (or deleted) streaming checkpoint; "
+                "silently linking would corrupt entity identity. Point the "
+                "query at its original checkpointLocation, or start a new "
+                "state root."
+            )
+        if epoch_id == committed:
+            # post-commit redelivery: assignments already on disk and
+            # this epoch's entities already folded in
+            return
+        assignments = link_batch(batch, state, id_col=id_col)
+        # ONE evaluation of the scoring dataflow per epoch: the output
+        # write and the registry fold below both probe the
+        # materialized blocks (near_dedup_sink's lifecycle, verbatim)
+        assignments, _, blocks = disk_checkpoint(assignments)
+        try:
+            assignments.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
+            new_ids = assignments.filter("is_new").select(
+                F.col("rec_id").alias("_new_rid")
+            )
+            new_entities = batch.join(
+                new_ids, batch[id_col] == F.col("_new_rid"), "left_semi"
+            ).select(
+                F.col(id_col).alias("entity_id"),
+                *[F.col(f) for f in FIELDS],
+            )
+            entries = (
+                state.unionByName(new_entities)
+                if state is not None
+                else new_entities
+            )
+            entries.write.mode("overwrite").parquet(
+                ss._join(root, f"v{epoch_id}")
+            )
+            ss._commit(spark, root, epoch_id)
+            ss._vacuum(spark, root, keep_from=committed)
+        finally:
+            free_blocks(spark, blocks)
+
+    return apply

@@ -1,0 +1,212 @@
+"""Record linkage (qer01/qer02) + the round's governance/analytics ops
+(q86 skyline, qa10 k-anonymity, qz12 bloom skipping, qf09 weighted
+quantiles): semantic pins the driver's oracle compare can't express —
+ground-truth precision, dominance brute-force, bloom no-false-negative,
+and the weighted-median mass rule."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.operators.linkage import (
+    B_ID_OFFSET,
+    T_MATCH,
+    T_POSSIBLE,
+    W_AGREE,
+    W_DISAGREE,
+    _a_side,
+    _twin_side,
+    scored_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    return load_all()
+
+
+def test_fs_weights_are_evidence_shaped():
+    # agreement is positive evidence, disagreement negative, and the
+    # rarest-collision field (name) carries the strongest weight
+    for f in W_AGREE:
+        assert W_AGREE[f] > 0 > W_DISAGREE[f]
+    assert W_AGREE["name"] > W_AGREE["bal"] > W_AGREE["seg"]
+    # threshold placement the corpus bands exercise: a name agreement
+    # plus ONE other disagreement still clears the match bar (band 1:
+    # segment lost; band 2: balance drifted), while a name
+    # disagreement caps a pair below it even with both other fields
+    # agreeing (band 3 stays in clerical review)
+    assert W_AGREE["name"] + W_DISAGREE["seg"] + W_AGREE["bal"] > T_MATCH
+    assert W_AGREE["name"] + W_AGREE["seg"] + W_DISAGREE["bal"] > T_MATCH
+    assert W_DISAGREE["name"] + W_AGREE["seg"] + W_AGREE["bal"] < T_MATCH
+
+
+def test_match_class_is_ground_truth_perfect(spark):
+    a, b = _a_side(spark, SF), _twin_side(spark, SF)
+    scored = scored_pairs(a, b).cache()
+    try:
+        m = scored.filter(F.col("decision") == "match")
+        n_match = m.count()
+        assert n_match > 0
+        # every 'match' pair links a record to its own twin
+        assert (
+            m.filter(F.col("b_id") - B_ID_OFFSET != F.col("a_id")).count() == 0
+        )
+        # band-3 twins (corrupted name, found via the nation x
+        # balance-band pass) land in clerical review, never auto-match
+        band3 = b.filter(F.col("band") == 3).count()
+        poss_true = scored.filter(
+            (F.col("decision") == "possible")
+            & (F.col("b_id") - B_ID_OFFSET == F.col("a_id"))
+        ).count()
+        assert poss_true == band3
+        # non-matches are all blocking collisions (never a true twin)
+        assert (
+            scored.filter(
+                (F.col("decision") == "non_match")
+                & (F.col("b_id") - B_ID_OFFSET == F.col("a_id"))
+            ).count()
+            == 0
+        )
+    finally:
+        scored.unpersist()
+
+
+def test_every_twin_produces_a_candidate_pair(spark):
+    # blocking recall: each record's twin appears among the candidates
+    # (bands 0-2 via the name pass, band 3 via nation x balance band)
+    a, b = _a_side(spark, SF), _twin_side(spark, SF)
+    scored = scored_pairs(a, b)
+    true_cands = scored.filter(
+        F.col("b_id") - B_ID_OFFSET == F.col("a_id")
+    ).count()
+    assert true_cands == a.count()
+
+
+def test_pairs_are_deduped_across_blocking_passes(spark):
+    a, b = _a_side(spark, SF), _twin_side(spark, SF)
+    scored = scored_pairs(a, b)
+    assert scored.count() == scored.select("a_id", "b_id").distinct().count()
+
+
+def test_decision_thresholds_partition_the_weight_line(spark):
+    a, b = _a_side(spark, SF), _twin_side(spark, SF)
+    bad = (
+        scored_pairs(a, b)
+        .filter(
+            ((F.col("decision") == "match") & (F.col("w") < T_MATCH))
+            | (
+                (F.col("decision") == "possible")
+                & ((F.col("w") >= T_MATCH) | (F.col("w") < T_POSSIBLE))
+            )
+            | ((F.col("decision") == "non_match") & (F.col("w") >= T_POSSIBLE))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_entity_census_matches_pair_arithmetic(spark, specs):
+    n_customers = _a_side(spark, SF).count()
+    n_match = (
+        scored_pairs(_a_side(spark, SF), _twin_side(spark, SF))
+        .filter(F.col("decision") == "match")
+        .count()
+    )
+    rows = {
+        r["entity_size"]: r["n_entities"]
+        for r in specs["qer02_entity_clusters"].fn(spark, SF).collect()
+    }
+    # 1:1 match graph: every matched pair is one size-2 entity, every
+    # unmatched record (both sources) a singleton; nothing over-links
+    assert set(rows) == {1, 2}
+    assert rows[2] == n_match
+    assert rows[1] == 2 * n_customers - 2 * n_match
+
+
+def test_skyline_dominance_brute_force(spark, specs):
+    pts = (
+        specs["q86_pareto_frontier"].fn(spark, SF).collect()
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    allpts = (
+        load_table(spark, SF, "part")
+        .groupBy("p_brand", F.col("p_retailprice").alias("price"), "p_size")
+        .count()
+        .collect()
+    )
+    by_brand: dict[str, list[tuple[float, int]]] = {}
+    for r in allpts:
+        by_brand.setdefault(r["p_brand"], []).append((r["price"], r["p_size"]))
+
+    def dominated(brand, price, size):
+        return any(
+            q_price <= price
+            and q_size >= size
+            and (q_price < price or q_size > size)
+            for q_price, q_size in by_brand[brand]
+        )
+
+    frontier = {(r["p_brand"], r["price"], r["p_size"]) for r in pts}
+    for brand, members in by_brand.items():
+        for price, size in members:
+            assert ((brand, price, size) in frontier) == (
+                not dominated(brand, price, size)
+            )
+
+
+def test_k_anonymity_rollup_invariants(spark, specs):
+    rows = specs["qa10_k_anonymity"].fn(spark, SF).collect()
+    from event_stream_aggr_spark.tables import load_table
+
+    n_customers = load_table(spark, SF, "customer").count()
+    assert sum(r["n_rows_at_risk"] for r in rows) <= n_customers
+    for r in rows:
+        assert 1 <= r["min_k"]
+        assert r["n_small_classes"] <= r["n_classes"]
+        assert r["n_low_diversity"] <= r["n_classes"]
+        # k < K_ANON classes contribute at least k=1 row each
+        assert r["n_rows_at_risk"] >= r["n_small_classes"]
+
+
+def test_bloom_skipping_never_false_negative(spark, specs):
+    rows = specs["qz12_bloom_skipping"].fn(spark, SF).collect()
+    by_label = {r["probe_label"]: r for r in rows}
+    assert len(by_label) == 11  # 6 present (doc_id 0..5) + 5 absent
+    for label, r in by_label.items():
+        # structural bloom guarantee: every true file is scanned
+        assert r["n_scan_bloom"] >= r["n_true_files"]
+        if label.startswith("present:"):
+            assert r["n_true_files"] >= 1
+        else:
+            assert r["n_true_files"] == 0
+        # zone maps on a uniform fingerprint key prune ~nothing;
+        # the bloom must strictly beat them on every probe here
+        assert r["n_scan_bloom"] < r["n_scan_zonemap"]
+
+
+def test_weighted_median_mass_rule(spark, specs):
+    import duckdb
+
+    rows = {
+        r["l_returnflag"]: r
+        for r in specs["qf09_weighted_median"].fn(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT l_returnflag, l_extendedprice, l_quantity FROM "
+        f"'{SF}/lineitem.parquet'"
+    ).fetch_df()
+    for flag, g in pdf.groupby("l_returnflag"):
+        g = g.sort_values("l_extendedprice")
+        total = g["l_quantity"].sum()
+        cum = g["l_quantity"].cumsum()
+        expected = float(g.loc[cum * 2 >= total, "l_extendedprice"].iloc[0])
+        assert abs(rows[flag]["w_median"] - expected) < 1e-6
+        assert rows[flag]["w_p10"] <= rows[flag]["w_median"] <= rows[flag]["w_p90"]

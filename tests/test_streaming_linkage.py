@@ -1,0 +1,190 @@
+"""Streaming entity resolution (round 12): link_batch folded over
+micro-batches via streaming/linkage.entity_resolution_sink.
+
+Pins the module's stated contract:
+1. within a batch, 'match' pairs form entities by connected components
+   (the offline qer02 rule) under the min rec_id;
+2. cross-batch arrivals link to CANONICAL registry entities; the
+   registry grows only by newly founded entities and linked records
+   never update it (first-writer-wins);
+3. a component containing a registry match adopts the min matched
+   entity id (entity-merge signal), and founds nothing new;
+4. the documented alias-split: an arrival matching only a
+   non-canonical record admitted earlier founds a duplicate entity;
+5. redelivery of a committed epoch is a no-op; an epoch id below the
+   committed one raises;
+6. an end-to-end availableNow stream equals driving the sink by hand.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_stream_aggr_spark.streaming.linkage import (
+    entity_resolution_sink,
+    link_batch,
+)
+from event_stream_aggr_spark.streaming.state_store import read_state
+
+# Match rule (operators/linkage weights): name agreement plus at least
+# one of (segment agreement, |balance diff| <= 5.00) clears T_MATCH;
+# anything without name agreement cannot.
+SCHEMA = "rec_id long, name string, seg string, bal double, nation int"
+
+
+def _recs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _assignments(spark, out_dir):
+    return {
+        r.rec_id: (r.entity_id, r.is_new)
+        for r in spark.read.parquet(f"{out_dir}/epoch=*").collect()
+    }
+
+
+def test_within_batch_components_follow_qer02_rule(spark):
+    # A~B (name+seg), B~C (name+bal), A!~C → ONE entity under min id,
+    # exactly the transitive semantics of the offline qer02
+    rows = [
+        (10, "N1", "S1", 0.0, 1),
+        (11, "N1", "S1", 1000.0, 1),
+        (12, "N1", "S2", 1004.0, 1),
+        (13, "N1", "S2", 1009.0, 1),  # matches only C — still absorbed
+    ]
+    out = {
+        r.rec_id: (r.entity_id, r.is_new)
+        for r in link_batch(_recs(spark, rows), None).collect()
+    }
+    assert out == {10: (10, True), 11: (10, False), 12: (10, False), 13: (10, False)}
+
+
+def test_no_match_without_name_agreement(spark):
+    rows = [
+        (1, "Acme", "AUTO", 100.0, 7),
+        (2, "Bolt", "AUTO", 100.0, 7),  # same block, same seg+bal — no name
+    ]
+    out = {
+        r.rec_id: (r.entity_id, r.is_new)
+        for r in link_batch(_recs(spark, rows), None).collect()
+    }
+    assert out == {1: (1, True), 2: (2, True)}
+
+
+def test_cross_batch_links_to_canonical_and_registry_growth(spark, tmp_path):
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out)
+    sink(_recs(spark, [(1, "Acme", "AUTO", 100.0, 7)]), 0)
+    # arrival matches canonical 1 (name+seg) → linked, registry unchanged
+    sink(_recs(spark, [(2, "Acme", "AUTO", 900.0, 7)]), 1)
+    # novel arrival → new entity
+    sink(_recs(spark, [(3, "Bolt", "RETAIL", 5.0, 3)]), 2)
+    assert _assignments(spark, out) == {
+        1: (1, True),
+        2: (1, False),
+        3: (3, True),
+    }
+    state, committed = read_state(spark, root)
+    assert committed == 2
+    reg = {r.entity_id for r in state.collect()}
+    assert reg == {1, 3}  # linked record 2 never entered
+
+
+def test_component_with_store_match_adopts_store_entity(spark, tmp_path):
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out)
+    sink(_recs(spark, [(1, "Acme", "AUTO", 100.0, 7)]), 0)
+    # 5~6 within batch (name+seg); 5 also matches canonical 1
+    # (name+bal) → the WHOLE component adopts entity 1
+    sink(
+        _recs(
+            spark,
+            [(5, "Acme", "RETAIL", 102.0, 7), (6, "Acme", "RETAIL", 900.0, 7)],
+        ),
+        1,
+    )
+    assert _assignments(spark, out) == {
+        1: (1, True),
+        5: (1, False),
+        6: (1, False),
+    }
+    state, _ = read_state(spark, root)
+    assert {r.entity_id for r in state.collect()} == {1}
+
+
+def test_documented_alias_split(spark, tmp_path):
+    # A(1)~B(2) admitted together (B linked, non-canonical). Later C
+    # matches B's fields but not A's → C cannot see B in the registry
+    # and founds a duplicate entity — the stated first-writer trade.
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out)
+    sink(
+        _recs(
+            spark,
+            [(1, "N1", "S1", 0.0, 1), (2, "N1", "S1", 1000.0, 1)],
+        ),
+        0,
+    )
+    # C: name agrees, seg S2 (disagrees with canonical 1), bal close
+    # to B only → would match B, matches nothing canonical
+    sink(_recs(spark, [(3, "N1", "S2", 1002.0, 1)]), 1)
+    a = _assignments(spark, out)
+    assert a[2] == (1, False)
+    assert a[3] == (3, True)
+
+
+def test_redelivery_noop_and_stale_checkpoint_raises(spark, tmp_path):
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out)
+    sink(_recs(spark, [(1, "Acme", "AUTO", 100.0, 7)]), 0)
+    sink(_recs(spark, [(2, "Bolt", "AUTO", 50.0, 7)]), 1)
+    state_before = sorted(map(tuple, read_state(spark, root)[0].collect()))
+    out_before = _assignments(spark, out)
+
+    sink(_recs(spark, [(2, "Bolt", "AUTO", 50.0, 7)]), 1)  # redelivery
+    assert sorted(map(tuple, read_state(spark, root)[0].collect())) == (
+        state_before
+    )
+    assert _assignments(spark, out) == out_before
+
+    with pytest.raises(ValueError, match="below"):
+        sink(_recs(spark, [(9, "Zed", "AUTO", 1.0, 1)]), 0)
+
+
+def test_end_to_end_stream_matches_hand_driven(spark, tmp_path):
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "Acme", "AUTO", 100.0, 7),
+        (2, "Acme", "AUTO", 500.0, 7),
+        (3, "Bolt", "RETAIL", 5.0, 3),
+        (4, "Bolt", "RETAIL", 7.0, 3),
+    ]
+    _recs(spark, rows).repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    q = (
+        stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(entity_resolution_sink(root, out))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    a = _assignments(spark, out)
+    # batch boundaries may split the pairs, but every record of each
+    # name-group must land on that group's min id either way (the
+    # canonical is admitted first here because ids order the greedy
+    # min and file order groups the pairs — both orderings agree)
+    assert a[1] == (1, True)
+    assert a[3] == (3, True)
+    assert a[2] == (1, False)
+    assert a[4] == (3, False)
+    # registry = the two canonicals
+    state, _ = read_state(spark, root)
+    assert {r.entity_id for r in state.collect()} == {1, 3}
