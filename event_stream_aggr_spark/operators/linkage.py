@@ -348,3 +348,100 @@ def qer02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("entity_size").agg(
         F.count(F.lit(1)).alias("n_entities")
     )
+
+
+# ---------------------------------------------------------------------------
+# qer03: blocking-quality audit (pair completeness / reduction ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qer03_blocking_quality",
+    tags=("linkage", "audit", "agg"),
+    oracle=f"""
+WITH {_scored_ctes()},
+flagged AS (
+  SELECT a_id, b_id, MAX(in_p1) AS in_p1, MAX(in_p2) AS in_p2 FROM (
+    SELECT a.a_id, t.b_id, 1 AS in_p1, 0 AS in_p2
+    FROM a JOIN twin t ON a.a_name = t.b_name
+    UNION ALL
+    SELECT a.a_id, t.b_id, 0, 1
+    FROM a JOIN twin t
+      ON a.a_nation = t.b_nation
+     AND FLOOR(a.a_bal / {BAL_BAND}) = FLOOR(t.b_bal / {BAL_BAND}))
+  GROUP BY a_id, b_id),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM a)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(in_p1) AS BIGINT) AS n_p1,
+       CAST(SUM(in_p2) AS BIGINT) AS n_p2,
+       CAST(SUM(in_p1 * in_p2) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN b_id - {B_ID_OFFSET} = a_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_found,
+       CAST((SELECT n_records FROM n)
+            - SUM(CASE WHEN b_id - {B_ID_OFFSET} = a_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_missed,
+       CAST(COUNT(*) * 1000000
+            // ((SELECT n_records FROM n) * (SELECT n_records FROM n))
+            AS BIGINT) AS reduction_ppm
+FROM flagged
+""",
+)
+def qer03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit — the two standard entity-resolution
+    blocking metrics (Christen's survey nomenclature) as one data row:
+    PAIR COMPLETENESS (how many ground-truth links survive blocking:
+    n_true_found vs n_true_missed — a missed pair can never be linked,
+    no matter how good the classifier) and REDUCTION RATIO (candidate
+    pairs as ppm of the |A|x|B| cross product — the whole point of
+    blocking). Per-pass candidate counts expose which pass earns its
+    keep; pairs found by both passes are counted once (n_both audits
+    the overlap the union dedups).
+
+    Scale shape (100 TB): identical blocking joins to qer01 (equi
+    only), flags fold in ONE map-side-combinable aggregate at pair
+    grain, and the |A| count enters as a 1-row broadcast (structural
+    crossJoin, the repo's scalar-stats shape). The cross-product size
+    in the denominator is arithmetic on two counts, never a
+    materialized relation."""
+    a = _a_side(spark, sf_dir)
+    b = _twin_side(spark, sf_dir)
+    p1 = a.join(b, a["a_name"] == b["b_name"]).select(
+        "a_id", "b_id", F.lit(1).alias("in_p1"), F.lit(0).alias("in_p2")
+    )
+    p2 = a.join(
+        b,
+        (a["a_nation"] == b["b_nation"])
+        & (F.floor(a["a_bal"] / BAL_BAND) == F.floor(b["b_bal"] / BAL_BAND)),
+    ).select("a_id", "b_id", F.lit(0).alias("in_p1"), F.lit(1).alias("in_p2"))
+    flagged = (
+        p1.unionAll(p2)
+        .groupBy("a_id", "b_id")
+        .agg(F.max("in_p1").alias("in_p1"), F.max("in_p2").alias("in_p2"))
+    )
+    n = a.agg(F.count(F.lit(1)).alias("n_records"))
+    is_true = F.when(
+        F.col("b_id") - B_ID_OFFSET == F.col("a_id"), 1
+    ).otherwise(0)
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("in_p1").alias("n_p1"),
+            F.sum("in_p2").alias("n_p2"),
+            F.sum(F.col("in_p1") * F.col("in_p2")).alias("n_both"),
+            F.sum(is_true).alias("n_true_found"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_candidates",
+            "n_p1",
+            "n_p2",
+            "n_both",
+            "n_true_found",
+            (F.col("n_records") - F.col("n_true_found")).alias(
+                "n_true_missed"
+            ),
+            F.expr(
+                "n_candidates * 1000000 div (n_records * n_records)"
+            ).alias("reduction_ppm"),
+        )
+    )
