@@ -527,3 +527,173 @@ def qv04_changelog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_view(snap).select(
         "o_orderkey", "op", F.col("val").cast("double").alias("val")
     )
+
+
+# ---------------------------------------------------------------------------
+# qv05: bitemporal as-of query (transaction time x valid time)
+# ---------------------------------------------------------------------------
+
+#: qv05's two as-of coordinates, inside the orders date domain
+#: (1995..2001): "what did the system BELIEVE on TX_ASOF about orders
+#: VALID on V_ASOF". Corrections are recorded 30 days after the
+#: initial row, validity runs 90 days from the order date, and the
+#: md5 band marks which orders ever receive a correction.
+BTX_TX_ASOF = "1998-06-15 00:00:00"
+BTX_V_ASOF = "1998-06-01 00:00:00"
+BTX_CORRECTION_LAG_DAYS = 30
+BTX_VALID_DAYS = 90
+BTX_BAND_MOD = 3  # keys with md5 % 3 == 0 get a correction
+BTX_CORRECTION = "100.00"  # exact-DECIMAL price restatement
+
+
+def _register_bitemporal_query():
+    @register(
+        "qv05_bitemporal_asof",
+        tags=("versioning", "window", "temporal"),
+        oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price0,
+         o_orderdate,
+         (('0x' || substr(md5('btx:' || CAST(o_orderkey AS VARCHAR)), 1, 2))
+            ::BIGINT % {BTX_BAND_MOD} = 0) AS corrected
+  FROM orders),
+versions AS (
+  SELECT o_orderkey, o_orderpriority, price0 AS price,
+         o_orderdate AS tx,
+         o_orderdate AS valid_from,
+         o_orderdate + INTERVAL {BTX_VALID_DAYS} DAY AS valid_to,
+         0 AS is_correction
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, price0 + {BTX_CORRECTION},
+         o_orderdate + INTERVAL {BTX_CORRECTION_LAG_DAYS} DAY,
+         o_orderdate,
+         o_orderdate + INTERVAL {BTX_VALID_DAYS} DAY,
+         1
+  FROM base WHERE corrected),
+believed AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY tx DESC, is_correction DESC) AS rn
+  FROM versions
+  WHERE tx <= TIMESTAMP '{BTX_TX_ASOF}'),
+snapshot AS (
+  SELECT * FROM believed
+  WHERE rn = 1
+    AND valid_from <= TIMESTAMP '{BTX_V_ASOF}'
+    AND TIMESTAMP '{BTX_V_ASOF}' < valid_to)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(is_correction) AS BIGINT) AS n_corrected,
+       CAST(SUM(price) AS DOUBLE) AS believed_total
+FROM snapshot GROUP BY o_orderpriority
+""",
+    )
+    def qv05_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bitemporal as-of query (Snodgrass; the SQL:2011 system-time +
+        application-time pairing, and the audit question qv02's single-
+        axis SCD2 cannot answer): reconstruct what the system BELIEVED
+        at transaction time TX about rows VALID at time V. The
+        bitemporal corpus derives deterministically from orders —
+        every order books an initial row at its order date (valid 90
+        days), an md5-band subset is RESTATED (+100.00 exact DECIMAL)
+        30 days later with unchanged validity. The as-of semantics:
+        keep versions recorded on or before TX, take the latest
+        transaction per key (corrections supersede), then filter to
+        rows whose validity interval covers V — so a correction booked
+        after TX is invisible even though its VALIDITY covers V, which
+        is precisely the bitemporal distinction. Rolled up per order
+        priority with the restatement count and the believed total.
+
+        Scale shape (100 TB): version derivation is a per-row
+        projection + a band-filtered union (one scan, no join); the
+        latest-transaction rule is ONE window partitioned by key
+        (never global) over at most 2 rows per key; filters sit under
+        the window so transaction-time pruning (tx <= TX, the
+        physical analogue of a system-time partition) reaches the
+        scan; the rollup is map-side combinable with an exact DECIMAL
+        total. Both engines run NTZ timestamp arithmetic
+        (timestampadd on the normalized scan — timezone-hostile
+        safe)."""
+        from pyspark.sql import Window as W
+
+        o = load_table(spark, sf_dir, "orders")
+        base = o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price0"),
+            "o_orderdate",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("btx:"),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % BTX_BAND_MOD
+                == 0
+            ).alias("corrected"),
+        )
+        valid_to = F.expr(
+            f"timestampadd(DAY, {BTX_VALID_DAYS}, o_orderdate)"
+        )
+        v1 = base.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("price0").alias("price"),
+            F.col("o_orderdate").alias("tx"),
+            F.col("o_orderdate").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.lit(0).alias("is_correction"),
+        )
+        v2 = base.filter("corrected").select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                F.col("price0")
+                + F.lit(BTX_CORRECTION).cast("decimal(18,2)")
+            ).alias("price"),
+            F.expr(
+                f"timestampadd(DAY, {BTX_CORRECTION_LAG_DAYS}, o_orderdate)"
+            ).alias("tx"),
+            F.col("o_orderdate").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.lit(1).alias("is_correction"),
+        )
+        versions = v1.select(*v1.columns).unionByName(
+            v2.select(*v1.columns)
+        )
+        believed = versions.filter(
+            F.col("tx") <= F.lit(BTX_TX_ASOF).cast("timestamp_ntz")
+        ).withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_orderkey").orderBy(
+                    F.col("tx").desc(), F.col("is_correction").desc()
+                )
+            ),
+        )
+        v_asof = F.lit(BTX_V_ASOF).cast("timestamp_ntz")
+        snapshot = believed.filter(
+            (F.col("rn") == 1)
+            & (F.col("valid_from") <= v_asof)
+            & (v_asof < F.col("valid_to"))
+        )
+        return snapshot.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("is_correction").cast("long").alias("n_corrected"),
+            F.sum("price").cast("double").alias("believed_total"),
+        )
+
+    return qv05_bitemporal_asof
+
+
+_register_bitemporal_query()
