@@ -225,6 +225,7 @@ decided AS (
 
 @register(
     "qer01_record_linkage",
+    bench=True,
     tags=("linkage", "join", "agg"),
     oracle=f"""
 WITH {_scored_ctes()}

@@ -32,6 +32,9 @@ QUERIES = (
     # (uniform custkey here — the plain branch; the Zipf-hot branch is
     # exercised by _skew_probe below on a Zipf twin of the probe dir)
     "qz09_auto_skew_join",
+    # round 12: the ER blocking joins (exact-name + nation x balance
+    # band) — candidate volume must grow with block sizes, not |A|x|B|
+    "qer01_record_linkage",
 )
 
 
