@@ -20,11 +20,19 @@ compare as exact DECIMAL(12,2); the md5 band and blocking keys replay
 bit-for-bit in SQL.
 
 Scale shape (100 TB): blocking is two equi-joins (exact name;
-nation x balance-band) — candidate volume is bounded by block sizes,
-never |A| x |B|; pair dedup, scoring, and the decision rollup are one
-distinct + per-row expressions + one map-side-combinable aggregate.
-Entity formation reuses operators/cluster.py's iterative min-label
-propagation (one shuffle per round, bounded by match-graph diameter).
+nation x balance-band) — candidate volume is the sum of per-block
+|A_b| x |B_b| products, never |A| x |B| — and BLOCK PURGING (the
+Papadakis et al. rule every production linker applies) caps that
+product per block at BLOCK_CAP: a degenerate block (placeholder names,
+a hot balance band) is skipped and COUNTED (qer03 reports purged
+blocks beside pair completeness) instead of detonating a quadratic
+join. Under natural growth blocks multiply rather than densify, so
+nothing purges and recall is untouched; the 30x upscale probe
+exercises both regimes. Pair dedup, scoring, and the decision rollup
+are one distinct + per-row expressions + one map-side-combinable
+aggregate. Entity formation reuses operators/cluster.py's iterative
+min-label propagation (one shuffle per round, bounded by match-graph
+diameter).
 """
 
 from __future__ import annotations
@@ -69,6 +77,14 @@ T_POSSIBLE = 0.0
 #: balance band used by blocking pass P2.
 BAL_TOL = "5.00"
 BAL_BAND = 100
+
+#: Block purging cap: a blocking key whose |A_block| x |B_block|
+#: candidate product exceeds this is SKIPPED (and reported by qer03) —
+#: the standard defense against degenerate blocks (placeholder names,
+#: hot bands) whose quadratic pair volume would dominate the join. At
+#: the test/bench scale factors every block is orders of magnitude
+#: below the cap, so purging changes nothing there by construction.
+BLOCK_CAP = 20_000
 
 #: Twin ids live in a disjoint namespace: b_id = c_custkey + offset.
 B_ID_OFFSET = 10_000_000
@@ -129,24 +145,84 @@ def _twin_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def scored_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Blocking (two equi-join passes, deduped) + Fellegi-Sunter
-    scoring. Returns (a_id, b_id, w, decision) at pair grain.
+def _p1_blocks(a: DataFrame, b: DataFrame, block_cap: int) -> DataFrame:
+    """Surviving P1 (exact-name) blocking keys: names whose candidate
+    product stays under the purge cap. Two map-side-combinable counts
+    at block-key grain + one key-grain join — metadata-sized."""
+    ca = a.groupBy(F.col("a_name").alias("k1")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = b.groupBy(F.col("b_name").alias("k1")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    return (
+        ca.join(cb, "k1")
+        .filter(F.col("ca") * F.col("cb") <= block_cap)
+        .select("k1")
+    )
+
+
+def _p2_blocks(a: DataFrame, b: DataFrame, block_cap: int) -> DataFrame:
+    """Surviving P2 (nation x balance-band) blocking keys."""
+    ca = a.groupBy(
+        F.col("a_nation").alias("k2n"),
+        F.floor(F.col("a_bal") / BAL_BAND).alias("k2b"),
+    ).agg(F.count(F.lit(1)).alias("ca"))
+    cb = b.groupBy(
+        F.col("b_nation").alias("k2n"),
+        F.floor(F.col("b_bal") / BAL_BAND).alias("k2b"),
+    ).agg(F.count(F.lit(1)).alias("cb"))
+    return (
+        ca.join(cb, ["k2n", "k2b"])
+        .filter(F.col("ca") * F.col("cb") <= block_cap)
+        .select("k2n", "k2b")
+    )
+
+
+def candidate_pairs(
+    a: DataFrame, b: DataFrame, block_cap: int = BLOCK_CAP
+) -> DataFrame:
+    """Blocked candidate generation (deduped across passes), with
+    per-block purging at ``block_cap``. Returns (a_id, b_id)."""
+    p1 = (
+        a.join(_p1_blocks(a, b, block_cap), a["a_name"] == F.col("k1"))
+        .join(b, F.col("k1") == b["b_name"])
+        .select("a_id", "b_id")
+    )
+    a2 = a.select(
+        "a_id",
+        F.col("a_nation").alias("k2n"),
+        F.floor(F.col("a_bal") / BAL_BAND).alias("k2b"),
+    )
+    b2 = b.select(
+        "b_id",
+        F.col("b_nation").alias("k2n"),
+        F.floor(F.col("b_bal") / BAL_BAND).alias("k2b"),
+    )
+    p2 = (
+        a2.join(_p2_blocks(a, b, block_cap), ["k2n", "k2b"])
+        .join(b2, ["k2n", "k2b"])
+        .select("a_id", "b_id")
+    )
+    return p1.unionAll(p2).distinct()
+
+
+def scored_pairs(
+    a: DataFrame, b: DataFrame, block_cap: int = BLOCK_CAP
+) -> DataFrame:
+    """Blocking (two equi-join passes, block-purged, deduped) +
+    Fellegi-Sunter scoring. Returns (a_id, b_id, w, decision) at pair
+    grain.
 
     Pass P1 blocks on exact name (catches every twin whose name
     survived); pass P2 blocks on (nation, floor(balance / BAL_BAND))
     (catches name-corrupted twins AND mints the accidental same-band
     pairs the classifier must reject — that rejection is the point of
-    the u probabilities). Candidate volume is sum of block-pair sizes,
-    never |A| x |B|.
+    the u probabilities). Candidate volume is the sum of surviving
+    block-pair products, never |A| x |B|; blocks over ``block_cap``
+    are purged (see module docstring).
     """
-    p1 = a.join(b, a["a_name"] == b["b_name"]).select("a_id", "b_id")
-    p2 = a.join(
-        b,
-        (a["a_nation"] == b["b_nation"])
-        & (F.floor(a["a_bal"] / BAL_BAND) == F.floor(b["b_bal"] / BAL_BAND)),
-    ).select("a_id", "b_id")
-    cand = p1.unionAll(p2).distinct()
+    cand = candidate_pairs(a, b, block_cap)
     pairs = cand.join(a, "a_id").join(b, "b_id")
     w = (
         F.when(F.col("a_name") == F.col("b_name"), F.lit(W_AGREE["name"]))
@@ -195,12 +271,30 @@ twin AS (
           (('0x' || substr(md5('lnk:' || CAST(c_custkey AS VARCHAR)), 1, 2))
              ::BIGINT % {N_BANDS}) AS band
         FROM customer)),
+p1keep AS (
+  SELECT x.k1 FROM
+    (SELECT a_name AS k1, COUNT(*) AS ca FROM a GROUP BY a_name) x
+    JOIN (SELECT b_name AS k1, COUNT(*) AS cb FROM twin GROUP BY b_name) y
+      ON x.k1 = y.k1
+  WHERE x.ca * y.cb <= {BLOCK_CAP}),
+p2keep AS (
+  SELECT x.k2n, x.k2b FROM
+    (SELECT a_nation AS k2n, FLOOR(a_bal / {BAL_BAND}) AS k2b,
+            COUNT(*) AS ca FROM a GROUP BY 1, 2) x
+    JOIN (SELECT b_nation AS k2n, FLOOR(b_bal / {BAL_BAND}) AS k2b,
+             COUNT(*) AS cb FROM twin GROUP BY 1, 2) y
+      ON x.k2n = y.k2n AND x.k2b = y.k2b
+  WHERE x.ca * y.cb <= {BLOCK_CAP}),
 cand AS (
-  SELECT a.a_id, t.b_id FROM a JOIN twin t ON a.a_name = t.b_name
+  SELECT a.a_id, t.b_id
+  FROM a JOIN p1keep k ON a.a_name = k.k1
+         JOIN twin t ON t.b_name = k.k1
   UNION
-  SELECT a.a_id, t.b_id FROM a JOIN twin t
-    ON a.a_nation = t.b_nation
-   AND FLOOR(a.a_bal / {BAL_BAND}) = FLOOR(t.b_bal / {BAL_BAND})),
+  SELECT a.a_id, t.b_id
+  FROM a JOIN p2keep k
+         ON a.a_nation = k.k2n AND FLOOR(a.a_bal / {BAL_BAND}) = k.k2b
+       JOIN twin t
+         ON t.b_nation = k.k2n AND FLOOR(t.b_bal / {BAL_BAND}) = k.k2b),
 scored AS (
   SELECT c.a_id, c.b_id,
          (CASE WHEN a.a_name = t.b_name
@@ -250,12 +344,14 @@ def qer01_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking collisions.
 
     Scale shape (100 TB): both blocking passes are equi-joins
-    (AQE-splittable, candidate volume = sum of block-pair products,
-    never |A| x |B|); the pair set dedups with one distinct, scoring is
-    per-row literal arithmetic, and the report is one map-side-
-    combinable aggregate over pair grain. Weight sums use exact
-    DECIMAL accumulation (order-independent) and divide once in
-    DOUBLE."""
+    (AQE-splittable, candidate volume = sum of surviving block-pair
+    products, never |A| x |B|) guarded by BLOCK_CAP purging — a
+    degenerate block is skipped and counted (qer03), never joined; the
+    purge decision costs two map-side-combinable counts at block-key
+    grain. The pair set dedups with one distinct, scoring is per-row
+    literal arithmetic, and the report is one map-side-combinable
+    aggregate over pair grain. Weight sums use exact DECIMAL
+    accumulation (order-independent) and divide once in DOUBLE."""
     a = _a_side(spark, sf_dir)
     b = _twin_side(spark, sf_dir)
     return (
@@ -324,13 +420,13 @@ def qer02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     census is how you'd notice).
 
     Scale shape (100 TB): match edges reuse qer01's sub-quadratic
-    blocking; components run on operators/cluster.py's iterative
-    min-label propagation (one shuffle per round, rounds bounded by
-    the match-graph diameter — here 1-2); singletons enter via ONE
-    left join of the node census against the component labels, and
-    both rollups are map-side-combinable counts. The oracle reaches
-    the same fixpoint through a recursive-CTE transitive closure — a
-    different algorithm entirely, same entities."""
+    block-purged blocking; components run on operators/cluster.py's
+    iterative min-label propagation (one shuffle per round, rounds
+    bounded by the match-graph diameter — here 1-2); singletons enter
+    via ONE left join of the node census against the component labels,
+    and both rollups are map-side-combinable counts. The oracle
+    reaches the same fixpoint through a recursive-CTE transitive
+    closure — a different algorithm entirely, same entities."""
     from event_stream_aggr_spark.operators.cluster import connected_components
 
     a = _a_side(spark, sf_dir)
@@ -364,13 +460,29 @@ WITH {_scored_ctes()},
 flagged AS (
   SELECT a_id, b_id, MAX(in_p1) AS in_p1, MAX(in_p2) AS in_p2 FROM (
     SELECT a.a_id, t.b_id, 1 AS in_p1, 0 AS in_p2
-    FROM a JOIN twin t ON a.a_name = t.b_name
+    FROM a JOIN p1keep k ON a.a_name = k.k1
+           JOIN twin t ON t.b_name = k.k1
     UNION ALL
     SELECT a.a_id, t.b_id, 0, 1
-    FROM a JOIN twin t
-      ON a.a_nation = t.b_nation
-     AND FLOOR(a.a_bal / {BAL_BAND}) = FLOOR(t.b_bal / {BAL_BAND}))
+    FROM a JOIN p2keep k
+           ON a.a_nation = k.k2n AND FLOOR(a.a_bal / {BAL_BAND}) = k.k2b
+         JOIN twin t
+           ON t.b_nation = k.k2n AND FLOOR(t.b_bal / {BAL_BAND}) = k.k2b)
   GROUP BY a_id, b_id),
+purged AS (
+  SELECT
+    (SELECT COUNT(*) FROM
+       (SELECT a_name AS k1, COUNT(*) AS ca FROM a GROUP BY a_name) x
+       JOIN (SELECT b_name AS k1, COUNT(*) AS cb FROM twin GROUP BY b_name) y
+         ON x.k1 = y.k1
+     WHERE x.ca * y.cb > {BLOCK_CAP})
+    + (SELECT COUNT(*) FROM
+       (SELECT a_nation AS k2n, FLOOR(a_bal / {BAL_BAND}) AS k2b,
+               COUNT(*) AS ca FROM a GROUP BY 1, 2) x
+       JOIN (SELECT b_nation AS k2n, FLOOR(b_bal / {BAL_BAND}) AS k2b,
+                COUNT(*) AS cb FROM twin GROUP BY 1, 2) y
+         ON x.k2n = y.k2n AND x.k2b = y.k2b
+     WHERE x.ca * y.cb > {BLOCK_CAP}) AS n_purged_blocks),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM a)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
        CAST(SUM(in_p1) AS BIGINT) AS n_p1,
@@ -383,7 +495,9 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
             AS BIGINT) AS n_true_missed,
        CAST(COUNT(*) * 1000000
             // ((SELECT n_records FROM n) * (SELECT n_records FROM n))
-            AS BIGINT) AS reduction_ppm
+            AS BIGINT) AS reduction_ppm,
+       CAST((SELECT n_purged_blocks FROM purged) AS BIGINT)
+         AS n_purged_blocks
 FROM flagged
 """,
 )
@@ -396,29 +510,75 @@ def qer03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs as ppm of the |A|x|B| cross product — the whole point of
     blocking). Per-pass candidate counts expose which pass earns its
     keep; pairs found by both passes are counted once (n_both audits
-    the overlap the union dedups).
+    the overlap the union dedups); n_purged_blocks counts blocks the
+    BLOCK_CAP guard skipped — recall lost to purging shows up in
+    n_true_missed, so the trade is visible in one row.
 
-    Scale shape (100 TB): identical blocking joins to qer01 (equi
-    only), flags fold in ONE map-side-combinable aggregate at pair
-    grain, and the |A| count enters as a 1-row broadcast (structural
-    crossJoin, the repo's scalar-stats shape). The cross-product size
-    in the denominator is arithmetic on two counts, never a
-    materialized relation."""
+    Scale shape (100 TB): identical block-purged blocking joins to
+    qer01 (equi only), flags fold in ONE map-side-combinable aggregate
+    at pair grain, purge counts are block-key-grain aggregates, and
+    the |A| count enters as a 1-row broadcast (structural crossJoin,
+    the repo's scalar-stats shape). The cross-product size in the
+    denominator is arithmetic on two counts, never a materialized
+    relation."""
     a = _a_side(spark, sf_dir)
     b = _twin_side(spark, sf_dir)
-    p1 = a.join(b, a["a_name"] == b["b_name"]).select(
-        "a_id", "b_id", F.lit(1).alias("in_p1"), F.lit(0).alias("in_p2")
+    k1 = _p1_blocks(a, b, BLOCK_CAP)
+    k2 = _p2_blocks(a, b, BLOCK_CAP)
+    p1 = (
+        a.join(k1, a["a_name"] == F.col("k1"))
+        .join(b, F.col("k1") == b["b_name"])
+        .select("a_id", "b_id", F.lit(1).alias("in_p1"), F.lit(0).alias("in_p2"))
     )
-    p2 = a.join(
-        b,
-        (a["a_nation"] == b["b_nation"])
-        & (F.floor(a["a_bal"] / BAL_BAND) == F.floor(b["b_bal"] / BAL_BAND)),
-    ).select("a_id", "b_id", F.lit(0).alias("in_p1"), F.lit(1).alias("in_p2"))
+    a2 = a.select(
+        "a_id",
+        F.col("a_nation").alias("k2n"),
+        F.floor(F.col("a_bal") / BAL_BAND).alias("k2b"),
+    )
+    b2 = b.select(
+        "b_id",
+        F.col("b_nation").alias("k2n"),
+        F.floor(F.col("b_bal") / BAL_BAND).alias("k2b"),
+    )
+    p2 = (
+        a2.join(k2, ["k2n", "k2b"])
+        .join(b2, ["k2n", "k2b"])
+        .select("a_id", "b_id", F.lit(0).alias("in_p1"), F.lit(1).alias("in_p2"))
+    )
     flagged = (
         p1.unionAll(p2)
         .groupBy("a_id", "b_id")
         .agg(F.max("in_p1").alias("in_p1"), F.max("in_p2").alias("in_p2"))
     )
+
+    def _purged_count(sizes_a, sizes_b, keys):
+        return (
+            sizes_a.join(sizes_b, keys)
+            .filter(F.col("ca") * F.col("cb") > BLOCK_CAP)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    purged1 = _purged_count(
+        a.groupBy(F.col("a_name").alias("k1")).agg(
+            F.count(F.lit(1)).alias("ca")
+        ),
+        b.groupBy(F.col("b_name").alias("k1")).agg(
+            F.count(F.lit(1)).alias("cb")
+        ),
+        ["k1"],
+    ).select(F.col("n").alias("np1"))
+    purged2 = _purged_count(
+        a.groupBy(
+            F.col("a_nation").alias("k2n"),
+            F.floor(F.col("a_bal") / BAL_BAND).alias("k2b"),
+        ).agg(F.count(F.lit(1)).alias("ca")),
+        b.groupBy(
+            F.col("b_nation").alias("k2n"),
+            F.floor(F.col("b_bal") / BAL_BAND).alias("k2b"),
+        ).agg(F.count(F.lit(1)).alias("cb")),
+        ["k2n", "k2b"],
+    ).select(F.col("n").alias("np2"))
+
     n = a.agg(F.count(F.lit(1)).alias("n_records"))
     is_true = F.when(
         F.col("b_id") - B_ID_OFFSET == F.col("a_id"), 1
@@ -432,6 +592,8 @@ def qer03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_true).alias("n_true_found"),
         )
         .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(purged1))
+        .crossJoin(F.broadcast(purged2))
         .select(
             "n_candidates",
             "n_p1",
@@ -444,5 +606,6 @@ def qer03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "n_candidates * 1000000 div (n_records * n_records)"
             ).alias("reduction_ppm"),
+            (F.col("np1") + F.col("np2")).alias("n_purged_blocks"),
         )
     )

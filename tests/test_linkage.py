@@ -88,6 +88,49 @@ def test_every_twin_produces_a_candidate_pair(spark):
     assert true_cands == a.count()
 
 
+def test_block_purging_skips_dense_blocks_only(spark):
+    """BLOCK_CAP purging: a degenerate block (every record sharing a
+    placeholder name) is skipped once its |A_block| x |B_block|
+    product exceeds the cap, while normal blocks are untouched — and
+    at the shipped corpus/SFs no block comes near the cap (purging
+    changes nothing there, pinned by n_purged_blocks == 0)."""
+    a_rows = [(i, "PLACEHOLDER", "S", float(i * 1000), i % 5) for i in range(8)]
+    a_rows += [(100, "Alice", "S", 1.0, 1)]
+    b_rows = [
+        (1000 + i, "PLACEHOLDER", "S", float(i * 1000), i % 5)
+        for i in range(8)
+    ]
+    b_rows += [(1100, "Alice", "S", 1.0, 1)]
+    a = spark.createDataFrame(
+        a_rows, "a_id long, a_name string, a_seg string, a_bal double, a_nation int"
+    ).withColumn("a_bal", F.col("a_bal").cast("decimal(12,2)"))
+    b = spark.createDataFrame(
+        b_rows, "b_id long, b_name string, b_seg string, b_bal double, b_nation int"
+    ).withColumn("b_bal", F.col("b_bal").cast("decimal(13,2)"))
+    # cap 50 < 8x8: the PLACEHOLDER name block purges; Alice's 1x1
+    # name block and the small nation x band blocks survive
+    pairs = scored_pairs(a, b, block_cap=50).collect()
+    assert all(
+        not (r["a_id"] < 100 and r["b_id"] < 1100 and r["a_id"] + 1000 != r["b_id"])
+        or r["decision"] != "match"
+        for r in pairs
+    )
+    names = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (100, 1100) in names  # Alice still links by name
+    # placeholder pairs may only enter via small nation x band blocks
+    # (at most 2x2 here), never the 64-pair name block
+    placeholder_pairs = [p for p in names if p[0] < 100 and p[1] < 1100]
+    assert len(placeholder_pairs) < 64
+    # no cap → the dense name block floods back in
+    flood = scored_pairs(a, b, block_cap=10_000).count()
+    assert flood > len(pairs)
+    # shipped corpus: nothing purges at test SF
+    from event_stream_aggr_spark.plans.registry import load_all
+
+    row = load_all()["qer03_blocking_quality"].fn(spark, SF).collect()[0]
+    assert row["n_purged_blocks"] == 0
+
+
 def test_pairs_are_deduped_across_blocking_passes(spark):
     a, b = _a_side(spark, SF), _twin_side(spark, SF)
     scored = scored_pairs(a, b)

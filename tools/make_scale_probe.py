@@ -224,6 +224,14 @@ def main() -> None:
                     )
             if t == "events" and i:
                 rep = rep.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} SECOND"))
+            if t == "customer" and i:
+                # identity-ish payloads must MULTIPLY blocks, not
+                # densify them (same reason keys are offset): replica
+                # customers are NEW people — fresh names, balances
+                # spread across qer01's blocking bands
+                rep = rep.withColumn(
+                    "c_name", F.concat(F.col("c_name"), F.lit(f"~r{i}"))
+                ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(float(i * 101)))
             if t == "documents" and i:
                 rep = rep.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" replica{i}marker"))
