@@ -532,11 +532,18 @@ def qi05_retraction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     |grain| signed rows (map-side combinable), and every merge
     shuffles 2·|grain| state rows — refresh cost is O(|Δ| + |rollup|),
     independent of history, exactly qi01's bound but now valid under
-    deletes. The epoch fold is a BOUNDED driver loop over the data's
-    order-year domain (one scalar min/max agg discovers it — a
-    metadata-grain stats pass, the qz04 pattern; ~8 iterations, each
-    a tiny union-aggregate — no growing-lineage hazard at 8
-    state-sized plans)."""
+    deletes. The changelog is DISK_ONLY-materialized ONCE (in a real
+    CDC feed it arrives materialized; here that one checkpoint job
+    replaces ~2 parquet scans per epoch), the epoch domain reads off
+    the materialized blocks in the same scalar min/max stats pass
+    (the qz04 pattern), and the fold is a BOUNDED driver loop over
+    it — ~8 iterations, each a tiny block-scan aggregate; no
+    growing-lineage hazard at 8 state-sized plans. The final
+    generation stays registered (the returned frame reads those
+    blocks; GC cleans them when the caller drops it — the
+    connected_components discipline)."""
+    from event_stream_aggr_spark.operators.lifecycle import disk_checkpoint_lazy
+
     keys = ["o_orderstatus", "o_orderpriority"]
     o = load_table(spark, sf_dir, "orders").select(
         *keys,
@@ -552,11 +559,16 @@ def qi05_retraction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("w"),
         "v",
     )
-    changes = inserts.unionByName(deletes)
-    # epoch domain from the data (one scalar agg): insert years plus
-    # the trailing epoch the last year's retractions land in
-    b = o.agg(F.min("yr").alias("lo"), F.max("yr").alias("hi")).first()
-    lo, hi = int(b.lo), int(b.hi) + 1
+    changes, _ = disk_checkpoint_lazy(inserts.unionByName(deletes))
+    # epoch domain from the data (one scalar agg over the blocks the
+    # mark above materializes with this very action): the changelog's
+    # epoch column already spans insert years plus the trailing epoch
+    # the last year's retractions land in
+    b = changes.agg(
+        F.min(RETRACT_EPOCH_COL).alias("lo"),
+        F.max(RETRACT_EPOCH_COL).alias("hi"),
+    ).first()
+    lo, hi = int(b.lo), int(b.hi)
     state = None
     for ep in range(lo, hi + 1):
         delta = signed_partial(
