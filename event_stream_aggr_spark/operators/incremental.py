@@ -653,3 +653,104 @@ def qi06_retraction_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_distinct_custkeys"))
     )
+
+
+# ---------------------------------------------------------------------------
+# qi07: incremental exact top-k maintenance (bounded mergeable state)
+# ---------------------------------------------------------------------------
+
+#: qi07 keeps the K highest-priced orders per priority class.
+TOPK_K = 3
+
+
+def topk_prune(state: DataFrame, keys: list[str], k: int = TOPK_K) -> DataFrame:
+    """Keep each group's top-k rows by (price desc, o_orderkey asc) —
+    the merge operator of the top-k monoid: merge(A, B) =
+    prune(A ∪ B). Deterministic (unique tiebreaker), window
+    partitioned by group."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(
+        F.col("price").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        state.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+@register(
+    "qi07_incremental_topk",
+    tags=("incremental", "window", "scale"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                                     o_orderkey) AS rnk
+  FROM orders)
+SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+       CAST(price AS DOUBLE) AS price
+FROM ranked WHERE rnk <= {TOPK_K}
+""",
+)
+def qi07_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT top-k maintenance — the leaderboard shape
+    (top-priced orders per priority class) kept fresh without ever
+    re-ranking history: per-group top-k is a MERGEABLE, BOUNDED state
+    (merge(A, B) = prune(A ∪ B); a row outside some prefix's top-k is
+    outside every superset's top-k under inserts, so pruning loses
+    nothing — the same monotone-prune argument as the streaming
+    skyline's frontier). The orders feed folds one order-year epoch at
+    a time, exactly qi05's loop but with ORDER-STATISTIC state instead
+    of additive sums — together they cover the two IVM state families
+    qi01's monoids don't: retractions (qi05/qi06) and ranking (here).
+    The final state equals the oracle's one-pass global ROW_NUMBER
+    top-k bit-for-bit. Deletes are out of scope by design: top-k is
+    NOT retraction-safe (a deleted leader needs history to backfill) —
+    the same honest boundary qi05 states for MIN/MAX.
+
+    Scale shape (100 TB): the changelog materializes ONCE (DISK_ONLY,
+    shared with the epoch-domain stats pass); each epoch prunes its
+    delta to ≤ k·|groups| rows with a PARTITIONED window (map-side the
+    moment AQE sees the tiny grain), and every merge re-ranks at most
+    2k rows per group — refresh cost O(|Δ| + k·|groups|), independent
+    of history."""
+    from event_stream_aggr_spark.operators.lifecycle import disk_checkpoint_lazy
+
+    keys = ["o_orderpriority"]
+    o = load_table(spark, sf_dir, "orders").select(
+        *keys,
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.year("o_orderdate").cast("long").alias(RETRACT_EPOCH_COL),
+    )
+    changes, _ = disk_checkpoint_lazy(o)
+    b = changes.agg(
+        F.min(RETRACT_EPOCH_COL).alias("lo"),
+        F.max(RETRACT_EPOCH_COL).alias("hi"),
+    ).first()
+    state = None
+    for ep in range(int(b.lo), int(b.hi) + 1):
+        delta = topk_prune(
+            changes.filter(F.col(RETRACT_EPOCH_COL) == ep).drop(
+                RETRACT_EPOCH_COL
+            ),
+            keys,
+        )
+        state = delta if state is None else topk_prune(
+            state.unionByName(delta), keys
+        )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(
+        F.col("price").desc(), F.col("o_orderkey").asc()
+    )
+    return state.select(
+        *keys,
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+    )

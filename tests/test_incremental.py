@@ -185,3 +185,37 @@ def test_signed_state_split_invariance_property(spark):
         assert as_dict(folded) == as_dict(one_pass)
 
     run()
+
+
+def test_topk_state_is_merge_closed_and_displacement_safe(spark):
+    """qi07's monotone-prune argument on a hand corpus: an early
+    epoch's leader is displaced by a later epoch's arrival, and the
+    folded state still equals the one-pass top-k — pruning to k rows
+    per group between epochs lost nothing."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.incremental import (
+        TOPK_K,
+        topk_prune,
+    )
+
+    rows = [
+        # epoch 1: leaders 100, 90, 80 (40, 30 pruned)
+        ("P", 1, 100.0), ("P", 2, 90.0), ("P", 3, 80.0),
+        ("P", 4, 40.0), ("P", 5, 30.0),
+        # epoch 2: 95 displaces 80; 85 displaces nothing after that
+        ("P", 6, 95.0), ("P", 7, 85.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderkey long, price double"
+    ).withColumn("price", F.col("price").cast("decimal(18,2)"))
+    keys = ["o_orderpriority"]
+    e1 = topk_prune(df.filter("o_orderkey <= 5"), keys)
+    e2 = topk_prune(df.filter("o_orderkey > 5"), keys)
+    folded = sorted(
+        map(tuple, topk_prune(e1.unionByName(e2), keys).collect())
+    )
+    onepass = sorted(map(tuple, topk_prune(df, keys).collect()))
+    assert folded == onepass
+    assert len(folded) == TOPK_K
+    assert {r[1] for r in folded} == {1, 6, 2}  # 100, 95, 90
