@@ -2185,3 +2185,101 @@ GROUP BY f.probe_label
 
 
 _register_bloom_skipping_query()
+
+
+# ---------------------------------------------------------------------------
+# qa11: k-anonymity generalization ladder (minimal coarsening per nation)
+# ---------------------------------------------------------------------------
+
+
+def _register_generalization_ladder_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    @register(
+        "qa11_generalization_ladder",
+        tags=("maintenance", "quality", "governance"),
+        oracle=f"""
+WITH l0 AS (
+  SELECT c_nationkey AS n, COUNT(*) AS k
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000)),
+l1 AS (
+  SELECT c_nationkey AS n, COUNT(*) AS k
+  FROM customer GROUP BY c_nationkey, c_mktsegment),
+l2 AS (
+  SELECT c_nationkey AS n, COUNT(*) AS k
+  FROM customer GROUP BY c_nationkey),
+lvls AS (
+  SELECT n, 0 AS lvl, MIN(k) AS min_k, COUNT(*) AS n_classes
+  FROM l0 GROUP BY n
+  UNION ALL
+  SELECT n, 1, MIN(k), COUNT(*) FROM l1 GROUP BY n
+  UNION ALL
+  SELECT n, 2, MIN(k), COUNT(*) FROM l2 GROUP BY n),
+chosen AS (
+  SELECT n, MIN(lvl) AS lvl FROM lvls
+  WHERE min_k >= {K_ANON} GROUP BY n)
+SELECT CAST(c.n AS BIGINT) AS nation_key,
+       CAST(c.lvl AS BIGINT) AS chosen_level,
+       CAST(a.min_k AS BIGINT) AS min_k,
+       CAST(a.n_classes AS BIGINT) AS n_classes
+FROM chosen c JOIN lvls a ON a.n = c.n AND a.lvl = c.lvl
+""",
+    )
+    def qa11_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """k-anonymity generalization ladder (Samarati's minimal-
+        generalization search, per nation) — the REMEDIATION step after
+        qa10's audit finds re-identifying classes: climb the quasi-
+        identifier coarsening lattice — level 0 = (nation, segment,
+        balance band), level 1 drops the band, level 2 keeps only
+        nation — and report, per nation, the MINIMAL level whose
+        smallest equivalence class reaches K_ANON, with that level's
+        min class size and class count. Level 2 always satisfies on
+        this corpus (every nation holds >= K_ANON customers), so the
+        chosen level is well-defined; a nation choosing level 0 needs
+        no coarsening at all.
+
+        Scale shape (100 TB): each lattice level is ONE map-side-
+        combinable groupBy over the same scan (class grain out), the
+        per-nation fold collapses each to |nations| rows, and the
+        level selection is an argmin join between two |nations|-sized
+        relations. Levels are evaluated in one union'd plan — the scan
+        is shared; no window, no crossJoin, nothing row-grain after
+        the first aggregate."""
+        c = load_table(spark, sf_dir, "customer")
+
+        def level(lvl: int, *qi_cols):
+            cls = c.groupBy(
+                F.col("c_nationkey").alias("n"), *qi_cols
+            ).agg(F.count(F.lit(1)).alias("k"))
+            return cls.groupBy("n").agg(
+                F.lit(lvl).cast("long").alias("lvl"),
+                F.min("k").alias("min_k"),
+                F.count(F.lit(1)).alias("n_classes"),
+            )
+
+        lvls = (
+            level(0, "c_mktsegment", F.floor(F.col("c_acctbal") / 1000))
+            .unionByName(level(1, "c_mktsegment"))
+            .unionByName(level(2))
+            .select("n", "lvl", "min_k", "n_classes")
+        )
+        chosen = (
+            lvls.filter(F.col("min_k") >= K_ANON)
+            .groupBy("n")
+            .agg(F.min("lvl").alias("lvl"))
+        )
+        return chosen.join(lvls, ["n", "lvl"]).select(
+            F.col("n").cast("long").alias("nation_key"),
+            F.col("lvl").alias("chosen_level"),
+            "min_k",
+            "n_classes",
+        )
+
+    return qa11_generalization_ladder
+
+
+_register_generalization_ladder_query()
