@@ -546,6 +546,96 @@ BTX_BAND_MOD = 3  # keys with md5 % 3 == 0 get a correction
 BTX_CORRECTION = "100.00"  # exact-DECIMAL price restatement
 
 
+def bitemporal_snapshot(
+    spark: SparkSession, sf_dir: str, tx_asof: str, v_asof_ts: str
+) -> DataFrame:
+    """The qv05 kernel with free as-of coordinates: reconstruct what
+    the system believed at transaction time ``tx_asof`` about orders
+    valid at ``v_asof_ts``. See qv05's docstring for semantics and
+    scale shape; tests probe OTHER (tx, v) coordinates than the
+    registered pair to pin the bitemporal distinction itself (a
+    correction booked after TX must be invisible even though its
+    validity covers V)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price0"),
+        "o_orderdate",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("btx:"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BTX_BAND_MOD
+            == 0
+        ).alias("corrected"),
+    )
+    valid_to = F.expr(
+        f"timestampadd(DAY, {BTX_VALID_DAYS}, o_orderdate)"
+    )
+    v1 = base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("price0").alias("price"),
+        F.col("o_orderdate").alias("tx"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.lit(0).alias("is_correction"),
+    )
+    v2 = base.filter("corrected").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            F.col("price0")
+            + F.lit(BTX_CORRECTION).cast("decimal(18,2)")
+        ).alias("price"),
+        F.expr(
+            f"timestampadd(DAY, {BTX_CORRECTION_LAG_DAYS}, o_orderdate)"
+        ).alias("tx"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.lit(1).alias("is_correction"),
+    )
+    versions = v1.select(*v1.columns).unionByName(
+        v2.select(*v1.columns)
+    )
+    believed = versions.filter(
+        F.col("tx") <= F.lit(tx_asof).cast("timestamp_ntz")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("o_orderkey").orderBy(
+                F.col("tx").desc(), F.col("is_correction").desc()
+            )
+        ),
+    )
+    v_asof = F.lit(v_asof_ts).cast("timestamp_ntz")
+    snapshot = believed.filter(
+        (F.col("rn") == 1)
+        & (F.col("valid_from") <= v_asof)
+        & (v_asof < F.col("valid_to"))
+    )
+    return snapshot.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("is_correction").cast("long").alias("n_corrected"),
+        F.sum("price").cast("double").alias("believed_total"),
+    )
+
+
+
 def _register_bitemporal_query():
     @register(
         "qv05_bitemporal_asof",
@@ -615,82 +705,8 @@ FROM snapshot GROUP BY o_orderpriority
         total. Both engines run NTZ timestamp arithmetic
         (timestampadd on the normalized scan — timezone-hostile
         safe)."""
-        from pyspark.sql import Window as W
-
-        o = load_table(spark, sf_dir, "orders")
-        base = o.select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price0"),
-            "o_orderdate",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("btx:"),
-                                F.col("o_orderkey").cast("string"),
-                            )
-                        ),
-                        1,
-                        2,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % BTX_BAND_MOD
-                == 0
-            ).alias("corrected"),
-        )
-        valid_to = F.expr(
-            f"timestampadd(DAY, {BTX_VALID_DAYS}, o_orderdate)"
-        )
-        v1 = base.select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.col("price0").alias("price"),
-            F.col("o_orderdate").alias("tx"),
-            F.col("o_orderdate").alias("valid_from"),
-            valid_to.alias("valid_to"),
-            F.lit(0).alias("is_correction"),
-        )
-        v2 = base.filter("corrected").select(
-            "o_orderkey",
-            "o_orderpriority",
-            (
-                F.col("price0")
-                + F.lit(BTX_CORRECTION).cast("decimal(18,2)")
-            ).alias("price"),
-            F.expr(
-                f"timestampadd(DAY, {BTX_CORRECTION_LAG_DAYS}, o_orderdate)"
-            ).alias("tx"),
-            F.col("o_orderdate").alias("valid_from"),
-            valid_to.alias("valid_to"),
-            F.lit(1).alias("is_correction"),
-        )
-        versions = v1.select(*v1.columns).unionByName(
-            v2.select(*v1.columns)
-        )
-        believed = versions.filter(
-            F.col("tx") <= F.lit(BTX_TX_ASOF).cast("timestamp_ntz")
-        ).withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("o_orderkey").orderBy(
-                    F.col("tx").desc(), F.col("is_correction").desc()
-                )
-            ),
-        )
-        v_asof = F.lit(BTX_V_ASOF).cast("timestamp_ntz")
-        snapshot = believed.filter(
-            (F.col("rn") == 1)
-            & (F.col("valid_from") <= v_asof)
-            & (v_asof < F.col("valid_to"))
-        )
-        return snapshot.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("is_correction").cast("long").alias("n_corrected"),
-            F.sum("price").cast("double").alias("believed_total"),
+        return bitemporal_snapshot(
+            spark, sf_dir, BTX_TX_ASOF, BTX_V_ASOF
         )
 
     return qv05_bitemporal_asof
