@@ -4214,3 +4214,127 @@ def q86_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("run_max_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q87: CEP with a quantifier — VIEW, CLICK+ (no error), PURCHASE
+# ---------------------------------------------------------------------------
+
+#: q87's pattern window (view -> purchase). The corpus averages a
+#: handful of events per user per day, so a day-scale window is what
+#: realizes the C+ quantifier; q74 keeps the tight 30-min two-step.
+Q87_WINDOW_S = 86_400
+
+
+@register(
+    "q87_cep_quantified",
+    tags=("sequence", "window", "cep"),
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsm FROM events),
+cum AS (
+  SELECT *,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_clicks,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_errors
+  FROM ev),
+snap AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN tsm END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_tsm,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN cum_clicks END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS v_clicks,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN cum_errors END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS v_errors
+  FROM cum),
+matches AS (
+  SELECT user_id, cum_clicks - v_clicks AS n_clicks, tsm - v_tsm AS lat_us
+  FROM snap
+  WHERE event_type = 'purchase' AND v_tsm IS NOT NULL
+    AND tsm - v_tsm <= {Q87_WINDOW_S * 1_000_000}
+    AND cum_clicks - v_clicks >= 1
+    AND cum_errors - v_errors = 0)
+SELECT CAST(n_clicks AS BIGINT) AS n_clicks,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(lat_us) AS BIGINT) AS sum_latency_us
+FROM matches GROUP BY n_clicks
+""",
+)
+def q87_cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern with a QUANTIFIER — MATCH_RECOGNIZE's
+    ``PATTERN (V C+ P)`` shape, which q74's fixed two-register match
+    cannot express: a VIEW, then ONE-OR-MORE clicks, then a PURCHASE
+    within 24 hours of the view, with NO error anywhere between the
+    view and the purchase (non-pattern events other than error are
+    transparent — the relaxed-contiguity mode CEP engines default to).
+    The anchor is the LATEST view before each purchase, so matches
+    never overlap on the V side. Reports the quantifier's realized
+    count distribution: per click-count, matches, distinct users, and
+    exact integer-µs latency mass.
+
+    Scale shape: ONE user-partitioned ordered pass — running click /
+    error counters plus a last-ignorenulls snapshot of the counters AT
+    the anchor view (the per-key register bank a CEP NFA would keep,
+    expressed as window state); the quantifier count is a counter
+    DIFFERENCE, not a per-stage scan, so C+ costs the same as C. No
+    self-join, no per-pattern-stage pass; the rollup is map-side
+    combinable at |distinct counts| grain. Integer µs end-to-end
+    (tz-proof, exact)."""
+    e = load_table(spark, sf_dir, "events")
+    tsm = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = e.select("user_id", "event_id", "event_type", tsm.alias("tsm"))
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("tsm", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = ev.select(
+        "*",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w_cum)
+        .alias("cum_clicks"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w_cum)
+        .alias("cum_errors"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("tsm", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    snap_col = F.when(
+        F.col("event_type") == "view",
+        F.struct("tsm", "cum_clicks", "cum_errors"),
+    )
+    snap = cum.select(
+        "*", F.last(snap_col, ignorenulls=True).over(w_prev).alias("v")
+    )
+    matches = snap.where(
+        (F.col("event_type") == "purchase")
+        & F.col("v").isNotNull()
+        & (F.col("tsm") - F.col("v.tsm") <= Q87_WINDOW_S * 1_000_000)
+        & (F.col("cum_clicks") - F.col("v.cum_clicks") >= 1)
+        & (F.col("cum_errors") - F.col("v.cum_errors") == 0)
+    ).select(
+        "user_id",
+        (F.col("cum_clicks") - F.col("v.cum_clicks")).alias("n_clicks"),
+        (F.col("tsm") - F.col("v.tsm")).alias("lat_us"),
+    )
+    return matches.groupBy("n_clicks").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("lat_us").alias("sum_latency_us"),
+    )
