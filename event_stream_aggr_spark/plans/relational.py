@@ -279,13 +279,27 @@ def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """,
 )
 def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (J3) = NOT EXISTS: customers with no orders."""
+    """Left-anti join (J3) = NOT EXISTS: customers with no URGENT
+    order. The original every-order form returned 0 rows at the
+    driver's sf0.01 (every customer has orders on this corpus), so its
+    hash check proved only the schema — an always-empty result is a
+    vacuous driver check; the priority-restricted form keeps a few
+    hundred rows at every SF.
+
+    Scale shape: the anti probe side is filtered BEFORE the join
+    (predicate pushed to the orders scan), then one key-shuffled (or
+    broadcast, by side size) LEFT ANTI — output bounded by |customer|,
+    never widened."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -549,7 +549,7 @@ _SCALE_NOTE_GRANDFATHERED = frozenset({
     "qi02_incremental_distinct", "qz01_zorder_locality",
     "qm01_multimodal_features", "qp01_sequence_packing",
     "q02_predicates", "q03_column_ops", "q06_outer_join_order_counts",
-    "q07_semi_join", "q08_anti_join", "q09_topn_per_group",
+    "q07_semi_join", "q09_topn_per_group",
     "q10_running_totals", "q28_first_last_per_user", "q12_set_ops",
     "q30_intersect", "q11_rollup_geography", "q23_cube_lineitem",
     "q14_string_functions", "q15_date_functions", "q17_having",
