@@ -109,6 +109,11 @@ def main() -> None:
         "streaming_near_dedup": median_of_3_stream(
             near_dedup_stream_bench, spark, rate_key="docs_per_sec"
         ),
+        # the r12 ER gate; joins the paired A/B set next round, once a
+        # prev round-close commit contains the module
+        "streaming_entity_resolution": median_of_3_stream(
+            er_stream_bench, spark, rate_key="records_per_sec"
+        ),
         "deltas_vs_prev_round": prev_round_deltas(timings),
         "stage_metrics": {
             "note": "executor-reported bytes per headline query (warm "
@@ -882,6 +887,76 @@ def curation_stream_bench(spark) -> dict:
         }
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def er_stream_bench(spark) -> dict:
+    """Streaming entity-resolution gate throughput (round 12,
+    streaming/linkage.py): customers and their derived second-source
+    twins interleaved as one arrival stream through the canonical-
+    registry foreachBatch — per epoch: blocked scoring against the
+    registry, within-batch connected components, registry fold.
+    records/s counts INPUT records. Fresh state root + checkpoint per
+    run so every run pays the same empty-registry start."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.linkage import _a_side, _twin_side
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+
+    work = tempfile.mkdtemp(prefix="bench_er_gate_")
+    try:
+        src_dir = os.path.join(work, "src")
+        a = _a_side(spark, SF_DIR).select(
+            F.col("a_id").alias("rec_id"),
+            F.col("a_name").alias("name"),
+            F.col("a_seg").alias("seg"),
+            F.col("a_bal").cast("double").alias("bal"),
+            F.col("a_nation").alias("nation"),
+        )
+        b = _twin_side(spark, SF_DIR).select(
+            F.col("b_id").alias("rec_id"),
+            F.col("b_name").alias("name"),
+            F.col("b_seg").alias("seg"),
+            F.col("b_bal").cast("double").alias("bal"),
+            F.col("b_nation").alias("nation"),
+        )
+        a.unionByName(b).repartition(8).write.mode("overwrite").parquet(src_dir)
+        n_records = spark.read.parquet(src_dir).count()
+        schema = spark.read.parquet(src_dir).schema
+
+        from event_stream_aggr_spark.streaming.linkage import (
+            entity_resolution_sink,
+        )
+
+        stream = stream_parquet_dir(
+            spark, src_dir, schema, max_files_per_trigger=4
+        )
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(
+                entity_resolution_sink(
+                    os.path.join(work, "state"), os.path.join(work, "out")
+                )
+            )
+            .option("checkpointLocation", os.path.join(work, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        out = spark.read.parquet(os.path.join(work, "out", "epoch=*"))
+        n_entities = out.filter("is_new").count()
+        return {
+            "input_records": n_records,
+            "n_entities": n_entities,
+            "n_linked": n_records - n_entities,
+            "sec": round(elapsed, 4),
+            "records_per_sec": round(n_records / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def near_dedup_stream_bench(spark) -> dict:
