@@ -18,6 +18,11 @@ order, byte-identical state to running q86 over the whole corpus —
 pinned by tests/test_streaming_skyline.py including a Hypothesis
 random-split guard.
 
+Rows with a NULL coordinate are excluded at batch intake (see
+``_to_points``); q86's corpus has none, and a stream that wants them
+must impute upstream — dominance over missing coordinates is
+undefined, and silently ordering nulls would diverge across engines.
+
 State lives in the repo's versioned merge store
 (``streaming/state_store.py``): same epoch-gated atomic-pointer
 protocol as the sketch/near-dedup/ER maintainers (redelivery no-op,
@@ -69,9 +74,20 @@ def frontier_sweep(pts: DataFrame) -> DataFrame:
 
 
 def _to_points(batch: DataFrame) -> DataFrame:
-    return batch.groupBy(
-        "p_brand", F.col("p_retailprice").alias("price"), "p_size"
-    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    """Collapse a batch to distinct points. Rows with a NULL coordinate
+    are EXCLUDED explicitly (contract, pinned in tests): a point
+    missing price or size is unrankable under dominance, and without
+    this filter the sweep would drop null-SIZE rows silently while
+    null-PRICE rows rode Spark's nulls-first ASC ordering into state —
+    an asymmetric accident, not a semantics (and a cross-engine hazard:
+    DuckDB's ASC default is nulls LAST)."""
+    return (
+        batch.filter(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
+        .groupBy("p_brand", F.col("p_retailprice").alias("price"), "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
 
 
 def skyline_sink(root: str) -> Callable[[DataFrame, int], None]:

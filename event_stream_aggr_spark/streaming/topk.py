@@ -8,6 +8,11 @@ global top-k under ANY batching. Deletes are out of scope by design
 (top-k is not retraction-safe — a deleted leader needs history to
 backfill; qi05 states the same boundary for MIN/MAX).
 
+NULL prices rank below every non-null price (Spark's DESC default
+is nulls last, and ``topk_prune``'s window inherits it): a null-priced
+row enters state only while its group holds fewer than k ranked rows,
+and any arriving ranked row displaces it — pinned in tests.
+
 State (at most k rows per group: the leaderboard itself) lives in the
 repo's versioned merge store (``streaming/state_store.py``), same
 epoch-gated protocol as the sketch/near-dedup/ER/skyline maintainers

@@ -120,3 +120,68 @@ def test_topk_sink_torn_epoch(spark, tmp_path, monkeypatch):
         map(tuple, topk_prune(df(rows), ["o_orderpriority"]).collect())
     )
     assert healed == onepass
+
+
+# ---------------------------------------------------------------------------
+# Null contracts (the round-11 "silent drop" ADVICE class, pre-empted)
+# ---------------------------------------------------------------------------
+
+
+def test_er_gate_admits_null_field_records_as_new_entities(spark):
+    """A record with NULL compare fields can match nothing (equality
+    blocking drops nulls) — it must still be ADMITTED as its own
+    entity, never silently dropped from the assignment output."""
+    from event_stream_aggr_spark.streaming.linkage import link_batch
+
+    recs = spark.createDataFrame(
+        [
+            (1, "Acme", "AUTO", 100.0, 7),
+            (2, None, None, None, None),
+            (3, "Acme", "AUTO", 101.0, 7),
+        ],
+        "rec_id long, name string, seg string, bal double, nation int",
+    )
+    out = {
+        r.rec_id: (r.entity_id, r.is_new)
+        for r in link_batch(recs, None).collect()
+    }
+    assert out == {1: (1, True), 2: (2, True), 3: (1, False)}
+
+
+def test_skyline_null_coordinate_points_excluded_symmetrically(spark, tmp_path):
+    """Pre-fix, a null-SIZE point was dropped silently while a
+    null-PRICE point rode nulls-first ordering into state. The
+    contract: BOTH are excluded at intake, explicitly."""
+    from event_stream_aggr_spark.streaming.skyline import skyline_sink
+
+    df = spark.createDataFrame(
+        [("B", 10.0, 5), ("B", None, 7), ("B", 9.0, None)],
+        "p_brand string, p_retailprice double, p_size int",
+    )
+    root = str(tmp_path / "state")
+    skyline_sink(root)(df, 0)
+    state = sorted(map(tuple, read_state(spark, root)[0].collect()))
+    assert state == [("B", 10.0, 5, 1)]
+
+
+def test_topk_null_prices_rank_last_and_get_displaced(spark, tmp_path):
+    from event_stream_aggr_spark.streaming.topk import topk_sink
+
+    schema = "o_orderpriority string, o_orderkey long, price double"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "price", F.col("price").cast("decimal(18,2)")
+        )
+
+    root = str(tmp_path / "state")
+    sink = topk_sink(root)
+    # underfull group: a null-priced row may hold a seat...
+    sink(df([("P", 1, 10.0), ("P", 2, None)]), 0)
+    s0 = sorted(map(tuple, read_state(spark, root)[0].collect()))
+    assert ("P", 2, None) in s0
+    # ...until ranked rows displace it
+    sink(df([("P", 3, 30.0), ("P", 4, 20.0)]), 1)
+    s1 = sorted(map(tuple, read_state(spark, root)[0].collect()))
+    assert all(r[2] is not None for r in s1)
+    assert {r[1] for r in s1} == {1, 3, 4}
