@@ -1835,3 +1835,114 @@ def qd17_band_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
     kept, _ = band_canonical_dedup(d, bands=2)
     return kept
+
+
+# ---------------------------------------------------------------------------
+# qd20: LSH S-curve recall audit (measured vs theoretical banding curve)
+# ---------------------------------------------------------------------------
+
+#: qd20 geometry: 2 bands x 4 rows over the MINHASH_K=8 signature —
+#: theoretical candidate probability 1-(1-J^4)^2 — audited against
+#: the measured per-Jaccard-bucket recall on ground-truth pairs at
+#: J >= 2/5 (the exact prefix-filtered all-pairs, never sampled).
+S_CURVE_BANDS = 2
+S_CURVE_T = (2, 5)
+
+
+def _s_curve_expected_ppm() -> dict[int, int]:
+    """Bucket -> theoretical candidate probability in ppm, from the
+    bucket midpoint (bucket 10 holds exactly J = 1.0). Computed in
+    Python once and embedded as identical integer literals in BOTH
+    engines — no cross-engine pow() in the dataflow."""
+    rows = MINHASH_K // S_CURVE_BANDS
+    out = {}
+    for b in range(4, 11):
+        m = 1.0 if b == 10 else (b + 0.5) / 10
+        out[b] = round((1 - (1 - m**rows) ** S_CURVE_BANDS) * 1_000_000)
+    return out
+
+
+@register(
+    "qd20_lsh_s_curve",
+    tags=("dedup", "audit"),
+    oracle=f"""
+WITH {_lsh_pairs_ctes(S_CURVE_BANDS)},
+allpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+           AS j
+  FROM short_docs a JOIN short_docs b ON a.doc_id < b.doc_id),
+exact AS (SELECT * FROM allpairs WHERE j >= {S_CURVE_T[0] / S_CURVE_T[1]}),
+flag AS (
+  SELECT e.j,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+  FROM exact e LEFT JOIN cand c
+    ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+SELECT CAST(FLOOR(j * 10) AS BIGINT) AS j_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(found) AS BIGINT) AS n_lsh_found,
+       CAST(SUM(found) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm,
+       CAST(CASE CAST(FLOOR(j * 10) AS BIGINT)
+            {" ".join(f"WHEN {b} THEN {p}" for b, p in _s_curve_expected_ppm().items())}
+            END AS BIGINT) AS expected_ppm
+FROM flag GROUP BY FLOOR(j * 10)
+""",
+)
+def qd20_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve audit — the banding theory (candidate probability
+    1-(1-J^r)^b) turned into checkable data: ground-truth near-dup
+    pairs at J >= 0.4 (EXACT, via lossless prefix filtering — never a
+    sample) are bucketed by Jaccard and probed against the banded
+    candidate set; per bucket the measured recall sits beside the
+    theoretical curve at the bucket midpoint (embedded as identical
+    integer-ppm literals in both engines — the dataflow itself never
+    calls pow). This is the operating-point evidence behind qd04's
+    threshold choice: buckets above the 0.8 verification threshold
+    must measure near-1 recall, the sub-threshold slope documents what
+    the banding deliberately lets through.
+
+    Scale shape (100 TB): ground truth comes from the same lossless
+    prefix-filter equi-joins as qd02 (candidate volume bounded by rare
+    prefix tokens, never all-pairs — the ORACLE's quadratic all-pairs
+    is the independent spec, not the plan); the LSH probe is a pair-
+    grain LEFT equi-join against the banded candidate set; the rollup
+    is one map-side-combinable aggregate at |buckets| grain. Recall is
+    integer cross-multiplied (ppm), no float division."""
+    short = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") <= 160
+    )
+    d = short.select("doc_id", distinct_tokens(F.col("text")).alias("toks"))
+    exact = prefix_filtered_pairs(
+        d, "toks", S_CURVE_T[0], S_CURVE_T[1], []
+    )
+    cand = lsh_candidates(short, bands=S_CURVE_BANDS).withColumn(
+        "found", F.lit(1)
+    )
+    flagged = exact.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket"),
+        F.coalesce("found", F.lit(0)).alias("found"),
+    )
+    expected = _s_curve_expected_ppm()
+    expected_col = None
+    for b, p in expected.items():
+        cond = F.when(F.col("j_bucket") == b, F.lit(p))
+        expected_col = cond if expected_col is None else expected_col.when(
+            F.col("j_bucket") == b, F.lit(p)
+        )
+    return (
+        flagged.groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("found").alias("n_lsh_found"),
+        )
+        .select(
+            "j_bucket",
+            "n_true_pairs",
+            "n_lsh_found",
+            F.expr("n_lsh_found * 1000000 div n_true_pairs").alias(
+                "recall_ppm"
+            ),
+            expected_col.cast("long").alias("expected_ppm"),
+        )
+    )
