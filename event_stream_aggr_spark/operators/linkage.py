@@ -207,6 +207,50 @@ def candidate_pairs(
     return p1.unionAll(p2).distinct()
 
 
+def purged_block_counts(
+    a: DataFrame, b: DataFrame, block_cap: int = BLOCK_CAP
+) -> DataFrame:
+    """One row (n_purged_p1, n_purged_p2): how many blocking keys the
+    ``block_cap`` guard SKIPPED in each pass for this (a, b) pairing —
+    the recall-loss observability counter. qer03 reports the offline
+    sum; ``streaming/linkage.entity_resolution_sink`` writes these per
+    epoch so a hot key silently densifying the registry is visible in
+    the stream too, not only in the offline audit.
+
+    Cost: two map-side-combinable counts at block-key grain + one
+    key-grain join per pass — metadata-sized, same shape as the purge
+    decision itself."""
+    p1 = (
+        a.groupBy(F.col("a_name").alias("k1"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .join(
+            b.groupBy(F.col("b_name").alias("k1")).agg(
+                F.count(F.lit(1)).alias("cb")
+            ),
+            "k1",
+        )
+        .filter(F.col("ca") * F.col("cb") > block_cap)
+        .agg(F.count(F.lit(1)).alias("n_purged_p1"))
+    )
+    p2 = (
+        a.groupBy(
+            F.col("a_nation").alias("k2n"),
+            F.floor(F.col("a_bal") / BAL_BAND).alias("k2b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .join(
+            b.groupBy(
+                F.col("b_nation").alias("k2n"),
+                F.floor(F.col("b_bal") / BAL_BAND).alias("k2b"),
+            ).agg(F.count(F.lit(1)).alias("cb")),
+            ["k2n", "k2b"],
+        )
+        .filter(F.col("ca") * F.col("cb") > block_cap)
+        .agg(F.count(F.lit(1)).alias("n_purged_p2"))
+    )
+    return p1.crossJoin(F.broadcast(p2))
+
+
 def scored_pairs(
     a: DataFrame, b: DataFrame, block_cap: int = BLOCK_CAP
 ) -> DataFrame:
@@ -298,11 +342,14 @@ cand AS (
 scored AS (
   SELECT c.a_id, c.b_id,
          (CASE WHEN a.a_name = t.b_name
-               THEN {W_AGREE["name"]} ELSE {W_DISAGREE["name"]} END
+               THEN CAST({W_AGREE["name"]} AS DOUBLE)
+               ELSE CAST({W_DISAGREE["name"]} AS DOUBLE) END
           + CASE WHEN a.a_seg = t.b_seg
-                 THEN {W_AGREE["seg"]} ELSE {W_DISAGREE["seg"]} END
+                 THEN CAST({W_AGREE["seg"]} AS DOUBLE)
+                 ELSE CAST({W_DISAGREE["seg"]} AS DOUBLE) END
           + CASE WHEN ABS(a.a_bal - t.b_bal) <= {BAL_TOL}
-                 THEN {W_AGREE["bal"]} ELSE {W_DISAGREE["bal"]} END) AS w
+                 THEN CAST({W_AGREE["bal"]} AS DOUBLE)
+                 ELSE CAST({W_DISAGREE["bal"]} AS DOUBLE) END) AS w
   FROM cand c JOIN a ON a.a_id = c.a_id JOIN twin t ON t.b_id = c.b_id),
 decided AS (
   SELECT a_id, b_id, w,

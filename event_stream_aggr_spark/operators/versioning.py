@@ -583,15 +583,22 @@ def bitemporal_snapshot(
             == 0
         ).alias("corrected"),
     )
+    # All temporal columns are genuinely timestamp_ntz: the DATE scan
+    # column is cast to NTZ BEFORE the interval arithmetic, so the
+    # tx/valid_from/valid_to comparisons below involve no session-
+    # timezone (LTZ) coercion at all — NTZ end-to-end by construction,
+    # not by the UTC session pin.
+    ntz_date = F.col("o_orderdate").cast("timestamp_ntz")
     valid_to = F.expr(
-        f"timestampadd(DAY, {BTX_VALID_DAYS}, o_orderdate)"
+        f"timestampadd(DAY, {BTX_VALID_DAYS},"
+        " CAST(o_orderdate AS timestamp_ntz))"
     )
     v1 = base.select(
         "o_orderkey",
         "o_orderpriority",
         F.col("price0").alias("price"),
-        F.col("o_orderdate").alias("tx"),
-        F.col("o_orderdate").alias("valid_from"),
+        ntz_date.alias("tx"),
+        ntz_date.alias("valid_from"),
         valid_to.alias("valid_to"),
         F.lit(0).alias("is_correction"),
     )
@@ -603,9 +610,10 @@ def bitemporal_snapshot(
             + F.lit(BTX_CORRECTION).cast("decimal(18,2)")
         ).alias("price"),
         F.expr(
-            f"timestampadd(DAY, {BTX_CORRECTION_LAG_DAYS}, o_orderdate)"
+            f"timestampadd(DAY, {BTX_CORRECTION_LAG_DAYS},"
+            " CAST(o_orderdate AS timestamp_ntz))"
         ).alias("tx"),
-        F.col("o_orderdate").alias("valid_from"),
+        ntz_date.alias("valid_from"),
         valid_to.alias("valid_to"),
         F.lit(1).alias("is_correction"),
     )

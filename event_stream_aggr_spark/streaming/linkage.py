@@ -65,7 +65,11 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from event_stream_aggr_spark.operators.linkage import scored_pairs
+from event_stream_aggr_spark.operators.linkage import (
+    BLOCK_CAP,
+    purged_block_counts,
+    scored_pairs,
+)
 from event_stream_aggr_spark.streaming import state_store as ss
 
 #: Registry / record compare-field schema (rec_id + these four).
@@ -93,7 +97,10 @@ def _as_b(records: DataFrame, id_col: str) -> DataFrame:
 
 
 def link_batch(
-    records: DataFrame, registry: DataFrame | None, id_col: str = "rec_id"
+    records: DataFrame,
+    registry: DataFrame | None,
+    id_col: str = "rec_id",
+    block_cap: int = BLOCK_CAP,
 ) -> DataFrame:
     """One linking round: assign every record an entity id.
 
@@ -110,7 +117,7 @@ def link_batch(
     # store matches: min entity_id among registry rows scoring >= T_MATCH
     if registry is not None:
         store_match = (
-            scored_pairs(recs_a, _as_b(registry, "entity_id"))
+            scored_pairs(recs_a, _as_b(registry, "entity_id"), block_cap)
             .filter(F.col("decision") == "match")
             .groupBy(F.col("a_id").alias("rid"))
             .agg(F.min("b_id").alias("store_ent"))
@@ -120,7 +127,7 @@ def link_batch(
 
     # within-batch entities: transitive closure over 'match' pairs
     # (identical to qer02's offline rule; component = min rec_id)
-    batch_pairs = scored_pairs(recs_a, _as_b(records, id_col)).filter(
+    batch_pairs = scored_pairs(recs_a, _as_b(records, id_col), block_cap).filter(
         (F.col("decision") == "match") & (F.col("a_id") < F.col("b_id"))
     )
     comp = connected_components(batch_pairs, a_col="a_id", b_col="b_id")
@@ -155,6 +162,7 @@ def entity_resolution_sink(
     root: str,
     out_dir: str,
     id_col: str = "rec_id",
+    block_cap: int = BLOCK_CAP,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function: link each micro-batch against the
     entity registry at ``root``, write assignments to
@@ -187,7 +195,9 @@ def entity_resolution_sink(
             # post-commit redelivery: assignments already on disk and
             # this epoch's entities already folded in
             return
-        assignments = link_batch(batch, state, id_col=id_col)
+        assignments = link_batch(
+            batch, state, id_col=id_col, block_cap=block_cap
+        )
         # ONE evaluation of the scoring dataflow per epoch: the output
         # write and the registry fold below both probe the
         # materialized blocks (near_dedup_sink's lifecycle, verbatim)
@@ -195,6 +205,45 @@ def entity_resolution_sink(
         try:
             assignments.write.mode("overwrite").parquet(
                 f"{out_dir}/epoch={epoch_id}"
+            )
+            # Purge observability (qer03's n_purged_blocks, per epoch):
+            # as the registry grows, a hot blocking key crossing
+            # BLOCK_CAP silently drops its arrivals to 'new entity' —
+            # these counters make that recall loss visible in the
+            # stream, not only in the offline reconciliation audit.
+            # Written OUTSIDE the epoch=* glob tests/consumers read.
+            recs_a = _as_a(batch, id_col)
+            store_purged = (
+                purged_block_counts(
+                    recs_a, _as_b(state, "entity_id"), block_cap
+                )
+                if state is not None
+                else None
+            )
+            batch_purged = purged_block_counts(
+                recs_a, _as_b(batch, id_col), block_cap
+            ).select(
+                F.col("n_purged_p1").alias("batch_purged_p1"),
+                F.col("n_purged_p2").alias("batch_purged_p2"),
+            )
+            metrics = (
+                store_purged.crossJoin(F.broadcast(batch_purged))
+                if store_purged is not None
+                else batch_purged.select(
+                    F.lit(0).cast("long").alias("n_purged_p1"),
+                    F.lit(0).cast("long").alias("n_purged_p2"),
+                    "batch_purged_p1",
+                    "batch_purged_p2",
+                )
+            ).select(
+                F.lit(epoch_id).cast("long").alias("epoch"),
+                F.col("n_purged_p1").alias("store_purged_p1"),
+                F.col("n_purged_p2").alias("store_purged_p2"),
+                "batch_purged_p1",
+                "batch_purged_p2",
+            )
+            metrics.write.mode("overwrite").parquet(
+                f"{out_dir}/purge_metrics/epoch={epoch_id}"
             )
             new_ids = assignments.filter("is_new").select(
                 F.col("rec_id").alias("_new_rid")

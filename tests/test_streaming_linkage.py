@@ -193,3 +193,42 @@ def test_end_to_end_stream_matches_hand_driven(spark, tmp_path):
     assert {r.entity_id for r in state.collect()} == {
         a[1][0], a[3][0]
     }
+
+
+def test_purge_metrics_written_per_epoch(spark, tmp_path):
+    # Purge observability (round 13): every committed epoch writes one
+    # (epoch, store_purged_p1/p2, batch_purged_p1/p2) row OUTSIDE the
+    # epoch=* glob, so registry-vs-arrival block purging is visible in
+    # the stream exactly as qer03's n_purged_blocks is offline.
+    # block_cap=4 keeps the hot block small; the default-cap dataflow
+    # is identical (same parameterized plan).
+    cap = 4
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out, block_cap=cap)
+    # epoch 0: cold store → store counters forced to 0 by contract
+    sink(_recs(spark, [(1, "Acme", "AUTO", 100.0, 7)]), 0)
+    m0 = spark.read.parquet(f"{out}/purge_metrics/epoch=0").collect()
+    assert [tuple(r) for r in m0] == [(0, 0, 0, 0, 0)]
+    # grow a hot P1 block: cap+1 distinct registry entities all named
+    # "Hot" (pairwise non-matching: seg differs and balances are
+    # > 5.00 apart AND in distinct balance bands → each founds an
+    # entity; the within-batch P1 block product (cap+1)^2 > cap is
+    # itself purged, which the batch counter must report)
+    hot = [
+        (100 + i, "Hot", f"S{i}", 1000.0 * i, 7) for i in range(cap + 1)
+    ]
+    sink(_recs(spark, hot), 1)
+    m1 = spark.read.parquet(f"{out}/purge_metrics/epoch=1").collect()
+    assert [tuple(r) for r in m1] == [(1, 0, 0, 1, 0)]
+    state, _ = read_state(spark, root)
+    assert state.filter(F.col("name") == "Hot").count() == cap + 1
+    # one arrival named "Hot" in a balance band no store entity
+    # occupies (so P2 cannot rescue the pair): store P1 block product
+    # (1 × (cap+1)) exceeds the cap → purged, and the counter says so
+    sink(_recs(spark, [(999, "Hot", "S0", 500.0, 7)]), 2)
+    m2 = spark.read.parquet(f"{out}/purge_metrics/epoch=2").collect()
+    assert [tuple(r) for r in m2] == [(2, 1, 0, 0, 0)]
+    # ... and the purged arrival founded a duplicate entity (the
+    # recall loss the counter makes visible)
+    a = _assignments(spark, out)
+    assert a[999] == (999, True)
