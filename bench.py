@@ -109,10 +109,15 @@ def main() -> None:
         "streaming_near_dedup": median_of_3_stream(
             near_dedup_stream_bench, spark, rate_key="docs_per_sec"
         ),
-        # the r12 ER gate; joins the paired A/B set next round, once a
-        # prev round-close commit contains the module
-        "streaming_entity_resolution": median_of_3_stream(
-            er_stream_bench, spark, rate_key="records_per_sec"
+        # the r12 ER gate (paired in vs_prev from r13; stage budget
+        # in _er_block per r12 VERDICT ask #2)
+        "streaming_entity_resolution": _er_block(spark),
+        # r12 VERDICT ask #5: the W9/W10 maintainers get bench rows
+        "streaming_skyline": median_of_3_stream(
+            skyline_stream_bench, spark, rate_key="parts_per_sec"
+        ),
+        "streaming_topk": median_of_3_stream(
+            topk_stream_bench, spark, rate_key="orders_per_sec"
         ),
         "deltas_vs_prev_round": prev_round_deltas(timings),
         "stage_metrics": {
@@ -162,6 +167,15 @@ def main() -> None:
             "near_dedup_docs_per_sec": diagnostics[
                 "streaming_near_dedup"
             ].get("docs_per_sec"),
+            "er_records_per_sec": diagnostics[
+                "streaming_entity_resolution"
+            ].get("records_per_sec"),
+            "skyline_parts_per_sec": diagnostics[
+                "streaming_skyline"
+            ].get("parts_per_sec"),
+            "topk_orders_per_sec": diagnostics[
+                "streaming_topk"
+            ].get("orders_per_sec"),
         },
         "queries": {n: round(s, 2) for n, s in timings.items()},
         # compact A/B summary (full per-query block in the
@@ -1007,6 +1021,303 @@ def near_dedup_stream_bench(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def skyline_stream_bench(spark) -> dict:
+    """Streaming skyline maintainer throughput (round-12 VERDICT ask
+    #5: W9 had equivalence/chaos tests but no bench row): part rows
+    replayed as micro-batches through ``skyline_sink`` — per epoch:
+    point collapse, union with the stored frontier, O(n log n) sweep,
+    store fold. parts/s counts INPUT part rows. Fresh state root +
+    checkpoint per run (same empty-store start discipline as the
+    ER/near-dedup benches)."""
+    import shutil
+    import tempfile
+
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming.skyline import skyline_sink
+    from event_stream_aggr_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_skyline_")
+    try:
+        src = os.path.join(work, "src")
+        load_table(spark, SF_DIR, "part").select(
+            "p_brand", "p_retailprice", "p_size"
+        ).repartition(16).write.mode("overwrite").parquet(src)
+        n_parts = spark.read.parquet(src).count()
+        schema = spark.read.parquet(src).schema
+
+        stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=8)
+        root = os.path.join(work, "state")
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(skyline_sink(root))
+            .option("checkpointLocation", os.path.join(work, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        from event_stream_aggr_spark.streaming.state_store import read_state
+
+        frontier, _ = read_state(spark, root)
+        return {
+            "input_parts": n_parts,
+            "frontier_points": frontier.count() if frontier is not None else 0,
+            "sec": round(elapsed, 4),
+            "parts_per_sec": round(n_parts / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def topk_stream_bench(spark) -> dict:
+    """Streaming exact top-k maintainer throughput (round-12 VERDICT
+    ask #5: W10's bench-row gap, same as skyline): orders replayed as
+    micro-batches through ``topk_sink`` — per epoch: batch prune to
+    k, union with stored leaderboard, re-prune, store fold. orders/s
+    counts INPUT orders."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming.topk import topk_sink
+    from event_stream_aggr_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_topk_")
+    try:
+        src = os.path.join(work, "src")
+        load_table(spark, SF_DIR, "orders").select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        ).repartition(16).write.mode("overwrite").parquet(src)
+        n_orders = spark.read.parquet(src).count()
+        schema = spark.read.parquet(src).schema
+
+        stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=8)
+        root = os.path.join(work, "state")
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(topk_sink(root))
+            .option("checkpointLocation", os.path.join(work, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        return {
+            "input_orders": n_orders,
+            "sec": round(elapsed, 4),
+            "orders_per_sec": round(n_orders / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _er_src_dir(spark, work: str) -> tuple[str, int]:
+    """The ER bench's arrival stream on disk: customers + derived
+    twins interleaved (er_stream_bench's exact source shape)."""
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.operators.linkage import _a_side, _twin_side
+
+    src_dir = os.path.join(work, "src")
+    a = _a_side(spark, SF_DIR).select(
+        F.col("a_id").alias("rec_id"),
+        F.col("a_name").alias("name"),
+        F.col("a_seg").alias("seg"),
+        F.col("a_bal").cast("double").alias("bal"),
+        F.col("a_nation").alias("nation"),
+    )
+    b = _twin_side(spark, SF_DIR).select(
+        F.col("b_id").alias("rec_id"),
+        F.col("b_name").alias("name"),
+        F.col("b_seg").alias("seg"),
+        F.col("b_bal").cast("double").alias("bal"),
+        F.col("b_nation").alias("nation"),
+    )
+    a.unionByName(b).repartition(8).write.mode("overwrite").parquet(src_dir)
+    return src_dir, spark.read.parquet(src_dir).count()
+
+
+def er_stage_attribution(spark) -> dict:
+    """Round-12 VERDICT ask #2: give the streaming ER gate the
+    curation treatment — a cumulative-prefix stage budget covering the
+    WHOLE micro-batch, then attack the named dominator.
+
+    The ER sink is STATEFUL (each epoch scores against the registry
+    the previous epochs folded), so the curation trick — stateless
+    cumulative-prefix foreachBatch bodies — needs one addition: a warm
+    REAL run first records, per epoch, the registry that epoch read
+    (``reg_snap/epoch=N``). Prefix bodies then read that snapshot
+    instead of maintaining state, which reproduces the real run's
+    per-epoch inputs exactly (the protocol is deterministic), so every
+    prefix measures the true epoch-N dataflow cost. Prefixes:
+
+    pass-through noop (source scan + sink + offset/commit machinery +
+    registry read) → + store blocking/scoring join (match→min-entity
+    per record) → + within-batch scoring + connected components +
+    assignment assembly (= full link_batch) → the REAL sink (+ disk
+    checkpoint, assignment/metrics writes, registry fold, commit).
+    The last prefix IS er_stream_bench's pipeline measured the same
+    way, so the marginals sum to the full batch cost by construction;
+    ``covers_frac_of_sec`` is the honesty check against the
+    median-of-3 headline sec. Median-of-3 per prefix."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming import state_store as ss
+    from event_stream_aggr_spark.streaming.linkage import (
+        _as_a,
+        _as_b,
+        entity_resolution_sink,
+        link_batch,
+    )
+    from event_stream_aggr_spark.operators.linkage import scored_pairs
+
+    work = tempfile.mkdtemp(prefix="bench_er_stages_")
+    try:
+        src_dir, _n = _er_src_dir(spark, work)
+        schema = spark.read.parquet(src_dir).schema
+        snap = os.path.join(work, "reg_snap")
+
+        def run_stream(body, ckpt):
+            q = (
+                stream_parquet_dir(
+                    spark, src_dir, schema, max_files_per_trigger=4
+                )
+                .writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # warm REAL run: records each epoch's visible registry, and
+        # leaves the whole dataflow JIT/codegen-warm (the curation
+        # discipline) — snapshot writes are outside the timed runs
+        real0 = entity_resolution_sink(
+            os.path.join(work, "state_warm"), os.path.join(work, "out_warm")
+        )
+
+        def recording(batch, eid):
+            state, _ = ss.read_state(batch.sparkSession, snap_root)
+            if state is not None:
+                state.write.mode("overwrite").parquet(
+                    os.path.join(snap, f"epoch={eid}")
+                )
+            real0(batch, eid)
+
+        snap_root = os.path.join(work, "state_warm")
+        run_stream(recording, os.path.join(work, "_warm_ckpt"))
+
+        def reg_for(batch, eid):
+            p = os.path.join(snap, f"epoch={eid}")
+            if os.path.isdir(p):
+                return batch.sparkSession.read.parquet(p)
+            return None
+
+        def p_ident(batch, eid):
+            reg = reg_for(batch, eid)
+            if reg is not None:  # same scan the real epoch pays
+                reg.write.mode("overwrite").format("noop").save()
+            batch.write.mode("overwrite").format("noop").save()
+
+        def p_store_join(batch, eid):
+            reg = reg_for(batch, eid)
+            recs_a = _as_a(batch, "rec_id")
+            if reg is not None:
+                (
+                    scored_pairs(recs_a, _as_b(reg, "entity_id"))
+                    .filter(F.col("decision") == "match")
+                    .groupBy(F.col("a_id").alias("rid"))
+                    .agg(F.min("b_id").alias("store_ent"))
+                    .write.mode("overwrite")
+                    .format("noop")
+                    .save()
+                )
+            batch.write.mode("overwrite").format("noop").save()
+
+        def p_link(batch, eid):
+            link_batch(batch, reg_for(batch, eid)).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        prefixes = (
+            ("source_sink_state_read", p_ident),
+            ("store_blocking_scoring", p_store_join),
+            ("batch_components_assembly", p_link),
+        )
+        out: dict = {}
+        prev = 0.0
+        for i, (name, body) in enumerate(prefixes):
+            runs = []
+            for j in range(3):
+                t0 = time.perf_counter()
+                run_stream(body, os.path.join(work, f"_ckpt_{i}_{j}"))
+                runs.append(time.perf_counter() - t0)
+            cum = statistics.median(runs)
+            out[name] = {
+                "cumulative_sec": round(cum, 4),
+                "marginal_sec": round(max(cum - prev, 0.0), 4),
+            }
+            prev = cum
+        # final prefix: the REAL sink (fresh state per run — the same
+        # empty-registry start the headline pays)
+        runs = []
+        for j in range(3):
+            sink = entity_resolution_sink(
+                os.path.join(work, f"state_{j}"), os.path.join(work, f"out_{j}")
+            )
+            t0 = time.perf_counter()
+            run_stream(sink, os.path.join(work, f"_ckpt_full_{j}"))
+            runs.append(time.perf_counter() - t0)
+        cum = statistics.median(runs)
+        out["checkpoint_writes_fold_commit"] = {
+            "cumulative_sec": round(cum, 4),
+            "marginal_sec": round(max(cum - prev, 0.0), 4),
+        }
+        out["note"] = (
+            "every row is a full stream run with a cumulative-prefix"
+            " foreachBatch body (median-of-3, fresh checkpoint);"
+            " stateful inputs come from a recorded per-epoch registry"
+            " snapshot, so prefixes reproduce the real run's epoch"
+            " inputs; the last row is the REAL sink, so marginals"
+            " cover machinery, both scoring joins, components, and the"
+            " checkpoint/write/fold tail with nothing unattributed"
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _er_block(spark) -> dict:
+    """Headline ER rate (median-of-3) plus the full-batch stage budget
+    (the curation discipline, r12 VERDICT ask #2). Stage table runs
+    FIRST so the headline measures the warm steady state."""
+    stages = er_stage_attribution(spark)
+    block = median_of_3_stream(
+        er_stream_bench, spark, rate_key="records_per_sec"
+    )
+    total = max(
+        (
+            v.get("cumulative_sec", 0.0)
+            for v in stages.values()
+            if isinstance(v, dict)
+        ),
+        default=None,
+    )
+    if total and block.get("sec"):
+        stages["covers_frac_of_sec"] = round(total / block["sec"], 3)
+    block["stages"] = stages
+    return block
+
+
 def _prev_round_commit(here: str) -> str | None:
     """Hash of the most recent DRIVER round-close commit whose TREE
     differs from HEAD's — the exact tree the previous round's bench
@@ -1368,6 +1679,10 @@ def _vs_prev_streams(spark, prev_modules: dict, wt: str) -> dict:
         ("alerts", stream_bench, "alerts_per_sec"),
         ("curation", curation_stream_bench, "docs_per_sec"),
         ("cep", cep_stream_bench, "events_per_sec"),
+        # round-12 VERDICT ask #4: the two newest streams were still
+        # cross-boot medians-of-3 — pair them like the other three
+        ("near_dedup", near_dedup_stream_bench, "docs_per_sec"),
+        ("entity_resolution", er_stream_bench, "records_per_sec"),
     ):
         cur_rates: list = []
         prev_rates: list = []

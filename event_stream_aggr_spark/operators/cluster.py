@@ -32,19 +32,34 @@ def connected_components(
     """(a, b) edge list → (node, component) with component = min node id
     reachable. Deterministic (min-label), loop ends early on a fixed
     point (counted via one aggregate per iteration)."""
+    from event_stream_aggr_spark.operators.lifecycle import (
+        disk_checkpoint_lazy,
+        free_blocks,
+    )
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # Materialize the edge list ONCE before iterating (round-13 fix,
+    # found by the ER stream's stage budget): every iteration runs an
+    # ACTION (the convergence count) plus the label join, and without
+    # this checkpoint each of those re-evaluated the caller's ENTIRE
+    # upstream dataflow — for the ER/near-dup callers that is the
+    # blocked candidate join + scoring, recomputed 2× per round. The
+    # loop now iterates over materialized blocks; its own every-3rd-
+    # round label checkpoint keeps the label lineage flat as before.
+    # DISK_ONLY like the label generations: edge lists at 100 TB scale
+    # are shuffle-sized, not executor-memory-sized. Blocks stay
+    # registered until the loop ends (labels read them via lineage
+    # only until the first label checkpoint, but the final generation
+    # note below applies the same way).
+    edges, edges_gen = disk_checkpoint_lazy(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-    )
-    from event_stream_aggr_spark.operators.lifecycle import (
-        disk_checkpoint_lazy,
-        free_blocks,
     )
 
     spark = pairs.sparkSession
@@ -81,8 +96,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    # NOTE: the final generation stays registered — the returned frame
-    # reads those blocks; they are GC-cleaned when the caller drops it
+    # NOTE: the final label generation AND the edge blocks stay
+    # registered — the returned frame may read either via its
+    # (truncated) lineage; both are GC-cleaned when the caller drops
+    # it. _ = edges_gen kept for symmetry with prev_gen's lifecycle.
+    _ = edges_gen
     return labels
 
 

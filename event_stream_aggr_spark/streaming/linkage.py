@@ -144,12 +144,18 @@ def link_batch(
             "store_ent", F.lit(None).cast("long")
         )
     # a component adopts the min store entity any member matched;
-    # otherwise its min rec_id (== comp, by the CC min-label rule)
-    comp_ent = rec_comp.groupBy("comp").agg(
-        F.min("store_ent").alias("comp_store_ent")
-    )
+    # otherwise its min rec_id (== comp, by the CC min-label rule).
+    # Window-min instead of groupBy + self-join (round-13, from the
+    # ER stage budget): the self-join evaluated rec_comp — and the
+    # store-scoring join feeding it — twice per epoch; the window is
+    # one shuffle on comp with no second evaluation.
+    from pyspark.sql import Window as W
+
     return (
-        rec_comp.join(comp_ent, "comp")
+        rec_comp.withColumn(
+            "comp_store_ent",
+            F.min("store_ent").over(W.partitionBy("comp")),
+        )
         .select(
             F.col("rid").alias("rec_id"),
             F.coalesce("comp_store_ent", "comp").alias("entity_id"),
