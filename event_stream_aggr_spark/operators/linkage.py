@@ -295,7 +295,10 @@ def scored_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _scored_ctes() -> str:
+def _src_ctes() -> str:
+    """The two source CTEs (A side + derived twin) shared by every
+    linkage oracle — factored so qer04's refinement ladder reuses the
+    identical corpus without restating the band hash."""
     return f"""a AS (
   SELECT c_custkey AS a_id, c_name AS a_name, c_mktsegment AS a_seg,
          CAST(c_acctbal AS DECIMAL(12,2)) AS a_bal,
@@ -314,7 +317,11 @@ twin AS (
   FROM (SELECT *,
           (('0x' || substr(md5('lnk:' || CAST(c_custkey AS VARCHAR)), 1, 2))
              ::BIGINT % {N_BANDS}) AS band
-        FROM customer)),
+        FROM customer))"""
+
+
+def _scored_ctes() -> str:
+    return f"""{_src_ctes()},
 p1keep AS (
   SELECT x.k1 FROM
     (SELECT a_name AS k1, COUNT(*) AS ca FROM a GROUP BY a_name) x
@@ -656,3 +663,235 @@ def qer03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("np1") + F.col("np2")).alias("n_purged_blocks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qer04: block REFINEMENT ladder — the alternative to wholesale purging
+# ---------------------------------------------------------------------------
+
+#: Coarse blocking prefix length and the ladder's per-block product
+#: cap. The coarse key is deliberately low-selectivity (a name prefix
+#: — the realistic "first characters / soundex" production blocking
+#: key), so the ladder ENGAGES at bench scale: at sf0.01 the single
+#: coarse block refines once (kept at level 1: + nation); at sf0.1
+#: level-1 blocks are still over the cap and refinement descends to
+#: level 2 (+ segment), where the segment-corrupted twins drop out —
+#: the measured recall trade of refining vs purging.
+REFINE_COARSE_LEN = 14
+REFINE_CAP = BLOCK_CAP
+
+
+def refinement_report(
+    a: DataFrame, b: DataFrame, cap: int = REFINE_CAP
+) -> DataFrame:
+    """Papadakis-style iterative BLOCK REFINEMENT (the production
+    alternative the density probe's audit names): a block whose
+    |A_b|x|B_b| product exceeds ``cap`` is not purged outright — it is
+    re-blocked under a finer key (level 0: name prefix; level 1:
+    + nation; level 2: + segment), and only a block still over the cap
+    at the ladder's bottom is purged (and counted). Refinement loses
+    only the pairs that DISAGREE on the added sub-key; purging loses
+    the whole block — the report prices both on one row.
+
+    Scale shape (100 TB): every level is an equi-join on its block
+    key with map-side-combinable count aggs at block grain deciding
+    keep/descend; candidate generation is a UNION ALL of the kept
+    levels' joins — levels partition the pair space by construction
+    (a pair's block is kept at exactly ONE level), so NO pair-dedup
+    shuffle is needed, unlike multi-pass blocking's union-distinct.
+    Per-block join product stays <= cap at every kept level, i.e. the
+    largest non-splittable unit of scoring work is bounded without
+    the purge-everything recall cliff the k100/cap5000 probe cell
+    measures."""
+    a2 = a.select(
+        "a_id",
+        "a_name",
+        "a_seg",
+        "a_bal",
+        F.substring("a_name", 1, REFINE_COARSE_LEN).alias("k0"),
+        F.col("a_nation").alias("nation"),
+        F.col("a_seg").alias("seg"),
+    )
+    b2 = b.select(
+        "b_id",
+        "b_name",
+        "b_seg",
+        "b_bal",
+        F.substring("b_name", 1, REFINE_COARSE_LEN).alias("k0"),
+        F.col("b_nation").alias("nation"),
+        F.col("b_seg").alias("seg"),
+    )
+
+    def _level(a_src, b_src, keys):
+        ca = a_src.groupBy(*keys).agg(F.count(F.lit(1)).alias("ca"))
+        cb = b_src.groupBy(*keys).agg(F.count(F.lit(1)).alias("cb"))
+        blocks = ca.join(cb, list(keys))
+        keep = blocks.filter(F.col("ca") * F.col("cb") <= cap).select(*keys)
+        over = blocks.filter(F.col("ca") * F.col("cb") > cap).select(*keys)
+        return keep, over
+
+    keep0, over0 = _level(a2, b2, ("k0",))
+    a_ov0, b_ov0 = a2.join(over0, "k0"), b2.join(over0, "k0")
+    keep1, over1 = _level(a_ov0, b_ov0, ("k0", "nation"))
+    a_ov1 = a_ov0.join(over1, ["k0", "nation"])
+    b_ov1 = b_ov0.join(over1, ["k0", "nation"])
+    keep2, purged = _level(a_ov1, b_ov1, ("k0", "nation", "seg"))
+
+    pair_cols = ("a_id", "b_id", "a_name", "b_name", "a_seg", "b_seg",
+                 "a_bal", "b_bal")
+    cand = (
+        a2.join(keep0, "k0").join(b2, "k0").select(*pair_cols)
+        .unionAll(
+            a2.join(keep1, ["k0", "nation"])
+            .join(b2, ["k0", "nation"])
+            .select(*pair_cols)
+        )
+        .unionAll(
+            a2.join(keep2, ["k0", "nation", "seg"])
+            .join(b2, ["k0", "nation", "seg"])
+            .select(*pair_cols)
+        )
+    )
+    w = (
+        F.when(F.col("a_name") == F.col("b_name"), F.lit(W_AGREE["name"]))
+        .otherwise(F.lit(W_DISAGREE["name"]))
+        + F.when(F.col("a_seg") == F.col("b_seg"), F.lit(W_AGREE["seg"]))
+        .otherwise(F.lit(W_DISAGREE["seg"]))
+        + F.when(
+            F.abs(F.col("a_bal") - F.col("b_bal"))
+            <= F.lit(BAL_TOL).cast("decimal(12,2)"),
+            F.lit(W_AGREE["bal"]),
+        ).otherwise(F.lit(W_DISAGREE["bal"]))
+    )
+    is_true = F.when(
+        F.col("b_id") - B_ID_OFFSET == F.col("a_id"), 1
+    ).otherwise(0)
+    # coalesce: SUM over an all-purged (empty) candidate set is NULL,
+    # but the counters' contract — and the oracle's COUNT(*) forms —
+    # is 0 found / all missed
+    report = cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(w >= T_MATCH, 1).otherwise(0)), F.lit(0)
+        ).alias("n_match_pairs"),
+        F.coalesce(F.sum(is_true), F.lit(0)).alias("n_true_found"),
+    )
+
+    def _n(df, name):
+        return F.broadcast(df.agg(F.count(F.lit(1)).alias(name)))
+
+    n_rec = F.broadcast(a.agg(F.count(F.lit(1)).alias("n_records")))
+    return (
+        report.crossJoin(_n(keep0, "n_l0_blocks_kept"))
+        .crossJoin(_n(keep1, "n_l1_blocks_kept"))
+        .crossJoin(_n(keep2, "n_l2_blocks_kept"))
+        .crossJoin(_n(purged, "n_purged_blocks"))
+        .crossJoin(n_rec)
+        .select(
+            "n_l0_blocks_kept",
+            "n_l1_blocks_kept",
+            "n_l2_blocks_kept",
+            "n_purged_blocks",
+            "n_candidates",
+            "n_match_pairs",
+            "n_true_found",
+            (F.col("n_records") - F.col("n_true_found")).alias(
+                "n_true_missed"
+            ),
+        )
+    )
+
+
+@register(
+    "qer04_blocking_refinement",
+    tags=("linkage", "audit", "agg", "scale"),
+    oracle=f"""
+WITH {_src_ctes()},
+aa AS (SELECT a_id, a_name, a_seg, a_bal,
+              substr(a_name, 1, {REFINE_COARSE_LEN}) AS k0,
+              a_nation AS nation, a_seg AS seg FROM a),
+bb AS (SELECT b_id, b_name, b_seg, b_bal,
+              substr(b_name, 1, {REFINE_COARSE_LEN}) AS k0,
+              b_nation AS nation, b_seg AS seg FROM twin),
+l0 AS (SELECT x.k0, x.ca, y.cb FROM
+         (SELECT k0, COUNT(*) AS ca FROM aa GROUP BY 1) x
+         JOIN (SELECT k0, COUNT(*) AS cb FROM bb GROUP BY 1) y USING (k0)),
+keep0 AS (SELECT k0 FROM l0 WHERE ca * cb <= {REFINE_CAP}),
+over0 AS (SELECT k0 FROM l0 WHERE ca * cb > {REFINE_CAP}),
+l1 AS (SELECT x.k0, x.nation, x.ca, y.cb FROM
+         (SELECT aa.k0, aa.nation, COUNT(*) AS ca
+          FROM aa JOIN over0 USING (k0) GROUP BY 1, 2) x
+         JOIN
+         (SELECT bb.k0, bb.nation, COUNT(*) AS cb
+          FROM bb JOIN over0 USING (k0) GROUP BY 1, 2) y
+         USING (k0, nation)),
+keep1 AS (SELECT k0, nation FROM l1 WHERE ca * cb <= {REFINE_CAP}),
+over1 AS (SELECT k0, nation FROM l1 WHERE ca * cb > {REFINE_CAP}),
+l2 AS (SELECT x.k0, x.nation, x.seg, x.ca, y.cb FROM
+         (SELECT aa.k0, aa.nation, aa.seg, COUNT(*) AS ca
+          FROM aa JOIN over1 USING (k0, nation) GROUP BY 1, 2, 3) x
+         JOIN
+         (SELECT bb.k0, bb.nation, bb.seg, COUNT(*) AS cb
+          FROM bb JOIN over1 USING (k0, nation) GROUP BY 1, 2, 3) y
+         USING (k0, nation, seg)),
+keep2 AS (SELECT k0, nation, seg FROM l2 WHERE ca * cb <= {REFINE_CAP}),
+purged AS (SELECT k0, nation, seg FROM l2 WHERE ca * cb > {REFINE_CAP}),
+cand AS (
+  SELECT aa.a_id, bb.b_id, aa.a_name, bb.b_name, aa.a_seg, bb.b_seg,
+         aa.a_bal, bb.b_bal
+  FROM aa JOIN keep0 USING (k0) JOIN bb USING (k0)
+  UNION ALL
+  SELECT aa.a_id, bb.b_id, aa.a_name, bb.b_name, aa.a_seg, bb.b_seg,
+         aa.a_bal, bb.b_bal
+  FROM aa JOIN keep1 USING (k0, nation) JOIN bb USING (k0, nation)
+  UNION ALL
+  SELECT aa.a_id, bb.b_id, aa.a_name, bb.b_name, aa.a_seg, bb.b_seg,
+         aa.a_bal, bb.b_bal
+  FROM aa JOIN keep2 USING (k0, nation, seg)
+       JOIN bb USING (k0, nation, seg)),
+scored AS (
+  SELECT a_id, b_id,
+         (CASE WHEN a_name = b_name
+               THEN CAST({W_AGREE["name"]} AS DOUBLE)
+               ELSE CAST({W_DISAGREE["name"]} AS DOUBLE) END
+          + CASE WHEN a_seg = b_seg
+                 THEN CAST({W_AGREE["seg"]} AS DOUBLE)
+                 ELSE CAST({W_DISAGREE["seg"]} AS DOUBLE) END
+          + CASE WHEN ABS(a_bal - b_bal) <= {BAL_TOL}
+                 THEN CAST({W_AGREE["bal"]} AS DOUBLE)
+                 ELSE CAST({W_DISAGREE["bal"]} AS DOUBLE) END) AS w
+  FROM cand)
+SELECT
+  CAST((SELECT COUNT(*) FROM keep0) AS BIGINT) AS n_l0_blocks_kept,
+  CAST((SELECT COUNT(*) FROM keep1) AS BIGINT) AS n_l1_blocks_kept,
+  CAST((SELECT COUNT(*) FROM keep2) AS BIGINT) AS n_l2_blocks_kept,
+  CAST((SELECT COUNT(*) FROM purged) AS BIGINT) AS n_purged_blocks,
+  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST((SELECT COUNT(*) FROM scored WHERE w >= {T_MATCH}) AS BIGINT)
+    AS n_match_pairs,
+  CAST((SELECT COUNT(*) FROM cand
+        WHERE b_id - {B_ID_OFFSET} = a_id) AS BIGINT) AS n_true_found,
+  CAST((SELECT COUNT(*) FROM a)
+       - (SELECT COUNT(*) FROM cand WHERE b_id - {B_ID_OFFSET} = a_id)
+       AS BIGINT) AS n_true_missed
+""",
+)
+def qer04_blocking_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-refinement audit (round 13, the density probe's named
+    production move): one row pricing the REFINE-then-purge ladder on
+    the linkage corpus under a deliberately coarse blocking key (name
+    prefix, the realistic low-selectivity production key). Kept-block
+    counts per level show where the ladder stabilized (sf0.01: the
+    coarse block refines once and is kept at +nation; sf0.1: +nation
+    is still over the cap and blocks descend to +segment), and the
+    recall columns price refinement's trade: only pairs DISAGREEING
+    on an added sub-key are lost (at sf0.1 the segment-corrupted
+    twins), versus purging's whole-block cliff and versus the
+    unguarded quadratic — the three regimes the ER density probe
+    measures (SCALING_AUDIT round 13).
+
+    Scale shape (100 TB): see ``refinement_report`` — block-grain
+    count aggs decide keep/descend per level, kept levels partition
+    the pair space so candidate union needs no dedup shuffle, and
+    every kept block's join product is <= cap by construction."""
+    return refinement_report(_a_side(spark, sf_dir), _twin_side(spark, sf_dir))
