@@ -104,11 +104,9 @@ def main() -> None:
         "streaming_cep": median_of_3_stream(
             cep_stream_bench, spark, rate_key="events_per_sec"
         ),
-        # the r11 near-dup gate; joins the paired A/B set next round,
-        # once a prev round-close commit contains the module
-        "streaming_near_dedup": median_of_3_stream(
-            near_dedup_stream_bench, spark, rate_key="docs_per_sec"
-        ),
+        # the r11 near-dup gate (paired in vs_prev; r13: stage budget
+        # in _near_dedup_block — the slowest stream once ER doubled)
+        "streaming_near_dedup": _near_dedup_block(spark),
         # the r12 ER gate (paired in vs_prev from r13; stage budget
         # in _er_block per r12 VERDICT ask #2)
         "streaming_entity_resolution": _er_block(spark),
@@ -1113,6 +1111,165 @@ def topk_stream_bench(spark) -> dict:
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def near_dedup_stage_attribution(spark) -> dict:
+    """Round-13: the stage-budget discipline (curation r11, ER r12-13)
+    applied to the near-dedup gate — with the ER gate doubled, this is
+    the slowest stream. Same stateful-prefix method as
+    ``er_stage_attribution``: a warm REAL run records the band store
+    each epoch read (``store_snap/epoch=N``); prefix bodies replay the
+    snapshots so every prefix reproduces the real epoch inputs.
+    Prefixes: pass-through noop (+ store read) → + MinHash/banding +
+    both drop rules (= band_canonical_dedup vs the snapshot store) →
+    + token-less union + kept-rows semi-join (the output assembly) →
+    the REAL sink (+ disk checkpoint, output write, store fold,
+    commit). Median-of-3 per prefix; the last prefix IS
+    near_dedup_stream_bench's pipeline measured the same way."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from event_stream_aggr_spark.operators.dedup import (
+        band_canonical_dedup,
+        tokenless_ids,
+    )
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming import state_store as ss
+    from event_stream_aggr_spark.streaming.near_dedup import near_dedup_sink
+    from event_stream_aggr_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_near_dedup_stages_")
+    try:
+        src = os.path.join(work, "src")
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        docs.repartition(16).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        snap = os.path.join(work, "store_snap")
+
+        def run_stream(body, ckpt):
+            q = (
+                stream_parquet_dir(
+                    spark, src, schema, max_files_per_trigger=8
+                )
+                .writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        snap_root = os.path.join(work, "state_warm")
+        real0 = near_dedup_sink(snap_root, os.path.join(work, "out_warm"))
+
+        def recording(batch, eid):
+            state, _ = ss.read_state(batch.sparkSession, snap_root)
+            if state is not None:
+                state.write.mode("overwrite").parquet(
+                    os.path.join(snap, f"epoch={eid}")
+                )
+            real0(batch, eid)
+
+        run_stream(recording, os.path.join(work, "_warm_ckpt"))
+
+        def store_for(batch, eid):
+            p = os.path.join(snap, f"epoch={eid}")
+            if os.path.isdir(p):
+                return batch.sparkSession.read.parquet(p)
+            return None
+
+        def p_ident(batch, eid):
+            st = store_for(batch, eid)
+            if st is not None:
+                st.write.mode("overwrite").format("noop").save()
+            batch.write.mode("overwrite").format("noop").save()
+
+        def p_band(batch, eid):
+            _, kept_buckets = band_canonical_dedup(
+                batch, seen_buckets=store_for(batch, eid)
+            )
+            kept_buckets.write.mode("overwrite").format("noop").save()
+
+        def p_assemble(batch, eid):
+            from pyspark.sql import functions as F  # noqa: F401
+
+            _, kept_buckets = band_canonical_dedup(
+                batch, seen_buckets=store_for(batch, eid)
+            )
+            kept = (
+                kept_buckets.select("doc_id")
+                .unionByName(tokenless_ids(batch, "doc_id", "text"))
+                .distinct()
+            )
+            batch.join(kept, "doc_id", "left_semi").write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        prefixes = (
+            ("source_sink_store_read", p_ident),
+            ("minhash_banding_drop_rules", p_band),
+            ("tokenless_semijoin_assembly", p_assemble),
+        )
+        out: dict = {}
+        prev = 0.0
+        for i, (name, body) in enumerate(prefixes):
+            runs = []
+            for j in range(3):
+                t0 = time.perf_counter()
+                run_stream(body, os.path.join(work, f"_ckpt_{i}_{j}"))
+                runs.append(time.perf_counter() - t0)
+            cum = statistics.median(runs)
+            out[name] = {
+                "cumulative_sec": round(cum, 4),
+                "marginal_sec": round(max(cum - prev, 0.0), 4),
+            }
+            prev = cum
+        runs = []
+        for j in range(3):
+            sink = near_dedup_sink(
+                os.path.join(work, f"state_{j}"),
+                os.path.join(work, f"out_{j}"),
+            )
+            t0 = time.perf_counter()
+            run_stream(sink, os.path.join(work, f"_ckpt_full_{j}"))
+            runs.append(time.perf_counter() - t0)
+        cum = statistics.median(runs)
+        out["checkpoint_writes_fold_commit"] = {
+            "cumulative_sec": round(cum, 4),
+            "marginal_sec": round(max(cum - prev, 0.0), 4),
+        }
+        out["note"] = (
+            "stateful-prefix stage budget (the ER method): full stream"
+            " runs with cumulative-prefix foreachBatch bodies reading a"
+            " recorded per-epoch band-store snapshot; last row is the"
+            " REAL sink, so marginals cover machinery, the band"
+            " dataflow, output assembly, and the checkpoint/write/"
+            "fold tail with nothing unattributed"
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _near_dedup_block(spark) -> dict:
+    """Headline near-dedup rate (median-of-3) + the full-batch stage
+    budget; stage table first so the headline measures warm state."""
+    stages = near_dedup_stage_attribution(spark)
+    block = median_of_3_stream(
+        near_dedup_stream_bench, spark, rate_key="docs_per_sec"
+    )
+    total = max(
+        (
+            v.get("cumulative_sec", 0.0)
+            for v in stages.values()
+            if isinstance(v, dict)
+        ),
+        default=None,
+    )
+    if total and block.get("sec"):
+        stages["covers_frac_of_sec"] = round(total / block["sec"], 3)
+    block["stages"] = stages
+    return block
 
 
 def _er_src_dir(spark, work: str) -> tuple[str, int]:

@@ -1700,6 +1700,7 @@ def band_canonical_dedup(
     text_col: str = "text",
     bands: int = 4,
     seen_buckets: DataFrame | None = None,
+    gen_out: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Greedy band-canonical near-dedup of ONE batch of documents,
     optionally against the band buckets of previously KEPT docs —
@@ -1742,7 +1743,24 @@ def band_canonical_dedup(
     (left_semi/left_anti — AQE-splittable) plus one min-agg; no
     window, no quadratic block, and the candidate structure is the
     same bucket equality qd04's LSH uses."""
+    from event_stream_aggr_spark.operators.lifecycle import (
+        disk_checkpoint_lazy,
+    )
+
     banded = band_buckets(docs, id_col, text_col, bands)
+    # Materialize the banded relation ONCE (round-13, found by the
+    # near-dedup stream's stage budget): the two drop rules reference
+    # ``banded`` from six plan positions and Spark reuses NONE of them
+    # — the executed kept_buckets plan scanned the source and re-ran
+    # shingle explode + MinHash six times per evaluation. DISK_ONLY
+    # lazy checkpoint: blocks materialize with the caller's first
+    # action and every later branch reads them. ``gen_out`` (streaming
+    # callers) receives the generation ids so the sink can free the
+    # blocks after its own eager checkpoint supersedes them; one-shot
+    # offline callers leave them to GC with the returned frame.
+    banded, _banded_gen = disk_checkpoint_lazy(banded)
+    if gen_out is not None:
+        gen_out.extend(_banded_gen)
     if seen_buckets is not None:
         hit = (
             banded.join(seen_buckets.select("bucket"), "bucket", "left_semi")

@@ -105,9 +105,10 @@ def near_dedup_sink(
             # post-commit redelivery: kept rows for this epoch are
             # already on disk and its buckets already folded in
             return
+        banded_gen: list[int] = []
         _, kept_buckets = band_canonical_dedup(
             batch, id_col=id_col, text_col=text_col, bands=bands,
-            seen_buckets=state,
+            seen_buckets=state, gen_out=banded_gen,
         )
         # ONE evaluation of the band dataflow per epoch (round-11
         # ADVICE: the output semi-join and the store fold each
@@ -156,6 +157,8 @@ def near_dedup_sink(
             ss._commit(spark, root, epoch_id)
             ss._vacuum(spark, root, keep_from=committed)
         finally:
-            free_blocks(spark, blocks)
+            # the epoch's eager kept_buckets checkpoint supersedes the
+            # banded generation the operator materialized — free both
+            free_blocks(spark, blocks + banded_gen)
 
     return apply
