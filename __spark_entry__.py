@@ -48,7 +48,7 @@ def _sample_priority_order(names: list[str], artifacts_dir=None) -> list[str]:
     rotates through the whole registry.
 
     The driver samples a prefix of ``queries()`` per round; the registry
-    (256 names as of round 12) is larger than the sample (~50), so a
+    (259 names as of round 13) is larger than the sample (~50), so a
     static order would leave most names perpetually unverified after
     code changes. Reading the CORRECTNESS_r*.json artifacts the driver leaves
     next to this module, each name sorts by the round it was last checked
