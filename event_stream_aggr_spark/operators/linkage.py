@@ -688,10 +688,12 @@ def refinement_report(
     alternative the density probe's audit names): a block whose
     |A_b|x|B_b| product exceeds ``cap`` is not purged outright — it is
     re-blocked under a finer key (level 0: name prefix; level 1:
-    + nation; level 2: + segment), and only a block still over the cap
-    at the ladder's bottom is purged (and counted). Refinement loses
-    only the pairs that DISAGREE on the added sub-key; purging loses
-    the whole block — the report prices both on one row.
+    + nation; level 2: + segment; level 3: + the exact name — the
+    most selective key available, so only true full-key degeneracy is
+    ever purged), and only a block still over the cap at the ladder's
+    bottom is purged (and counted). Refinement loses only the pairs
+    that DISAGREE on the added sub-key; purging loses the whole block
+    — the report prices both on one row.
 
     Scale shape (100 TB): every level is an equi-join on its block
     key with map-side-combinable count aggs at block grain deciding
@@ -735,7 +737,21 @@ def refinement_report(
     keep1, over1 = _level(a_ov0, b_ov0, ("k0", "nation"))
     a_ov1 = a_ov0.join(over1, ["k0", "nation"])
     b_ov1 = b_ov0.join(over1, ["k0", "nation"])
-    keep2, purged = _level(a_ov1, b_ov1, ("k0", "nation", "seg"))
+    keep2, over2 = _level(a_ov1, b_ov1, ("k0", "nation", "seg"))
+    # bottom level: the EXACT name — the textbook ladder ends at the
+    # most selective key available, so only a block that is dense
+    # under full-key equality (true hot-key degeneracy: many records
+    # sharing name AND nation AND segment) is ever purged. b-side
+    # names carry the twin's X-corruption, so a corrupted twin can
+    # only be found at levels 0-2 (name disagreement at L3 is the
+    # sub-key trade, reported like every other level's).
+    a_ov2 = a_ov1.join(over2, ["k0", "nation", "seg"])
+    b_ov2 = b_ov1.join(over2, ["k0", "nation", "seg"])
+    keep3, purged = _level(
+        a_ov2.withColumn("nm", F.col("a_name")),
+        b_ov2.withColumn("nm", F.col("b_name")),
+        ("k0", "nation", "seg", "nm"),
+    )
 
     pair_cols = ("a_id", "b_id", "a_name", "b_name", "a_seg", "b_seg",
                  "a_bal", "b_bal")
@@ -749,6 +765,15 @@ def refinement_report(
         .unionAll(
             a2.join(keep2, ["k0", "nation", "seg"])
             .join(b2, ["k0", "nation", "seg"])
+            .select(*pair_cols)
+        )
+        .unionAll(
+            a2.withColumn("nm", F.col("a_name"))
+            .join(keep3, ["k0", "nation", "seg", "nm"])
+            .join(
+                b2.withColumn("nm", F.col("b_name")),
+                ["k0", "nation", "seg", "nm"],
+            )
             .select(*pair_cols)
         )
     )
@@ -785,12 +810,14 @@ def refinement_report(
         report.crossJoin(_n(keep0, "n_l0_blocks_kept"))
         .crossJoin(_n(keep1, "n_l1_blocks_kept"))
         .crossJoin(_n(keep2, "n_l2_blocks_kept"))
+        .crossJoin(_n(keep3, "n_l3_blocks_kept"))
         .crossJoin(_n(purged, "n_purged_blocks"))
         .crossJoin(n_rec)
         .select(
             "n_l0_blocks_kept",
             "n_l1_blocks_kept",
             "n_l2_blocks_kept",
+            "n_l3_blocks_kept",
             "n_purged_blocks",
             "n_candidates",
             "n_match_pairs",
@@ -835,7 +862,22 @@ l2 AS (SELECT x.k0, x.nation, x.seg, x.ca, y.cb FROM
           FROM bb JOIN over1 USING (k0, nation) GROUP BY 1, 2, 3) y
          USING (k0, nation, seg)),
 keep2 AS (SELECT k0, nation, seg FROM l2 WHERE ca * cb <= {REFINE_CAP}),
-purged AS (SELECT k0, nation, seg FROM l2 WHERE ca * cb > {REFINE_CAP}),
+over2 AS (SELECT k0, nation, seg FROM l2 WHERE ca * cb > {REFINE_CAP}),
+l3 AS (SELECT x.k0, x.nation, x.seg, x.nm, x.ca, y.cb FROM
+         (SELECT aa.k0, aa.nation, aa.seg, aa.a_name AS nm,
+                 COUNT(*) AS ca
+          FROM aa JOIN over2 USING (k0, nation, seg)
+          GROUP BY 1, 2, 3, 4) x
+         JOIN
+         (SELECT bb.k0, bb.nation, bb.seg, bb.b_name AS nm,
+                 COUNT(*) AS cb
+          FROM bb JOIN over2 USING (k0, nation, seg)
+          GROUP BY 1, 2, 3, 4) y
+         USING (k0, nation, seg, nm)),
+keep3 AS (SELECT k0, nation, seg, nm FROM l3
+          WHERE ca * cb <= {REFINE_CAP}),
+purged AS (SELECT k0, nation, seg, nm FROM l3
+           WHERE ca * cb > {REFINE_CAP}),
 cand AS (
   SELECT aa.a_id, bb.b_id, aa.a_name, bb.b_name, aa.a_seg, bb.b_seg,
          aa.a_bal, bb.b_bal
@@ -848,7 +890,14 @@ cand AS (
   SELECT aa.a_id, bb.b_id, aa.a_name, bb.b_name, aa.a_seg, bb.b_seg,
          aa.a_bal, bb.b_bal
   FROM aa JOIN keep2 USING (k0, nation, seg)
-       JOIN bb USING (k0, nation, seg)),
+       JOIN bb USING (k0, nation, seg)
+  UNION ALL
+  SELECT aa.a_id, bb.b_id, aa.a_name, bb.b_name, aa.a_seg, bb.b_seg,
+         aa.a_bal, bb.b_bal
+  FROM (SELECT *, a_name AS nm FROM aa) aa
+       JOIN keep3 USING (k0, nation, seg, nm)
+       JOIN (SELECT *, b_name AS nm FROM bb) bb
+         USING (k0, nation, seg, nm)),
 scored AS (
   SELECT a_id, b_id,
          (CASE WHEN a_name = b_name
@@ -865,6 +914,7 @@ SELECT
   CAST((SELECT COUNT(*) FROM keep0) AS BIGINT) AS n_l0_blocks_kept,
   CAST((SELECT COUNT(*) FROM keep1) AS BIGINT) AS n_l1_blocks_kept,
   CAST((SELECT COUNT(*) FROM keep2) AS BIGINT) AS n_l2_blocks_kept,
+  CAST((SELECT COUNT(*) FROM keep3) AS BIGINT) AS n_l3_blocks_kept,
   CAST((SELECT COUNT(*) FROM purged) AS BIGINT) AS n_purged_blocks,
   CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
   CAST((SELECT COUNT(*) FROM scored WHERE w >= {T_MATCH}) AS BIGINT)

@@ -66,17 +66,42 @@ def test_ladder_keeps_at_level1_and_loses_cross_subkey_pairs(spark):
         r.n_l0_blocks_kept,
         r.n_l1_blocks_kept,
         r.n_l2_blocks_kept,
+        r.n_l3_blocks_kept,
         r.n_purged_blocks,
-    ) == (0, 2, 0, 0)
+    ) == (0, 2, 0, 0, 0)
     # candidates: 4 (nation-1 block) + 2 (nation-2 block) = 6;
     # true pairs found = 3 — record 4's twin is the refinement loss
     assert r.n_candidates == 6
     assert r.n_true_found == 3 and r.n_true_missed == 1
 
 
-def test_ladder_descends_to_level2_and_purges_bottom(spark):
-    # one (k0, nation) block of 3 identical-seg rows: L0 9 > 2,
-    # L1 9 > 2, L2 9 > 2 -> PURGED at the bottom, counted
+def test_ladder_descends_to_bottom_and_purges_true_degeneracy(spark):
+    # three records sharing name AND nation AND segment (true
+    # full-key degeneracy): every level's product is 9 > 2, including
+    # the exact-name bottom -> PURGED there, counted
+    rows = [
+        (1, P + "same", "S1", 10.00, 1),
+        (2, P + "same", "S1", 20.00, 1),
+        (3, P + "same", "S1", 30.00, 1),
+    ]
+    a, b = _sides(spark, rows)
+    r = refinement_report(a, b, cap=2).collect()[0]
+    assert (
+        r.n_l0_blocks_kept,
+        r.n_l1_blocks_kept,
+        r.n_l2_blocks_kept,
+        r.n_l3_blocks_kept,
+        r.n_purged_blocks,
+    ) == (0, 0, 0, 0, 1)
+    assert r.n_candidates == 0 and r.n_true_missed == 3
+
+
+def test_exact_name_bottom_recovers_distinct_names(spark):
+    # DISTINCT names under a shared (prefix, nation, segment) block:
+    # L0/L1/L2 products 9 > 2 -> descend; the exact-name bottom
+    # separates them into 1x1 blocks -> kept, full recall (this is
+    # the recovery the dense-corpus probe measures; contrast the
+    # true-degeneracy purge above)
     rows = [
         (1, P + "a", "S1", 10.00, 1),
         (2, P + "b", "S1", 20.00, 1),
@@ -88,9 +113,11 @@ def test_ladder_descends_to_level2_and_purges_bottom(spark):
         r.n_l0_blocks_kept,
         r.n_l1_blocks_kept,
         r.n_l2_blocks_kept,
+        r.n_l3_blocks_kept,
         r.n_purged_blocks,
-    ) == (0, 0, 0, 1)
-    assert r.n_candidates == 0 and r.n_true_missed == 3
+    ) == (0, 0, 0, 3, 0)
+    assert r.n_candidates == 3
+    assert r.n_true_found == 3 and r.n_true_missed == 0
 
 
 def test_ladder_levels_partition_pairs_no_dedup_needed(spark):

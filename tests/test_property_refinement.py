@@ -2,7 +2,8 @@
 operators/linkage.refinement_report): on random small corpora the
 Spark dataflow must agree, count for count, with an independent
 pure-Python replay of the ladder rule — level-0 blocks over the cap
-re-block by +nation, then +segment, purge only at the bottom; kept
+re-block by +nation, +segment, then the exact name, purge only at
+the bottom; kept
 levels partition the pair space (every candidate pair counted exactly
 once). Randomizing names across two coarse prefixes, nations, and
 segments drives all level transitions and the purge branch."""
@@ -58,7 +59,9 @@ def _rows(recs):
 def _ladder_reference(rows, cap):
     """Pure-Python replay of the ladder rule on (id, name, seg, bal,
     nation) A rows and the identity twin (B = A with offset ids)."""
-    a = [(i, n[:REFINE_COARSE_LEN], nat, s) for i, n, s, _b, nat in rows]
+    a = [
+        (i, n[:REFINE_COARSE_LEN], nat, s, n) for i, n, s, _b, nat in rows
+    ]
     b = a  # identity twin: same compare fields, offset ids
 
     def level(a_rows, b_rows, keyfn):
@@ -71,12 +74,15 @@ def _ladder_reference(rows, cap):
     k0 = lambda r: r[1]  # noqa: E731
     k1 = lambda r: (r[1], r[2])  # noqa: E731
     k2 = lambda r: (r[1], r[2], r[3])  # noqa: E731
+    k3 = lambda r: (r[1], r[2], r[3], r[4])  # noqa: E731
 
     keep0, over0 = level(a, b, k0)
     a1 = [r for r in a if k0(r) in over0]
     keep1, over1 = level(a1, a1, k1)
     a2 = [r for r in a1 if k1(r) in over1]
-    keep2, purged = level(a2, a2, k2)
+    keep2, over2 = level(a2, a2, k2)
+    a3 = [r for r in a2 if k2(r) in over2]
+    keep3, purged = level(a3, a3, k3)
 
     cand = 0
     true_found = 0
@@ -88,6 +94,8 @@ def _ladder_reference(rows, cap):
                 pass
             elif k2(ra) == k2(rb) and k2(ra) in keep2:
                 pass
+            elif k3(ra) == k3(rb) and k3(ra) in keep3:
+                pass
             else:
                 continue
             cand += 1
@@ -97,6 +105,7 @@ def _ladder_reference(rows, cap):
         "n_l0_blocks_kept": len(keep0),
         "n_l1_blocks_kept": len(keep1),
         "n_l2_blocks_kept": len(keep2),
+        "n_l3_blocks_kept": len(keep3),
         "n_purged_blocks": len(purged),
         "n_candidates": cand,
         "n_true_found": true_found,
