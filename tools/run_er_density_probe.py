@@ -54,6 +54,19 @@ GRID = [
     (100, 5_000, 2),
 ]
 
+#: Refinement-ladder cells (round-13 follow-up): qer04's refine-then-
+#: purge ladder on the SAME dense corpus. With the exact-name bottom
+#: level, same-name blocks are the k replicas of one base customer —
+#: product k x ~0.75k — so the ladder RECOVERS at the bottom what the
+#: flat purge lost (k=30/100 under the default cap), and the
+#: parallelism-scaled 5 000 cap shows the bottom purging again once
+#: k^2 crosses it (k=100: 7 500 > 5 000).
+LADDER_GRID = [
+    (30, 20_000, 1),
+    (100, 20_000, 1),
+    (100, 5_000, 1),
+]
+
 
 def dense_customers(spark, k: int, out_dir: str) -> None:
     """k replicas of sf0.1 customer with IDENTICAL names/segments/
@@ -74,6 +87,43 @@ def dense_customers(spark, k: int, out_dir: str) -> None:
     replicas.write.mode("overwrite").parquet(
         os.path.join(out_dir, "customer.parquet")
     )
+
+
+def ladder_cell(spark, sf_dir: str, cap: int, n_runs: int) -> dict:
+    """qer04's refinement ladder at an explicit cap on the dense
+    corpus: per-level kept counts + purge + completeness + time."""
+    import bench
+
+    from event_stream_aggr_spark.operators.linkage import (
+        _a_side,
+        _twin_side,
+        refinement_report,
+    )
+
+    a = _a_side(spark, sf_dir)
+    b = _twin_side(spark, sf_dir)
+    runs = []
+    row: dict = {}
+    for i in range(n_runs):
+        pre = bench._max_stage_id(spark) if i == n_runs - 1 else None
+        t0 = time.perf_counter()
+        refinement_report(a, b, cap=cap).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        runs.append(time.perf_counter() - t0)
+        if pre is not None:
+            m = bench._stage_metrics_since(spark, pre)
+            if m:
+                row["shuffle_write_mb"] = m["shuffle_write_mb"]
+                row["spill_disk_mb"] = m["spill_disk_mb"]
+                row["spill_mem_mb"] = m["spill_mem_mb"]
+    row["sec"] = round(min(runs), 4)
+    r = refinement_report(a, b, cap=cap).collect()[0].asDict()
+    row.update(r)
+    row["pair_completeness"] = round(
+        r["n_true_found"] / (r["n_true_found"] + r["n_true_missed"]), 4
+    )
+    return row
 
 
 def probe_cell(spark, sf_dir: str, cap: int, n_runs: int) -> dict:
@@ -163,6 +213,13 @@ def main() -> None:
                     continue
                 label = f"k{k}_cap{'_off' if cap == UNCAPPED else cap}"
                 cell = probe_cell(spark, probe_dir, cap, n_runs)
+                out["cells"][label] = cell
+                print(json.dumps({label: cell}))
+            for gk, cap, n_runs in LADDER_GRID:
+                if gk != k:
+                    continue
+                label = f"k{k}_ladder_cap{cap}"
+                cell = ladder_cell(spark, probe_dir, cap, n_runs)
                 out["cells"][label] = cell
                 print(json.dumps({label: cell}))
         finally:
