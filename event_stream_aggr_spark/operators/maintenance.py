@@ -2283,3 +2283,154 @@ FROM chosen c JOIN lvls a ON a.n = c.n AND a.lvl = c.lvl
 
 
 _register_generalization_ladder_query()
+
+
+# ---------------------------------------------------------------------------
+# qa12: t-closeness audit (ordered EMD) — completes the privacy triad
+# ---------------------------------------------------------------------------
+
+#: t-closeness threshold (Li, Li & Venkatasubramanian, ICDE 2007): a
+#: class violates when its sensitive-value distribution sits further
+#: than T from the global one under the ordered earth-mover distance.
+#: 1/5 exactly, so the violation test cross-multiplies to integers.
+T_CLOSE_NUM = 1
+T_CLOSE_DEN = 5
+
+#: The sensitive attribute's ordered domain (order priorities sort
+#: lexicographically in priority order); m-1 = 4 prefix terms.
+_PRIORITY_PREFIXES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECI")
+
+
+def _register_t_closeness_query():
+    from pyspark.sql import functions as F
+
+    from event_stream_aggr_spark.plans.registry import register
+    from event_stream_aggr_spark.tables import load_table
+
+    m1 = len(_PRIORITY_PREFIXES)  # m - 1 = 4
+    cum_cols_sql = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority <= '{p}~' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS cum{i}"
+        for i, p in enumerate(_PRIORITY_PREFIXES)
+    )
+    emd_num_sql = " + ".join(
+        f"ABS(c.cum{i} * g.gn - g.gcum{i} * c.n_c)" for i in range(m1)
+    )
+
+    @register(
+        "qa12_t_closeness",
+        tags=("maintenance", "quality", "governance"),
+        oracle=f"""
+WITH qi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer),
+linked AS (
+  SELECT q.c_nationkey, q.c_mktsegment, q.bal_band, o.o_orderpriority
+  FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         {cum_cols_sql}
+  FROM linked GROUP BY c_nationkey, c_mktsegment, bal_band),
+gtot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+         {cum_cols_sql.replace("AS cum", "AS gcum")}
+  FROM linked),
+scored AS (
+  SELECT c.c_nationkey, c.n_c, g.gn,
+         ({emd_num_sql}) AS emd_num
+  FROM cls c CROSS JOIN gtot g)
+SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN emd_num * {T_CLOSE_DEN}
+                      > n_c * gn * {m1} * {T_CLOSE_NUM}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       MAX(CAST(emd_num AS DOUBLE)
+           / CAST(n_c * gn * {m1} AS DOUBLE)) AS max_emd
+FROM scored GROUP BY c_nationkey
+""",
+    )
+    def qa12_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """t-closeness audit (Li et al., ICDE 2007) — the third leg of
+        the privacy-governance triad after qa10's k-anonymity /
+        l-diversity and qa11's generalization ladder: l-diversity can
+        hold while a class's sensitive-value DISTRIBUTION still leaks
+        (all-but-one member URGENT says plenty), so each QI class
+        (nation, segment, balance band — qa10's grain) is measured
+        against the global distribution of linked order priorities
+        under the ORDERED earth-mover distance, EMD = (1/(m-1)) *
+        sum_i |cumQ_i - cumG_i| over the m=5 ordered priorities.
+
+        Cross-engine determinism: the fixed tiny domain turns each
+        cumulative into a conditional COUNT (no window, no missing-
+        value holes), EMD stays an exact BIGINT numerator
+        (|cumq_i*N - cumg_i*n_c| summed; bounded by 4*N^2 << 2^63),
+        the t > 1/5 violation test cross-multiplies to integers, and
+        the only float is ONE final division of identical integers in
+        both engines (the qf09 discipline).
+
+        Scale shape (100 TB): one shuffle of orders onto its customer
+        key, then everything lives at class grain (|QI classes|, tiny)
+        — the class aggregate is map-side combinable with 5 fixed
+        conditional sums, the global row broadcasts into a class-grain
+        crossJoin, and the nation rollup is a second tiny aggregate.
+        No window, no distinct-expansion, no per-row float math."""
+        qi = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority"
+        )
+        linked = qi.join(o, o["o_custkey"] == qi["c_custkey"]).select(
+            "c_nationkey", "c_mktsegment", "bal_band", "o_orderpriority"
+        )
+
+        def cums(prefix: str):
+            return [
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") <= f"{p}~", 1
+                    ).otherwise(0)
+                ).alias(f"{prefix}{i}")
+                for i, p in enumerate(_PRIORITY_PREFIXES)
+            ]
+
+        cls = linked.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+            F.count(F.lit(1)).alias("n_c"), *cums("cum")
+        )
+        glob = linked.agg(F.count(F.lit(1)).alias("gn"), *cums("gcum"))
+        emd_num = None
+        for i in range(m1):
+            term = F.abs(
+                F.col(f"cum{i}") * F.col("gn")
+                - F.col(f"gcum{i}") * F.col("n_c")
+            )
+            emd_num = term if emd_num is None else emd_num + term
+        scored = cls.crossJoin(F.broadcast(glob)).select(
+            "c_nationkey", "n_c", "gn", emd_num.alias("emd_num")
+        )
+        return scored.groupBy(
+            F.col("c_nationkey").cast("long").alias("nation_key")
+        ).agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(
+                F.when(
+                    F.col("emd_num") * T_CLOSE_DEN
+                    > F.col("n_c") * F.col("gn") * m1 * T_CLOSE_NUM,
+                    1,
+                ).otherwise(0)
+            ).alias("n_violating"),
+            F.max(
+                F.col("emd_num").cast("double")
+                / (F.col("n_c") * F.col("gn") * m1).cast("double")
+            ).alias("max_emd"),
+        )
+
+    return qa12_t_closeness
+
+
+_register_t_closeness_query()

@@ -253,3 +253,31 @@ def test_weighted_median_mass_rule(spark, specs):
         expected = float(g.loc[cum * 2 >= total, "l_extendedprice"].iloc[0])
         assert abs(rows[flag]["w_median"] - expected) < 1e-6
         assert rows[flag]["w_p10"] <= rows[flag]["w_median"] <= rows[flag]["w_p90"]
+
+
+def test_t_closeness_invariants(spark, specs):
+    # qa12 (round 13): ordered-EMD t-closeness. EMD is normalized to
+    # [0, 1]; a violation implies max_emd above the threshold in that
+    # nation; class counts must equal qa10's classes-with-orders
+    # (identical QI grain, inner join).
+    from event_stream_aggr_spark.operators.maintenance import (
+        T_CLOSE_DEN,
+        T_CLOSE_NUM,
+    )
+
+    rows = specs["qa12_t_closeness"].fn(spark, SF).collect()
+    t = T_CLOSE_NUM / T_CLOSE_DEN
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["max_emd"] <= 1.0
+        assert 0 <= r["n_violating"] <= r["n_classes"]
+        if r["n_violating"] > 0:
+            assert r["max_emd"] > t
+    qa10 = {
+        r["nation_key"]: r
+        for r in specs["qa10_k_anonymity"].fn(spark, SF).collect()
+    }
+    for r in rows:
+        # every t-closeness class has >= 1 linked order, so per nation
+        # it is bounded by qa10's total class count at the same grain
+        assert r["n_classes"] <= qa10[r["nation_key"]]["n_classes"]
