@@ -32,6 +32,38 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_MEMO_QUERIES = ("qt17_bm25_scores", "qr01_hybrid_search", "qr02_prf_expansion")
 
 
+def calibration_probe(spark) -> dict:
+    """Host-load canary (round-14 VERDICT ask #2): a FIXED synthetic
+    workload — 10M-row xxhash64 + two-level aggregate over
+    ``spark.range`` — timed min-of-3, independent of SF, data on disk,
+    and any code under test. Identical code on an idle vs contended
+    box moves this number with the contention (the r13 driver boot ran
+    the same tree 2.5x slower than the round-close boot; only a
+    same-boot A/B kept the round gradeable), so every BENCH emission
+    now carries its own noise denominator: compare rounds as
+    headline_total / calibration_sec, not raw seconds. Runs at bench
+    START and again at END; the reported ``calibration_sec`` is the
+    min across both (the machine's best observed capability this
+    boot), and the start/end spread exposes in-run contention drift."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy((F.col("h") % 1024).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
+            .agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        runs.append(round(time.perf_counter() - t0, 4))
+    return {"min_sec": min(runs), "runs": runs}
+
+
 def infer_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -57,6 +89,9 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     load_table(spark, SF_DIR, "region").count()
     specs[headline[0]].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    # host-load canary, start-of-bench sample (see calibration_probe)
+    calib_start = calibration_probe(spark)
 
     # The retrieval-stage-sharing diagnostic runs BEFORE the headline
     # loop so its "cold" pass is genuinely cold; the headline timings
@@ -144,6 +179,14 @@ def main() -> None:
         # same-boot A/B vs the previous round-close commit (r9 ask #2)
         "vs_prev_same_boot": vs_prev_same_boot(spark, specs, headline),
     }
+    calib_end = calibration_probe(spark)
+    diagnostics["calibration"] = {
+        "note": "fixed 10M-row synthetic agg, min-of-3 at bench start"
+        " and end; read cross-boot totals as value/calibration_sec —"
+        " a contended host moves both together (r14 VERDICT ask #2)",
+        "start": calib_start,
+        "end": calib_end,
+    }
     for key, payload in diagnostics.items():
         print(json.dumps({key: payload}))
     headline_line = {
@@ -152,6 +195,12 @@ def main() -> None:
         "unit": "sec",
         "sf": infer_sf(SF_DIR),
         "method": "min_of_2",  # batch timings; streaming is median_of_3
+        # host-load canary: min across start+end min-of-3 samples of a
+        # fixed synthetic workload — divide totals by this before
+        # comparing across boots (README "Reading bench output")
+        "calibration_sec": min(
+            calib_start["min_sec"], calib_end["min_sec"]
+        ),
         # the streaming rates ride the (driver-captured) final line,
         # compactly: alert flattening + the curation foreachBatch path
         "stream": {
@@ -1184,17 +1233,24 @@ def near_dedup_stage_attribution(spark) -> dict:
                 st.write.mode("overwrite").format("noop").save()
             batch.write.mode("overwrite").format("noop").save()
 
+        # prefix bodies free the band dataflow's lazy DISK_ONLY
+        # generation after their noop write materializes it (round-14
+        # ADVICE: 3 timed runs x epochs of leaked blocks otherwise
+        # occupy local disk and skew later prefixes' marginals)
+        from event_stream_aggr_spark.operators.lifecycle import free_blocks
+
         def p_band(batch, eid):
+            gen: list[int] = []
             _, kept_buckets = band_canonical_dedup(
-                batch, seen_buckets=store_for(batch, eid)
+                batch, seen_buckets=store_for(batch, eid), gen_out=gen
             )
             kept_buckets.write.mode("overwrite").format("noop").save()
+            free_blocks(batch.sparkSession, gen)
 
         def p_assemble(batch, eid):
-            from pyspark.sql import functions as F  # noqa: F401
-
+            gen: list[int] = []
             _, kept_buckets = band_canonical_dedup(
-                batch, seen_buckets=store_for(batch, eid)
+                batch, seen_buckets=store_for(batch, eid), gen_out=gen
             )
             kept = (
                 kept_buckets.select("doc_id")
@@ -1204,6 +1260,7 @@ def near_dedup_stage_attribution(spark) -> dict:
             batch.join(kept, "doc_id", "left_semi").write.mode(
                 "overwrite"
             ).format("noop").save()
+            free_blocks(batch.sparkSession, gen)
 
         prefixes = (
             ("source_sink_store_read", p_ident),
@@ -1357,9 +1414,12 @@ def er_stage_attribution(spark) -> dict:
 
         # warm REAL run: records each epoch's visible registry, and
         # leaves the whole dataflow JIT/codegen-warm (the curation
-        # discipline) — snapshot writes are outside the timed runs
+        # discipline) — snapshot writes are outside the timed runs.
+        # snap_root assigned BEFORE the closure that reads it (round-14
+        # ADVICE: correct either way at runtime, fragile to reordering)
+        snap_root = os.path.join(work, "state_warm")
         real0 = entity_resolution_sink(
-            os.path.join(work, "state_warm"), os.path.join(work, "out_warm")
+            snap_root, os.path.join(work, "out_warm")
         )
 
         def recording(batch, eid):
@@ -1370,7 +1430,6 @@ def er_stage_attribution(spark) -> dict:
                 )
             real0(batch, eid)
 
-        snap_root = os.path.join(work, "state_warm")
         run_stream(recording, os.path.join(work, "_warm_ckpt"))
 
         def reg_for(batch, eid):
@@ -1400,10 +1459,17 @@ def er_stage_attribution(spark) -> dict:
                 )
             batch.write.mode("overwrite").format("noop").save()
 
+        from event_stream_aggr_spark.operators.lifecycle import free_blocks
+
         def p_link(batch, eid):
-            link_batch(batch, reg_for(batch, eid)).write.mode(
+            # free the component step's lazy DISK_ONLY generation once
+            # the noop write has materialized the assignments (round-14
+            # ADVICE: leaked blocks across 3 timed runs skew marginals)
+            cc_gen: list[int] = []
+            link_batch(batch, reg_for(batch, eid), cc_gen=cc_gen).write.mode(
                 "overwrite"
             ).format("noop").save()
+            free_blocks(batch.sparkSession, cc_gen)
 
         prefixes = (
             ("source_sink_state_read", p_ident),

@@ -28,10 +28,23 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 20,
     checkpoint_every: int = 3,
+    gen_out: list[int] | None = None,
 ) -> DataFrame:
     """(a, b) edge list → (node, component) with component = min node id
     reachable. Deterministic (min-label), loop ends early on a fixed
-    point (counted via one aggregate per iteration)."""
+    point (counted via one aggregate per iteration).
+
+    ``gen_out`` (round-14, the band_canonical_dedup pattern): when a
+    caller passes a list, the RDD ids of the blocks still registered at
+    return — the edge-list checkpoint plus the LAST label generation —
+    are appended to it so per-epoch callers (entity_resolution_sink via
+    link_batch) can ``free_blocks`` them once their own eager
+    checkpoint supersedes the returned frame's lineage. Without this,
+    every epoch leaked one edge + one label generation until
+    nondeterministic driver GC — exactly the accumulation
+    lifecycle.py's docstring warns against. Batch callers that return
+    the frame for a single evaluation may omit it (GC cleans up with
+    the plan)."""
     from event_stream_aggr_spark.operators.lifecycle import (
         disk_checkpoint_lazy,
         free_blocks,
@@ -96,11 +109,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    # NOTE: the final label generation AND the edge blocks stay
-    # registered — the returned frame may read either via its
-    # (truncated) lineage; both are GC-cleaned when the caller drops
-    # it. _ = edges_gen kept for symmetry with prev_gen's lifecycle.
-    _ = edges_gen
+    # The final label generation AND the edge blocks stay registered —
+    # the returned frame may read either via its (truncated) lineage,
+    # so they must NOT be freed here. Callers that supersede the
+    # lineage (eager checkpoint of a downstream frame) free them via
+    # gen_out; otherwise driver GC cleans them with the plan.
+    if gen_out is not None:
+        gen_out.extend(edges_gen)
+        gen_out.extend(prev_gen)
     return labels
 
 

@@ -207,6 +207,75 @@ def candidate_pairs(
     return p1.unionAll(p2).distinct()
 
 
+#: grouping_id() bitmask values for block_key_counts' two sets over
+#: grouping columns (k1, k2n, k2b): the P1 set groups only k1 (k2n,k2b
+#: ungrouped → bits 011 = 3); the P2 set groups (k2n,k2b) (k1
+#: ungrouped → bit 100 = 4). Pinned by tests/test_linkage.py.
+P1_GID = 3
+P2_GID = 4
+
+
+def block_key_counts(x: DataFrame, side: str) -> DataFrame:
+    """Per-blocking-key row counts for BOTH passes in ONE scan and one
+    shuffle of ``x`` via GROUPING SETS: rows (gid, k1, k2n, k2b, c)
+    where gid = P1_GID rows carry exact-name counts and gid = P2_GID
+    rows carry nation x balance-band counts. ``side`` is 'a' or 'b'
+    (which column prefix to read).
+
+    Round-14 (ADVICE): ``purged_block_counts`` previously scanned each
+    input twice (one groupBy per pass); the streaming ER sink computed
+    it twice per epoch (store pairing + batch pairing), re-evaluating
+    the raw micro-batch 6x and the registry 2x solely for
+    observability counters. Grouping sets fold both pass grains into
+    one aggregate, and the sink materializes this metadata-sized frame
+    once per side and derives all four counters from it."""
+    return (
+        x.select(
+            F.col(f"{side}_name").alias("k1"),
+            F.col(f"{side}_nation").alias("k2n"),
+            F.floor(F.col(f"{side}_bal") / BAL_BAND).alias("k2b"),
+        )
+        .groupingSets([["k1"], ["k2n", "k2b"]], "k1", "k2n", "k2b")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+
+
+def purged_from_counts(
+    ac: DataFrame, bc: DataFrame, block_cap: int = BLOCK_CAP
+) -> DataFrame:
+    """One row (n_purged_p1, n_purged_p2) from two ``block_key_counts``
+    frames — the join/filter half of the purge counter, factored so a
+    caller holding materialized count frames pays no source re-scan."""
+    p1 = (
+        ac.filter(F.col("gid") == P1_GID)
+        .select("k1", F.col("c").alias("ca"))
+        .join(
+            bc.filter(F.col("gid") == P1_GID).select(
+                "k1", F.col("c").alias("cb")
+            ),
+            "k1",
+        )
+        .filter(F.col("ca") * F.col("cb") > block_cap)
+        .agg(F.count(F.lit(1)).alias("n_purged_p1"))
+    )
+    p2 = (
+        ac.filter(F.col("gid") == P2_GID)
+        .select("k2n", "k2b", F.col("c").alias("ca"))
+        .join(
+            bc.filter(F.col("gid") == P2_GID).select(
+                "k2n", "k2b", F.col("c").alias("cb")
+            ),
+            ["k2n", "k2b"],
+        )
+        .filter(F.col("ca") * F.col("cb") > block_cap)
+        .agg(F.count(F.lit(1)).alias("n_purged_p2"))
+    )
+    return p1.crossJoin(F.broadcast(p2))
+
+
 def purged_block_counts(
     a: DataFrame, b: DataFrame, block_cap: int = BLOCK_CAP
 ) -> DataFrame:
@@ -217,38 +286,12 @@ def purged_block_counts(
     epoch so a hot key silently densifying the registry is visible in
     the stream too, not only in the offline audit.
 
-    Cost: two map-side-combinable counts at block-key grain + one
-    key-grain join per pass — metadata-sized, same shape as the purge
-    decision itself."""
-    p1 = (
-        a.groupBy(F.col("a_name").alias("k1"))
-        .agg(F.count(F.lit(1)).alias("ca"))
-        .join(
-            b.groupBy(F.col("b_name").alias("k1")).agg(
-                F.count(F.lit(1)).alias("cb")
-            ),
-            "k1",
-        )
-        .filter(F.col("ca") * F.col("cb") > block_cap)
-        .agg(F.count(F.lit(1)).alias("n_purged_p1"))
+    Cost: one grouping-sets scan per side (both pass grains in one
+    map-side-combinable aggregate) + one key-grain join per pass —
+    metadata-sized, same shape as the purge decision itself."""
+    return purged_from_counts(
+        block_key_counts(a, "a"), block_key_counts(b, "b"), block_cap
     )
-    p2 = (
-        a.groupBy(
-            F.col("a_nation").alias("k2n"),
-            F.floor(F.col("a_bal") / BAL_BAND).alias("k2b"),
-        )
-        .agg(F.count(F.lit(1)).alias("ca"))
-        .join(
-            b.groupBy(
-                F.col("b_nation").alias("k2n"),
-                F.floor(F.col("b_bal") / BAL_BAND).alias("k2b"),
-            ).agg(F.count(F.lit(1)).alias("cb")),
-            ["k2n", "k2b"],
-        )
-        .filter(F.col("ca") * F.col("cb") > block_cap)
-        .agg(F.count(F.lit(1)).alias("n_purged_p2"))
-    )
-    return p1.crossJoin(F.broadcast(p2))
 
 
 def scored_pairs(
@@ -681,6 +724,57 @@ REFINE_COARSE_LEN = 14
 REFINE_CAP = BLOCK_CAP
 
 
+#: Pair payload carried by every ladder's candidate rows (scoring
+#: reads names/segments/balances; the audit reads ids).
+_PAIR_COLS = (
+    "a_id", "b_id", "a_name", "b_name", "a_seg", "b_seg", "a_bal", "b_bal",
+)
+
+
+def ladder_candidates(
+    a2: DataFrame,
+    b2: DataFrame,
+    levels: tuple[tuple[str, ...], ...],
+    cap: int,
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """One refine-then-purge ladder (the qer04 kernel, generalized in
+    round 14 so qer05 can run SEVERAL chains): ``levels`` is a nested
+    key chain (each level's columns a superset of the previous, all
+    precomputed on both sides under IDENTICAL names). A block whose
+    |A_b|x|B_b| product exceeds ``cap`` descends to the next level;
+    only a block still over the cap at the bottom is purged. Returns
+    ``(candidates, kept_keys_per_level, purged_keys)``.
+
+    Kept levels PARTITION the pair space (a pair's block is kept at
+    exactly one level), so the candidate union is UNION ALL — no
+    pair-dedup shuffle inside a ladder. Candidate joins run against
+    the FULL sides on the kept keys: a kept key at level i>0 extends a
+    level-(i-1) over-key, so key membership alone reproduces the
+    descended row sets without re-filtering. Every level is block-
+    grain count aggs (map-side combinable) + key-grain joins; per-
+    block join product <= cap at every kept level."""
+    keeps: list[DataFrame] = []
+    cur_a, cur_b = a2, b2
+    over = None
+    for keys in levels:
+        keys = list(keys)
+        ca = cur_a.groupBy(*keys).agg(F.count(F.lit(1)).alias("ca"))
+        cb = cur_b.groupBy(*keys).agg(F.count(F.lit(1)).alias("cb"))
+        blocks = ca.join(cb, keys)
+        keep = blocks.filter(F.col("ca") * F.col("cb") <= cap).select(*keys)
+        over = blocks.filter(F.col("ca") * F.col("cb") > cap).select(*keys)
+        keeps.append(keep)
+        cur_a = cur_a.join(over, keys)
+        cur_b = cur_b.join(over, keys)
+    cand = None
+    for keep, keys in zip(keeps, levels):
+        lvl = (
+            a2.join(keep, list(keys)).join(b2, list(keys)).select(*_PAIR_COLS)
+        )
+        cand = lvl if cand is None else cand.unionAll(lvl)
+    return cand, keeps, over
+
+
 def refinement_report(
     a: DataFrame, b: DataFrame, cap: int = REFINE_CAP
 ) -> DataFrame:
@@ -705,6 +799,13 @@ def refinement_report(
     largest non-splittable unit of scoring work is bounded without
     the purge-everything recall cliff the k100/cap5000 probe cell
     measures."""
+    # bottom level key: the EXACT name — the textbook ladder ends at
+    # the most selective key available, so only a block that is dense
+    # under full-key equality (true hot-key degeneracy: many records
+    # sharing name AND nation AND segment) is ever purged. b-side
+    # names carry the twin's X-corruption, so a corrupted twin can
+    # only be found at levels 0-2 (name disagreement at L3 is the
+    # sub-key trade, reported like every other level's).
     a2 = a.select(
         "a_id",
         "a_name",
@@ -713,6 +814,7 @@ def refinement_report(
         F.substring("a_name", 1, REFINE_COARSE_LEN).alias("k0"),
         F.col("a_nation").alias("nation"),
         F.col("a_seg").alias("seg"),
+        F.col("a_name").alias("nm"),
     )
     b2 = b.select(
         "b_id",
@@ -722,61 +824,20 @@ def refinement_report(
         F.substring("b_name", 1, REFINE_COARSE_LEN).alias("k0"),
         F.col("b_nation").alias("nation"),
         F.col("b_seg").alias("seg"),
+        F.col("b_name").alias("nm"),
     )
-
-    def _level(a_src, b_src, keys):
-        ca = a_src.groupBy(*keys).agg(F.count(F.lit(1)).alias("ca"))
-        cb = b_src.groupBy(*keys).agg(F.count(F.lit(1)).alias("cb"))
-        blocks = ca.join(cb, list(keys))
-        keep = blocks.filter(F.col("ca") * F.col("cb") <= cap).select(*keys)
-        over = blocks.filter(F.col("ca") * F.col("cb") > cap).select(*keys)
-        return keep, over
-
-    keep0, over0 = _level(a2, b2, ("k0",))
-    a_ov0, b_ov0 = a2.join(over0, "k0"), b2.join(over0, "k0")
-    keep1, over1 = _level(a_ov0, b_ov0, ("k0", "nation"))
-    a_ov1 = a_ov0.join(over1, ["k0", "nation"])
-    b_ov1 = b_ov0.join(over1, ["k0", "nation"])
-    keep2, over2 = _level(a_ov1, b_ov1, ("k0", "nation", "seg"))
-    # bottom level: the EXACT name — the textbook ladder ends at the
-    # most selective key available, so only a block that is dense
-    # under full-key equality (true hot-key degeneracy: many records
-    # sharing name AND nation AND segment) is ever purged. b-side
-    # names carry the twin's X-corruption, so a corrupted twin can
-    # only be found at levels 0-2 (name disagreement at L3 is the
-    # sub-key trade, reported like every other level's).
-    a_ov2 = a_ov1.join(over2, ["k0", "nation", "seg"])
-    b_ov2 = b_ov1.join(over2, ["k0", "nation", "seg"])
-    keep3, purged = _level(
-        a_ov2.withColumn("nm", F.col("a_name")),
-        b_ov2.withColumn("nm", F.col("b_name")),
-        ("k0", "nation", "seg", "nm"),
+    cand, keeps, purged = ladder_candidates(
+        a2,
+        b2,
+        (
+            ("k0",),
+            ("k0", "nation"),
+            ("k0", "nation", "seg"),
+            ("k0", "nation", "seg", "nm"),
+        ),
+        cap,
     )
-
-    pair_cols = ("a_id", "b_id", "a_name", "b_name", "a_seg", "b_seg",
-                 "a_bal", "b_bal")
-    cand = (
-        a2.join(keep0, "k0").join(b2, "k0").select(*pair_cols)
-        .unionAll(
-            a2.join(keep1, ["k0", "nation"])
-            .join(b2, ["k0", "nation"])
-            .select(*pair_cols)
-        )
-        .unionAll(
-            a2.join(keep2, ["k0", "nation", "seg"])
-            .join(b2, ["k0", "nation", "seg"])
-            .select(*pair_cols)
-        )
-        .unionAll(
-            a2.withColumn("nm", F.col("a_name"))
-            .join(keep3, ["k0", "nation", "seg", "nm"])
-            .join(
-                b2.withColumn("nm", F.col("b_name")),
-                ["k0", "nation", "seg", "nm"],
-            )
-            .select(*pair_cols)
-        )
-    )
+    keep0, keep1, keep2, keep3 = keeps
     w = (
         F.when(F.col("a_name") == F.col("b_name"), F.lit(W_AGREE["name"]))
         .otherwise(F.lit(W_DISAGREE["name"]))

@@ -2365,10 +2365,25 @@ FROM scored GROUP BY c_nationkey
         Cross-engine determinism: the fixed tiny domain turns each
         cumulative into a conditional COUNT (no window, no missing-
         value holes), EMD stays an exact BIGINT numerator
-        (|cumq_i*N - cumg_i*n_c| summed; bounded by 4*N^2 << 2^63),
-        the t > 1/5 violation test cross-multiplies to integers, and
-        the only float is ONE final division of identical integers in
-        both engines (the qf09 discipline).
+        (|cumq_i*N - cumg_i*n_c| summed), the t > 1/5 violation test
+        cross-multiplies to integers, and the only float is ONE final
+        division of identical integers in both engines (the qf09
+        discipline).
+
+        Exactness envelope (round-14 ADVICE): every BIGINT product
+        here is a class count times the global count — emd_num <=
+        (m-1)*n_c*gn and the violation RHS is n_c*gn*(m-1)*t_den, so
+        with m-1 = 4 and t_den = 5 the binding constraint is
+        20*n_c*gn < 2^63, i.e. max_class_size x total_linked_rows
+        < ~4.6e17. That holds for any realistic QI grain (a 100 TB
+        orders table is ~7e11 rows; a class would need to hold >65%
+        of them to overflow), but a DEGENERATE grain where one class
+        approaches the whole table overflows SILENTLY in both engines
+        once n_c ~ gn ~ 6.8e8. Deployments auditing a coarser grain
+        at that scale should cast the emd terms and the RHS to DOUBLE
+        (exact up to 2^53, and EMD is a ratio-scale score there — the
+        1-ULP risk moves only borderline t ~ 0.2 classes) or compute
+        in DuckDB HUGEINT when the oracle side is the consumer.
 
         Scale shape (100 TB): one shuffle of orders onto its customer
         key, then everything lives at class grain (|QI classes|, tiny)

@@ -2113,10 +2113,14 @@ def q57_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a missing day is silently absent from a plain groupBy).
 
     The spine is sequence(min_day, max_day) exploded from a one-row
-    bounds aggregate — O(days), broadcast to the left join, so the
-    event table shuffles once to the daily grain and the fill itself
-    is broadcast-sized at any corpus scale. Dates are NTZ-derived
-    (tz-proof) and output as strings (registry timestamp rule)."""
+    bounds aggregate — O(days); the event table shuffles once to the
+    daily grain, after which BOTH sides are day-grain tiny, so the
+    fill join broadcasts the RIGHT (daily) side. Hinting the spine
+    was a dead hint (round-14 VERDICT #6): a left-outer join can only
+    build on the non-preserved side, so HintErrorLogger warned and
+    the hint was dropped — the preserved side must stream. Dates are
+    NTZ-derived (tz-proof) and output as strings (registry timestamp
+    rule)."""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
@@ -2127,8 +2131,7 @@ def q57_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
     )
     return (
-        F.broadcast(spine)
-        .join(daily, "day", "left")
+        spine.join(F.broadcast(daily), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("n", F.lit(0)).alias("n_events"),

@@ -67,7 +67,8 @@ from pyspark.sql import functions as F
 
 from event_stream_aggr_spark.operators.linkage import (
     BLOCK_CAP,
-    purged_block_counts,
+    block_key_counts,
+    purged_from_counts,
     scored_pairs,
 )
 from event_stream_aggr_spark.streaming import state_store as ss
@@ -101,6 +102,7 @@ def link_batch(
     registry: DataFrame | None,
     id_col: str = "rec_id",
     block_cap: int = BLOCK_CAP,
+    cc_gen: list[int] | None = None,
 ) -> DataFrame:
     """One linking round: assign every record an entity id.
 
@@ -109,6 +111,12 @@ def link_batch(
     store. Pure dataflow — no state I/O; ``entity_resolution_sink``
     wraps it in the epoch protocol, and tests pin single-batch
     equivalence against the offline component semantics.
+
+    ``cc_gen``: forwarded to ``connected_components(gen_out=...)`` —
+    collects the component step's still-registered checkpoint block
+    ids (edge list + final label generation) so a per-epoch caller can
+    free them after its own eager checkpoint of the returned
+    assignments supersedes their lineage.
     """
     from event_stream_aggr_spark.operators.cluster import connected_components
 
@@ -130,7 +138,9 @@ def link_batch(
     batch_pairs = scored_pairs(recs_a, _as_b(records, id_col), block_cap).filter(
         (F.col("decision") == "match") & (F.col("a_id") < F.col("b_id"))
     )
-    comp = connected_components(batch_pairs, a_col="a_id", b_col="b_id")
+    comp = connected_components(
+        batch_pairs, a_col="a_id", b_col="b_id", gen_out=cc_gen
+    )
 
     rec_comp = (
         recs_a.select(F.col("a_id").alias("rid"))
@@ -201,13 +211,19 @@ def entity_resolution_sink(
             # post-commit redelivery: assignments already on disk and
             # this epoch's entities already folded in
             return
+        cc_gen: list[int] = []
         assignments = link_batch(
-            batch, state, id_col=id_col, block_cap=block_cap
+            batch, state, id_col=id_col, block_cap=block_cap, cc_gen=cc_gen
         )
         # ONE evaluation of the scoring dataflow per epoch: the output
         # write and the registry fold below both probe the
         # materialized blocks (near_dedup_sink's lifecycle, verbatim)
         assignments, _, blocks = disk_checkpoint(assignments)
+        # assignments is now eagerly materialized, so nothing reads the
+        # component step's lineage any more — free its edge-list and
+        # label checkpoints NOW instead of leaking one generation per
+        # epoch until driver GC (round-14 ADVICE, the medium finding).
+        free_blocks(spark, cc_gen)
         try:
             assignments.write.mode("overwrite").parquet(
                 f"{out_dir}/epoch={epoch_id}"
@@ -218,16 +234,30 @@ def entity_resolution_sink(
             # these counters make that recall loss visible in the
             # stream, not only in the offline reconciliation audit.
             # Written OUTSIDE the epoch=* glob tests/consumers read.
+            # Round-14 (ADVICE): ONE grouping-sets scan of the batch
+            # and one of the registry, materialized (metadata-sized)
+            # then probed by all four counters — previously four fresh
+            # groupBy/join plans re-read the micro-batch source 6x and
+            # the registry 2x per epoch just for these counters. The
+            # batch count frame serves as BOTH sides of the
+            # batch-pairing counter (same rows either way) and the
+            # a-side of the store pairing.
             recs_a = _as_a(batch, id_col)
-            store_purged = (
-                purged_block_counts(
-                    recs_a, _as_b(state, "entity_id"), block_cap
-                )
-                if state is not None
-                else None
+            batch_counts, _, cnt_gen = disk_checkpoint(
+                block_key_counts(recs_a, "a")
             )
-            batch_purged = purged_block_counts(
-                recs_a, _as_b(batch, id_col), block_cap
+            if state is not None:
+                store_counts, _, sc_gen = disk_checkpoint(
+                    block_key_counts(_as_b(state, "entity_id"), "b")
+                )
+                cnt_gen = cnt_gen + sc_gen
+                store_purged = purged_from_counts(
+                    batch_counts, store_counts, block_cap
+                )
+            else:
+                store_purged = None
+            batch_purged = purged_from_counts(
+                batch_counts, batch_counts, block_cap
             ).select(
                 F.col("n_purged_p1").alias("batch_purged_p1"),
                 F.col("n_purged_p2").alias("batch_purged_p2"),
@@ -251,6 +281,7 @@ def entity_resolution_sink(
             metrics.write.mode("overwrite").parquet(
                 f"{out_dir}/purge_metrics/epoch={epoch_id}"
             )
+            free_blocks(spark, cnt_gen)
             new_ids = assignments.filter("is_new").select(
                 F.col("rec_id").alias("_new_rid")
             )
