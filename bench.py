@@ -1212,7 +1212,9 @@ def near_dedup_stage_attribution(spark) -> dict:
         real0 = near_dedup_sink(snap_root, os.path.join(work, "out_warm"))
 
         def recording(batch, eid):
-            state, _ = ss.read_state(batch.sparkSession, snap_root)
+            # append-protocol reader (r14): the band store is now a
+            # snapshot+delta store, not a single version dir
+            state, _ = ss.read_append_state(batch.sparkSession, snap_root)
             if state is not None:
                 state.write.mode("overwrite").parquet(
                     os.path.join(snap, f"epoch={eid}")
@@ -1423,7 +1425,9 @@ def er_stage_attribution(spark) -> dict:
         )
 
         def recording(batch, eid):
-            state, _ = ss.read_state(batch.sparkSession, snap_root)
+            # append-protocol reader (r14): the ER registry is now a
+            # snapshot+delta store, not a single version dir
+            state, _ = ss.read_append_state(batch.sparkSession, snap_root)
             if state is not None:
                 state.write.mode("overwrite").parquet(
                     os.path.join(snap, f"epoch={eid}")

@@ -1006,3 +1006,366 @@ def qer04_blocking_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair space so candidate union needs no dedup shuffle, and
     every kept block's join product is <= cap by construction."""
     return refinement_report(_a_side(spark, sf_dir), _twin_side(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# qer05: pass-diverse blocking, each pass refined under its own ladder
+# ---------------------------------------------------------------------------
+
+#: qer05's two chains. Pass A refines the NAME key (coarse prefix →
+#: + nation → the exact name) and deliberately SKIPS the segment
+#: sub-key qer04 uses: a chain only reaches twins agreeing on every
+#: added key, and segment-corrupted twins agree on name — they are
+#: pass A's responsibility, so seg must not enter its chain. Pass B
+#: refines the BALANCE key (band → + nation → + segment → the exact
+#: balance) and contains no name key: name-corrupted twins agree on
+#: nation/segment/balance, so they are pass B's responsibility. The
+#: r13 density audit measured why ONE chain cannot win (its ceiling is
+#: its key chain: 0.500 on the dense corpus = the name-agreeing bands)
+#: and why flat multi-pass cannot either (purge cliffs: 0.803 at k=30,
+#: spill at k=100): production linkers compose BOTH.
+PASS_A_LEVELS = (("k0",), ("k0", "nation"), ("k0", "nation", "nm"))
+PASS_B_LEVELS = (
+    ("kb",),
+    ("kb", "nation"),
+    ("kb", "nation", "seg"),
+    ("kb", "nation", "seg", "balx"),
+)
+
+
+def composed_blocking_report(
+    a: DataFrame, b: DataFrame, cap: int = REFINE_CAP
+) -> DataFrame:
+    """Pass-diverse blocking with per-pass refinement (round 14, the
+    r13 audit's named production composition): TWO independent
+    refine-then-purge ladders — a name chain and a balance chain whose
+    key sets are chosen so each corruption mode has a chain that never
+    blocks on the corrupted field — unioned at candidate grain.
+
+    Within a pass the kept levels partition the pair space (UNION ALL,
+    no dedup — the qer04 property, per pass); ACROSS passes a pair can
+    surface twice (a fully-agreeing twin lives in both chains). The
+    report's numbers are all counts over the DISTINCT pair set, so
+    the cross-pass overlap is removed by inclusion-exclusion — per-
+    pass map-side scoring + one skinny (a_id, b_id, flags)
+    intersection join — never by materializing the distinct union
+    (measured on the dense grid: the wide-row distinct shuffled
+    30-151M 8-column rows and spilled 13-81 GB; the skinny
+    intersection is the only cross-pass shuffle).
+
+    Scale shape (100 TB): each ladder is block-grain count aggs +
+    key-grain joins with every kept block's join product <= cap
+    (``ladder_candidates``); scoring flags are computed where the
+    candidate rows are generated (no extra shuffle), and the only
+    cross-pass operation is the ids-grain intersection join
+    (AQE-splittable). Per-pass kept/purged counters land on the same
+    report row as recall, so the composition's coverage is data, not
+    hope."""
+    a_name = a.select(
+        "a_id",
+        "a_name",
+        "a_seg",
+        "a_bal",
+        F.substring("a_name", 1, REFINE_COARSE_LEN).alias("k0"),
+        F.col("a_nation").alias("nation"),
+        F.col("a_name").alias("nm"),
+    )
+    b_name = b.select(
+        "b_id",
+        "b_name",
+        "b_seg",
+        "b_bal",
+        F.substring("b_name", 1, REFINE_COARSE_LEN).alias("k0"),
+        F.col("b_nation").alias("nation"),
+        F.col("b_name").alias("nm"),
+    )
+    cand_a, keeps_a, purged_a = ladder_candidates(
+        a_name, b_name, PASS_A_LEVELS, cap
+    )
+    a_band = a.select(
+        "a_id",
+        "a_name",
+        "a_seg",
+        "a_bal",
+        F.floor(F.col("a_bal") / BAL_BAND).alias("kb"),
+        F.col("a_nation").alias("nation"),
+        F.col("a_seg").alias("seg"),
+        F.col("a_bal").cast("decimal(13,2)").alias("balx"),
+    )
+    b_band = b.select(
+        "b_id",
+        "b_name",
+        "b_seg",
+        "b_bal",
+        F.floor(F.col("b_bal") / BAL_BAND).alias("kb"),
+        F.col("b_nation").alias("nation"),
+        F.col("b_seg").alias("seg"),
+        F.col("b_bal").cast("decimal(13,2)").alias("balx"),
+    )
+    cand_b, keeps_b, purged_b = ladder_candidates(
+        a_band, b_band, PASS_B_LEVELS, cap
+    )
+    # Cross-pass dedup by INCLUSION-EXCLUSION, not a distinct (round
+    # 14, measured on the dense grid): a distinct over the unioned
+    # wide pair rows shuffled 30-151M 8-column rows and spilled
+    # 13-81 GB. Every report number is a COUNT over the distinct pair
+    # set, and within a pass candidates are already unique (the
+    # ladder's partition property), so |A ∪ B| = |A| + |B| − |A ∩ B|
+    # per counter: score each pass's pairs MAP-SIDE where the payload
+    # already sits (no shuffle), aggregate per pass, and join only
+    # (a_id, b_id, flags) — skinny rows — for the intersection terms.
+    # The pair score is a pure function of the pair, so the flags
+    # carried on pass A's side of the intersection join are exact.
+    w = (
+        F.when(F.col("a_name") == F.col("b_name"), F.lit(W_AGREE["name"]))
+        .otherwise(F.lit(W_DISAGREE["name"]))
+        + F.when(F.col("a_seg") == F.col("b_seg"), F.lit(W_AGREE["seg"]))
+        .otherwise(F.lit(W_DISAGREE["seg"]))
+        + F.when(
+            F.abs(F.col("a_bal") - F.col("b_bal"))
+            <= F.lit(BAL_TOL).cast("decimal(12,2)"),
+            F.lit(W_AGREE["bal"]),
+        ).otherwise(F.lit(W_DISAGREE["bal"]))
+    )
+    is_true = F.when(
+        F.col("b_id") - B_ID_OFFSET == F.col("a_id"), 1
+    ).otherwise(0)
+
+    def _flags(cand):
+        return cand.select(
+            "a_id",
+            "b_id",
+            F.when(w >= T_MATCH, 1).otherwise(0).alias("m"),
+            is_true.alias("t"),
+        )
+
+    def _agg(df, suffix):
+        return F.broadcast(
+            df.agg(
+                F.count(F.lit(1)).alias(f"n_{suffix}"),
+                F.coalesce(F.sum("m"), F.lit(0)).alias(f"m_{suffix}"),
+                F.coalesce(F.sum("t"), F.lit(0)).alias(f"t_{suffix}"),
+            )
+        )
+
+    fa, fb = _flags(cand_a), _flags(cand_b)
+    inter = fa.join(fb.select("a_id", "b_id"), ["a_id", "b_id"])
+    report = (
+        _agg(fa, "a")
+        .crossJoin(_agg(fb, "b"))
+        .crossJoin(_agg(inter, "i"))
+        .select(
+            (F.col("n_a") + F.col("n_b") - F.col("n_i")).alias(
+                "n_candidates"
+            ),
+            (F.col("m_a") + F.col("m_b") - F.col("m_i")).alias(
+                "n_match_pairs"
+            ),
+            (F.col("t_a") + F.col("t_b") - F.col("t_i")).alias(
+                "n_true_found"
+            ),
+        )
+    )
+
+    def _n(df, name):
+        return F.broadcast(df.agg(F.count(F.lit(1)).alias(name)))
+
+    out = report
+    for frame, col in (
+        (keeps_a[0], "pa_l0_blocks_kept"),
+        (keeps_a[1], "pa_l1_blocks_kept"),
+        (keeps_a[2], "pa_l2_blocks_kept"),
+        (purged_a, "pa_purged_blocks"),
+        (keeps_b[0], "pb_l0_blocks_kept"),
+        (keeps_b[1], "pb_l1_blocks_kept"),
+        (keeps_b[2], "pb_l2_blocks_kept"),
+        (keeps_b[3], "pb_l3_blocks_kept"),
+        (purged_b, "pb_purged_blocks"),
+    ):
+        out = out.crossJoin(_n(frame, col))
+    out = out.crossJoin(
+        F.broadcast(a.agg(F.count(F.lit(1)).alias("n_records")))
+    )
+    return out.select(
+        "pa_l0_blocks_kept",
+        "pa_l1_blocks_kept",
+        "pa_l2_blocks_kept",
+        "pa_purged_blocks",
+        "pb_l0_blocks_kept",
+        "pb_l1_blocks_kept",
+        "pb_l2_blocks_kept",
+        "pb_l3_blocks_kept",
+        "pb_purged_blocks",
+        "n_candidates",
+        "n_match_pairs",
+        "n_true_found",
+        (F.col("n_records") - F.col("n_true_found")).alias("n_true_missed"),
+    )
+
+
+@register(
+    "qer05_composed_blocking",
+    tags=("linkage", "audit", "agg", "scale"),
+    oracle=f"""
+WITH {_src_ctes()},
+paa AS (SELECT a_id, a_name, a_seg, a_bal,
+               substr(a_name, 1, {REFINE_COARSE_LEN}) AS k0,
+               a_nation AS nation, a_name AS nm FROM a),
+pab AS (SELECT b_id, b_name, b_seg, b_bal,
+               substr(b_name, 1, {REFINE_COARSE_LEN}) AS k0,
+               b_nation AS nation, b_name AS nm FROM twin),
+pal0 AS (SELECT x.k0, x.ca, y.cb FROM
+           (SELECT k0, COUNT(*) AS ca FROM paa GROUP BY 1) x
+           JOIN (SELECT k0, COUNT(*) AS cb FROM pab GROUP BY 1) y
+           USING (k0)),
+pakeep0 AS (SELECT k0 FROM pal0 WHERE ca * cb <= {REFINE_CAP}),
+paover0 AS (SELECT k0 FROM pal0 WHERE ca * cb > {REFINE_CAP}),
+pal1 AS (SELECT x.k0, x.nation, x.ca, y.cb FROM
+           (SELECT paa.k0, paa.nation, COUNT(*) AS ca
+            FROM paa JOIN paover0 USING (k0) GROUP BY 1, 2) x
+           JOIN
+           (SELECT pab.k0, pab.nation, COUNT(*) AS cb
+            FROM pab JOIN paover0 USING (k0) GROUP BY 1, 2) y
+           USING (k0, nation)),
+pakeep1 AS (SELECT k0, nation FROM pal1 WHERE ca * cb <= {REFINE_CAP}),
+paover1 AS (SELECT k0, nation FROM pal1 WHERE ca * cb > {REFINE_CAP}),
+pal2 AS (SELECT x.k0, x.nation, x.nm, x.ca, y.cb FROM
+           (SELECT paa.k0, paa.nation, paa.nm, COUNT(*) AS ca
+            FROM paa JOIN paover1 USING (k0, nation) GROUP BY 1, 2, 3) x
+           JOIN
+           (SELECT pab.k0, pab.nation, pab.nm, COUNT(*) AS cb
+            FROM pab JOIN paover1 USING (k0, nation) GROUP BY 1, 2, 3) y
+           USING (k0, nation, nm)),
+pakeep2 AS (SELECT k0, nation, nm FROM pal2 WHERE ca * cb <= {REFINE_CAP}),
+papurged AS (SELECT k0, nation, nm FROM pal2 WHERE ca * cb > {REFINE_CAP}),
+cand_a AS (
+  SELECT paa.a_id, pab.b_id, paa.a_name, pab.b_name, paa.a_seg,
+         pab.b_seg, paa.a_bal, pab.b_bal
+  FROM paa JOIN pakeep0 USING (k0) JOIN pab USING (k0)
+  UNION ALL
+  SELECT paa.a_id, pab.b_id, paa.a_name, pab.b_name, paa.a_seg,
+         pab.b_seg, paa.a_bal, pab.b_bal
+  FROM paa JOIN pakeep1 USING (k0, nation) JOIN pab USING (k0, nation)
+  UNION ALL
+  SELECT paa.a_id, pab.b_id, paa.a_name, pab.b_name, paa.a_seg,
+         pab.b_seg, paa.a_bal, pab.b_bal
+  FROM paa JOIN pakeep2 USING (k0, nation, nm)
+       JOIN pab USING (k0, nation, nm)),
+pba AS (SELECT a_id, a_name, a_seg, a_bal,
+               FLOOR(a_bal / {BAL_BAND}) AS kb, a_nation AS nation,
+               a_seg AS seg, CAST(a_bal AS DECIMAL(13,2)) AS balx
+        FROM a),
+pbb AS (SELECT b_id, b_name, b_seg, b_bal,
+               FLOOR(b_bal / {BAL_BAND}) AS kb, b_nation AS nation,
+               b_seg AS seg, CAST(b_bal AS DECIMAL(13,2)) AS balx
+        FROM twin),
+pbl0 AS (SELECT x.kb, x.ca, y.cb FROM
+           (SELECT kb, COUNT(*) AS ca FROM pba GROUP BY 1) x
+           JOIN (SELECT kb, COUNT(*) AS cb FROM pbb GROUP BY 1) y
+           USING (kb)),
+pbkeep0 AS (SELECT kb FROM pbl0 WHERE ca * cb <= {REFINE_CAP}),
+pbover0 AS (SELECT kb FROM pbl0 WHERE ca * cb > {REFINE_CAP}),
+pbl1 AS (SELECT x.kb, x.nation, x.ca, y.cb FROM
+           (SELECT pba.kb, pba.nation, COUNT(*) AS ca
+            FROM pba JOIN pbover0 USING (kb) GROUP BY 1, 2) x
+           JOIN
+           (SELECT pbb.kb, pbb.nation, COUNT(*) AS cb
+            FROM pbb JOIN pbover0 USING (kb) GROUP BY 1, 2) y
+           USING (kb, nation)),
+pbkeep1 AS (SELECT kb, nation FROM pbl1 WHERE ca * cb <= {REFINE_CAP}),
+pbover1 AS (SELECT kb, nation FROM pbl1 WHERE ca * cb > {REFINE_CAP}),
+pbl2 AS (SELECT x.kb, x.nation, x.seg, x.ca, y.cb FROM
+           (SELECT pba.kb, pba.nation, pba.seg, COUNT(*) AS ca
+            FROM pba JOIN pbover1 USING (kb, nation) GROUP BY 1, 2, 3) x
+           JOIN
+           (SELECT pbb.kb, pbb.nation, pbb.seg, COUNT(*) AS cb
+            FROM pbb JOIN pbover1 USING (kb, nation) GROUP BY 1, 2, 3) y
+           USING (kb, nation, seg)),
+pbkeep2 AS (SELECT kb, nation, seg FROM pbl2 WHERE ca * cb <= {REFINE_CAP}),
+pbover2 AS (SELECT kb, nation, seg FROM pbl2 WHERE ca * cb > {REFINE_CAP}),
+pbl3 AS (SELECT x.kb, x.nation, x.seg, x.balx, x.ca, y.cb FROM
+           (SELECT pba.kb, pba.nation, pba.seg, pba.balx, COUNT(*) AS ca
+            FROM pba JOIN pbover2 USING (kb, nation, seg)
+            GROUP BY 1, 2, 3, 4) x
+           JOIN
+           (SELECT pbb.kb, pbb.nation, pbb.seg, pbb.balx, COUNT(*) AS cb
+            FROM pbb JOIN pbover2 USING (kb, nation, seg)
+            GROUP BY 1, 2, 3, 4) y
+           USING (kb, nation, seg, balx)),
+pbkeep3 AS (SELECT kb, nation, seg, balx FROM pbl3
+            WHERE ca * cb <= {REFINE_CAP}),
+pbpurged AS (SELECT kb, nation, seg, balx FROM pbl3
+             WHERE ca * cb > {REFINE_CAP}),
+cand_b AS (
+  SELECT pba.a_id, pbb.b_id, pba.a_name, pbb.b_name, pba.a_seg,
+         pbb.b_seg, pba.a_bal, pbb.b_bal
+  FROM pba JOIN pbkeep0 USING (kb) JOIN pbb USING (kb)
+  UNION ALL
+  SELECT pba.a_id, pbb.b_id, pba.a_name, pbb.b_name, pba.a_seg,
+         pbb.b_seg, pba.a_bal, pbb.b_bal
+  FROM pba JOIN pbkeep1 USING (kb, nation) JOIN pbb USING (kb, nation)
+  UNION ALL
+  SELECT pba.a_id, pbb.b_id, pba.a_name, pbb.b_name, pba.a_seg,
+         pbb.b_seg, pba.a_bal, pbb.b_bal
+  FROM pba JOIN pbkeep2 USING (kb, nation, seg)
+       JOIN pbb USING (kb, nation, seg)
+  UNION ALL
+  SELECT pba.a_id, pbb.b_id, pba.a_name, pbb.b_name, pba.a_seg,
+         pbb.b_seg, pba.a_bal, pbb.b_bal
+  FROM pba JOIN pbkeep3 USING (kb, nation, seg, balx)
+       JOIN pbb USING (kb, nation, seg, balx)),
+cand AS (SELECT * FROM cand_a UNION SELECT * FROM cand_b),
+scored AS (
+  SELECT a_id, b_id,
+         (CASE WHEN a_name = b_name
+               THEN CAST({W_AGREE["name"]} AS DOUBLE)
+               ELSE CAST({W_DISAGREE["name"]} AS DOUBLE) END
+          + CASE WHEN a_seg = b_seg
+                 THEN CAST({W_AGREE["seg"]} AS DOUBLE)
+                 ELSE CAST({W_DISAGREE["seg"]} AS DOUBLE) END
+          + CASE WHEN ABS(a_bal - b_bal) <= {BAL_TOL}
+                 THEN CAST({W_AGREE["bal"]} AS DOUBLE)
+                 ELSE CAST({W_DISAGREE["bal"]} AS DOUBLE) END) AS w
+  FROM cand)
+SELECT
+  CAST((SELECT COUNT(*) FROM pakeep0) AS BIGINT) AS pa_l0_blocks_kept,
+  CAST((SELECT COUNT(*) FROM pakeep1) AS BIGINT) AS pa_l1_blocks_kept,
+  CAST((SELECT COUNT(*) FROM pakeep2) AS BIGINT) AS pa_l2_blocks_kept,
+  CAST((SELECT COUNT(*) FROM papurged) AS BIGINT) AS pa_purged_blocks,
+  CAST((SELECT COUNT(*) FROM pbkeep0) AS BIGINT) AS pb_l0_blocks_kept,
+  CAST((SELECT COUNT(*) FROM pbkeep1) AS BIGINT) AS pb_l1_blocks_kept,
+  CAST((SELECT COUNT(*) FROM pbkeep2) AS BIGINT) AS pb_l2_blocks_kept,
+  CAST((SELECT COUNT(*) FROM pbkeep3) AS BIGINT) AS pb_l3_blocks_kept,
+  CAST((SELECT COUNT(*) FROM pbpurged) AS BIGINT) AS pb_purged_blocks,
+  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST((SELECT COUNT(*) FROM scored WHERE w >= {T_MATCH}) AS BIGINT)
+    AS n_match_pairs,
+  CAST((SELECT COUNT(*) FROM cand
+        WHERE b_id - {B_ID_OFFSET} = a_id) AS BIGINT) AS n_true_found,
+  CAST((SELECT COUNT(*) FROM a)
+       - (SELECT COUNT(*) FROM cand WHERE b_id - {B_ID_OFFSET} = a_id)
+       AS BIGINT) AS n_true_missed
+""",
+)
+def qer05_composed_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-diversity x refinement composition audit (round 14, the
+    r13 audit's closing recommendation made an oracle-paired
+    operator): the name ladder and the balance ladder each refine
+    under their own chain, candidates union across passes with one
+    distinct, and the report prices per-pass engagement (kept blocks
+    per level, purged blocks per pass) next to recall on one row.
+
+    Versus its parents on the SAME corpus: qer04's single chain tops
+    out at the twins its key chain can express (dense corpus: 0.500);
+    flat two-pass blocking (qer01/qer03's P1+P2) reaches 0.803 at
+    moderate density but purge-cliffs or spills as blocks densify.
+    Here each corruption mode has a chain that never blocks on the
+    corrupted field (pass A skips segment; pass B contains no name
+    key), so completeness survives density while every kept block's
+    join product stays <= cap (measured on the dense grid in
+    SCALING_AUDIT round 14).
+
+    Scale shape (100 TB): see ``composed_blocking_report``."""
+    return composed_blocking_report(
+        _a_side(spark, sf_dir), _twin_side(spark, sf_dir)
+    )

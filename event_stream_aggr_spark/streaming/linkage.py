@@ -55,7 +55,12 @@ the match-pair graph of ONE micro-batch (bounded by batch size, one
 AQE-splittable shuffle per round, rounds bounded by that graph's
 diameter — in a deduped feed, 1-2); the per-epoch dataflow is
 DISK_ONLY-checkpointed once so the output write and the registry fold
-never recompute the scoring.
+never recompute the scoring. The registry itself is APPEND-ONLY
+(entities are founded once, never updated), so the fold writes only
+the epoch's NEW entities as a delta — O(|batch|), not O(|registry|) —
+under ``state_store``'s append protocol (periodic compaction bounds
+the committed read set; round 14, the r13 stage budget's
+fold/commit-tail ask).
 """
 
 from __future__ import annotations
@@ -196,7 +201,7 @@ def entity_resolution_sink(
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        state, committed = ss.read_state(spark, root)
+        state, committed = ss.read_append_state(spark, root)
         if epoch_id < committed:
             raise ValueError(
                 f"entity_resolution_sink at {root}: batch id {epoch_id} is "
@@ -291,16 +296,23 @@ def entity_resolution_sink(
                 F.col(id_col).alias("entity_id"),
                 *[F.col(f) for f in FIELDS],
             )
-            entries = (
-                state.unionByName(new_entities)
-                if state is not None
-                else new_entities
+            # Registry fold = APPEND (round 14, the r13 stage budget's
+            # named dominator): entities are founded once and never
+            # updated, so the epoch writes ONLY its new entities as a
+            # delta — O(|batch|), not O(|registry|) — with periodic
+            # compaction bounding the read set (ss append protocol).
+            # n_new counts off the materialized assignments blocks
+            # (no recompute of the scoring dataflow).
+            n_new = assignments.filter("is_new").count()
+            ss.append_commit(
+                spark,
+                root,
+                new_entities,
+                epoch_id,
+                committed,
+                n_new=n_new,
+                state=state,
             )
-            entries.write.mode("overwrite").parquet(
-                ss._join(root, f"v{epoch_id}")
-            )
-            ss._commit(spark, root, epoch_id)
-            ss._vacuum(spark, root, keep_from=committed)
         finally:
             free_blocks(spark, blocks)
 

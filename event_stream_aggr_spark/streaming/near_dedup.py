@@ -23,7 +23,12 @@ use, with the same replay contract):
   the kept docs' buckets into the store, commit the epoch. The band
   dataflow is DISK_ONLY-checkpointed once per epoch and both writes
   (output + store fold) probe the materialized blocks — MinHash and
-  the drop rules never run twice per batch.
+  the drop rules never run twice per batch. The fold is an APPEND
+  delta (round 14): an epoch's kept buckets are disjoint from the
+  store by construction (rule (a) rejects any doc whose bucket is
+  stored; rule (b) keeps one doc per surviving bucket), so the store
+  grows by O(|batch buckets|) per epoch under ``state_store``'s
+  append protocol instead of a full O(|store|) groupBy-min rewrite.
 - TOKEN-LESS docs (empty/whitespace/NULL text) have no buckets and
   can near-match nothing: they are always ADMITTED and never enter
   the store (collapsing identical empties is exact dedup's job —
@@ -91,7 +96,7 @@ def near_dedup_sink(
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        state, committed = ss.read_state(spark, root)
+        state, committed = ss.read_append_state(spark, root)
         if epoch_id < committed:
             raise ValueError(
                 f"near_dedup_sink at {root}: batch id {epoch_id} is below "
@@ -116,7 +121,7 @@ def near_dedup_sink(
         # buckets, then both writes below probe the materialized
         # blocks. Freed after the commit — the epoch's only consumers
         # are inside this function.
-        kept_buckets, _, blocks = disk_checkpoint(kept_buckets)
+        kept_buckets, n_kept_buckets, blocks = disk_checkpoint(kept_buckets)
         try:
             # kept ids = bucketed survivors ∪ token-less docs — the
             # latter have no buckets (nothing to near-match on) and
@@ -140,22 +145,25 @@ def near_dedup_sink(
             entries = kept_buckets.select(
                 "bucket", F.col(id_col).alias("canon")
             )
-            if state is not None:
-                # first-writer wins per bucket: earlier epochs' canon
-                # ids stay canonical (min over the union is
-                # deterministic and epoch-order-independent for
-                # membership; the store only ever grows by NEW
-                # buckets)
-                entries = (
-                    state.unionByName(entries)
-                    .groupBy("bucket")
-                    .agg(F.min("canon").alias("canon"))
-                )
-            entries.write.mode("overwrite").parquet(
-                ss._join(root, f"v{epoch_id}")
+            # Store fold = APPEND (round 14): this epoch's kept
+            # buckets are DISJOINT from the store by construction —
+            # drop rule (a) rejects any doc whose bucket is already
+            # stored, and rule (b) keeps exactly one doc per surviving
+            # bucket — so first-writer-wins is satisfied by appending
+            # a delta (O(|batch buckets|)) instead of rewriting the
+            # ever-growing store through a groupBy-min each epoch
+            # (O(|store|) write + a shuffle, the r13 stage budget's
+            # fold tail). n_kept_buckets comes from the checkpoint's
+            # materializing count — no extra job.
+            ss.append_commit(
+                spark,
+                root,
+                entries,
+                epoch_id,
+                committed,
+                n_new=n_kept_buckets,
+                state=state,
             )
-            ss._commit(spark, root, epoch_id)
-            ss._vacuum(spark, root, keep_from=committed)
         finally:
             # the epoch's eager kept_buckets checkpoint supersedes the
             # banded generation the operator materialized — free both

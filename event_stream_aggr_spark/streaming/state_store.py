@@ -184,3 +184,139 @@ def merge_state_sink(
         _vacuum(spark, root, keep_from=committed)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Append-only variant (round 14): delta writes + periodic compaction
+# ---------------------------------------------------------------------------
+#
+# The merge protocol above rewrites the FULL state relation every
+# epoch — correct for arbitrary monoid merges, but the ER registry
+# (streaming/linkage.py) is APPEND-ONLY: entities are founded once and
+# never updated (first-writer-wins), so rewriting an ever-growing
+# snapshot per epoch makes the fold/commit tail grow with |registry|,
+# not |batch| — the r13 stage budget named exactly this tail
+# (checkpoint_writes_fold_commit ~30% of the batch). The append
+# protocol is the lakehouse/LSM shape instead:
+#
+# - per epoch, write ONLY the new rows to ``d{epoch}`` (skipped when
+#   empty), then the same atomic marker commit;
+# - every ``compact_every`` epochs, write a full snapshot ``v{epoch}``
+#   instead and let vacuum drop the absorbed deltas — so a reader
+#   unions ONE snapshot + at most ``compact_every`` deltas (a single
+#   multi-path parquet scan, not a union-of-plans);
+# - vacuum retains the pre-image generation exactly like the merge
+#   protocol: everything needed to reconstruct the PREVIOUS committed
+#   epoch survives until the next commit supersedes it.
+#
+# Epoch gating, pre-image reads, marker atomicity, and the
+# fresh-checkpoint regression error are shared with the merge
+# protocol verbatim (the chaos-test matrix applies to both).
+
+_DELTA = "d"
+
+
+def _append_parts(fs, jroot, upto: int) -> tuple[int, list[int]]:
+    """(latest snapshot epoch <= upto or -1, delta epochs <= upto)."""
+    snap, deltas = -1, []
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            e = int(name[1:])
+            if e <= upto:
+                snap = max(snap, e)
+        elif name.startswith(_DELTA) and name[1:].isdigit():
+            e = int(name[1:])
+            if e <= upto:
+                deltas.append(e)
+    return snap, deltas
+
+
+def read_append_state(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame | None, int]:
+    """Resolve committed append-only state: the latest snapshot at or
+    below the committed epoch plus every later committed delta, read
+    as ONE multi-path parquet scan. (None, epoch) with epoch >= 0
+    means 'committed but empty' (every admitted epoch appended zero
+    rows); (None, -1) means never committed."""
+    epoch = committed_epoch(spark, root)
+    if epoch < 0:
+        return None, -1
+    fs, jroot = _fs(spark, root)
+    snap, deltas = _append_parts(fs, jroot, epoch)
+    paths = ([_join(root, f"v{snap}")] if snap >= 0 else []) + [
+        _join(root, f"{_DELTA}{e}") for e in sorted(deltas) if e > snap
+    ]
+    if not paths:
+        return None, epoch
+    return spark.read.parquet(*paths), epoch
+
+
+def append_commit(
+    spark: SparkSession,
+    root: str,
+    new_rows: DataFrame,
+    epoch_id: int,
+    committed: int,
+    n_new: int,
+    state: DataFrame | None = None,
+    compact_every: int = 8,
+) -> None:
+    """Write epoch ``epoch_id``'s append (delta or compaction
+    snapshot), commit the marker, vacuum superseded parts. ``n_new``
+    is the (already-known) row count of ``new_rows`` — callers have
+    it from their own materialization; passing it avoids a count job.
+    ``state`` is the caller's already-resolved pre-image frame (from
+    ``read_append_state`` at epoch start), reused by compaction so it
+    needn't re-resolve the store.
+
+    Compaction triggers when the committed read set would otherwise
+    exceed ``compact_every`` deltas; the snapshot write is the union
+    of the pre-image state and this epoch's rows (one job, no
+    re-linking)."""
+    fs, jroot = _fs(spark, root)
+    if not fs.exists(jroot):
+        fs.mkdirs(jroot)
+    prev_snap, prev_deltas = _append_parts(fs, jroot, committed)
+    live_deltas = [e for e in prev_deltas if e > prev_snap]
+    if len(live_deltas) + 1 > compact_every:
+        full = (
+            state.unionByName(new_rows) if state is not None else new_rows
+        )
+        full.write.mode("overwrite").parquet(_join(root, f"v{epoch_id}"))
+    elif n_new > 0:
+        new_rows.write.mode("overwrite").parquet(
+            _join(root, f"{_DELTA}{epoch_id}")
+        )
+    _commit(spark, root, epoch_id)
+    _vacuum_append(spark, root, keep_from=committed)
+
+
+def _vacuum_append(spark: SparkSession, root: str, keep_from: int) -> None:
+    """Drop parts no generation needs: the pre-image (state as of
+    ``keep_from``) reads snapshot s_prev = latest snapshot <=
+    keep_from plus deltas in (s_prev, keep_from], so everything
+    STRICTLY below s_prev — older snapshots, absorbed deltas, stale
+    markers — is deletable. Best-effort like _vacuum."""
+    fs, jroot = _fs(spark, root)
+    if keep_from < 0 or not fs.exists(jroot):
+        return
+    s_prev, _ = _append_parts(fs, jroot, keep_from)
+    if s_prev < 0:
+        return
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        epoch = None
+        if name.startswith(_MARKER) and name[len(_MARKER):].isdigit():
+            # markers: keep_from (pre-image) and newer survive
+            if int(name[len(_MARKER):]) < keep_from:
+                epoch = int(name[len(_MARKER):])
+        elif name.startswith("v") and name[1:].isdigit():
+            if int(name[1:]) < s_prev:
+                epoch = int(name[1:])
+        elif name.startswith(_DELTA) and name[1:].isdigit():
+            if int(name[1:]) <= s_prev:
+                epoch = int(name[1:])
+        if epoch is not None:
+            fs.delete(status.getPath(), True)

@@ -156,3 +156,86 @@ def test_level_trajectory_on_real_corpus(spark):
         _twin_side(spark, "/root/testdata/sf0.01"),
     ).collect()[0]
     assert (r2.n_l0_blocks_kept, r2.n_l1_blocks_kept) == (0, 25)
+
+
+# ---------------------------------------------------------------------------
+# qer05: pass-diverse composition (composed_blocking_report)
+# ---------------------------------------------------------------------------
+
+from event_stream_aggr_spark.operators.linkage import (  # noqa: E402
+    composed_blocking_report,
+)
+
+
+def test_composed_each_corruption_mode_has_a_covering_pass(spark):
+    """Pass A (name chain, seg-free) must reach a segment-corrupted
+    twin even at its exact-name bottom; pass B (balance chain,
+    name-free) must reach a name-corrupted twin. A single qer04-style
+    chain finds neither once it descends past the corrupted key."""
+    rows = [
+        (1, P + "x1", "S1", 10.00, 1),
+        (2, P + "x2", "S1", 20.00, 1),  # same balance band as row 1
+    ]
+    a, b = _sides(spark, rows)
+    # twin 1: segment corrupted (name/bal/nation intact)
+    # twin 2: name corrupted (seg/bal/nation intact)
+    b = b.withColumn(
+        "b_seg",
+        F.when(F.col("b_id") == 1 + B_ID_OFFSET, "ZZ").otherwise(
+            F.col("b_seg")
+        ),
+    ).withColumn(
+        "b_name",
+        F.when(
+            F.col("b_id") == 2 + B_ID_OFFSET, F.concat(F.lit("X"), "b_name")
+        ).otherwise(F.col("b_name")),
+    )
+    # cap 1 forces every shared-key level to descend: pass A bottoms
+    # at exact name (1x1 blocks), pass B at exact balance (1x1)
+    r = composed_blocking_report(a, b, cap=1).collect()[0]
+    assert r["n_true_found"] == 2 and r["n_true_missed"] == 0
+    # the seg-corrupted pair is found at pass A's seg-FREE exact-name
+    # bottom; the name-corrupted pair at pass B's name-free exact-
+    # balance bottom — neither pass kept anything above its bottom
+    assert r["pa_l0_blocks_kept"] == 0 and r["pa_l1_blocks_kept"] == 0
+    assert r["pa_l2_blocks_kept"] == 1
+    assert (
+        r["pb_l0_blocks_kept"] == 0
+        and r["pb_l1_blocks_kept"] == 0
+        and r["pb_l2_blocks_kept"] == 0
+    )
+    assert r["pb_l3_blocks_kept"] == 1
+    assert r["pa_purged_blocks"] == 0 and r["pb_purged_blocks"] == 0
+
+
+def test_composed_cross_pass_union_is_distinct(spark):
+    """A fully-agreeing twin is reachable through BOTH passes; the
+    candidate count must reflect the distinct pair once."""
+    rows = [(1, P + "x1", "S1", 10.00, 1)]
+    a, b = _sides(spark, rows)
+    r = composed_blocking_report(a, b, cap=10_000).collect()[0]
+    # one record, one twin: exactly one distinct candidate pair even
+    # though pass A L0 and pass B L0 both generate it
+    assert r["n_candidates"] == 1
+    assert r["n_true_found"] == 1 and r["n_match_pairs"] == 1
+
+
+def test_composed_per_pass_purges_are_independent(spark):
+    """True full-key degeneracy purges at EACH pass's own bottom and
+    is counted per pass — and a pair whose block purged in one pass
+    can still be found by the other (here: same name+nation+seg but
+    distinct balances → pass A's bottom block is degenerate and
+    purges under cap 1, while pass B separates the rows at its exact-
+    balance bottom and recovers every true pair)."""
+    rows = [
+        (1, P + "deg", "S1", 10.00, 1),
+        (2, P + "deg", "S1", 20.00, 1),
+    ]
+    a, b = _sides(spark, rows)
+    r = composed_blocking_report(a, b, cap=1).collect()[0]
+    # pass A: both rows share (k0, nation, nm) → 2x2 block > 1 at the
+    # bottom → purged there
+    assert r["pa_purged_blocks"] == 1
+    # pass B: exact balances are distinct → 1x1 blocks kept at bottom
+    assert r["pb_l3_blocks_kept"] == 2 and r["pb_purged_blocks"] == 0
+    assert r["n_true_found"] == 2 and r["n_true_missed"] == 0

@@ -11,17 +11,22 @@ import pytest
 from pyspark.sql import functions as F
 
 import event_stream_aggr_spark.streaming.state_store as ss
-from event_stream_aggr_spark.streaming.state_store import read_state
+from event_stream_aggr_spark.streaming.state_store import (
+    read_append_state,
+    read_state,
+)
 
 
-def _run_with_crash(spark, monkeypatch, sink, batches, root):
+def _run_with_crash(spark, monkeypatch, sink, batches, root, reader=read_state):
     """Epochs 0..n-2 clean; epoch n-1 crashes at the pointer swap,
     pre-image must survive, replay heals, redelivery is a no-op.
-    Returns the final state rows (sorted tuples)."""
+    Returns the final state rows (sorted tuples). ``reader`` is the
+    store's resolve function (read_state for merge-protocol sinks,
+    read_append_state for the ER registry's append protocol)."""
     last = len(batches) - 1
     for i, b in enumerate(batches[:-1]):
         sink(b, i)
-    pre_image = sorted(map(tuple, read_state(spark, root)[0].collect()))
+    pre_image = sorted(map(tuple, reader(spark, root)[0].collect()))
 
     def crash_at_commit(spark_, root_, epoch_):
         raise OSError("simulated kill between write and commit")
@@ -32,13 +37,13 @@ def _run_with_crash(spark, monkeypatch, sink, batches, root):
     monkeypatch.undo()
     # torn epoch: pointer still on the old version — readers see the
     # pre-crash state, not the orphaned new file
-    assert sorted(map(tuple, read_state(spark, root)[0].collect())) == (
+    assert sorted(map(tuple, reader(spark, root)[0].collect())) == (
         pre_image
     )
     sink(batches[last], last)  # at-least-once replay heals
-    healed = sorted(map(tuple, read_state(spark, root)[0].collect()))
+    healed = sorted(map(tuple, reader(spark, root)[0].collect()))
     sink(batches[last], last)  # post-commit redelivery: no-op
-    assert sorted(map(tuple, read_state(spark, root)[0].collect())) == healed
+    assert sorted(map(tuple, reader(spark, root)[0].collect())) == healed
     return healed
 
 
@@ -56,7 +61,8 @@ def test_entity_resolution_sink_torn_epoch(spark, tmp_path, monkeypatch):
     )
     root, out = str(tmp_path / "state"), str(tmp_path / "out")
     healed = _run_with_crash(
-        spark, monkeypatch, entity_resolution_sink(root, out), [b0, b1], root
+        spark, monkeypatch, entity_resolution_sink(root, out), [b0, b1],
+        root, reader=read_append_state,
     )
     # registry equals the clean run's canonicals: 1 (Acme) and 3 (Bolt)
     assert {r[0] for r in healed} == {1, 3}

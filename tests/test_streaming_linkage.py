@@ -27,7 +27,7 @@ from event_stream_aggr_spark.streaming.linkage import (
     entity_resolution_sink,
     link_batch,
 )
-from event_stream_aggr_spark.streaming.state_store import read_state
+from event_stream_aggr_spark.streaming.state_store import read_append_state
 
 # Match rule (operators/linkage weights): name agreement plus at least
 # one of (segment agreement, |balance diff| <= 5.00) clears T_MATCH;
@@ -87,7 +87,7 @@ def test_cross_batch_links_to_canonical_and_registry_growth(spark, tmp_path):
         2: (1, False),
         3: (3, True),
     }
-    state, committed = read_state(spark, root)
+    state, committed = read_append_state(spark, root)
     assert committed == 2
     reg = {r.entity_id for r in state.collect()}
     assert reg == {1, 3}  # linked record 2 never entered
@@ -111,7 +111,7 @@ def test_component_with_store_match_adopts_store_entity(spark, tmp_path):
         5: (1, False),
         6: (1, False),
     }
-    state, _ = read_state(spark, root)
+    state, _ = read_append_state(spark, root)
     assert {r.entity_id for r in state.collect()} == {1}
 
 
@@ -141,11 +141,11 @@ def test_redelivery_noop_and_stale_checkpoint_raises(spark, tmp_path):
     sink = entity_resolution_sink(root, out)
     sink(_recs(spark, [(1, "Acme", "AUTO", 100.0, 7)]), 0)
     sink(_recs(spark, [(2, "Bolt", "AUTO", 50.0, 7)]), 1)
-    state_before = sorted(map(tuple, read_state(spark, root)[0].collect()))
+    state_before = sorted(map(tuple, read_append_state(spark, root)[0].collect()))
     out_before = _assignments(spark, out)
 
     sink(_recs(spark, [(2, "Bolt", "AUTO", 50.0, 7)]), 1)  # redelivery
-    assert sorted(map(tuple, read_state(spark, root)[0].collect())) == (
+    assert sorted(map(tuple, read_append_state(spark, root)[0].collect())) == (
         state_before
     )
     assert _assignments(spark, out) == out_before
@@ -189,7 +189,7 @@ def test_end_to_end_stream_matches_hand_driven(spark, tmp_path):
         (canon,) = ents
         assert a[canon] == (canon, True)
     # registry = exactly the two canonicals
-    state, _ = read_state(spark, root)
+    state, _ = read_append_state(spark, root)
     assert {r.entity_id for r in state.collect()} == {
         a[1][0], a[3][0]
     }
@@ -220,7 +220,7 @@ def test_purge_metrics_written_per_epoch(spark, tmp_path):
     sink(_recs(spark, hot), 1)
     m1 = spark.read.parquet(f"{out}/purge_metrics/epoch=1").collect()
     assert [tuple(r) for r in m1] == [(1, 0, 0, 1, 0)]
-    state, _ = read_state(spark, root)
+    state, _ = read_append_state(spark, root)
     assert state.filter(F.col("name") == "Hot").count() == cap + 1
     # one arrival named "Hot" in a balance band no store entity
     # occupies (so P2 cannot rescue the pair): store P1 block product

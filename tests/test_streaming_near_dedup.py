@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from event_stream_aggr_spark.operators.dedup import band_canonical_dedup
 from event_stream_aggr_spark.streaming.near_dedup import near_dedup_sink
-from event_stream_aggr_spark.streaming.state_store import read_state
+from event_stream_aggr_spark.streaming.state_store import read_append_state
 
 # token sets: identical tokens → identical MinHash signature → every
 # band collides. A/B/E share one vocabulary; C/D another; G is novel.
@@ -60,12 +60,12 @@ def test_cross_batch_near_dups_dropped_and_store_grows_by_kept(
     root, out = str(tmp_path / "state"), str(tmp_path / "out")
     sink = near_dedup_sink(root, out)
     sink(_docs(spark, [(1, _TXT_X), (2, _TXT_X)]), 0)  # keep 1, drop 2
-    state0, _ = read_state(spark, root)
+    state0, _ = read_append_state(spark, root)
     n0 = state0.count()
     # 3 ~ admitted 1 → dropped; 4 is novel → kept
     sink(_docs(spark, [(3, _TXT_X), (4, _TXT_Y)]), 1)
     assert _kept_ids(spark, out) == {1, 4}
-    state1, committed = read_state(spark, root)
+    state1, committed = read_append_state(spark, root)
     assert committed == 1
     # store grew only by doc 4's buckets; doc 1 stays canonical
     assert state1.count() > n0
@@ -95,12 +95,12 @@ def test_redelivery_noop_and_stale_checkpoint_raises(spark, tmp_path):
     sink = near_dedup_sink(root, out)
     sink(_docs(spark, [(1, _TXT_X)]), 0)
     sink(_docs(spark, [(2, _TXT_Y)]), 1)
-    state_before = sorted(map(tuple, read_state(spark, root)[0].collect()))
+    state_before = sorted(map(tuple, read_append_state(spark, root)[0].collect()))
     out_before = _kept_ids(spark, out)
 
     # post-commit redelivery (at-least-once): store and output unchanged
     sink(_docs(spark, [(2, _TXT_Y)]), 1)
-    assert sorted(map(tuple, read_state(spark, root)[0].collect())) == (
+    assert sorted(map(tuple, read_append_state(spark, root)[0].collect())) == (
         state_before
     )
     assert _kept_ids(spark, out) == out_before
@@ -139,7 +139,7 @@ def test_end_to_end_stream_matches_hand_driven(spark, tmp_path):
     assert _kept_ids(spark, out) == {1, 3, 4}
     # a second identical stream run with the SAME checkpoint replays
     # nothing (availableNow already consumed the files): no new epochs
-    committed_before = read_state(spark, root)[1]
+    committed_before = read_append_state(spark, root)[1]
     q2 = (
         stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
         .writeStream.foreachBatch(near_dedup_sink(root, out))
@@ -148,7 +148,7 @@ def test_end_to_end_stream_matches_hand_driven(spark, tmp_path):
         .start()
     )
     q2.awaitTermination()
-    assert read_state(spark, root)[1] == committed_before
+    assert read_append_state(spark, root)[1] == committed_before
     assert _kept_ids(spark, out) == {1, 3, 4}
 
 
@@ -169,7 +169,7 @@ def test_tokenless_docs_are_admitted_not_silently_dropped(spark, tmp_path):
     sink(docs, 0)
     assert _kept_ids(spark, out) == {1, 2, 3, 4}
     # the store holds only doc 1's buckets — token-less docs add none
-    state, _ = read_state(spark, root)
+    state, _ = read_append_state(spark, root)
     assert {r.canon for r in state.collect()} == {1}
     # next epoch: another empty doc sails through the gate
     sink(_docs(spark, [(9, "")]), 1)
@@ -199,6 +199,6 @@ def test_store_canon_keeps_native_id_type(spark, tmp_path):
     root, out = str(tmp_path / "state"), str(tmp_path / "out")
     near_dedup_sink(root, out)(docs, 0)
     assert _kept_ids(spark, out) == {"uuid-a", "uuid-z"}
-    state, _ = read_state(spark, root)
+    state, _ = read_append_state(spark, root)
     assert dict(state.dtypes)["canon"] == "string"
     assert {r.canon for r in state.collect()} == {"uuid-a", "uuid-z"}

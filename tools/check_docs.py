@@ -162,8 +162,47 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
 ]
 
 
+def check_plans_coverage(failures: list[str]) -> None:
+    """Round-14 VERDICT ask #4: every REGISTERED query must have a
+    plan snapshot in PLANS.md (a `## name` section). Previously
+    PLANS covered only the bench headline, so a newly registered
+    query (r13: qer04/qa12) could ship rounds without a committed
+    plan audit. Registry names come from the static source scan
+    (no Spark session needed at doc-check time)."""
+    try:
+        sys.path.insert(0, HERE)
+        from event_stream_aggr_spark.plans.registry import load_all
+
+        names = set(load_all())
+    except Exception as exc:  # registry must be importable at close
+        failures.append(f"registry unimportable for PLANS check ({exc!r})")
+        return
+    try:
+        plans = open(os.path.join(HERE, "PLANS.md")).read()
+    except OSError as exc:
+        failures.append(f"PLANS.md: unreadable ({exc})")
+        return
+    have = set(re.findall(r"^## (\S+)$", plans, flags=re.M))
+    missing = sorted(names - have)
+    if missing:
+        failures.append(
+            f"PLANS.md: {len(missing)} registered quer"
+            f"{'y' if len(missing) == 1 else 'ies'} with no plan "
+            f"snapshot (regenerate via tools/explain_audit.py): "
+            + ", ".join(missing[:10])
+            + ("…" if len(missing) > 10 else "")
+        )
+    stale = sorted(have - names)
+    if stale:
+        failures.append(
+            f"PLANS.md: {len(stale)} section(s) for unregistered "
+            "names (regenerate): " + ", ".join(stale[:10])
+        )
+
+
 def main() -> int:
     failures: list[str] = []
+    check_plans_coverage(failures)
     for fname, pattern, mapping, note in CHECKS:
         path = os.path.join(HERE, fname)
         try:

@@ -67,6 +67,17 @@ LADDER_GRID = [
     (100, 5_000, 1),
 ]
 
+#: Composed cells (round-14, VERDICT ask #3): qer05's pass-diverse
+#: composition — name ladder (seg-free) ∪ balance ladder (name-free)
+#: — on the SAME dense corpus. The r13 findings it must beat: the
+#: single qer04 chain's 0.500 recall ceiling (its key chain) and the
+#: flat two-pass 0.803-at-10.2s / spilling-at-k100 trade.
+COMPOSED_GRID = [
+    (30, 20_000, 1),
+    (100, 20_000, 1),
+    (100, 5_000, 1),
+]
+
 
 def dense_customers(spark, k: int, out_dir: str) -> None:
     """k replicas of sf0.1 customer with IDENTICAL names/segments/
@@ -119,6 +130,44 @@ def ladder_cell(spark, sf_dir: str, cap: int, n_runs: int) -> dict:
                 row["spill_mem_mb"] = m["spill_mem_mb"]
     row["sec"] = round(min(runs), 4)
     r = refinement_report(a, b, cap=cap).collect()[0].asDict()
+    row.update(r)
+    row["pair_completeness"] = round(
+        r["n_true_found"] / (r["n_true_found"] + r["n_true_missed"]), 4
+    )
+    return row
+
+
+def composed_cell(spark, sf_dir: str, cap: int, n_runs: int) -> dict:
+    """qer05's pass-diverse composition at an explicit cap on the
+    dense corpus: per-pass per-level kept counts + purges +
+    completeness + time (same method as ladder_cell)."""
+    import bench
+
+    from event_stream_aggr_spark.operators.linkage import (
+        _a_side,
+        _twin_side,
+        composed_blocking_report,
+    )
+
+    a = _a_side(spark, sf_dir)
+    b = _twin_side(spark, sf_dir)
+    runs = []
+    row: dict = {}
+    for i in range(n_runs):
+        pre = bench._max_stage_id(spark) if i == n_runs - 1 else None
+        t0 = time.perf_counter()
+        composed_blocking_report(a, b, cap=cap).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        runs.append(time.perf_counter() - t0)
+        if pre is not None:
+            m = bench._stage_metrics_since(spark, pre)
+            if m:
+                row["shuffle_write_mb"] = m["shuffle_write_mb"]
+                row["spill_disk_mb"] = m["spill_disk_mb"]
+                row["spill_mem_mb"] = m["spill_mem_mb"]
+    row["sec"] = round(min(runs), 4)
+    r = composed_blocking_report(a, b, cap=cap).collect()[0].asDict()
     row.update(r)
     row["pair_completeness"] = round(
         r["n_true_found"] / (r["n_true_found"] + r["n_true_missed"]), 4
@@ -192,7 +241,11 @@ def probe_cell(spark, sf_dir: str, cap: int, n_runs: int) -> dict:
 
 
 def main() -> None:
-    ks = sorted({int(x) for x in sys.argv[1:]}) or [30, 100]
+    args = sys.argv[1:]
+    composed_only = "--composed-only" in args
+    if composed_only:  # r14: the flat/ladder cells are r13's data
+        args = [x for x in args if x != "--composed-only"]
+    ks = sorted({int(x) for x in args}) or [30, 100]
     from event_stream_aggr_spark.session import get_spark
 
     spark = get_spark(
@@ -209,17 +262,24 @@ def main() -> None:
             print(f"building dense {k}x customer corpus at {probe_dir}...")
             dense_customers(spark, k, probe_dir)
             for gk, cap, n_runs in GRID:
-                if gk != k:
+                if gk != k or composed_only:
                     continue
                 label = f"k{k}_cap{'_off' if cap == UNCAPPED else cap}"
                 cell = probe_cell(spark, probe_dir, cap, n_runs)
                 out["cells"][label] = cell
                 print(json.dumps({label: cell}))
             for gk, cap, n_runs in LADDER_GRID:
-                if gk != k:
+                if gk != k or composed_only:
                     continue
                 label = f"k{k}_ladder_cap{cap}"
                 cell = ladder_cell(spark, probe_dir, cap, n_runs)
+                out["cells"][label] = cell
+                print(json.dumps({label: cell}))
+            for gk, cap, n_runs in COMPOSED_GRID:
+                if gk != k:
+                    continue
+                label = f"k{k}_composed_cap{cap}"
+                cell = composed_cell(spark, probe_dir, cap, n_runs)
                 out["cells"][label] = cell
                 print(json.dumps({label: cell}))
         finally:
