@@ -728,6 +728,7 @@ REFINE_CAP = BLOCK_CAP
 #: reads names/segments/balances; the audit reads ids).
 _PAIR_COLS = (
     "a_id", "b_id", "a_name", "b_name", "a_seg", "b_seg", "a_bal", "b_bal",
+    "a_nation", "b_nation",
 )
 
 
@@ -811,6 +812,7 @@ def refinement_report(
         "a_name",
         "a_seg",
         "a_bal",
+        "a_nation",
         F.substring("a_name", 1, REFINE_COARSE_LEN).alias("k0"),
         F.col("a_nation").alias("nation"),
         F.col("a_seg").alias("seg"),
@@ -821,6 +823,7 @@ def refinement_report(
         "b_name",
         "b_seg",
         "b_bal",
+        "b_nation",
         F.substring("b_name", 1, REFINE_COARSE_LEN).alias("k0"),
         F.col("b_nation").alias("nation"),
         F.col("b_seg").alias("seg"),
@@ -1066,6 +1069,7 @@ def composed_blocking_report(
         "a_name",
         "a_seg",
         "a_bal",
+        "a_nation",
         F.substring("a_name", 1, REFINE_COARSE_LEN).alias("k0"),
         F.col("a_nation").alias("nation"),
         F.col("a_name").alias("nm"),
@@ -1075,6 +1079,7 @@ def composed_blocking_report(
         "b_name",
         "b_seg",
         "b_bal",
+        "b_nation",
         F.substring("b_name", 1, REFINE_COARSE_LEN).alias("k0"),
         F.col("b_nation").alias("nation"),
         F.col("b_name").alias("nm"),
@@ -1087,6 +1092,7 @@ def composed_blocking_report(
         "a_name",
         "a_seg",
         "a_bal",
+        "a_nation",
         F.floor(F.col("a_bal") / BAL_BAND).alias("kb"),
         F.col("a_nation").alias("nation"),
         F.col("a_seg").alias("seg"),
@@ -1097,6 +1103,7 @@ def composed_blocking_report(
         "b_name",
         "b_seg",
         "b_bal",
+        "b_nation",
         F.floor(F.col("b_bal") / BAL_BAND).alias("kb"),
         F.col("b_nation").alias("nation"),
         F.col("b_seg").alias("seg"),
@@ -1131,40 +1138,89 @@ def composed_blocking_report(
         F.col("b_id") - B_ID_OFFSET == F.col("a_id"), 1
     ).otherwise(0)
 
-    def _flags(cand):
-        return cand.select(
-            "a_id",
-            "b_id",
-            F.when(w >= T_MATCH, 1).otherwise(0).alias("m"),
-            is_true.alias("t"),
+    # Intersection WITHOUT a pair-grain shuffle: a pass-A pair is in
+    # cand_b iff both sides agree on a pass-B level key AND that key
+    # is kept at that level — and the keeps are DISJOINT by the
+    # descend rule (a key kept at level l extends an over-cap key of
+    # level l-1), so testing membership against the four kept-key
+    # sets cannot double-count. The kept-key frames are block-grain
+    # (thousands of rows; at worst #blocks, which AQE broadcasts when
+    # small and shuffles key-grain — never candidate-grain — when
+    # not), so the whole intersection is map-side lookups over the
+    # pass-A enumeration, folded into the SAME single aggregation
+    # pass that produces pass A's own counters. Each pass is
+    # enumerated exactly once and nothing pair-sized ever shuffles.
+    kb_a = F.floor(F.col("a_bal") / BAL_BAND)
+    pa = cand_a.select(
+        F.when(w >= T_MATCH, 1).otherwise(0).alias("m"),
+        is_true.alias("t"),
+        kb_a.alias("kb"),
+        (kb_a == F.floor(F.col("b_bal") / BAL_BAND)).alias("kb_eq"),
+        (F.col("a_nation") == F.col("b_nation")).alias("nat_eq"),
+        (F.col("a_seg") == F.col("b_seg")).alias("seg_eq"),
+        (
+            F.col("a_bal").cast("decimal(13,2)")
+            == F.col("b_bal").cast("decimal(13,2)")
+        ).alias("bal_eq"),
+        F.col("a_nation").alias("nation"),
+        F.col("a_seg").alias("seg"),
+        F.col("a_bal").cast("decimal(13,2)").alias("balx"),
+    )
+    kb0, kb1, kb2, kb3 = keeps_b
+    marked = (
+        pa.join(kb0.withColumn("in0", F.lit(True)), ["kb"], "left")
+        .join(kb1.withColumn("in1", F.lit(True)), ["kb", "nation"], "left")
+        .join(
+            kb2.withColumn("in2", F.lit(True)),
+            ["kb", "nation", "seg"],
+            "left",
         )
-
-    def _agg(df, suffix):
-        return F.broadcast(
-            df.agg(
-                F.count(F.lit(1)).alias(f"n_{suffix}"),
-                F.coalesce(F.sum("m"), F.lit(0)).alias(f"m_{suffix}"),
-                F.coalesce(F.sum("t"), F.lit(0)).alias(f"t_{suffix}"),
-            )
+        .join(
+            kb3.withColumn("in3", F.lit(True)),
+            ["kb", "nation", "seg", "balx"],
+            "left",
         )
-
-    fa, fb = _flags(cand_a), _flags(cand_b)
-    inter = fa.join(fb.select("a_id", "b_id"), ["a_id", "b_id"])
-    report = (
-        _agg(fa, "a")
-        .crossJoin(_agg(fb, "b"))
-        .crossJoin(_agg(inter, "i"))
-        .select(
-            (F.col("n_a") + F.col("n_b") - F.col("n_i")).alias(
-                "n_candidates"
-            ),
-            (F.col("m_a") + F.col("m_b") - F.col("m_i")).alias(
-                "n_match_pairs"
-            ),
-            (F.col("t_a") + F.col("t_b") - F.col("t_i")).alias(
-                "n_true_found"
-            ),
+    )
+    in_b = F.col("kb_eq") & (
+        F.col("in0").isNotNull()
+        | (F.col("nat_eq") & F.col("in1").isNotNull())
+        | (F.col("nat_eq") & F.col("seg_eq") & F.col("in2").isNotNull())
+        | (
+            F.col("nat_eq")
+            & F.col("seg_eq")
+            & F.col("bal_eq")
+            & F.col("in3").isNotNull()
         )
+    )
+    agg_a = F.broadcast(
+        marked.agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("m_a"),
+            F.coalesce(F.sum("t"), F.lit(0)).alias("t_a"),
+            F.coalesce(
+                F.sum(F.when(in_b, 1).otherwise(0)), F.lit(0)
+            ).alias("n_i"),
+            F.coalesce(
+                F.sum(F.when(in_b, F.col("m")).otherwise(0)), F.lit(0)
+            ).alias("m_i"),
+            F.coalesce(
+                F.sum(F.when(in_b, F.col("t")).otherwise(0)), F.lit(0)
+            ).alias("t_i"),
+        )
+    )
+    agg_b = F.broadcast(
+        cand_b.agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.coalesce(
+                F.sum(F.when(w >= T_MATCH, 1).otherwise(0)), F.lit(0)
+            ).alias("m_b"),
+            F.coalesce(F.sum(is_true), F.lit(0)).alias("t_b"),
+        )
+    )
+    report = agg_a.crossJoin(agg_b).select(
+        (F.col("n_a") + F.col("n_b") - F.col("n_i")).alias("n_candidates"),
+        (F.col("m_a") + F.col("m_b") - F.col("m_i")).alias("n_match_pairs"),
+        (F.col("t_a") + F.col("t_b") - F.col("t_i")).alias("n_true_found"),
     )
 
     def _n(df, name):
