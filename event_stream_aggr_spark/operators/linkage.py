@@ -1036,6 +1036,60 @@ PASS_B_LEVELS = (
 )
 
 
+def _name_frames(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Pass A (name-chain) key frames over the two sides — shared by
+    the qer05 report, the pair kernel, and the streaming gate's
+    observability counters."""
+    a2 = a.select(
+        "a_id",
+        "a_name",
+        "a_seg",
+        "a_bal",
+        "a_nation",
+        F.substring("a_name", 1, REFINE_COARSE_LEN).alias("k0"),
+        F.col("a_nation").alias("nation"),
+        F.col("a_name").alias("nm"),
+    )
+    b2 = b.select(
+        "b_id",
+        "b_name",
+        "b_seg",
+        "b_bal",
+        "b_nation",
+        F.substring("b_name", 1, REFINE_COARSE_LEN).alias("k0"),
+        F.col("b_nation").alias("nation"),
+        F.col("b_name").alias("nm"),
+    )
+    return a2, b2
+
+
+def _band_frames(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Pass B (balance-chain) key frames — see _name_frames."""
+    a2 = a.select(
+        "a_id",
+        "a_name",
+        "a_seg",
+        "a_bal",
+        "a_nation",
+        F.floor(F.col("a_bal") / BAL_BAND).alias("kb"),
+        F.col("a_nation").alias("nation"),
+        F.col("a_seg").alias("seg"),
+        F.col("a_bal").cast("decimal(13,2)").alias("balx"),
+    )
+    b2 = b.select(
+        "b_id",
+        "b_name",
+        "b_seg",
+        "b_bal",
+        "b_nation",
+        F.floor(F.col("b_bal") / BAL_BAND).alias("kb"),
+        F.col("b_nation").alias("nation"),
+        F.col("b_seg").alias("seg"),
+        F.col("b_bal").cast("decimal(13,2)").alias("balx"),
+    )
+    return a2, b2
+
+
 def composed_blocking_report(
     a: DataFrame, b: DataFrame, cap: int = REFINE_CAP
 ) -> DataFrame:
@@ -1064,51 +1118,11 @@ def composed_blocking_report(
     (AQE-splittable). Per-pass kept/purged counters land on the same
     report row as recall, so the composition's coverage is data, not
     hope."""
-    a_name = a.select(
-        "a_id",
-        "a_name",
-        "a_seg",
-        "a_bal",
-        "a_nation",
-        F.substring("a_name", 1, REFINE_COARSE_LEN).alias("k0"),
-        F.col("a_nation").alias("nation"),
-        F.col("a_name").alias("nm"),
-    )
-    b_name = b.select(
-        "b_id",
-        "b_name",
-        "b_seg",
-        "b_bal",
-        "b_nation",
-        F.substring("b_name", 1, REFINE_COARSE_LEN).alias("k0"),
-        F.col("b_nation").alias("nation"),
-        F.col("b_name").alias("nm"),
-    )
+    a_name, b_name = _name_frames(a, b)
     cand_a, keeps_a, purged_a = ladder_candidates(
         a_name, b_name, PASS_A_LEVELS, cap
     )
-    a_band = a.select(
-        "a_id",
-        "a_name",
-        "a_seg",
-        "a_bal",
-        "a_nation",
-        F.floor(F.col("a_bal") / BAL_BAND).alias("kb"),
-        F.col("a_nation").alias("nation"),
-        F.col("a_seg").alias("seg"),
-        F.col("a_bal").cast("decimal(13,2)").alias("balx"),
-    )
-    b_band = b.select(
-        "b_id",
-        "b_name",
-        "b_seg",
-        "b_bal",
-        "b_nation",
-        F.floor(F.col("b_bal") / BAL_BAND).alias("kb"),
-        F.col("b_nation").alias("nation"),
-        F.col("b_seg").alias("seg"),
-        F.col("b_bal").cast("decimal(13,2)").alias("balx"),
-    )
+    a_band, b_band = _band_frames(a, b)
     cand_b, keeps_b, purged_b = ladder_candidates(
         a_band, b_band, PASS_B_LEVELS, cap
     )
@@ -1424,4 +1438,93 @@ def qer05_composed_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): see ``composed_blocking_report``."""
     return composed_blocking_report(
         _a_side(spark, sf_dir), _twin_side(spark, sf_dir)
+    )
+
+
+def composed_scored_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    cap: int = REFINE_CAP,
+    purged_out: list[DataFrame] | None = None,
+) -> DataFrame:
+    """qer05's pass-diverse candidate generation as a PAIR-PRODUCING
+    kernel with ``scored_pairs``'s output contract — (a_id, b_id, w,
+    decision) over the DISTINCT cross-pass union — so the streaming
+    ER gate can trade flat two-pass blocking's density cliffs for the
+    composition's measured completeness (SCALING_AUDIT round 14).
+
+    The distinct union is produced WITHOUT a pair-grain shuffle, by
+    the same membership trick the report uses, applied symmetrically:
+    pass A's pairs are emitted as-is (unique within a pass by the
+    ladder's partition property), and a pass-B pair is emitted only
+    if it is NOT also a pass-A pair — both sides agree on a pass-A
+    level key that is in that level's kept set (keeps disjoint by the
+    descend rule; the key frames are block-grain and AQE-broadcasts
+    them when small). ``purged_out``, when given, receives the two
+    passes' purged-key frames (pass A, pass B) for observability
+    counters — block-grain, count them cheaply."""
+    a_name, b_name = _name_frames(a, b)
+    cand_a, keeps_a, purged_a = ladder_candidates(
+        a_name, b_name, PASS_A_LEVELS, cap
+    )
+    a_band, b_band = _band_frames(a, b)
+    cand_b, keeps_b, purged_b = ladder_candidates(
+        a_band, b_band, PASS_B_LEVELS, cap
+    )
+    if purged_out is not None:
+        purged_out.extend([purged_a, purged_b])
+    # pass-A membership test for pass-B pairs (symmetric to the
+    # report's intersection): key values come from the a side, the
+    # eq flags assert both sides agree — a requirement for the pair
+    # to be in any pass-A block
+    k0_a = F.substring("a_name", 1, REFINE_COARSE_LEN)
+    pb = cand_b.select(
+        *_PAIR_COLS,
+        k0_a.alias("k0"),
+        (k0_a == F.substring("b_name", 1, REFINE_COARSE_LEN)).alias(
+            "k0_eq"
+        ),
+        (F.col("a_nation") == F.col("b_nation")).alias("nat_eq"),
+        (F.col("a_name") == F.col("b_name")).alias("nm_eq"),
+        F.col("a_nation").alias("nation"),
+        F.col("a_name").alias("nm"),
+    )
+    ka0, ka1, ka2 = keeps_a
+    marked = (
+        pb.join(ka0.withColumn("in0", F.lit(True)), ["k0"], "left")
+        .join(ka1.withColumn("in1", F.lit(True)), ["k0", "nation"], "left")
+        .join(
+            ka2.withColumn("in2", F.lit(True)),
+            ["k0", "nation", "nm"],
+            "left",
+        )
+    )
+    in_a = F.col("k0_eq") & (
+        F.col("in0").isNotNull()
+        | (F.col("nat_eq") & F.col("in1").isNotNull())
+        | (F.col("nat_eq") & F.col("nm_eq") & F.col("in2").isNotNull())
+    )
+    b_only = marked.filter(~F.coalesce(in_a, F.lit(False))).select(
+        *_PAIR_COLS
+    )
+    pairs = cand_a.unionAll(b_only)
+    w = (
+        F.when(F.col("a_name") == F.col("b_name"), F.lit(W_AGREE["name"]))
+        .otherwise(F.lit(W_DISAGREE["name"]))
+        + F.when(F.col("a_seg") == F.col("b_seg"), F.lit(W_AGREE["seg"]))
+        .otherwise(F.lit(W_DISAGREE["seg"]))
+        + F.when(
+            F.abs(F.col("a_bal") - F.col("b_bal"))
+            <= F.lit(BAL_TOL).cast("decimal(12,2)"),
+            F.lit(W_AGREE["bal"]),
+        ).otherwise(F.lit(W_DISAGREE["bal"]))
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        w.alias("w"),
+        F.when(w >= T_MATCH, F.lit("match"))
+        .when(w >= T_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
     )

@@ -102,12 +102,35 @@ def _as_b(records: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _pair_fn(blocking: str):
+    """Resolve the blocking strategy to a scored-pair kernel: 'flat'
+    = the two-pass equi-join blocking with wholesale purging (qer01's
+    kernel, the original gate); 'composed' = qer05's pass-diverse
+    refinement ladders (name chain without segment; balance chain
+    without name), whose measured completeness survives block density
+    that purge-cliffs or spills the flat kernel (SCALING_AUDIT r14) —
+    the production upgrade for dense/skewed identity feeds."""
+    from event_stream_aggr_spark.operators.linkage import (
+        composed_scored_pairs,
+    )
+
+    if blocking == "flat":
+        return scored_pairs
+    if blocking == "composed":
+        return composed_scored_pairs
+    raise ValueError(
+        f"unknown blocking strategy {blocking!r}: expected 'flat' or "
+        "'composed'"
+    )
+
+
 def link_batch(
     records: DataFrame,
     registry: DataFrame | None,
     id_col: str = "rec_id",
     block_cap: int = BLOCK_CAP,
     cc_gen: list[int] | None = None,
+    blocking: str = "flat",
 ) -> DataFrame:
     """One linking round: assign every record an entity id.
 
@@ -125,12 +148,13 @@ def link_batch(
     """
     from event_stream_aggr_spark.operators.cluster import connected_components
 
+    pair_fn = _pair_fn(blocking)
     recs_a = _as_a(records, id_col)
 
     # store matches: min entity_id among registry rows scoring >= T_MATCH
     if registry is not None:
         store_match = (
-            scored_pairs(recs_a, _as_b(registry, "entity_id"), block_cap)
+            pair_fn(recs_a, _as_b(registry, "entity_id"), block_cap)
             .filter(F.col("decision") == "match")
             .groupBy(F.col("a_id").alias("rid"))
             .agg(F.min("b_id").alias("store_ent"))
@@ -140,7 +164,7 @@ def link_batch(
 
     # within-batch entities: transitive closure over 'match' pairs
     # (identical to qer02's offline rule; component = min rec_id)
-    batch_pairs = scored_pairs(recs_a, _as_b(records, id_col), block_cap).filter(
+    batch_pairs = pair_fn(recs_a, _as_b(records, id_col), block_cap).filter(
         (F.col("decision") == "match") & (F.col("a_id") < F.col("b_id"))
     )
     comp = connected_components(
@@ -179,11 +203,37 @@ def link_batch(
     )
 
 
+def _ladder_purged_counts(
+    a: DataFrame, b: DataFrame, cap: int
+) -> DataFrame:
+    """One row (n_purged_p1, n_purged_p2) for the COMPOSED blocking
+    strategy: p1 = the name ladder's purged blocks, p2 = the balance
+    ladder's — the per-pass recall-loss counters of qer05's report,
+    at block grain only (the candidate frames are never referenced,
+    so no pair is ever enumerated for observability)."""
+    from event_stream_aggr_spark.operators.linkage import (
+        PASS_A_LEVELS,
+        PASS_B_LEVELS,
+        _band_frames,
+        _name_frames,
+        ladder_candidates,
+    )
+
+    an, bn = _name_frames(a, b)
+    ab_, bb_ = _band_frames(a, b)
+    _, _, purged_a = ladder_candidates(an, bn, PASS_A_LEVELS, cap)
+    _, _, purged_b = ladder_candidates(ab_, bb_, PASS_B_LEVELS, cap)
+    return purged_a.agg(F.count(F.lit(1)).alias("n_purged_p1")).crossJoin(
+        F.broadcast(purged_b.agg(F.count(F.lit(1)).alias("n_purged_p2")))
+    )
+
+
 def entity_resolution_sink(
     root: str,
     out_dir: str,
     id_col: str = "rec_id",
     block_cap: int = BLOCK_CAP,
+    blocking: str = "flat",
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function: link each micro-batch against the
     entity registry at ``root``, write assignments to
@@ -218,7 +268,12 @@ def entity_resolution_sink(
             return
         cc_gen: list[int] = []
         assignments = link_batch(
-            batch, state, id_col=id_col, block_cap=block_cap, cc_gen=cc_gen
+            batch,
+            state,
+            id_col=id_col,
+            block_cap=block_cap,
+            cc_gen=cc_gen,
+            blocking=blocking,
         )
         # ONE evaluation of the scoring dataflow per epoch: the output
         # write and the registry fold below both probe the
@@ -248,22 +303,39 @@ def entity_resolution_sink(
             # batch-pairing counter (same rows either way) and the
             # a-side of the store pairing.
             recs_a = _as_a(batch, id_col)
-            batch_counts, _, cnt_gen = disk_checkpoint(
-                block_key_counts(recs_a, "a")
-            )
-            if state is not None:
-                store_counts, _, sc_gen = disk_checkpoint(
-                    block_key_counts(_as_b(state, "entity_id"), "b")
+            cnt_gen: list[int] = []
+            if blocking == "flat":
+                batch_counts, _, cnt_gen = disk_checkpoint(
+                    block_key_counts(recs_a, "a")
                 )
-                cnt_gen = cnt_gen + sc_gen
-                store_purged = purged_from_counts(
-                    batch_counts, store_counts, block_cap
+                if state is not None:
+                    store_counts, _, sc_gen = disk_checkpoint(
+                        block_key_counts(_as_b(state, "entity_id"), "b")
+                    )
+                    cnt_gen = cnt_gen + sc_gen
+                    store_purged = purged_from_counts(
+                        batch_counts, store_counts, block_cap
+                    )
+                else:
+                    store_purged = None
+                batch_purged = purged_from_counts(
+                    batch_counts, batch_counts, block_cap
                 )
             else:
-                store_purged = None
-            batch_purged = purged_from_counts(
-                batch_counts, batch_counts, block_cap
-            ).select(
+                # composed blocking: p1/p2 reinterpret as the name /
+                # balance LADDERS' purged-block counts (qer05's
+                # per-pass counters) — block-grain dataflows only
+                store_purged = (
+                    _ladder_purged_counts(
+                        recs_a, _as_b(state, "entity_id"), block_cap
+                    )
+                    if state is not None
+                    else None
+                )
+                batch_purged = _ladder_purged_counts(
+                    recs_a, _as_b(batch, id_col), block_cap
+                )
+            batch_purged = batch_purged.select(
                 F.col("n_purged_p1").alias("batch_purged_p1"),
                 F.col("n_purged_p2").alias("batch_purged_p2"),
             )

@@ -232,3 +232,123 @@ def test_purge_metrics_written_per_epoch(spark, tmp_path):
     # recall loss the counter makes visible)
     a = _assignments(spark, out)
     assert a[999] == (999, True)
+
+
+# ---------------------------------------------------------------------------
+# blocking="composed" (round 14): qer05's ladders inside the gate
+# ---------------------------------------------------------------------------
+
+
+def test_composed_scored_pairs_agrees_with_report_counts(spark):
+    """The pair-producing kernel and the audit report must describe
+    the same candidate set: pair count == n_candidates, match count
+    == n_match_pairs, and the pairs are genuinely distinct."""
+    from event_stream_aggr_spark.operators.linkage import (
+        _a_side,
+        _twin_side,
+        composed_blocking_report,
+        composed_scored_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a, b = _a_side(spark, sf), _twin_side(spark, sf)
+    pairs = composed_scored_pairs(a, b)
+    rep = composed_blocking_report(a, b).first()
+    n = pairs.count()
+    assert n == rep["n_candidates"]
+    assert (
+        pairs.filter("decision = 'match'").count() == rep["n_match_pairs"]
+    )
+    assert pairs.select("a_id", "b_id").distinct().count() == n
+
+
+def test_composed_blocking_recovers_matches_flat_purging_loses(spark):
+    """The production scenario the composition exists for: a dense
+    name block (5 same-name records, one true duplicate pair inside)
+    over a tight cap. Flat blocking purges BOTH passes wholesale and
+    founds 5 entities; composed refinement descends to the exact-
+    balance bottom, recovers the duplicate, and founds 4."""
+    from event_stream_aggr_spark.streaming.linkage import link_batch
+
+    rows = [
+        (1, "Acme Corporation Intl", "AUTO", 100.0, 7),
+        (2, "Acme Corporation Intl", "AUTO", 110.0, 7),
+        (3, "Acme Corporation Intl", "AUTO", 120.0, 7),
+        (4, "Acme Corporation Intl", "AUTO", 100.0, 7),  # dup of 1
+        (5, "Acme Corporation Intl", "AUTO", 130.0, 7),
+    ]
+    recs = spark.createDataFrame(
+        rows, "rec_id long, name string, seg string, bal double, nation long"
+    )
+    flat = {
+        r.rec_id: r.entity_id
+        for r in link_batch(recs, None, block_cap=4).collect()
+    }
+    comp = {
+        r.rec_id: r.entity_id
+        for r in link_batch(
+            recs, None, block_cap=4, blocking="composed"
+        ).collect()
+    }
+    # flat: every block (5x5=25 > 4) purged in both passes → 5 entities
+    assert flat == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+    # composed: pass B descends to exact balance; the 2x2=4 <= 4 block
+    # at bal=100 recovers the duplicate
+    assert comp == {1: 1, 2: 2, 3: 3, 4: 1, 5: 5}
+
+
+def test_er_sink_composed_end_to_end(spark, tmp_path):
+    """The composed gate under the full epoch protocol: cross-epoch
+    registry linking, append folds, redelivery no-op, and the purge
+    metrics carrying the per-LADDER counters."""
+    from event_stream_aggr_spark.streaming.linkage import (
+        entity_resolution_sink,
+    )
+
+    schema = "rec_id long, name string, seg string, bal double, nation long"
+    e0 = spark.createDataFrame(
+        [(1, "alice", "AUTO", 10.0, 3), (2, "bob", "BIKE", 20.0, 4)], schema
+    )
+    e1 = spark.createDataFrame(
+        [(3, "alice", "AUTO", 10.0, 3), (4, "carol", "SHIP", 30.0, 5)],
+        schema,
+    )
+    root, out = str(tmp_path / "reg"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out, blocking="composed")
+    sink(e0, 0)
+    sink(e1, 1)
+    sink(e1, 1)  # post-commit redelivery: no-op
+    state, epoch = read_append_state(spark, root)
+    assert epoch == 1
+    assert sorted((r.entity_id, r.name) for r in state.collect()) == [
+        (1, "alice"),
+        (2, "bob"),
+        (4, "carol"),
+    ]
+    by_rec = {
+        r.rec_id: (r.entity_id, r.is_new)
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    assert by_rec[3] == (1, False) and by_rec[4] == (4, True)
+    m = spark.read.parquet(f"{out}/purge_metrics/epoch=1").first()
+    assert m["epoch"] == 1
+    # nothing dense here: both ladders keep everything, zero purged
+    assert (
+        m["store_purged_p1"] == 0
+        and m["store_purged_p2"] == 0
+        and m["batch_purged_p1"] == 0
+        and m["batch_purged_p2"] == 0
+    )
+
+
+def test_er_sink_rejects_unknown_blocking(spark, tmp_path):
+    from event_stream_aggr_spark.streaming.linkage import link_batch
+
+    recs = spark.createDataFrame(
+        [(1, "a", "S", 1.0, 1)],
+        "rec_id long, name string, seg string, bal double, nation long",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown blocking strategy"):
+        link_batch(recs, None, blocking="fancy")
