@@ -52,7 +52,11 @@ def calibration_probe(spark) -> dict:
         t0 = time.perf_counter()
         (
             spark.range(0, 10_000_000, 1, 32)
-            .select(F.xxhash64("id").alias("h"))
+            # bounded residues, not raw hashes: summing 10M raw
+            # 64-bit values overflows BIGINT under ANSI mode
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(1_000_003)).alias("h")
+            )
             .groupBy((F.col("h") % 1024).alias("b"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
             .agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))

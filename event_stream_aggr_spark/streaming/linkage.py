@@ -246,6 +246,7 @@ def entity_resolution_sink(
     """
     from event_stream_aggr_spark.operators.lifecycle import (
         disk_checkpoint,
+        disk_checkpoint_lazy,
         free_blocks,
     )
 
@@ -305,11 +306,17 @@ def entity_resolution_sink(
             recs_a = _as_a(batch, id_col)
             cnt_gen: list[int] = []
             if blocking == "flat":
-                batch_counts, _, cnt_gen = disk_checkpoint(
+                # LAZY marks (not eager checkpoints): the count
+                # frames' blocks materialize inside the metrics write
+                # itself — one job total — and every later reference
+                # in that plan reads the DISK_ONLY blocks, so the
+                # micro-batch and registry are still scanned once
+                # each without paying two extra per-epoch jobs
+                batch_counts, cnt_gen = disk_checkpoint_lazy(
                     block_key_counts(recs_a, "a")
                 )
                 if state is not None:
-                    store_counts, _, sc_gen = disk_checkpoint(
+                    store_counts, sc_gen = disk_checkpoint_lazy(
                         block_key_counts(_as_b(state, "entity_id"), "b")
                     )
                     cnt_gen = cnt_gen + sc_gen
@@ -373,16 +380,15 @@ def entity_resolution_sink(
             # updated, so the epoch writes ONLY its new entities as a
             # delta — O(|batch|), not O(|registry|) — with periodic
             # compaction bounding the read set (ss append protocol).
-            # n_new counts off the materialized assignments blocks
-            # (no recompute of the scoring dataflow).
-            n_new = assignments.filter("is_new").count()
+            # n_new=None: writing a possibly-empty delta beats a
+            # per-epoch count job spent just to sometimes skip it.
             ss.append_commit(
                 spark,
                 root,
                 new_entities,
                 epoch_id,
                 committed,
-                n_new=n_new,
+                n_new=None,
                 state=state,
             )
         finally:

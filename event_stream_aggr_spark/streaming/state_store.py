@@ -259,14 +259,18 @@ def append_commit(
     new_rows: DataFrame,
     epoch_id: int,
     committed: int,
-    n_new: int,
+    n_new: int | None,
     state: DataFrame | None = None,
     compact_every: int = 8,
 ) -> None:
     """Write epoch ``epoch_id``'s append (delta or compaction
     snapshot), commit the marker, vacuum superseded parts. ``n_new``
-    is the (already-known) row count of ``new_rows`` — callers have
-    it from their own materialization; passing it avoids a count job.
+    is the row count of ``new_rows`` WHEN the caller already has it
+    from its own materialization (zero rows skip the delta write);
+    ``None`` means unknown — the delta is written unconditionally,
+    which is cheaper than spending a count job just to sometimes skip
+    an empty write (an empty delta is a tiny valid parquet dir the
+    reader unions harmlessly and vacuum eventually absorbs).
     ``state`` is the caller's already-resolved pre-image frame (from
     ``read_append_state`` at epoch start), reused by compaction so it
     needn't re-resolve the store.
@@ -285,7 +289,7 @@ def append_commit(
             state.unionByName(new_rows) if state is not None else new_rows
         )
         full.write.mode("overwrite").parquet(_join(root, f"v{epoch_id}"))
-    elif n_new > 0:
+    elif n_new is None or n_new > 0:
         new_rows.write.mode("overwrite").parquet(
             _join(root, f"{_DELTA}{epoch_id}")
         )
