@@ -599,6 +599,9 @@ FROM flagged
 """,
 )
 def qer03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: purged_block_counts rebuilt on grouping-sets single-scan
+    # count frames (block_key_counts/purged_from_counts) — body touch
+    # so the hash-demotion protocol re-samples this query
     """Blocking-quality audit — the two standard entity-resolution
     blocking metrics (Christen's survey nomenclature) as one data row:
     PAIR COMPLETENESS (how many ground-truth links survive blocking:
@@ -991,6 +994,10 @@ SELECT
 """,
 )
 def qer04_blocking_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: refinement_report refactored onto the generic
+    # ladder_candidates kernel and _PAIR_COLS widened with the raw
+    # nation columns — body touch so the hash-demotion protocol
+    # re-samples this query
     """Block-refinement audit (round 13, the density probe's named
     production move): one row pricing the REFINE-then-purge ladder on
     the linkage corpus under a deliberately coarse blocking key (name
