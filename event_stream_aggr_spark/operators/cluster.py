@@ -27,12 +27,37 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
-    checkpoint_every: int = 3,
     gen_out: list[int] | None = None,
+    init: DataFrame | None = None,
+    label_offset: int = 0,
 ) -> DataFrame:
-    """(a, b) edge list → (node, component) with component = min node id
-    reachable. Deterministic (min-label), loop ends early on a fixed
-    point (counted via one aggregate per iteration).
+    """(a, b) edge list → (node, component) with component = min LABEL
+    reachable; by default a node's own label is its id, so component =
+    min node id reachable. Deterministic (min-label), loop ends early
+    on a fixed point.
+
+    Per-iteration shape (round-15 rewrite, from the ER gate's stage
+    budget where ``batch_components_assembly`` was ~58% of the batch):
+    each round is ONE job — union(self-labels, neighbor-labels) →
+    groupBy min → lazy DISK_ONLY checkpoint whose materializing action
+    is the convergence count, with the node's PREVIOUS label carried
+    through the aggregation (``min(old)`` over the self row; neighbor
+    rows carry null, which min ignores) so convergence needs no
+    old-vs-new join. The previous loop paid a join-based changed-count
+    action that re-evaluated both generations every round plus an
+    every-3rd-round checkpoint; this one evaluates each generation
+    exactly once, reads the prior generation from its blocks, and
+    frees the superseded generation the moment its successor
+    materializes (the qg07 lifecycle).
+
+    ``init``: optional (node, component) seed labels for a SUBSET of
+    nodes (e.g. the streaming ER gate seeds records with the registry
+    entity they matched — the "registry link as a zeroth label
+    generation" shape); unseeded nodes label as node + ``label_offset``.
+    With ``label_offset > 0`` a caller can priority-encode two label
+    classes into one long ordering (seeded labels in [0, offset) always
+    beat unseeded node labels) — requires ids in [0, offset). All-long
+    labels keep every caller on the same codegen'd min-aggregation.
 
     ``gen_out`` (round-14, the band_canonical_dedup pattern): when a
     caller passes a list, the RDD ids of the blocks still registered at
@@ -57,56 +82,62 @@ def connected_components(
     )
     # Materialize the edge list ONCE before iterating (round-13 fix,
     # found by the ER stream's stage budget): every iteration runs an
-    # ACTION (the convergence count) plus the label join, and without
-    # this checkpoint each of those re-evaluated the caller's ENTIRE
-    # upstream dataflow — for the ER/near-dup callers that is the
-    # blocked candidate join + scoring, recomputed 2× per round. The
-    # loop now iterates over materialized blocks; its own every-3rd-
-    # round label checkpoint keeps the label lineage flat as before.
-    # DISK_ONLY like the label generations: edge lists at 100 TB scale
-    # are shuffle-sized, not executor-memory-sized. Blocks stay
-    # registered until the loop ends (labels read them via lineage
-    # only until the first label checkpoint, but the final generation
-    # note below applies the same way).
+    # action over a plan that reads the edges, and without this
+    # checkpoint each action re-evaluated the caller's ENTIRE upstream
+    # dataflow — for the ER/near-dup callers that is the blocked
+    # candidate join + scoring, recomputed per round. DISK_ONLY like
+    # the label generations: edge lists at 100 TB scale are
+    # shuffle-sized, not executor-memory-sized. Blocks stay registered
+    # until the caller's lineage supersedes them (gen_out note below).
     edges, edges_gen = disk_checkpoint_lazy(edges)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    default_label = (
+        F.col("node") + F.lit(label_offset) if label_offset else F.col("node")
     )
+    if init is not None:
+        labels = nodes.join(init, "node", "left").select(
+            "node",
+            F.coalesce(init["component"], default_label).alias("component"),
+        )
+    else:
+        labels = nodes.withColumn("component", default_label)
 
     spark = pairs.sparkSession
     prev_gen: list[int] = []
-    for i in range(max_iter):
-        # candidate labels: own label + the label of every neighbor
+    for _ in range(max_iter):
+        # candidate labels: own label (carrying the pre-iteration
+        # label as ``old``) + the label of every neighbor (old null)
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "component")
+            .select(
+                F.col("src").alias("node"),
+                F.col("component"),
+                F.lit(None).cast("long").alias("old"),
+            )
         )
         new_labels = (
-            labels.select("node", "component")
+            labels.select(
+                "node",
+                "component",
+                F.col("component").cast("long").alias("old"),
+            )
             .union(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),
+            )
         )
-        gen: list[int] = []
-        if (i + 1) % checkpoint_every == 0:
-            # DISK_ONLY + freed predecessors (the qg07 lifecycle):
-            # lineage truncated, no block-manager memory tenancy, at
-            # most one superseded generation alive — the convergence
-            # count below is the materializing action
-            new_labels, gen = disk_checkpoint_lazy(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        if gen:
-            free_blocks(spark, prev_gen)  # superseded generation only
-            prev_gen = gen
-        labels = new_labels
+        new_labels, gen = disk_checkpoint_lazy(new_labels)
+        # ONE action: materializes this generation's blocks AND
+        # returns the changed count (every node has exactly one self
+        # row, so ``old`` is never null after the min)
+        changed = new_labels.filter(
+            F.col("component") != F.col("old")
+        ).count()
+        free_blocks(spark, prev_gen)  # superseded generation only
+        prev_gen = gen
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     # The final label generation AND the edge blocks stay registered —

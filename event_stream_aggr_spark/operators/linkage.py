@@ -1165,12 +1165,15 @@ def composed_blocking_report(
     # descend rule (a key kept at level l extends an over-cap key of
     # level l-1), so testing membership against the four kept-key
     # sets cannot double-count. The kept-key frames are block-grain
-    # (thousands of rows; at worst #blocks, which AQE broadcasts when
-    # small and shuffles key-grain — never candidate-grain — when
-    # not), so the whole intersection is map-side lookups over the
-    # pass-A enumeration, folded into the SAME single aggregation
-    # pass that produces pass A's own counters. Each pass is
-    # enumerated exactly once and nothing pair-sized ever shuffles.
+    # (thousands of rows; at worst #blocks), so AQE broadcasts them
+    # and the whole intersection is map-side lookups over the pass-A
+    # enumeration, folded into the SAME single aggregation pass that
+    # produces pass A's own counters. When a kept-key frame ever
+    # exceeds the broadcast threshold the fallback is a shuffle join
+    # whose exchange hashes the pass-A candidate rows on the block
+    # key — bounded by that key's per-block cap and AQE-splittable,
+    # but candidate-row volume, not key-grain. Either way each pass
+    # is enumerated exactly once and no pair-DISTINCT shuffle runs.
     kb_a = F.floor(F.col("a_bal") / BAL_BAND)
     pa = cand_a.select(
         F.when(w >= T_MATCH, 1).otherwise(0).alias("m"),

@@ -81,6 +81,12 @@ from event_stream_aggr_spark.streaming import state_store as ss
 #: Registry / record compare-field schema (rec_id + these four).
 FIELDS = ("name", "seg", "bal", "nation")
 
+#: Priority offset for the seeded component labels (link_batch): store
+#: entity labels live in [0, _REC_OFF), record labels at rec_id +
+#: _REC_OFF, so a single long min-aggregation prefers the min matched
+#: store entity over any rec id. Requires ids < 2^62.
+_REC_OFF = 1 << 62
+
 
 def _as_a(records: DataFrame, id_col: str) -> DataFrame:
     return records.select(
@@ -151,7 +157,16 @@ def link_batch(
     pair_fn = _pair_fn(blocking)
     recs_a = _as_a(records, id_col)
 
-    # store matches: min entity_id among registry rows scoring >= T_MATCH
+    # store matches: min entity_id among registry rows scoring >=
+    # T_MATCH. Lazily DISK_ONLY-marked because BOTH the component
+    # seed and the final assembly join read it — the mark makes the
+    # store-scoring join run once (materialized by the component
+    # loop's first action), not once per reference; the generation
+    # rides ``cc_gen`` so the sink frees it with the component blocks.
+    from event_stream_aggr_spark.operators.lifecycle import (
+        disk_checkpoint_lazy,
+    )
+
     if registry is not None:
         store_match = (
             pair_fn(recs_a, _as_b(registry, "entity_id"), block_cap)
@@ -159,48 +174,70 @@ def link_batch(
             .groupBy(F.col("a_id").alias("rid"))
             .agg(F.min("b_id").alias("store_ent"))
         )
+        store_match, sm_gen = disk_checkpoint_lazy(store_match)
+        if cc_gen is not None:
+            cc_gen.extend(sm_gen)
     else:
         store_match = None
 
     # within-batch entities: transitive closure over 'match' pairs
-    # (identical to qer02's offline rule; component = min rec_id)
+    # (identical to qer02's offline rule; component = min rec_id).
+    # Round 15 (the r14 stage budget's batch_components_assembly
+    # lever): the registry links SEED the min-label iteration as a
+    # zeroth label generation, priority-encoded into one long ordering
+    # — a record matching store entity e starts at label e, every
+    # other record at rec_id + _REC_OFF — so min-label propagation
+    # computes the adoption rule directly: a component's min label is
+    # its min matched store entity when any member matched (store
+    # labels < _REC_OFF always win), else _REC_OFF + its min rec_id.
+    # The previous shape recomputed plain components, then joined
+    # store matches back and ran a window-min over the component key —
+    # one extra shuffle plus a window pass per epoch, now gone.
+    # Envelope: ids (rec and entity) must lie in [0, 2^62) — entity
+    # ids are founded from rec ids, so one bound covers both; beyond
+    # it, escalate to struct(min-priority, id) labels.
     batch_pairs = pair_fn(recs_a, _as_b(records, id_col), block_cap).filter(
         (F.col("decision") == "match") & (F.col("a_id") < F.col("b_id"))
     )
+    init = (
+        store_match.select(
+            F.col("rid").alias("node"),
+            F.col("store_ent").cast("long").alias("component"),
+        )
+        if store_match is not None
+        else None
+    )
     comp = connected_components(
-        batch_pairs, a_col="a_id", b_col="b_id", gen_out=cc_gen
+        batch_pairs,
+        a_col="a_id",
+        b_col="b_id",
+        gen_out=cc_gen,
+        init=init,
+        label_offset=_REC_OFF,
     )
 
-    rec_comp = (
-        recs_a.select(F.col("a_id").alias("rid"))
-        .join(comp, F.col("rid") == comp["node"], "left")
-        .select("rid", F.coalesce("component", F.col("rid")).alias("comp"))
+    # assembly: decode the encoded component when the record was in
+    # the match graph; else its direct store match (no-edge record);
+    # else itself (isolated new entity). One left join per side, no
+    # component-grain window.
+    assigned = recs_a.select(F.col("a_id").alias("rid")).join(
+        comp, F.col("rid") == comp["node"], "left"
     )
     if store_match is not None:
-        rec_comp = rec_comp.join(store_match, "rid", "left")
+        assigned = assigned.join(store_match, "rid", "left")
     else:
-        rec_comp = rec_comp.withColumn(
+        assigned = assigned.withColumn(
             "store_ent", F.lit(None).cast("long")
         )
-    # a component adopts the min store entity any member matched;
-    # otherwise its min rec_id (== comp, by the CC min-label rule).
-    # Window-min instead of groupBy + self-join (round-13, from the
-    # ER stage budget): the self-join evaluated rec_comp — and the
-    # store-scoring join feeding it — twice per epoch; the window is
-    # one shuffle on comp with no second evaluation.
-    from pyspark.sql import Window as W
-
-    return (
-        rec_comp.withColumn(
-            "comp_store_ent",
-            F.min("store_ent").over(W.partitionBy("comp")),
-        )
-        .select(
-            F.col("rid").alias("rec_id"),
-            F.coalesce("comp_store_ent", "comp").alias("entity_id"),
-        )
-        .withColumn("is_new", F.col("entity_id") == F.col("rec_id"))
-    )
+    decoded = F.when(
+        F.col("component") < F.lit(_REC_OFF), F.col("component")
+    ).otherwise(F.col("component") - F.lit(_REC_OFF))
+    return assigned.select(
+        F.col("rid").alias("rec_id"),
+        F.coalesce(decoded, F.col("store_ent"), F.col("rid")).alias(
+            "entity_id"
+        ),
+    ).withColumn("is_new", F.col("entity_id") == F.col("rec_id"))
 
 
 def _ladder_purged_counts(
@@ -267,25 +304,37 @@ def entity_resolution_sink(
             # post-commit redelivery: assignments already on disk and
             # this epoch's entities already folded in
             return
+        # Every generation this epoch registers (component checkpoints,
+        # lazy metric count frames, the assignments checkpoint) is
+        # freed in ONE finally — an exception anywhere in the body must
+        # not leak a generation until nondeterministic driver GC
+        # (round-15 ADVICE: the success-path-only frees did exactly
+        # that). Lists are cleared at their early success-path free so
+        # the finally never double-frees (free_blocks skips absent ids
+        # anyway).
         cc_gen: list[int] = []
-        assignments = link_batch(
-            batch,
-            state,
-            id_col=id_col,
-            block_cap=block_cap,
-            cc_gen=cc_gen,
-            blocking=blocking,
-        )
-        # ONE evaluation of the scoring dataflow per epoch: the output
-        # write and the registry fold below both probe the
-        # materialized blocks (near_dedup_sink's lifecycle, verbatim)
-        assignments, _, blocks = disk_checkpoint(assignments)
-        # assignments is now eagerly materialized, so nothing reads the
-        # component step's lineage any more — free its edge-list and
-        # label checkpoints NOW instead of leaking one generation per
-        # epoch until driver GC (round-14 ADVICE, the medium finding).
-        free_blocks(spark, cc_gen)
+        cnt_gen: list[int] = []
+        blocks: list[int] = []
         try:
+            assignments = link_batch(
+                batch,
+                state,
+                id_col=id_col,
+                block_cap=block_cap,
+                cc_gen=cc_gen,
+                blocking=blocking,
+            )
+            # ONE evaluation of the scoring dataflow per epoch: the
+            # output write and the registry fold below both probe the
+            # materialized blocks (near_dedup_sink's lifecycle,
+            # verbatim)
+            assignments, _, blocks = disk_checkpoint(assignments)
+            # assignments is now eagerly materialized, so nothing
+            # reads the component step's lineage any more — free its
+            # edge-list and label checkpoints NOW instead of holding
+            # them across the epoch's writes.
+            free_blocks(spark, cc_gen)
+            cc_gen.clear()
             assignments.write.mode("overwrite").parquet(
                 f"{out_dir}/epoch={epoch_id}"
             )
@@ -304,7 +353,6 @@ def entity_resolution_sink(
             # batch-pairing counter (same rows either way) and the
             # a-side of the store pairing.
             recs_a = _as_a(batch, id_col)
-            cnt_gen: list[int] = []
             if blocking == "flat":
                 # LAZY marks (not eager checkpoints): the count
                 # frames' blocks materialize inside the metrics write
@@ -312,14 +360,15 @@ def entity_resolution_sink(
                 # in that plan reads the DISK_ONLY blocks, so the
                 # micro-batch and registry are still scanned once
                 # each without paying two extra per-epoch jobs
-                batch_counts, cnt_gen = disk_checkpoint_lazy(
+                batch_counts, bc_gen = disk_checkpoint_lazy(
                     block_key_counts(recs_a, "a")
                 )
+                cnt_gen.extend(bc_gen)
                 if state is not None:
                     store_counts, sc_gen = disk_checkpoint_lazy(
                         block_key_counts(_as_b(state, "entity_id"), "b")
                     )
-                    cnt_gen = cnt_gen + sc_gen
+                    cnt_gen.extend(sc_gen)
                     store_purged = purged_from_counts(
                         batch_counts, store_counts, block_cap
                     )
@@ -366,9 +415,16 @@ def entity_resolution_sink(
                 f"{out_dir}/purge_metrics/epoch={epoch_id}"
             )
             free_blocks(spark, cnt_gen)
+            cnt_gen.clear()
             new_ids = assignments.filter("is_new").select(
                 F.col("rec_id").alias("_new_rid")
             )
+            # n_new from the MATERIALIZED assignments checkpoint — a
+            # filter+count over DISK_ONLY blocks, not a fresh plan
+            # (round-15 ADVICE): with it, an idle or all-linked epoch
+            # appends nothing — no empty delta part dirs, no spurious
+            # compaction rewrites of an unchanged registry.
+            n_new = new_ids.count()
             new_entities = batch.join(
                 new_ids, batch[id_col] == F.col("_new_rid"), "left_semi"
             ).select(
@@ -380,18 +436,16 @@ def entity_resolution_sink(
             # updated, so the epoch writes ONLY its new entities as a
             # delta — O(|batch|), not O(|registry|) — with periodic
             # compaction bounding the read set (ss append protocol).
-            # n_new=None: writing a possibly-empty delta beats a
-            # per-epoch count job spent just to sometimes skip it.
             ss.append_commit(
                 spark,
                 root,
                 new_entities,
                 epoch_id,
                 committed,
-                n_new=None,
+                n_new=n_new,
                 state=state,
             )
         finally:
-            free_blocks(spark, blocks)
+            free_blocks(spark, blocks + cc_gen + cnt_gen)
 
     return apply

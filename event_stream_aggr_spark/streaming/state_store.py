@@ -266,11 +266,16 @@ def append_commit(
     """Write epoch ``epoch_id``'s append (delta or compaction
     snapshot), commit the marker, vacuum superseded parts. ``n_new``
     is the row count of ``new_rows`` WHEN the caller already has it
-    from its own materialization (zero rows skip the delta write);
-    ``None`` means unknown — the delta is written unconditionally,
-    which is cheaper than spending a count job just to sometimes skip
-    an empty write (an empty delta is a tiny valid parquet dir the
-    reader unions harmlessly and vacuum eventually absorbs).
+    from its own materialization (zero rows commit the marker only —
+    no delta dir, no compaction trigger, so an idle stream never
+    accumulates parts or rewrites an unchanged store); ``None`` means
+    unknown — the delta is written unconditionally, which is cheaper
+    than spending a fresh-plan count job just to sometimes skip an
+    empty write (an empty delta is a tiny valid parquet dir the
+    reader unions harmlessly and vacuum eventually absorbs). Callers
+    that already hold their epoch's rows materialized (the ER sink's
+    assignments checkpoint) should derive ``n_new`` from those blocks
+    — that count is nearly free and buys the idle-epoch fast path.
     ``state`` is the caller's already-resolved pre-image frame (from
     ``read_append_state`` at epoch start), reused by compaction so it
     needn't re-resolve the store.
@@ -282,6 +287,13 @@ def append_commit(
     fs, jroot = _fs(spark, root)
     if not fs.exists(jroot):
         fs.mkdirs(jroot)
+    if n_new == 0:
+        # Nothing to append: commit the marker only — no empty delta
+        # part dir, and NO compaction (an idle stream must not
+        # periodically rewrite an unchanged registry; round-15 ADVICE).
+        _commit(spark, root, epoch_id)
+        _vacuum_append(spark, root, keep_from=committed)
+        return
     prev_snap, prev_deltas = _append_parts(fs, jroot, committed)
     live_deltas = [e for e in prev_deltas if e > prev_snap]
     if len(live_deltas) + 1 > compact_every:
