@@ -740,6 +740,7 @@ def ladder_candidates(
     b2: DataFrame,
     levels: tuple[tuple[str, ...], ...],
     cap: int,
+    persist_gen: list[int] | None = None,
 ) -> tuple[DataFrame, list[DataFrame], DataFrame]:
     """One refine-then-purge ladder (the qer04 kernel, generalized in
     round 14 so qer05 can run SEVERAL chains): ``levels`` is a nested
@@ -756,7 +757,20 @@ def ladder_candidates(
     level-(i-1) over-key, so key membership alone reproduces the
     descended row sets without re-filtering. Every level is block-
     grain count aggs (map-side combinable) + key-grain joins; per-
-    block join product <= cap at every kept level."""
+    block join product <= cap at every kept level.
+
+    ``persist_gen`` (round 15, from the streaming gate's purge
+    metrics): when a caller passes a list, each level's block-count
+    frame is lazily DISK_ONLY-marked and the generation ids appended —
+    the frames then materialize as a side effect of the scoring run
+    that evaluates the ladder, so a later observability pass (counting
+    the purged keys) reads cached block-grain data instead of
+    re-scanning both sides per level. Callers own freeing the ids
+    (lifecycle.free_blocks) once the metrics land."""
+    from event_stream_aggr_spark.operators.lifecycle import (
+        disk_checkpoint_lazy,
+    )
+
     keeps: list[DataFrame] = []
     cur_a, cur_b = a2, b2
     over = None
@@ -765,6 +779,9 @@ def ladder_candidates(
         ca = cur_a.groupBy(*keys).agg(F.count(F.lit(1)).alias("ca"))
         cb = cur_b.groupBy(*keys).agg(F.count(F.lit(1)).alias("cb"))
         blocks = ca.join(cb, keys)
+        if persist_gen is not None:
+            blocks, b_gen = disk_checkpoint_lazy(blocks)
+            persist_gen.extend(b_gen)
         keep = blocks.filter(F.col("ca") * F.col("cb") <= cap).select(*keys)
         over = blocks.filter(F.col("ca") * F.col("cb") > cap).select(*keys)
         keeps.append(keep)
@@ -1456,6 +1473,7 @@ def composed_scored_pairs(
     b: DataFrame,
     cap: int = REFINE_CAP,
     purged_out: list[DataFrame] | None = None,
+    persist_gen: list[int] | None = None,
 ) -> DataFrame:
     """qer05's pass-diverse candidate generation as a PAIR-PRODUCING
     kernel with ``scored_pairs``'s output contract — (a_id, b_id, w,
@@ -1472,14 +1490,17 @@ def composed_scored_pairs(
     descend rule; the key frames are block-grain and AQE-broadcasts
     them when small). ``purged_out``, when given, receives the two
     passes' purged-key frames (pass A, pass B) for observability
-    counters — block-grain, count them cheaply."""
+    counters — block-grain, count them cheaply; pass ``persist_gen``
+    alongside it so those counts read the ladder's cached block-count
+    frames (``ladder_candidates``) instead of re-scanning both
+    sides."""
     a_name, b_name = _name_frames(a, b)
     cand_a, keeps_a, purged_a = ladder_candidates(
-        a_name, b_name, PASS_A_LEVELS, cap
+        a_name, b_name, PASS_A_LEVELS, cap, persist_gen=persist_gen
     )
     a_band, b_band = _band_frames(a, b)
     cand_b, keeps_b, purged_b = ladder_candidates(
-        a_band, b_band, PASS_B_LEVELS, cap
+        a_band, b_band, PASS_B_LEVELS, cap, persist_gen=persist_gen
     )
     if purged_out is not None:
         purged_out.extend([purged_a, purged_b])

@@ -137,6 +137,9 @@ def link_batch(
     block_cap: int = BLOCK_CAP,
     cc_gen: list[int] | None = None,
     blocking: str = "flat",
+    purged_store_out: list[DataFrame] | None = None,
+    purged_batch_out: list[DataFrame] | None = None,
+    metric_gen: list[int] | None = None,
 ) -> DataFrame:
     """One linking round: assign every record an entity id.
 
@@ -148,13 +151,35 @@ def link_batch(
 
     ``cc_gen``: forwarded to ``connected_components(gen_out=...)`` —
     collects the component step's still-registered checkpoint block
-    ids (edge list + final label generation) so a per-epoch caller can
-    free them after its own eager checkpoint of the returned
-    assignments supersedes their lineage.
-    """
-    from event_stream_aggr_spark.operators.cluster import connected_components
+    ids (edge list + final label generation + the store-match mark) so
+    a per-epoch caller can free them after its own eager checkpoint of
+    the returned assignments supersedes their lineage.
 
-    pair_fn = _pair_fn(blocking)
+    ``purged_store_out`` / ``purged_batch_out`` (round-15 ADVICE, the
+    composed path only): receive each pairing's two purged-key frames
+    (name ladder, balance ladder) from ``composed_scored_pairs`` so
+    the sink's purge counters count the SAME frames the scoring run
+    evaluated instead of rebuilding the ladders; ``metric_gen``
+    collects the ladder block-count persists those frames read —
+    freed by the sink after the metrics land."""
+    from event_stream_aggr_spark.operators.cluster import connected_components
+    from event_stream_aggr_spark.operators.linkage import (
+        composed_scored_pairs,
+    )
+
+    _pair_fn(blocking)  # validate the strategy name
+    if blocking == "composed":
+
+        def pair_fn(x, y, cap, out=None):
+            return composed_scored_pairs(
+                x, y, cap, purged_out=out, persist_gen=metric_gen
+            )
+
+    else:
+
+        def pair_fn(x, y, cap, out=None):
+            return scored_pairs(x, y, cap)
+
     recs_a = _as_a(records, id_col)
 
     # store matches: min entity_id among registry rows scoring >=
@@ -169,7 +194,12 @@ def link_batch(
 
     if registry is not None:
         store_match = (
-            pair_fn(recs_a, _as_b(registry, "entity_id"), block_cap)
+            pair_fn(
+                recs_a,
+                _as_b(registry, "entity_id"),
+                block_cap,
+                out=purged_store_out,
+            )
             .filter(F.col("decision") == "match")
             .groupBy(F.col("a_id").alias("rid"))
             .agg(F.min("b_id").alias("store_ent"))
@@ -196,7 +226,9 @@ def link_batch(
     # Envelope: ids (rec and entity) must lie in [0, 2^62) — entity
     # ids are founded from rec ids, so one bound covers both; beyond
     # it, escalate to struct(min-priority, id) labels.
-    batch_pairs = pair_fn(recs_a, _as_b(records, id_col), block_cap).filter(
+    batch_pairs = pair_fn(
+        recs_a, _as_b(records, id_col), block_cap, out=purged_batch_out
+    ).filter(
         (F.col("decision") == "match") & (F.col("a_id") < F.col("b_id"))
     )
     init = (
@@ -240,28 +272,18 @@ def link_batch(
     ).withColumn("is_new", F.col("entity_id") == F.col("rec_id"))
 
 
-def _ladder_purged_counts(
-    a: DataFrame, b: DataFrame, cap: int
-) -> DataFrame:
+def _purged_pair_counts(frames: list[DataFrame]) -> DataFrame:
     """One row (n_purged_p1, n_purged_p2) for the COMPOSED blocking
-    strategy: p1 = the name ladder's purged blocks, p2 = the balance
-    ladder's — the per-pass recall-loss counters of qer05's report,
-    at block grain only (the candidate frames are never referenced,
-    so no pair is ever enumerated for observability)."""
-    from event_stream_aggr_spark.operators.linkage import (
-        PASS_A_LEVELS,
-        PASS_B_LEVELS,
-        _band_frames,
-        _name_frames,
-        ladder_candidates,
-    )
-
-    an, bn = _name_frames(a, b)
-    ab_, bb_ = _band_frames(a, b)
-    _, _, purged_a = ladder_candidates(an, bn, PASS_A_LEVELS, cap)
-    _, _, purged_b = ladder_candidates(ab_, bb_, PASS_B_LEVELS, cap)
-    return purged_a.agg(F.count(F.lit(1)).alias("n_purged_p1")).crossJoin(
-        F.broadcast(purged_b.agg(F.count(F.lit(1)).alias("n_purged_p2")))
+    strategy from the purged-key frames ``link_batch`` forwarded out
+    of the scoring run itself (round-15 ADVICE): p1 = the name
+    ladder's purged blocks, p2 = the balance ladder's — the per-pass
+    recall-loss counters of qer05's report. Block-grain only, and the
+    frames read the ladder's PERSISTED block-count generations (see
+    ``ladder_candidates(persist_gen=...)``), so these counts re-scan
+    neither the micro-batch nor the registry."""
+    pa, pb = frames
+    return pa.agg(F.count(F.lit(1)).alias("n_purged_p1")).crossJoin(
+        F.broadcast(pb.agg(F.count(F.lit(1)).alias("n_purged_p2")))
     )
 
 
@@ -315,6 +337,8 @@ def entity_resolution_sink(
         cc_gen: list[int] = []
         cnt_gen: list[int] = []
         blocks: list[int] = []
+        purged_store: list[DataFrame] = []
+        purged_batch: list[DataFrame] = []
         try:
             assignments = link_batch(
                 batch,
@@ -323,6 +347,12 @@ def entity_resolution_sink(
                 block_cap=block_cap,
                 cc_gen=cc_gen,
                 blocking=blocking,
+                purged_store_out=purged_store,
+                purged_batch_out=purged_batch,
+                # ladder block-count persists ride the metric free
+                # list: the purge counters below read them, then the
+                # post-metrics free (or the finally) releases them
+                metric_gen=cnt_gen,
             )
             # ONE evaluation of the scoring dataflow per epoch: the
             # output write and the registry fold below both probe the
@@ -380,17 +410,17 @@ def entity_resolution_sink(
             else:
                 # composed blocking: p1/p2 reinterpret as the name /
                 # balance LADDERS' purged-block counts (qer05's
-                # per-pass counters) — block-grain dataflows only
+                # per-pass counters). The frames come out of the
+                # scoring run itself (link_batch's purged_*_out) and
+                # read its persisted block-count generations — no
+                # ladder rebuild, no batch/registry re-scan (round-15
+                # ADVICE).
                 store_purged = (
-                    _ladder_purged_counts(
-                        recs_a, _as_b(state, "entity_id"), block_cap
-                    )
-                    if state is not None
+                    _purged_pair_counts(purged_store)
+                    if purged_store
                     else None
                 )
-                batch_purged = _ladder_purged_counts(
-                    recs_a, _as_b(batch, id_col), block_cap
-                )
+                batch_purged = _purged_pair_counts(purged_batch)
             batch_purged = batch_purged.select(
                 F.col("n_purged_p1").alias("batch_purged_p1"),
                 F.col("n_purged_p2").alias("batch_purged_p2"),
