@@ -309,9 +309,15 @@ def entity_resolution_sink(
         free_blocks,
     )
 
+    # one cursor per sink closure = per store root (single-writer
+    # invariant): after the first cold epoch, read-resolution and
+    # commit/vacuum run with zero filesystem listings (round 15, the
+    # r14 append-floor tune)
+    cursor = ss.AppendCursor()
+
     def apply(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        state, committed = ss.read_append_state(spark, root)
+        state, committed = ss.read_append_state(spark, root, cursor=cursor)
         if epoch_id < committed:
             raise ValueError(
                 f"entity_resolution_sink at {root}: batch id {epoch_id} is "
@@ -474,6 +480,7 @@ def entity_resolution_sink(
                 committed,
                 n_new=n_new,
                 state=state,
+                cursor=cursor,
             )
         finally:
             free_blocks(spark, blocks + cc_gen + cnt_gen)

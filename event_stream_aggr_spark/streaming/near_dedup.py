@@ -94,9 +94,14 @@ def near_dedup_sink(
         free_blocks,
     )
 
+    # one cursor per sink closure = per store root (single-writer
+    # invariant): zero per-epoch filesystem listings after the first
+    # cold epoch (round 15, the r14 append-floor tune)
+    cursor = ss.AppendCursor()
+
     def apply(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        state, committed = ss.read_append_state(spark, root)
+        state, committed = ss.read_append_state(spark, root, cursor=cursor)
         if epoch_id < committed:
             raise ValueError(
                 f"near_dedup_sink at {root}: batch id {epoch_id} is below "
@@ -163,6 +168,7 @@ def near_dedup_sink(
                 committed,
                 n_new=n_kept_buckets,
                 state=state,
+                cursor=cursor,
             )
         finally:
             # the epoch's eager kept_buckets checkpoint supersedes the
