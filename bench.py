@@ -954,14 +954,16 @@ def curation_stream_bench(spark) -> dict:
         shutil.rmtree(src, ignore_errors=True)
 
 
-def er_stream_bench(spark) -> dict:
+def er_stream_bench(spark, blocking: str = "auto") -> dict:
     """Streaming entity-resolution gate throughput (round 12,
     streaming/linkage.py): customers and their derived second-source
     twins interleaved as one arrival stream through the canonical-
     registry foreachBatch — per epoch: blocked scoring against the
     registry, within-batch connected components, registry fold.
     records/s counts INPUT records. Fresh state root + checkpoint per
-    run so every run pays the same empty-registry start."""
+    run so every run pays the same empty-registry start. ``blocking``
+    forwards to the sink (round 15: the headline runs the 'auto'
+    default; _er_block adds priced rows for both forced kernels)."""
     import shutil
     import tempfile
 
@@ -1002,7 +1004,9 @@ def er_stream_bench(spark) -> dict:
         q = (
             stream.writeStream.foreachBatch(
                 entity_resolution_sink(
-                    os.path.join(work, "state"), os.path.join(work, "out")
+                    os.path.join(work, "state"),
+                    os.path.join(work, "out"),
+                    blocking=blocking,
                 )
             )
             .option("checkpointLocation", os.path.join(work, "_ckpt"))
@@ -1546,6 +1550,24 @@ def _er_block(spark) -> dict:
     if total and block.get("sec"):
         stages["covers_frac_of_sec"] = round(total / block["sec"], 3)
     block["stages"] = stages
+    # Both forced kernels priced beside the 'auto' headline (round 15,
+    # the r14 verdict's measured-default ask): same corpus, same
+    # median-of-3 discipline. On this corpus no block purges, so auto
+    # resolves to flat every epoch and the flat row prices the
+    # decision-free kernel; the composed row prices the ladders the
+    # gate switches to past the purge crossover.
+    block["modes"] = {
+        m: median_of_3_stream(
+            lambda s, _m=m: er_stream_bench(s, blocking=_m),
+            spark,
+            rate_key="records_per_sec",
+        )
+        for m in ("flat", "composed")
+    }
+    block["default"] = (
+        "auto: flat until a flat block would purge this epoch "
+        "(exact block-grain probe), then composed"
+    )
     return block
 
 

@@ -292,7 +292,7 @@ def entity_resolution_sink(
     out_dir: str,
     id_col: str = "rec_id",
     block_cap: int = BLOCK_CAP,
-    blocking: str = "flat",
+    blocking: str = "auto",
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function: link each micro-batch against the
     entity registry at ``root``, write assignments to
@@ -302,7 +302,31 @@ def entity_resolution_sink(
         stream.writeStream.foreachBatch(
             entity_resolution_sink(root, out_dir)
         ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+
+    ``blocking`` (round 15, the r14 verdict's measured-default ask):
+
+    - ``'auto'`` (default) — per epoch, FLAT two-pass blocking until
+      flat would PURGE a block for THIS epoch's arrivals (any P1/P2
+      block of the batch or batch-vs-registry pairing whose join
+      product exceeds ``block_cap``), then qer05's composed
+      refinement ladders for that epoch. The crossover is exact and
+      data-driven, not a tuned constant: below it the two kernels
+      link identically (no block purges ⇒ flat loses nothing) and
+      flat is the cheaper plan (2 equi-join passes vs 2 refinement
+      ladders + a membership pass — the BENCH gate rows price both);
+      above it flat silently drops recall (the dense-grid audit's
+      cliff: flat 0.803→spill, composed 1.000) while composed's kept
+      blocks stay <= cap. The probe costs one block-grain action over
+      count frames the flat metrics path materializes anyway, and the
+      chosen kernel lands in the ``mode`` column of every purge-
+      metrics row, so the decision is observable per epoch.
+    - ``'flat'`` / ``'composed'`` — force the kernel.
     """
+    if blocking not in ("auto", "flat", "composed"):
+        raise ValueError(
+            f"unknown blocking strategy {blocking!r}: expected 'auto', "
+            "'flat' or 'composed'"
+        )
     from event_stream_aggr_spark.operators.lifecycle import (
         disk_checkpoint,
         disk_checkpoint_lazy,
@@ -345,14 +369,48 @@ def entity_resolution_sink(
         blocks: list[int] = []
         purged_store: list[DataFrame] = []
         purged_batch: list[DataFrame] = []
+        recs_a = _as_a(batch, id_col)
+        mode = blocking
+        batch_counts = store_counts = None
         try:
+            if blocking == "auto":
+                # Exact per-epoch crossover (docstring): flat purges a
+                # block this epoch ⇔ flat loses recall this epoch ⇔
+                # composed earns its extra passes. The probe is the
+                # SAME block-grain count frames the flat metrics path
+                # materializes, computed up front and reused below —
+                # one extra block-grain action, zero extra source
+                # scans.
+                batch_counts, bc_gen = disk_checkpoint_lazy(
+                    block_key_counts(recs_a, "a")
+                )
+                cnt_gen.extend(bc_gen)
+                probe = purged_from_counts(
+                    batch_counts, batch_counts, block_cap
+                )
+                if state is not None:
+                    store_counts, sc_gen = disk_checkpoint_lazy(
+                        block_key_counts(_as_b(state, "entity_id"), "b")
+                    )
+                    cnt_gen.extend(sc_gen)
+                    probe = probe.unionByName(
+                        purged_from_counts(
+                            batch_counts, store_counts, block_cap
+                        )
+                    )
+                n_over = probe.agg(
+                    (
+                        F.sum("n_purged_p1") + F.sum("n_purged_p2")
+                    ).alias("t")
+                ).first()["t"]
+                mode = "composed" if n_over else "flat"
             assignments = link_batch(
                 batch,
                 state,
                 id_col=id_col,
                 block_cap=block_cap,
                 cc_gen=cc_gen,
-                blocking=blocking,
+                blocking=mode,
                 purged_store_out=purged_store,
                 purged_batch_out=purged_batch,
                 # ladder block-count persists ride the metric free
@@ -388,23 +446,26 @@ def entity_resolution_sink(
             # batch count frame serves as BOTH sides of the
             # batch-pairing counter (same rows either way) and the
             # a-side of the store pairing.
-            recs_a = _as_a(batch, id_col)
-            if blocking == "flat":
+            if mode == "flat":
                 # LAZY marks (not eager checkpoints): the count
                 # frames' blocks materialize inside the metrics write
                 # itself — one job total — and every later reference
                 # in that plan reads the DISK_ONLY blocks, so the
                 # micro-batch and registry are still scanned once
-                # each without paying two extra per-epoch jobs
-                batch_counts, bc_gen = disk_checkpoint_lazy(
-                    block_key_counts(recs_a, "a")
-                )
-                cnt_gen.extend(bc_gen)
-                if state is not None:
-                    store_counts, sc_gen = disk_checkpoint_lazy(
-                        block_key_counts(_as_b(state, "entity_id"), "b")
+                # each without paying two extra per-epoch jobs.
+                # Under 'auto' the frames already exist (the decision
+                # probe materialized them) and are reused as-is.
+                if batch_counts is None:
+                    batch_counts, bc_gen = disk_checkpoint_lazy(
+                        block_key_counts(recs_a, "a")
                     )
-                    cnt_gen.extend(sc_gen)
+                    cnt_gen.extend(bc_gen)
+                if state is not None:
+                    if store_counts is None:
+                        store_counts, sc_gen = disk_checkpoint_lazy(
+                            block_key_counts(_as_b(state, "entity_id"), "b")
+                        )
+                        cnt_gen.extend(sc_gen)
                     store_purged = purged_from_counts(
                         batch_counts, store_counts, block_cap
                     )
@@ -446,6 +507,9 @@ def entity_resolution_sink(
                 F.col("n_purged_p2").alias("store_purged_p2"),
                 "batch_purged_p1",
                 "batch_purged_p2",
+                # the kernel that actually linked this epoch — under
+                # 'auto' this is the per-epoch decision's audit trail
+                F.lit(mode).alias("mode"),
             )
             metrics.write.mode("overwrite").parquet(
                 f"{out_dir}/purge_metrics/epoch={epoch_id}"

@@ -204,11 +204,14 @@ def test_purge_metrics_written_per_epoch(spark, tmp_path):
     # is identical (same parameterized plan).
     cap = 4
     root, out = str(tmp_path / "state"), str(tmp_path / "out")
-    sink = entity_resolution_sink(root, out, block_cap=cap)
+    # blocking="flat" pinned: this test asserts the FLAT purge
+    # counters and the flat kernel's recall loss; the default 'auto'
+    # would switch these dense epochs to the composed ladders
+    sink = entity_resolution_sink(root, out, block_cap=cap, blocking="flat")
     # epoch 0: cold store → store counters forced to 0 by contract
     sink(_recs(spark, [(1, "Acme", "AUTO", 100.0, 7)]), 0)
     m0 = spark.read.parquet(f"{out}/purge_metrics/epoch=0").collect()
-    assert [tuple(r) for r in m0] == [(0, 0, 0, 0, 0)]
+    assert [tuple(r) for r in m0] == [(0, 0, 0, 0, 0, "flat")]
     # grow a hot P1 block: cap+1 distinct registry entities all named
     # "Hot" (pairwise non-matching: seg differs and balances are
     # > 5.00 apart AND in distinct balance bands → each founds an
@@ -219,7 +222,7 @@ def test_purge_metrics_written_per_epoch(spark, tmp_path):
     ]
     sink(_recs(spark, hot), 1)
     m1 = spark.read.parquet(f"{out}/purge_metrics/epoch=1").collect()
-    assert [tuple(r) for r in m1] == [(1, 0, 0, 1, 0)]
+    assert [tuple(r) for r in m1] == [(1, 0, 0, 1, 0, "flat")]
     state, _ = read_append_state(spark, root)
     assert state.filter(F.col("name") == "Hot").count() == cap + 1
     # one arrival named "Hot" in a balance band no store entity
@@ -227,7 +230,7 @@ def test_purge_metrics_written_per_epoch(spark, tmp_path):
     # (1 × (cap+1)) exceeds the cap → purged, and the counter says so
     sink(_recs(spark, [(999, "Hot", "S0", 500.0, 7)]), 2)
     m2 = spark.read.parquet(f"{out}/purge_metrics/epoch=2").collect()
-    assert [tuple(r) for r in m2] == [(2, 1, 0, 0, 0)]
+    assert [tuple(r) for r in m2] == [(2, 1, 0, 0, 0, "flat")]
     # ... and the purged arrival founded a duplicate entity (the
     # recall loss the counter makes visible)
     a = _assignments(spark, out)
@@ -352,3 +355,61 @@ def test_er_sink_rejects_unknown_blocking(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown blocking strategy"):
         link_batch(recs, None, blocking="fancy")
+
+
+def test_er_sink_rejects_unknown_blocking_at_construction(tmp_path):
+    from event_stream_aggr_spark.streaming.linkage import (
+        entity_resolution_sink,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown blocking strategy"):
+        entity_resolution_sink(str(tmp_path / "s"), str(tmp_path / "o"),
+                               blocking="fancy")
+
+
+def test_er_sink_auto_picks_flat_then_composed(spark, tmp_path):
+    """The 'auto' default's crossover, end to end: a sparse epoch runs
+    the flat kernel (no block would purge, so flat links identically
+    and is cheaper), and a dense epoch — the exact corpus where flat
+    purge-cliffs away a true duplicate — switches to the composed
+    ladders and recovers it. The per-epoch choice lands in the purge
+    metrics' mode column."""
+    from event_stream_aggr_spark.streaming.linkage import (
+        entity_resolution_sink,
+    )
+
+    schema = "rec_id long, name string, seg string, bal double, nation long"
+    cap = 4
+    root, out = str(tmp_path / "state"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out, block_cap=cap)  # auto default
+    # epoch 0: sparse — distinct names, distinct bands, nothing purges
+    e0 = spark.createDataFrame(
+        [(1, "alice", "AUTO", 10.0, 3), (2, "bob", "BIKE", 500.0, 4)],
+        schema,
+    )
+    sink(e0, 0)
+    m0 = spark.read.parquet(f"{out}/purge_metrics/epoch=0").first()
+    assert m0["mode"] == "flat"
+    # epoch 1: the flat-loses/composed-links corpus (5 same-name rows,
+    # 5x5 > cap purges the name AND band blocks wholesale under flat;
+    # the composed balance ladder descends to exact balance and keeps
+    # the 2x2 block holding the true duplicate of rec 11)
+    e1 = spark.createDataFrame(
+        [
+            (11, "Acme Corporation Intl", "AUTO", 100.0, 7),
+            (12, "Acme Corporation Intl", "AUTO", 110.0, 7),
+            (13, "Acme Corporation Intl", "AUTO", 120.0, 7),
+            (14, "Acme Corporation Intl", "AUTO", 100.0, 7),  # dup of 11
+            (15, "Acme Corporation Intl", "AUTO", 130.0, 7),
+        ],
+        schema,
+    )
+    sink(e1, 1)
+    m1 = spark.read.parquet(f"{out}/purge_metrics/epoch=1").first()
+    assert m1["mode"] == "composed"
+    asg = {
+        r.rec_id: r.entity_id
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    assert asg[14] == 11  # the duplicate flat would have dropped
