@@ -359,6 +359,14 @@ def upscale_probe(spark, specs, headline, primary_timings, top_n: int = 10) -> d
         return {}
     probe_dir = os.path.join(root, candidates[-1])  # largest synthesized SF
     top = sorted(headline, key=lambda n: -primary_timings[n])[:top_n]
+    # Always-probed set (round 15, the r14 verdict's ask #4): the ER
+    # blocking compositions ride the official per-round upscale
+    # instrument regardless of their primary-SF rank, so their
+    # spill-free claims are re-measured every round, not only by the
+    # bespoke density grid.
+    for must in ("qer01_record_linkage", "qer05_composed_blocking"):
+        if must in specs and must not in top:
+            top.append(must)
     out = {
         "probe_sf": infer_sf(probe_dir),
         "data_ratio_vs_primary": round(infer_sf(probe_dir) / infer_sf(SF_DIR), 1),

@@ -35,6 +35,10 @@ QUERIES = (
     # round 12: the ER blocking joins (exact-name + nation x balance
     # band) — candidate volume must grow with block sizes, not |A|x|B|
     "qer01_record_linkage",
+    # round 15: the pass-diverse refinement composition — kept-block
+    # join products stay <= cap and nothing pair-sized shuffles, so
+    # its bytes must grow with kept-block volume, spill-free
+    "qer05_composed_blocking",
 )
 
 
