@@ -308,9 +308,52 @@ def scored_pairs(
     the u probabilities). Candidate volume is the sum of surviving
     block-pair products, never |A| x |B|; blocks over ``block_cap``
     are purged (see module docstring).
-    """
-    cand = candidate_pairs(a, b, block_cap)
-    pairs = cand.join(a, "a_id").join(b, "b_id")
+
+    Round 15 (from the ER gate's batch_components_assembly budget):
+    the cross-pass dedup is the same block-grain MEMBERSHIP test the
+    composed kernel uses, not a pair-grain ``distinct`` + two
+    join-backs. Within a pass each pair surfaces exactly once (one
+    equi-join on one key), so dedup only needs "drop a P2 pair that is
+    also a P1 pair" — and a pair is in P1 iff both names agree AND
+    that name's block was kept, testable with one left join against
+    the block-grain kept-name frame (AQE broadcasts it). Each pass
+    carries the compare fields from its own blocking join, so NOTHING
+    pair-sized shuffles: the old shape paid one pair-grain distinct
+    plus two pair-grain fetch joins per evaluation — at 100 TB those
+    were the three widest exchanges in the linker. The pair SET is
+    identical (the distinct-based ``candidate_pairs`` remains as the
+    property-test witness, and the oracle replays UNION-distinct
+    semantics in SQL)."""
+    keep1 = _p1_blocks(a, b, block_cap)
+    p1 = (
+        a.join(keep1, a["a_name"] == F.col("k1"))
+        .join(b, F.col("k1") == b["b_name"])
+        .select(*_PAIR_COLS)
+    )
+    a2 = a.withColumn("k2n", F.col("a_nation")).withColumn(
+        "k2b", F.floor(F.col("a_bal") / BAL_BAND)
+    )
+    b2 = b.withColumn("k2n", F.col("b_nation")).withColumn(
+        "k2b", F.floor(F.col("b_bal") / BAL_BAND)
+    )
+    p2 = a2.join(_p2_blocks(a, b, block_cap), ["k2n", "k2b"]).join(
+        b2, ["k2n", "k2b"]
+    )
+    in_p1 = (F.col("a_name") == F.col("b_name")) & F.col(
+        "__in1"
+    ).isNotNull()
+    p2_only = (
+        p2.join(
+            keep1.select(
+                F.col("k1").alias("__k1"), F.lit(True).alias("__in1")
+            ),
+            p2["a_name"] == F.col("__k1"),
+            "left",
+        )
+        .filter(~F.coalesce(in_p1, F.lit(False)))
+        .select(*_PAIR_COLS)
+    )
+    pairs = p1.unionAll(p2_only)
     w = (
         F.when(F.col("a_name") == F.col("b_name"), F.lit(W_AGREE["name"]))
         .otherwise(F.lit(W_DISAGREE["name"]))

@@ -281,3 +281,40 @@ def test_t_closeness_invariants(spark, specs):
         # every t-closeness class has >= 1 linked order, so per nation
         # it is bounded by qa10's total class count at the same grain
         assert r["n_classes"] <= qa10[r["nation_key"]]["n_classes"]
+
+
+def test_membership_dedup_equals_distinct_witness(spark):
+    """Round 15: scored_pairs dedups its two passes by block-grain
+    membership (no pair-grain distinct/join-backs); candidate_pairs
+    remains the distinct-based witness. The pair SETS must be
+    identical — on the real corpus AND on a tight-cap corpus where
+    purging interacts with the membership rule (a same-name pair whose
+    name block is purged must SURVIVE via P2, not be dropped as 'in
+    P1')."""
+    from event_stream_aggr_spark.operators.linkage import candidate_pairs
+
+    a, b = _a_side(spark, SF), _twin_side(spark, SF)
+    got = {(r.a_id, r.b_id) for r in scored_pairs(a, b).collect()}
+    want = {(r.a_id, r.b_id) for r in candidate_pairs(a, b).collect()}
+    assert got == want and len(got) > 0
+
+    # tight-cap corpus: 3 same-name records in one balance band (name
+    # block 3x3=9 > cap=4 purged; the band block 3x3=9 also > 4 at P2
+    # ... so shrink: 2 same-name + 1 odd name in the band) — the
+    # same-name pair's name block (2x2=4 <= 4) is KEPT, so its P2
+    # twin must drop; with cap=3 the name block purges and the pair
+    # must come back through P2.
+    rows_a = [(1, "acme", "A", 100.0, 7), (2, "zoo", "B", 110.0, 7)]
+    rows_b = [(11, "acme", "A", 100.0, 7), (12, "acme", "C", 120.0, 7)]
+    sa = spark.createDataFrame(
+        rows_a, "a_id long, a_name string, a_seg string, a_bal double, a_nation long"
+    ).withColumn("a_bal", F.col("a_bal").cast("decimal(12,2)"))
+    sb = spark.createDataFrame(
+        rows_b, "b_id long, b_name string, b_seg string, b_bal double, b_nation long"
+    ).withColumn("b_bal", F.col("b_bal").cast("decimal(12,2)"))
+    for cap in (1, 2, 3, 4, 100):
+        got = {(r.a_id, r.b_id) for r in scored_pairs(sa, sb, cap).collect()}
+        want = {
+            (r.a_id, r.b_id) for r in candidate_pairs(sa, sb, cap).collect()
+        }
+        assert got == want, (cap, got, want)
