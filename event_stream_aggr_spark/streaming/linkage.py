@@ -328,7 +328,6 @@ def entity_resolution_sink(
             "'flat' or 'composed'"
         )
     from event_stream_aggr_spark.operators.lifecycle import (
-        disk_checkpoint,
         disk_checkpoint_lazy,
         free_blocks,
     )
@@ -420,9 +419,20 @@ def entity_resolution_sink(
             )
             # ONE evaluation of the scoring dataflow per epoch: the
             # output write and the registry fold below both probe the
-            # materialized blocks (near_dedup_sink's lifecycle,
-            # verbatim)
-            assignments, _, blocks = disk_checkpoint(assignments)
+            # materialized blocks (near_dedup_sink's lifecycle). The
+            # materializing action is a (count, sum(is_new)) aggregate
+            # instead of disk_checkpoint's plain count, so the n_new
+            # the append fold needs rides the SAME job (round 15: one
+            # job per epoch back).
+            assignments, a_gen = disk_checkpoint_lazy(assignments)
+            blocks = a_gen
+            n_new = int(
+                assignments.agg(
+                    F.coalesce(
+                        F.sum(F.col("is_new").cast("long")), F.lit(0)
+                    ).alias("n_new")
+                ).first()["n_new"]
+            )
             # assignments is now eagerly materialized, so nothing
             # reads the component step's lineage any more — free its
             # edge-list and label checkpoints NOW instead of holding
@@ -516,15 +526,13 @@ def entity_resolution_sink(
             )
             free_blocks(spark, cnt_gen)
             cnt_gen.clear()
+            # n_new came from the checkpoint's materializing aggregate
+            # above (round-15 ADVICE): an idle or all-linked epoch
+            # appends nothing — no empty delta part dirs, no spurious
+            # compaction rewrites of an unchanged registry.
             new_ids = assignments.filter("is_new").select(
                 F.col("rec_id").alias("_new_rid")
             )
-            # n_new from the MATERIALIZED assignments checkpoint — a
-            # filter+count over DISK_ONLY blocks, not a fresh plan
-            # (round-15 ADVICE): with it, an idle or all-linked epoch
-            # appends nothing — no empty delta part dirs, no spurious
-            # compaction rewrites of an unchanged registry.
-            n_new = new_ids.count()
             new_entities = batch.join(
                 new_ids, batch[id_col] == F.col("_new_rid"), "left_semi"
             ).select(
