@@ -1602,3 +1602,110 @@ def composed_scored_pairs(
         .otherwise(F.lit("non_match"))
         .alias("decision"),
     )
+
+
+@register(
+    "qer06_blocking_advisor",
+    tags=("linkage", "audit", "agg"),
+    oracle=f"""
+WITH {_src_ctes()},
+p1 AS (
+  SELECT x.ca, y.cb FROM
+    (SELECT a_name AS k1, COUNT(*) AS ca FROM a GROUP BY a_name) x
+    JOIN (SELECT b_name AS k1, COUNT(*) AS cb FROM twin GROUP BY b_name) y
+      ON x.k1 = y.k1),
+p2 AS (
+  SELECT x.ca, y.cb FROM
+    (SELECT a_nation AS k2n, FLOOR(a_bal / {BAL_BAND}) AS k2b,
+            COUNT(*) AS ca FROM a GROUP BY 1, 2) x
+    JOIN (SELECT b_nation AS k2n, FLOOR(b_bal / {BAL_BAND}) AS k2b,
+             COUNT(*) AS cb FROM twin GROUP BY 1, 2) y
+      ON x.k2n = y.k2n AND x.k2b = y.k2b),
+s1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks_p1,
+         CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_product_p1,
+         CAST(COALESCE(SUM(CASE WHEN ca * cb > {BLOCK_CAP} THEN 1 ELSE 0
+                           END), 0) AS BIGINT) AS n_purged_p1
+  FROM p1),
+s2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks_p2,
+         CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_product_p2,
+         CAST(COALESCE(SUM(CASE WHEN ca * cb > {BLOCK_CAP} THEN 1 ELSE 0
+                           END), 0) AS BIGINT) AS n_purged_p2
+  FROM p2)
+SELECT n_blocks_p1, max_product_p1, n_purged_p1,
+       n_blocks_p2, max_product_p2, n_purged_p2,
+       CASE WHEN n_purged_p1 + n_purged_p2 > 0
+            THEN 'composed' ELSE 'flat' END AS chosen_blocking
+FROM s1, s2
+""",
+)
+def qer06_blocking_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy advisor (round 15): the streaming gate's
+    ``blocking='auto'`` crossover as an offline, oracle-paired report
+    — for this corpus pairing, would FLAT two-pass blocking purge any
+    block at BLOCK_CAP? One row: per-pass co-occurring block counts,
+    the maximum |A_b|x|B_b| join product (headroom below the cap), the
+    purged-block counts, and the strategy the gate's exact rule would
+    choose ('composed' iff any block purges, else 'flat' — below the
+    crossover the kernels link identically and flat is cheaper; above
+    it flat silently loses recall). Run it before standing up a feed
+    to pick the gate's setting from data, and on schedule to see the
+    crossover approach as sources densify.
+
+    Scale shape (100 TB): ONE grouping-sets scan per side
+    (``block_key_counts`` — both pass grains in one map-side-
+    combinable aggregate), two block-key-grain joins, and three-counter
+    aggregates folded to a broadcast crossJoin of two 1-row frames;
+    nothing pair-grain exists in the plan at all."""
+    a = _a_side(spark, sf_dir)
+    b = _twin_side(spark, sf_dir)
+    ac = block_key_counts(a, "a")
+    bc = block_key_counts(b, "b")
+
+    def _pass_stats(gid: int, keys: list[str], n: str):
+        prod = F.col("ca") * F.col("cb")
+        return (
+            ac.filter(F.col("gid") == gid)
+            .select(*keys, F.col("c").alias("ca"))
+            .join(
+                bc.filter(F.col("gid") == gid).select(
+                    *keys, F.col("c").alias("cb")
+                ),
+                keys,
+            )
+            .agg(
+                F.count(F.lit(1)).alias(f"n_blocks_{n}"),
+                F.coalesce(F.max(prod), F.lit(0))
+                .cast("long")
+                .alias(f"max_product_{n}"),
+                F.coalesce(
+                    F.sum(F.when(prod > BLOCK_CAP, 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"n_purged_{n}"),
+            )
+        )
+
+    s1 = _pass_stats(P1_GID, ["k1"], "p1")
+    s2 = _pass_stats(P2_GID, ["k2n", "k2b"], "p2")
+    return (
+        s1.crossJoin(F.broadcast(s2))
+        .withColumn(
+            "chosen_blocking",
+            F.when(
+                F.col("n_purged_p1") + F.col("n_purged_p2") > 0,
+                F.lit("composed"),
+            ).otherwise(F.lit("flat")),
+        )
+        .select(
+            "n_blocks_p1",
+            "max_product_p1",
+            "n_purged_p1",
+            "n_blocks_p2",
+            "max_product_p2",
+            "n_purged_p2",
+            "chosen_blocking",
+        )
+    )
