@@ -597,6 +597,8 @@ SELECT node, component FROM comp
 """,
 )
 def qd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: connected_components fused-convergence rewrite — body
+    # touch for hash demotion
     """Near-dup pairs → connected components (dedup clusters).
 
     The pair generator is the package-default banded MinHash LSH
@@ -1457,6 +1459,8 @@ LEFT JOIN sizes s ON c.component = s.component
 """,
 )
 def qd19_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: connected_components fused-convergence rewrite — body
+    # touch for hash demotion
     """Soft deduplication: instead of DROPPING near-duplicates (qd08's
     clusters keep one exemplar), keep every copy but weight it
     1/|cluster| so a duplicated document contributes one document's

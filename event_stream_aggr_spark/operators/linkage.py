@@ -472,6 +472,9 @@ FROM decided GROUP BY decision
 """,
 )
 def qer01_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: scored_pairs dedups passes by block-grain membership (no
+    # pair-grain distinct/join-backs) — body touch so the hash-
+    # demotion protocol re-samples this query
     """Fellegi-Sunter probabilistic record linkage between customer and
     a derived second source (see module docstring): multi-pass blocking
     -> per-field agreement weights (log2 m/u literals, identical in
@@ -550,6 +553,8 @@ FROM sizes GROUP BY entity_size
 """,
 )
 def qer02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: scored_pairs membership dedup + fused-convergence
+    # connected_components — body touch for hash demotion
     """Entity formation over qer01's 'match' pairs: records from both
     sources are nodes (disjoint id namespaces), matched pairs are
     edges, entities are connected components, and the report is the

@@ -135,6 +135,8 @@ FROM docs_agg CROSS JOIN grp_agg
 """,
 )
 def qs02_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: connected_components fused-convergence rewrite — body
+    # touch for hash demotion
     """Leakage-safe train/eval split: near-duplicate documents must land
     in the SAME split, or eval leaks training data. Split by the hash of
     the dedup-cluster representative (qd08's connected components;
