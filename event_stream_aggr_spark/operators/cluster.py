@@ -36,19 +36,22 @@ def connected_components(
     min node id reachable. Deterministic (min-label), loop ends early
     on a fixed point.
 
-    Per-iteration shape (round-15 rewrite, from the ER gate's stage
+    Per-round shape (round-15 rewrite, from the ER gate's stage
     budget where ``batch_components_assembly`` was ~58% of the batch):
-    each round is ONE job — union(self-labels, neighbor-labels) →
-    groupBy min → lazy DISK_ONLY checkpoint whose materializing action
-    is the convergence count, with the node's PREVIOUS label carried
-    through the aggregation (``min(old)`` over the self row; neighbor
-    rows carry null, which min ignores) so convergence needs no
-    old-vs-new join. The previous loop paid a join-based changed-count
-    action that re-evaluated both generations every round plus an
-    every-3rd-round checkpoint; this one evaluates each generation
-    exactly once, reads the prior generation from its blocks, and
-    frees the superseded generation the moment its successor
-    materializes (the qg07 lifecycle).
+    each round is ONE job running TWO chained min-label steps —
+    union(self-labels, neighbor-labels) → groupBy min, twice — into a
+    lazy DISK_ONLY checkpoint whose materializing action is the
+    convergence count, with the mid-step label carried through the
+    second aggregation (``min(old)`` over the self row; neighbor rows
+    carry null, which min ignores) so convergence needs no old-vs-new
+    join. A diameter-1 match graph (the deduped-feed common case)
+    converges in ONE action; diameter d needs ceil(d/2)+1, each two
+    shuffles. The previous loop paid one action PER step plus a
+    join-based changed count that re-evaluated both generations;
+    this one evaluates each generation exactly once, reads the prior
+    generation from its blocks, and frees the superseded generation
+    the moment its successor materializes (the qg07 lifecycle).
+    ``max_iter`` counts rounds, i.e. up to 2x``max_iter`` label steps.
 
     ``init``: optional (node, component) seed labels for a SUBSET of
     nodes (e.g. the streaming ER gate seeds records with the registry
@@ -103,35 +106,43 @@ def connected_components(
         labels = nodes.withColumn("component", default_label)
 
     spark = pairs.sparkSession
+
+    def _min_step(lbl: DataFrame, with_old: bool) -> DataFrame:
+        """One min-label step: own label + every neighbor's, min per
+        node. ``with_old`` carries the PRE-step label through the
+        aggregation (self row only; neighbor rows null, which min
+        ignores — every node has exactly one self row, so ``old`` is
+        never null after the min) for the join-free convergence
+        count."""
+        neighbor = edges.join(lbl, edges.dst == lbl.node).select(
+            F.col("src").alias("node"), F.col("component")
+        )
+        self_rows = lbl.select("node", "component")
+        if with_old:
+            neighbor = neighbor.withColumn(
+                "old", F.lit(None).cast("long")
+            )
+            self_rows = self_rows.withColumn(
+                "old", F.col("component").cast("long")
+            )
+        aggs = [F.min("component").alias("component")]
+        if with_old:
+            aggs.append(F.min("old").alias("old"))
+        return self_rows.union(neighbor).groupBy("node").agg(*aggs)
+
     prev_gen: list[int] = []
     for _ in range(max_iter):
-        # candidate labels: own label (carrying the pre-iteration
-        # label as ``old``) + the label of every neighbor (old null)
-        neighbor_labels = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(
-                F.col("src").alias("node"),
-                F.col("component"),
-                F.lit(None).cast("long").alias("old"),
-            )
-        )
-        new_labels = (
-            labels.select(
-                "node",
-                "component",
-                F.col("component").cast("long").alias("old"),
-            )
-            .union(neighbor_labels)
-            .groupBy("node")
-            .agg(
-                F.min("component").alias("component"),
-                F.min("old").alias("old"),
-            )
-        )
+        # TWO min-label steps per job (round 15, from the ER gate's
+        # job-count-dominated components stage): step B carries step
+        # A's label as ``old``, the lazy checkpoint's materializing
+        # action is the A-vs-B changed count, and changed == 0 means
+        # step A was already a fixpoint — so a diameter-1 graph (the
+        # deduped-feed common case) converges in ONE action instead
+        # of two, and diameter d needs ceil(d/2)+1 actions, each one
+        # job with two shuffles. Superseded generations are freed the
+        # moment their successor materializes (the qg07 lifecycle).
+        new_labels = _min_step(_min_step(labels, False), True)
         new_labels, gen = disk_checkpoint_lazy(new_labels)
-        # ONE action: materializes this generation's blocks AND
-        # returns the changed count (every node has exactly one self
-        # row, so ``old`` is never null after the min)
         changed = new_labels.filter(
             F.col("component") != F.col("old")
         ).count()
