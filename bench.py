@@ -962,7 +962,7 @@ def curation_stream_bench(spark) -> dict:
         shutil.rmtree(src, ignore_errors=True)
 
 
-def er_stream_bench(spark, blocking: str = "auto") -> dict:
+def er_stream_bench(spark, blocking: str | None = None) -> dict:
     """Streaming entity-resolution gate throughput (round 12,
     streaming/linkage.py): customers and their derived second-source
     twins interleaved as one arrival stream through the canonical-
@@ -970,8 +970,10 @@ def er_stream_bench(spark, blocking: str = "auto") -> dict:
     registry, within-batch connected components, registry fold.
     records/s counts INPUT records. Fresh state root + checkpoint per
     run so every run pays the same empty-registry start. ``blocking``
-    forwards to the sink (round 15: the headline runs the 'auto'
-    default; _er_block adds priced rows for both forced kernels)."""
+    forwards to the sink when given; None means the ENGINE's default —
+    which keeps the vs_prev pairing default-vs-default when the live
+    harness drives the prev round's sink (whose option surface may
+    not know the live default's name)."""
     import shutil
     import tempfile
 
@@ -1014,7 +1016,7 @@ def er_stream_bench(spark, blocking: str = "auto") -> dict:
                 entity_resolution_sink(
                     os.path.join(work, "state"),
                     os.path.join(work, "out"),
-                    blocking=blocking,
+                    **({} if blocking is None else {"blocking": blocking}),
                 )
             )
             .option("checkpointLocation", os.path.join(work, "_ckpt"))
