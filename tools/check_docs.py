@@ -89,10 +89,10 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         r"salted_twin: auto `(?P<choice>\w+)/(?P<salt>\d+)` under armed AQE, "
         r"`(?P<off_choice>\w+)/(?P<off_salt>\d+)` disarmed",
         {
-            "choice": "BENCH_R14_CLOSE.json#skew.salted_twin.auto_join.strategy.choice",
-            "salt": "BENCH_R14_CLOSE.json#skew.salted_twin.auto_join.strategy.salt",
-            "off_choice": "BENCH_R14_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
-            "off_salt": "BENCH_R14_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
+            "choice": "BENCH_R15_CLOSE.json#skew.salted_twin.auto_join.strategy.choice",
+            "salt": "BENCH_R15_CLOSE.json#skew.salted_twin.auto_join.strategy.salt",
+            "off_choice": "BENCH_R15_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.choice",
+            "off_salt": "BENCH_R15_CLOSE.json#skew.salted_twin.auto_join_aqe_off.strategy.salt",
         },
         "COVERAGE skew-row selector claim",
     ),
@@ -100,64 +100,81 @@ CHECKS: list[tuple[str, str, dict[str, str], str]] = [
         "README.md",
         r"stage budget covers (?P<frac>[\d.]+)x? of the measured batch",
         {
-            "frac": "BENCH_R12_CLOSE.json#streaming_curation.stages.covers_frac_of_sec",
+            "frac": "BENCH_R15_CLOSE.json#streaming_curation.stages.covers_frac_of_sec",
         },
-        "curation full-batch budget coverage claim",
+        "curation full-batch budget coverage claim (first match is the r15 section)",
     ),
     (
         "README.md",
         r"paired median (?P<med>[\d.]+) over (?P<n>\d+)(?:/\d+)? "
         r"(?:headline )?queries",
         {
-            "med": "BENCH_R14_CLOSE.json#vs_prev_same_boot.median_ratio_cur_over_prev",
-            "n": "BENCH_R14_CLOSE.json#vs_prev_same_boot.n_compared",
+            "med": "BENCH_R15_CLOSE.json#vs_prev_same_boot.median_ratio_cur_over_prev",
+            "n": "BENCH_R15_CLOSE.json#vs_prev_same_boot.n_compared",
         },
-        "same-boot A/B headline claim (r14; first match in README is the r14 section)",
+        "same-boot A/B headline claim (r15; first match in README is the r15 section)",
     ),
     (
         "README.md",
         r"near-dedup gate at (?P<nd>[\d.]+) docs/s",
         {
-            "nd": "BENCH_R14_CLOSE.json#streaming_near_dedup.docs_per_sec",
+            "nd": "BENCH_R15_CLOSE.json#streaming_near_dedup.docs_per_sec",
         },
-        "r14 near-dedup gate rate claim (first match is the r14 section)",
+        "r15 near-dedup gate rate claim (first match is the r15 section)",
     ),
     (
         "README.md",
         r"ER gate at (?P<er>[\d.]+) records/s with paired same-boot "
         r"stream ratio (?P<ratio>[\d.]+)",
         {
-            "er": "BENCH_R14_CLOSE.json#streaming_entity_resolution.records_per_sec",
-            "ratio": "BENCH_R14_CLOSE.json#vs_prev_same_boot.stream_ratios.entity_resolution",
+            "er": "BENCH_R15_CLOSE.json#streaming_entity_resolution.records_per_sec",
+            "ratio": "BENCH_R15_CLOSE.json#vs_prev_same_boot.stream_ratios.entity_resolution",
         },
-        "r14 ER gate rate + paired ratio claim",
+        "r15 ER gate rate + paired ratio claim",
     ),
     (
         "README.md",
         r"ER stage budget covers (?P<frac>[\d.]+)x of its measured batch",
         {
-            "frac": "BENCH_R14_CLOSE.json#streaming_entity_resolution.stages.covers_frac_of_sec",
+            "frac": "BENCH_R15_CLOSE.json#streaming_entity_resolution.stages.covers_frac_of_sec",
         },
-        "r14 ER full-batch budget coverage claim",
+        "r15 ER full-batch budget coverage claim",
     ),
     (
         "README.md",
         r"near-dedup stage budget covers (?P<frac>[\d.]+)x of its "
         r"measured batch",
         {
-            "frac": "BENCH_R14_CLOSE.json#streaming_near_dedup.stages.covers_frac_of_sec",
+            "frac": "BENCH_R15_CLOSE.json#streaming_near_dedup.stages.covers_frac_of_sec",
         },
-        "r14 near-dedup full-batch budget coverage claim",
+        "r15 near-dedup full-batch budget coverage claim",
     ),
     (
         "README.md",
         r"skyline maintainer at (?P<sk>[\d.]+) parts/s; top-k "
         r"maintainer at (?P<tk>[\d.]+) orders/s",
         {
-            "sk": "BENCH_R14_CLOSE.json#streaming_skyline.parts_per_sec",
-            "tk": "BENCH_R14_CLOSE.json#streaming_topk.orders_per_sec",
+            "sk": "BENCH_R15_CLOSE.json#streaming_skyline.parts_per_sec",
+            "tk": "BENCH_R15_CLOSE.json#streaming_topk.orders_per_sec",
         },
-        "r14 skyline/top-k maintainer rate claims",
+        "r15 skyline/top-k maintainer rate claims",
+    ),
+    (
+        "README.md",
+        r"`batch_components_assembly` marginal 4.96 → \*\*(?P<m>[\d.]+) s\*\*",
+        {
+            "m": "BENCH_R15_CLOSE.json#streaming_entity_resolution.stages.batch_components_assembly.marginal_sec",
+        },
+        "r15 components-dominator stage claim",
+    ),
+    (
+        "README.md",
+        r"flat (?P<fl>[\d.]+) rec/s, composed (?P<co>[\d.]+) rec/s",
+        {
+            "fl": "BENCH_R15_CLOSE.json#streaming_entity_resolution.modes.flat.records_per_sec",
+            "co": "BENCH_R15_CLOSE.json#streaming_entity_resolution.modes.composed.records_per_sec",
+        },
+        "r15 gate mode pricing claim",
     ),
 ]
 
