@@ -371,38 +371,55 @@ def entity_resolution_sink(
         recs_a = _as_a(batch, id_col)
         mode = blocking
         batch_counts = store_counts = None
+        probe_row = None
         try:
             if blocking == "auto":
                 # Exact per-epoch crossover (docstring): flat purges a
                 # block this epoch ⇔ flat loses recall this epoch ⇔
                 # composed earns its extra passes. The probe is the
                 # SAME block-grain count frames the flat metrics path
-                # materializes, computed up front and reused below —
-                # one extra block-grain action, zero extra source
-                # scans.
+                # materializes, and its ONE action collects the full
+                # four-counter metrics row — when flat wins (the
+                # common case) the purge-metrics write below is a
+                # literal 1-row frame, zero recompute, so the probe's
+                # cost IS the observability cost, not an addition to
+                # it.
                 batch_counts, bc_gen = disk_checkpoint_lazy(
                     block_key_counts(recs_a, "a")
                 )
                 cnt_gen.extend(bc_gen)
-                probe = purged_from_counts(
+                batch_probe = purged_from_counts(
                     batch_counts, batch_counts, block_cap
+                ).select(
+                    F.col("n_purged_p1").alias("batch_purged_p1"),
+                    F.col("n_purged_p2").alias("batch_purged_p2"),
                 )
                 if state is not None:
                     store_counts, sc_gen = disk_checkpoint_lazy(
                         block_key_counts(_as_b(state, "entity_id"), "b")
                     )
                     cnt_gen.extend(sc_gen)
-                    probe = probe.unionByName(
-                        purged_from_counts(
-                            batch_counts, store_counts, block_cap
-                        )
+                    probe = purged_from_counts(
+                        batch_counts, store_counts, block_cap
+                    ).crossJoin(F.broadcast(batch_probe))
+                else:
+                    probe = batch_probe.select(
+                        F.lit(0).cast("long").alias("n_purged_p1"),
+                        F.lit(0).cast("long").alias("n_purged_p2"),
+                        "batch_purged_p1",
+                        "batch_purged_p2",
                     )
-                n_over = probe.agg(
-                    (
-                        F.sum("n_purged_p1") + F.sum("n_purged_p2")
-                    ).alias("t")
-                ).first()["t"]
-                mode = "composed" if n_over else "flat"
+                probe_row = probe.first()
+                mode = (
+                    "composed"
+                    if (
+                        probe_row["n_purged_p1"]
+                        + probe_row["n_purged_p2"]
+                        + probe_row["batch_purged_p1"]
+                        + probe_row["batch_purged_p2"]
+                    )
+                    else "flat"
+                )
             assignments = link_batch(
                 batch,
                 state,
@@ -456,26 +473,47 @@ def entity_resolution_sink(
             # batch count frame serves as BOTH sides of the
             # batch-pairing counter (same rows either way) and the
             # a-side of the store pairing.
-            if mode == "flat":
-                # LAZY marks (not eager checkpoints): the count
-                # frames' blocks materialize inside the metrics write
-                # itself — one job total — and every later reference
-                # in that plan reads the DISK_ONLY blocks, so the
-                # micro-batch and registry are still scanned once
-                # each without paying two extra per-epoch jobs.
-                # Under 'auto' the frames already exist (the decision
-                # probe materialized them) and are reused as-is.
-                if batch_counts is None:
-                    batch_counts, bc_gen = disk_checkpoint_lazy(
-                        block_key_counts(recs_a, "a")
-                    )
-                    cnt_gen.extend(bc_gen)
-                if state is not None:
-                    if store_counts is None:
-                        store_counts, sc_gen = disk_checkpoint_lazy(
-                            block_key_counts(_as_b(state, "entity_id"), "b")
+            if mode == "flat" and probe_row is not None:
+                # 'auto' chose flat: the decision probe's single
+                # action already collected all four counters — the
+                # metrics write is a literal 1-row frame, zero
+                # recompute (round 15, second half: previously the
+                # write re-evaluated the purge joins over the cached
+                # count frames).
+                store_purged = None
+                batch_purged = None
+                metrics_literal = spark.createDataFrame(
+                    [
+                        (
+                            int(epoch_id),
+                            int(probe_row["n_purged_p1"]),
+                            int(probe_row["n_purged_p2"]),
+                            int(probe_row["batch_purged_p1"]),
+                            int(probe_row["batch_purged_p2"]),
+                            mode,
                         )
-                        cnt_gen.extend(sc_gen)
+                    ],
+                    "epoch long, store_purged_p1 long, store_purged_p2 "
+                    "long, batch_purged_p1 long, batch_purged_p2 long, "
+                    "mode string",
+                )
+            elif mode == "flat":
+                # forced flat: LAZY marks (not eager checkpoints) —
+                # the count frames' blocks materialize inside the
+                # metrics write itself (one job total), and every
+                # later reference in that plan reads the DISK_ONLY
+                # blocks, so the micro-batch and registry are still
+                # scanned once each without two extra per-epoch jobs.
+                metrics_literal = None
+                batch_counts, bc_gen = disk_checkpoint_lazy(
+                    block_key_counts(recs_a, "a")
+                )
+                cnt_gen.extend(bc_gen)
+                if state is not None:
+                    store_counts, sc_gen = disk_checkpoint_lazy(
+                        block_key_counts(_as_b(state, "entity_id"), "b")
+                    )
+                    cnt_gen.extend(sc_gen)
                     store_purged = purged_from_counts(
                         batch_counts, store_counts, block_cap
                     )
@@ -485,6 +523,7 @@ def entity_resolution_sink(
                     batch_counts, batch_counts, block_cap
                 )
             else:
+                metrics_literal = None
                 # composed blocking: p1/p2 reinterpret as the name /
                 # balance LADDERS' purged-block counts (qer05's
                 # per-pass counters). The frames come out of the
@@ -498,29 +537,32 @@ def entity_resolution_sink(
                     else None
                 )
                 batch_purged = _purged_pair_counts(purged_batch)
-            batch_purged = batch_purged.select(
-                F.col("n_purged_p1").alias("batch_purged_p1"),
-                F.col("n_purged_p2").alias("batch_purged_p2"),
-            )
-            metrics = (
-                store_purged.crossJoin(F.broadcast(batch_purged))
-                if store_purged is not None
-                else batch_purged.select(
-                    F.lit(0).cast("long").alias("n_purged_p1"),
-                    F.lit(0).cast("long").alias("n_purged_p2"),
+            if metrics_literal is not None:
+                metrics = metrics_literal
+            else:
+                batch_purged = batch_purged.select(
+                    F.col("n_purged_p1").alias("batch_purged_p1"),
+                    F.col("n_purged_p2").alias("batch_purged_p2"),
+                )
+                metrics = (
+                    store_purged.crossJoin(F.broadcast(batch_purged))
+                    if store_purged is not None
+                    else batch_purged.select(
+                        F.lit(0).cast("long").alias("n_purged_p1"),
+                        F.lit(0).cast("long").alias("n_purged_p2"),
+                        "batch_purged_p1",
+                        "batch_purged_p2",
+                    )
+                ).select(
+                    F.lit(epoch_id).cast("long").alias("epoch"),
+                    F.col("n_purged_p1").alias("store_purged_p1"),
+                    F.col("n_purged_p2").alias("store_purged_p2"),
                     "batch_purged_p1",
                     "batch_purged_p2",
+                    # the kernel that actually linked this epoch —
+                    # under 'auto' this is the decision's audit trail
+                    F.lit(mode).alias("mode"),
                 )
-            ).select(
-                F.lit(epoch_id).cast("long").alias("epoch"),
-                F.col("n_purged_p1").alias("store_purged_p1"),
-                F.col("n_purged_p2").alias("store_purged_p2"),
-                "batch_purged_p1",
-                "batch_purged_p2",
-                # the kernel that actually linked this epoch — under
-                # 'auto' this is the per-epoch decision's audit trail
-                F.lit(mode).alias("mode"),
-            )
             metrics.write.mode("overwrite").parquet(
                 f"{out_dir}/purge_metrics/epoch={epoch_id}"
             )
