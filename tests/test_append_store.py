@@ -222,3 +222,47 @@ def test_er_registry_append_matches_rewrite_semantics(spark, tmp_path):
     asg = spark.read.parquet(f"{out}/epoch=1").collect()
     by_rec = {r.rec_id: (r.entity_id, r.is_new) for r in asg}
     assert by_rec[3] == (1, False) and by_rec[4] == (4, True)
+
+
+def test_er_sink_cold_restart_resumes_with_fresh_cursor(spark, tmp_path):
+    """Round 15 (AppendCursor): a NEW sink closure — the process-
+    restart case, cursor cold — must resolve the existing store from
+    disk, link against it, skip the redelivered committed epoch, and
+    keep appending. Pins that the cursor is cache, not authority."""
+    from event_stream_aggr_spark.streaming.linkage import (
+        entity_resolution_sink,
+    )
+
+    schema = "rec_id long, name string, seg string, bal double, nation long"
+    root, out = str(tmp_path / "reg"), str(tmp_path / "out")
+    a = entity_resolution_sink(root, out)
+    a(spark.createDataFrame([(1, "alice", "AUTO", 10.0, 3)], schema), 0)
+    a(spark.createDataFrame([(2, "bob", "BIKE", 20.0, 4)], schema), 1)
+
+    b = entity_resolution_sink(root, out)  # fresh closure, cold cursor
+    b(spark.createDataFrame([(2, "bob", "BIKE", 20.0, 4)], schema), 1)
+    # redelivery of the committed epoch via the cold cursor: no-op —
+    # the registry must NOT have folded bob twice
+    state, epoch = read_append_state(spark, root)
+    assert epoch == 1
+    assert sorted(r.entity_id for r in state.collect()) == [1, 2]
+    # rec 3 links to alice across the restart boundary; rec 4 founds
+    b(
+        spark.createDataFrame(
+            [(3, "alice", "AUTO", 10.0, 3), (4, "carol", "SHIP", 30.0, 5)],
+            schema,
+        ),
+        2,
+    )
+    state, epoch = read_append_state(spark, root)
+    assert epoch == 2
+    assert sorted((r.entity_id, r.name) for r in state.collect()) == [
+        (1, "alice"),
+        (2, "bob"),
+        (4, "carol"),
+    ]
+    by_rec = {
+        r.rec_id: (r.entity_id, r.is_new)
+        for r in spark.read.parquet(f"{out}/epoch=2").collect()
+    }
+    assert by_rec[3] == (1, False) and by_rec[4] == (4, True)
