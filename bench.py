@@ -1390,10 +1390,12 @@ def er_stage_attribution(spark) -> dict:
     prefix measures the true epoch-N dataflow cost. Prefixes:
 
     pass-through noop (source scan + sink + offset/commit machinery +
-    registry read) → + store blocking/scoring join (match→min-entity
-    per record) → + within-batch scoring + connected components +
-    assignment assembly (= full link_batch) → the REAL sink (+ disk
-    checkpoint, assignment/metrics writes, registry fold, commit).
+    registry read) → + the auto default's block-grain purge probe
+    (round 15: the mode decision priced as its own stage) → + store
+    blocking/scoring join (match→min-entity per record) → + within-
+    batch scoring + connected components + assignment assembly (probe
+    + full link_batch) → the REAL sink (+ disk checkpoint,
+    assignment/metrics writes, registry fold, commit).
     The last prefix IS er_stream_bench's pipeline measured the same
     way, so the marginals sum to the full batch cost by construction;
     ``covers_frac_of_sec`` is the honesty check against the
@@ -1466,7 +1468,43 @@ def er_stage_attribution(spark) -> dict:
                 reg.write.mode("overwrite").format("noop").save()
             batch.write.mode("overwrite").format("noop").save()
 
+        def p_probe(batch, eid):
+            # the auto default's per-epoch purge probe (round 15):
+            # block-grain count frames + one collected row — the work
+            # the real sink pays BEFORE linking, measured as its own
+            # stage so the mode decision's cost is attributed, not
+            # buried in the fold/commit tail
+            from event_stream_aggr_spark.operators.lifecycle import (
+                disk_checkpoint_lazy,
+            )
+            from event_stream_aggr_spark.operators.linkage import (
+                block_key_counts,
+                purged_from_counts,
+            )
+
+            reg = reg_for(batch, eid)
+            recs_a = _as_a(batch, "rec_id")
+            gen: list[int] = []
+            bc, g = disk_checkpoint_lazy(block_key_counts(recs_a, "a"))
+            gen += g
+            probe = purged_from_counts(bc, bc).select(
+                F.col("n_purged_p1").alias("batch_purged_p1"),
+                F.col("n_purged_p2").alias("batch_purged_p2"),
+            )
+            if reg is not None:
+                sc_, g2 = disk_checkpoint_lazy(
+                    block_key_counts(_as_b(reg, "entity_id"), "b")
+                )
+                gen += g2
+                probe = purged_from_counts(bc, sc_).crossJoin(
+                    F.broadcast(probe)
+                )
+            probe.first()
+            free_blocks(batch.sparkSession, gen)
+            batch.write.mode("overwrite").format("noop").save()
+
         def p_store_join(batch, eid):
+            p_probe(batch, eid)
             reg = reg_for(batch, eid)
             recs_a = _as_a(batch, "rec_id")
             if reg is not None:
@@ -1479,14 +1517,17 @@ def er_stage_attribution(spark) -> dict:
                     .format("noop")
                     .save()
                 )
-            batch.write.mode("overwrite").format("noop").save()
 
         from event_stream_aggr_spark.operators.lifecycle import free_blocks
 
         def p_link(batch, eid):
+            # cumulative: the probe runs first (as in the real auto
+            # sink), then the full link dataflow (which contains the
+            # store scoring join, so p_store_join's work is covered).
             # free the component step's lazy DISK_ONLY generation once
             # the noop write has materialized the assignments (round-14
             # ADVICE: leaked blocks across 3 timed runs skew marginals)
+            p_probe(batch, eid)
             cc_gen: list[int] = []
             link_batch(batch, reg_for(batch, eid), cc_gen=cc_gen).write.mode(
                 "overwrite"
@@ -1495,6 +1536,7 @@ def er_stage_attribution(spark) -> dict:
 
         prefixes = (
             ("source_sink_state_read", p_ident),
+            ("mode_probe", p_probe),
             ("store_blocking_scoring", p_store_join),
             ("batch_components_assembly", p_link),
         )
@@ -1533,8 +1575,9 @@ def er_stage_attribution(spark) -> dict:
             " stateful inputs come from a recorded per-epoch registry"
             " snapshot, so prefixes reproduce the real run's epoch"
             " inputs; the last row is the REAL sink, so marginals"
-            " cover machinery, both scoring joins, components, and the"
-            " checkpoint/write/fold tail with nothing unattributed"
+            " cover machinery, the auto mode probe, both scoring"
+            " joins, components, and the checkpoint/write/fold tail"
+            " with nothing unattributed"
         )
         return out
     finally:
