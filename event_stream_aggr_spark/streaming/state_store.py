@@ -336,7 +336,7 @@ def append_commit(
     state: DataFrame | None = None,
     compact_every: int = 8,
     cursor: AppendCursor | None = None,
-) -> None:
+) -> str:
     """Write epoch ``epoch_id``'s append (delta or compaction
     snapshot), commit the marker, vacuum superseded parts. ``n_new``
     is the row count of ``new_rows`` WHEN the caller already has it
@@ -364,6 +364,7 @@ def append_commit(
     if cursor is None or cursor.committed < 0:
         if not fs.exists(jroot):
             fs.mkdirs(jroot)
+    wrote = "nothing"
     if n_new != 0:
         if cursor is not None:
             prev_snap, live_deltas = cursor.live(upto=committed)
@@ -377,12 +378,14 @@ def append_commit(
                 else new_rows
             )
             full.write.mode("overwrite").parquet(_join(root, f"v{epoch_id}"))
+            wrote = "snapshot"
             if cursor is not None:
                 cursor.snaps.add(epoch_id)
         elif n_new is None or n_new > 0:
             new_rows.write.mode("overwrite").parquet(
                 _join(root, f"{_DELTA}{epoch_id}")
             )
+            wrote = "delta"
             if cursor is not None:
                 cursor.deltas.add(epoch_id)
     # n_new == 0: nothing to append — commit the marker only, no empty
@@ -395,6 +398,10 @@ def append_commit(
         _vacuum_append_cursor(spark, root, committed, cursor, fs)
     else:
         _vacuum_append(spark, root, keep_from=committed)
+    # what this epoch appended ("delta" | "snapshot" | "nothing") —
+    # lets derived-state caches (the ER sink's incremental registry
+    # block counts) know whether a delta part exists to fold
+    return wrote
 
 
 def _vacuum_append_cursor(

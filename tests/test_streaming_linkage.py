@@ -413,3 +413,61 @@ def test_er_sink_auto_picks_flat_then_composed(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/epoch=1").collect()
     }
     assert asg[14] == 11  # the duplicate flat would have dropped
+
+
+def test_incremental_store_counts_equal_cold_recompute(spark, tmp_path):
+    """Round 15 (second half): under 'auto', the probe's registry-side
+    block counts fold each epoch's DELTA into a cached frame instead
+    of re-scanning the registry. The cache must equal a cold
+    block_key_counts of the live registry after founding epochs, a
+    linked-only (n_new includes founders here though) and an idle
+    epoch."""
+    from event_stream_aggr_spark.operators.linkage import (
+        block_key_counts,
+    )
+    from event_stream_aggr_spark.streaming.linkage import (
+        _as_b,
+        entity_resolution_sink,
+    )
+    from event_stream_aggr_spark.streaming.state_store import (
+        read_append_state,
+    )
+
+    schema = "rec_id long, name string, seg string, bal double, nation long"
+    root, out = str(tmp_path / "reg"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out)  # auto default
+    sink(
+        spark.createDataFrame(
+            [(1, "alice", "AUTO", 10.0, 3), (2, "bob", "BIKE", 500.0, 4)],
+            schema,
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(3, "alice", "AUTO", 10.0, 3), (4, "carol", "SHIP", 30.0, 5)],
+            schema,
+        ),
+        1,
+    )
+    # idle epoch: links only, founds nothing → cache must just advance
+    sink(
+        spark.createDataFrame([(5, "alice", "AUTO", 10.0, 3)], schema), 2
+    )
+    # run one more epoch so epoch-2's lazily-merged cache materializes
+    sink(
+        spark.createDataFrame([(6, "dave", "MACH", 70.0, 1)], schema), 3
+    )
+    cache = sink._sc_cache
+    assert cache["epoch"] == 3 and cache["df"] is not None
+    state, epoch = read_append_state(spark, root)
+    assert epoch == 3
+    cold = {
+        (r["gid"], r["k1"], r["k2n"], r["k2b"]): r["c"]
+        for r in block_key_counts(_as_b(state, "entity_id"), "b").collect()
+    }
+    cached = {
+        (r["gid"], r["k1"], r["k2n"], r["k2b"]): r["c"]
+        for r in cache["df"].collect()
+    }
+    assert cached == cold and len(cold) > 0
