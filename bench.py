@@ -1577,7 +1577,11 @@ def er_stage_attribution(spark) -> dict:
             " inputs; the last row is the REAL sink, so marginals"
             " cover machinery, the auto mode probe, both scoring"
             " joins, components, and the checkpoint/write/fold tail"
-            " with nothing unattributed"
+            " with nothing unattributed; caveat: mode_probe replays"
+            " the probe COLD per epoch while the real sink amortizes"
+            " the registry side via the incremental delta fold, so"
+            " that row is an upper bound and the tail marginal a"
+            " corresponding lower bound"
         )
         return out
     finally:
