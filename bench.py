@@ -156,6 +156,10 @@ def main() -> None:
         "streaming_topk": median_of_3_stream(
             topk_stream_bench, spark, rate_key="orders_per_sec"
         ),
+        # r15: the weighted-reservoir maintainer, priced like W9/W10
+        "streaming_reservoir": median_of_3_stream(
+            reservoir_stream_bench, spark, rate_key="docs_per_sec"
+        ),
         "deltas_vs_prev_round": prev_round_deltas(timings),
         "stage_metrics": {
             "note": "executor-reported bytes per headline query (warm "
@@ -227,6 +231,9 @@ def main() -> None:
             "topk_orders_per_sec": diagnostics[
                 "streaming_topk"
             ].get("orders_per_sec"),
+            "reservoir_docs_per_sec": diagnostics[
+                "streaming_reservoir"
+            ].get("docs_per_sec"),
         },
         "queries": {n: round(s, 2) for n, s in timings.items()},
         # compact A/B summary (full per-query block in the
@@ -1175,6 +1182,59 @@ def topk_stream_bench(spark) -> dict:
             "input_orders": n_orders,
             "sec": round(elapsed, 4),
             "orders_per_sec": round(n_orders / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def reservoir_stream_bench(spark) -> dict:
+    """Streaming weighted-reservoir maintainer throughput (round 15:
+    same pricing discipline as the W9/W10 maintainers — a shipped
+    stream sink gets a bench row, not just equivalence/chaos tests):
+    documents replayed as micro-batches through
+    ``weighted_reservoir_sink`` — per epoch: narrow per-row E-S key
+    scoring (no shuffle), union with the stored per-stratum sample,
+    window top-R on the strata key (one exchange), store fold.
+    docs/s counts INPUT documents."""
+    import shutil
+    import tempfile
+
+    from event_stream_aggr_spark.sources.files import stream_parquet_dir
+    from event_stream_aggr_spark.streaming.reservoir import (
+        weighted_reservoir_sink,
+    )
+    from event_stream_aggr_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_reservoir_")
+    try:
+        src = os.path.join(work, "src")
+        load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "lang", "n_chars"
+        ).repartition(16).write.mode("overwrite").parquet(src)
+        n_docs = spark.read.parquet(src).count()
+        schema = spark.read.parquet(src).schema
+
+        stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=8)
+        root = os.path.join(work, "state")
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(
+                weighted_reservoir_sink(root, r=64)
+            )
+            .option("checkpointLocation", os.path.join(work, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        from event_stream_aggr_spark.streaming.state_store import read_state
+
+        sample, _ = read_state(spark, root)
+        return {
+            "input_docs": n_docs,
+            "sample_rows": sample.count() if sample is not None else 0,
+            "sec": round(elapsed, 4),
+            "docs_per_sec": round(n_docs / elapsed, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
