@@ -31,9 +31,15 @@ exact-dedup contract).
 Scale shape (100 TB): the batch side scores with a narrow per-row
 expression (no shuffle); the merge's single exchange carries
 |batch| + R×|strata| rows; with FEW hot strata the known hazard is
-per-stratum window skew, and the remedy is the documented two-phase
-top-k (pre-top-R per partition, then merge) — at reservoir sizes the
-simple window is the measured winner.
+per-stratum window skew — ONE task ranks a whole stratum's epoch
+arrivals. ``two_phase=True`` is the shipped remedy: a pre-top-R over
+(input-partition id, stratum) grains bounds every window group at one
+input partition's rows, and the final per-stratum window then sees
+≤ R × n_input_partitions rows. Exact by the same fold law (top-R is
+associative and idempotent, so any grouping of the pre-reduction
+preserves the result — equivalence pinned bit-for-bit in the tests);
+costs a second exchange, so the simple window stays the default at
+reservoir-sized epochs.
 """
 
 from __future__ import annotations
@@ -53,10 +59,12 @@ def reservoir_merge(
     id_col: str = "doc_id",
     weight_col: str = "n_chars",
     strata_cols: Sequence[str] = ("lang",),
+    two_phase: bool = False,
 ) -> DataFrame:
     """One fold: per-stratum R smallest E-S keys over
     state ∪ scored(batch). Pure dataflow; rows with non-positive
-    weights carry zero inclusion probability and are dropped."""
+    weights carry zero inclusion probability and are dropped.
+    ``two_phase`` bounds per-stratum window skew (module docstring)."""
     from pyspark.sql import Window as W
 
     from event_stream_aggr_spark.operators.sampling import (
@@ -76,6 +84,15 @@ def reservoir_merge(
         )
     )
     cand = scored if state is None else state.unionByName(scored)
+    if two_phase:
+        pre = W.partitionBy(
+            F.spark_partition_id(), *strata
+        ).orderBy("es_key", id_col)
+        cand = (
+            cand.withColumn("_prn", F.row_number().over(pre))
+            .filter(F.col("_prn") <= r)
+            .drop("_prn")
+        )
     w = W.partitionBy(*strata).orderBy("es_key", id_col)
     return (
         cand.withColumn("_rn", F.row_number().over(w))
@@ -90,6 +107,7 @@ def weighted_reservoir_sink(
     id_col: str = "doc_id",
     weight_col: str = "n_chars",
     strata_cols: Sequence[str] = ("lang",),
+    two_phase: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function maintaining the per-stratum
     weighted reservoir at ``root``. Read the live sample any time with
@@ -108,5 +126,6 @@ def weighted_reservoir_sink(
             id_col=id_col,
             weight_col=weight_col,
             strata_cols=strata_cols,
+            two_phase=two_phase,
         ),
     )

@@ -7,6 +7,8 @@ Batch twin: qs05's Efraimidis-Spirakis draw (same deterministic keys).
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 import event_stream_aggr_spark.streaming.state_store as ss
@@ -113,6 +115,53 @@ def test_torn_epoch_and_redelivery(spark, tmp_path, monkeypatch):
     assert _sorted_rows(read_state(spark, root)[0]) == healed
     full = spark.createDataFrame(ROWS, SCHEMA)
     assert healed == _sorted_rows(reservoir_merge(None, full, r=4))
+
+
+def test_two_phase_equals_simple_window(spark, tmp_path):
+    """two_phase's (partition-id, stratum) pre-top-R is exact by the
+    fold law — bit-identical to the simple window, regardless of how
+    the input is partitioned; and the sink plumbs the flag through."""
+    full = spark.createDataFrame(ROWS, SCHEMA).repartition(7)
+    want = _sorted_rows(reservoir_merge(None, full, r=7))
+    assert _sorted_rows(
+        reservoir_merge(None, full, r=7, two_phase=True)
+    ) == want
+    root = str(tmp_path / "res2p")
+    sink = weighted_reservoir_sink(root, r=7, two_phase=True)
+    for e, b in enumerate(_batches(spark, 3)):
+        sink(b.repartition(5), e)
+    assert _sorted_rows(read_state(spark, root)[0]) == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    chars=st.lists(
+        st.integers(min_value=-2, max_value=400), min_size=1, max_size=24
+    ),
+    cut=st.integers(0, 23),
+)
+def test_any_batching_matches_one_shot_draw(
+    spark, tmp_path_factory, chars, cut
+):
+    """Hypothesis random-cut (the top-k maintainer's discipline): any
+    2-slicing of a random corpus — including empty slices, duplicate
+    weights, and non-positive weights — folds to the one-shot draw."""
+    rows = [
+        (i, "en" if c % 2 else "de", c) for i, c in enumerate(chars)
+    ]
+    i = cut % len(rows)
+    root = str(tmp_path_factory.mktemp("res") / "state")
+    sink = weighted_reservoir_sink(root, r=3)
+    for ep, chunk in enumerate((rows[:i], rows[i:])):
+        sink(spark.createDataFrame(chunk, SCHEMA), ep)
+    full = spark.createDataFrame(rows, SCHEMA)
+    assert _sorted_rows(read_state(spark, root)[0]) == _sorted_rows(
+        reservoir_merge(None, full, r=3)
+    )
 
 
 def test_available_now_end_to_end(spark, tmp_path):
