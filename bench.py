@@ -1528,7 +1528,20 @@ def er_stage_attribution(spark) -> dict:
                 reg.write.mode("overwrite").format("noop").save()
             batch.write.mode("overwrite").format("noop").save()
 
-        def p_probe(batch, eid):
+        def _recs_ckpt(batch):
+            # the real sink's single-source-scan shape (round 15,
+            # second half): every prefix body reads the micro-batch
+            # through the same lazily DISK_ONLY-marked narrow
+            # projection the sink materializes once per epoch
+            from event_stream_aggr_spark.operators.lifecycle import (
+                disk_checkpoint_lazy,
+            )
+            from event_stream_aggr_spark.streaming.linkage import FIELDS
+
+            recs = batch.select(F.col("rec_id"), *[F.col(f) for f in FIELDS])
+            return disk_checkpoint_lazy(recs)
+
+        def _probe_body(recs, reg, spark):
             # the auto default's per-epoch purge probe (round 15):
             # block-grain count frames + one collected row — the work
             # the real sink pays BEFORE linking, measured as its own
@@ -1542,8 +1555,7 @@ def er_stage_attribution(spark) -> dict:
                 purged_from_counts,
             )
 
-            reg = reg_for(batch, eid)
-            recs_a = _as_a(batch, "rec_id")
+            recs_a = _as_a(recs, "rec_id")
             gen: list[int] = []
             bc, g = disk_checkpoint_lazy(block_key_counts(recs_a, "a"))
             gen += g
@@ -1560,16 +1572,21 @@ def er_stage_attribution(spark) -> dict:
                     F.broadcast(probe)
                 )
             probe.first()
-            free_blocks(batch.sparkSession, gen)
+            free_blocks(spark, gen)
+
+        def p_probe(batch, eid):
+            recs, r_gen = _recs_ckpt(batch)
+            _probe_body(recs, reg_for(batch, eid), batch.sparkSession)
+            free_blocks(batch.sparkSession, r_gen)
             batch.write.mode("overwrite").format("noop").save()
 
         def p_store_join(batch, eid):
-            p_probe(batch, eid)
+            recs, r_gen = _recs_ckpt(batch)
             reg = reg_for(batch, eid)
-            recs_a = _as_a(batch, "rec_id")
+            _probe_body(recs, reg, batch.sparkSession)
             if reg is not None:
                 (
-                    scored_pairs(recs_a, _as_b(reg, "entity_id"))
+                    scored_pairs(_as_a(recs, "rec_id"), _as_b(reg, "entity_id"))
                     .filter(F.col("decision") == "match")
                     .groupBy(F.col("a_id").alias("rid"))
                     .agg(F.min("b_id").alias("store_ent"))
@@ -1577,6 +1594,8 @@ def er_stage_attribution(spark) -> dict:
                     .format("noop")
                     .save()
                 )
+            free_blocks(batch.sparkSession, r_gen)
+            batch.write.mode("overwrite").format("noop").save()
 
         from event_stream_aggr_spark.operators.lifecycle import free_blocks
 
@@ -1587,12 +1606,15 @@ def er_stage_attribution(spark) -> dict:
             # free the component step's lazy DISK_ONLY generation once
             # the noop write has materialized the assignments (round-14
             # ADVICE: leaked blocks across 3 timed runs skew marginals)
-            p_probe(batch, eid)
+            recs, r_gen = _recs_ckpt(batch)
+            reg = reg_for(batch, eid)
+            _probe_body(recs, reg, batch.sparkSession)
             cc_gen: list[int] = []
-            link_batch(batch, reg_for(batch, eid), cc_gen=cc_gen).write.mode(
-                "overwrite"
-            ).format("noop").save()
-            free_blocks(batch.sparkSession, cc_gen)
+            link_batch(
+                recs, reg, cc_gen=cc_gen, carry_fields=True
+            ).write.mode("overwrite").format("noop").save()
+            free_blocks(batch.sparkSession, cc_gen + r_gen)
+            batch.write.mode("overwrite").format("noop").save()
 
         prefixes = (
             ("source_sink_state_read", p_ident),

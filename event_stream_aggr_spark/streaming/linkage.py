@@ -140,6 +140,7 @@ def link_batch(
     purged_store_out: list[DataFrame] | None = None,
     purged_batch_out: list[DataFrame] | None = None,
     metric_gen: list[int] | None = None,
+    carry_fields: bool = False,
 ) -> DataFrame:
     """One linking round: assign every record an entity id.
 
@@ -148,6 +149,15 @@ def link_batch(
     store. Pure dataflow — no state I/O; ``entity_resolution_sink``
     wraps it in the epoch protocol, and tests pin single-batch
     equivalence against the offline component semantics.
+
+    ``carry_fields`` (round 15, second half): append the raw compare
+    FIELDS (untouched source types — NOT the scoring projection's
+    decimal cast) to every assignment row. The assembly already scans
+    the records once, so carrying them is free of extra scans, and it
+    lets the sink derive the epoch's new-entity delta from its own
+    materialized assignments checkpoint instead of re-scanning the
+    micro-batch source and semi-joining per epoch (the fold/commit
+    tail's last source re-read).
 
     ``cc_gen``: forwarded to ``connected_components(gen_out=...)`` —
     collects the component step's still-registered checkpoint block
@@ -252,9 +262,10 @@ def link_batch(
     # the match graph; else its direct store match (no-edge record);
     # else itself (isolated new entity). One left join per side, no
     # component-grain window.
-    assigned = recs_a.select(F.col("a_id").alias("rid")).join(
-        comp, F.col("rid") == comp["node"], "left"
-    )
+    carried = [F.col(f) for f in FIELDS] if carry_fields else []
+    assigned = records.select(
+        F.col(id_col).alias("rid"), *carried
+    ).join(comp, F.col("rid") == comp["node"], "left")
     if store_match is not None:
         assigned = assigned.join(store_match, "rid", "left")
     else:
@@ -269,6 +280,7 @@ def link_batch(
         F.coalesce(decoded, F.col("store_ent"), F.col("rid")).alias(
             "entity_id"
         ),
+        *carried,
     ).withColumn("is_new", F.col("entity_id") == F.col("rec_id"))
 
 
@@ -430,7 +442,17 @@ def entity_resolution_sink(
         blocks: list[int] = []
         purged_store: list[DataFrame] = []
         purged_batch: list[DataFrame] = []
-        recs_a = _as_a(batch, id_col)
+        # ONE source scan per epoch (round 15, second half): the
+        # narrow (id + compare-FIELDS) projection is lazily DISK_ONLY-
+        # marked, so the probe's counts, both scoring pairings (each
+        # of which reads its input twice), the component assembly, and
+        # the delta derivation all read the materialized blocks — the
+        # micro-batch source itself is scanned exactly once, by
+        # whichever action fires first. Freed in the epoch's finally.
+        recs = batch.select(F.col(id_col), *[F.col(f) for f in FIELDS])
+        recs, r_gen = disk_checkpoint_lazy(recs)
+        blocks.extend(r_gen)
+        recs_a = _as_a(recs, id_col)
         mode = blocking
         batch_counts = store_counts = None
         probe_row = None
@@ -493,12 +515,13 @@ def entity_resolution_sink(
                     else "flat"
                 )
             assignments = link_batch(
-                batch,
+                recs,
                 state,
                 id_col=id_col,
                 block_cap=block_cap,
                 cc_gen=cc_gen,
                 blocking=mode,
+                carry_fields=True,
                 purged_store_out=purged_store,
                 purged_batch_out=purged_batch,
                 # ladder block-count persists ride the metric free
@@ -514,7 +537,7 @@ def entity_resolution_sink(
             # the append fold needs rides the SAME job (round 15: one
             # job per epoch back).
             assignments, a_gen = disk_checkpoint_lazy(assignments)
-            blocks = a_gen
+            blocks.extend(a_gen)
             n_new = int(
                 assignments.agg(
                     F.coalesce(
@@ -528,9 +551,9 @@ def entity_resolution_sink(
             # them across the epoch's writes.
             free_blocks(spark, cc_gen)
             cc_gen.clear()
-            assignments.write.mode("overwrite").parquet(
-                f"{out_dir}/epoch={epoch_id}"
-            )
+            assignments.select("rec_id", "entity_id", "is_new").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/epoch={epoch_id}")
             # Purge observability (qer03's n_purged_blocks, per epoch):
             # as the registry grows, a hot blocking key crossing
             # BLOCK_CAP silently drops its arrivals to 'new entity' —
@@ -644,13 +667,12 @@ def entity_resolution_sink(
             # above (round-15 ADVICE): an idle or all-linked epoch
             # appends nothing — no empty delta part dirs, no spurious
             # compaction rewrites of an unchanged registry.
-            new_ids = assignments.filter("is_new").select(
-                F.col("rec_id").alias("_new_rid")
-            )
-            new_entities = batch.join(
-                new_ids, batch[id_col] == F.col("_new_rid"), "left_semi"
-            ).select(
-                F.col(id_col).alias("entity_id"),
+            # carry_fields=True means the assignments checkpoint holds
+            # the raw compare FIELDS — the delta is a filter+project
+            # over its DISK_ONLY blocks, not a source re-scan plus
+            # semi-join (round 15, second half).
+            new_entities = assignments.filter("is_new").select(
+                F.col("rec_id").alias("entity_id"),
                 *[F.col(f) for f in FIELDS],
             )
             # Registry fold = APPEND (round 14, the r13 stage budget's
