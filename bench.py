@@ -1557,44 +1557,52 @@ def er_stage_attribution(spark) -> dict:
 
             recs_a = _as_a(recs, "rec_id")
             gen: list[int] = []
-            bc, g = disk_checkpoint_lazy(block_key_counts(recs_a, "a"))
-            gen += g
-            probe = purged_from_counts(bc, bc).select(
-                F.col("n_purged_p1").alias("batch_purged_p1"),
-                F.col("n_purged_p2").alias("batch_purged_p2"),
-            )
-            if reg is not None:
-                sc_, g2 = disk_checkpoint_lazy(
-                    block_key_counts(_as_b(reg, "entity_id"), "b")
+            try:
+                bc, g = disk_checkpoint_lazy(block_key_counts(recs_a, "a"))
+                gen += g
+                probe = purged_from_counts(bc, bc).select(
+                    F.col("n_purged_p1").alias("batch_purged_p1"),
+                    F.col("n_purged_p2").alias("batch_purged_p2"),
                 )
-                gen += g2
-                probe = purged_from_counts(bc, sc_).crossJoin(
-                    F.broadcast(probe)
-                )
-            probe.first()
-            free_blocks(spark, gen)
+                if reg is not None:
+                    sc_, g2 = disk_checkpoint_lazy(
+                        block_key_counts(_as_b(reg, "entity_id"), "b")
+                    )
+                    gen += g2
+                    probe = purged_from_counts(bc, sc_).crossJoin(
+                        F.broadcast(probe)
+                    )
+                probe.first()
+            finally:
+                free_blocks(spark, gen)
 
         def p_probe(batch, eid):
             recs, r_gen = _recs_ckpt(batch)
-            _probe_body(recs, reg_for(batch, eid), batch.sparkSession)
-            free_blocks(batch.sparkSession, r_gen)
+            try:
+                _probe_body(recs, reg_for(batch, eid), batch.sparkSession)
+            finally:
+                free_blocks(batch.sparkSession, r_gen)
             batch.write.mode("overwrite").format("noop").save()
 
         def p_store_join(batch, eid):
             recs, r_gen = _recs_ckpt(batch)
-            reg = reg_for(batch, eid)
-            _probe_body(recs, reg, batch.sparkSession)
-            if reg is not None:
-                (
-                    scored_pairs(_as_a(recs, "rec_id"), _as_b(reg, "entity_id"))
-                    .filter(F.col("decision") == "match")
-                    .groupBy(F.col("a_id").alias("rid"))
-                    .agg(F.min("b_id").alias("store_ent"))
-                    .write.mode("overwrite")
-                    .format("noop")
-                    .save()
-                )
-            free_blocks(batch.sparkSession, r_gen)
+            try:
+                reg = reg_for(batch, eid)
+                _probe_body(recs, reg, batch.sparkSession)
+                if reg is not None:
+                    (
+                        scored_pairs(
+                            _as_a(recs, "rec_id"), _as_b(reg, "entity_id")
+                        )
+                        .filter(F.col("decision") == "match")
+                        .groupBy(F.col("a_id").alias("rid"))
+                        .agg(F.min("b_id").alias("store_ent"))
+                        .write.mode("overwrite")
+                        .format("noop")
+                        .save()
+                    )
+            finally:
+                free_blocks(batch.sparkSession, r_gen)
             batch.write.mode("overwrite").format("noop").save()
 
         from event_stream_aggr_spark.operators.lifecycle import free_blocks
@@ -1607,13 +1615,15 @@ def er_stage_attribution(spark) -> dict:
             # the noop write has materialized the assignments (round-14
             # ADVICE: leaked blocks across 3 timed runs skew marginals)
             recs, r_gen = _recs_ckpt(batch)
-            reg = reg_for(batch, eid)
-            _probe_body(recs, reg, batch.sparkSession)
             cc_gen: list[int] = []
-            link_batch(
-                recs, reg, cc_gen=cc_gen, carry_fields=True
-            ).write.mode("overwrite").format("noop").save()
-            free_blocks(batch.sparkSession, cc_gen + r_gen)
+            try:
+                reg = reg_for(batch, eid)
+                _probe_body(recs, reg, batch.sparkSession)
+                link_batch(
+                    recs, reg, cc_gen=cc_gen, carry_fields=True
+                ).write.mode("overwrite").format("noop").save()
+            finally:
+                free_blocks(batch.sparkSession, cc_gen + r_gen)
             batch.write.mode("overwrite").format("noop").save()
 
         prefixes = (
