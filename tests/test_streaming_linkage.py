@@ -471,3 +471,29 @@ def test_incremental_store_counts_equal_cold_recompute(spark, tmp_path):
         for r in cache["df"].collect()
     }
     assert cached == cold and len(cold) > 0
+
+
+def test_er_sink_output_and_registry_schema_contract(spark, tmp_path):
+    """Consumer-facing schema pins (round 15, after carry_fields): the
+    epoch output stays EXACTLY (rec_id, entity_id, is_new) — the wide
+    assignments checkpoint must be narrowed before the write — and the
+    registry keeps the batch's RAW field types (bal stays double, not
+    the scoring projection's decimal cast)."""
+    from event_stream_aggr_spark.streaming.linkage import (
+        entity_resolution_sink,
+    )
+
+    rows = [(1, "alice", "AUTO", 10.25, 3), (2, "bob", "BIKE", 20.5, 4)]
+    root, out = str(tmp_path / "reg"), str(tmp_path / "out")
+    sink = entity_resolution_sink(root, out)
+    sink(_recs(spark, rows), 0)
+    written = spark.read.parquet(f"{out}/epoch=0")
+    assert written.columns == ["rec_id", "entity_id", "is_new"]
+    state, _ = read_append_state(spark, root)
+    assert state.columns == ["entity_id", "name", "seg", "bal", "nation"]
+    by_type = dict(state.dtypes)
+    assert by_type["bal"] == "double" and by_type["nation"] == "int"
+    assert sorted((r.entity_id, r.bal) for r in state.collect()) == [
+        (1, 10.25),
+        (2, 20.5),
+    ]
