@@ -986,6 +986,7 @@ def _register_kcore_query():
         exponentially — the documented DuckDB hazard that sank the
         first k-core attempt)."""
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # The ONE-SHOT edge build is the loop's residual spill source
         # (round-9 30x probe: ~36M pre-distinct pairs deduped through
@@ -1038,7 +1039,10 @@ def _register_kcore_query():
                     "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
                 )
             edges, n_edges, edge_ids = _disk_checkpoint(
-                _kcore_edge_pairs(li)
+                li.join(b, "l_orderkey")
+                .filter(F.col("l_partkey") < F.col("v"))
+                .select(F.col("l_partkey").alias("u"), "v")
+                .distinct()
                 # narrow coalesce back to the session width: the WIDE
                 # part (each dedup hash map sees a bounded pair slice
                 # — the spill bound) fuses upstream of it, while the
@@ -1144,9 +1148,9 @@ KCORE_PAIR_MAX_PARTS = 4096  # runaway-estimate backstop
 def _kcore_pair_width(li, session_width: int) -> int:
     """Shuffle width for the one-shot edge-build dedup, derived from
     the estimated pre-distinct pair count: each order with n lines
-    emits at most C(n,2) = n*(n-1)/2 candidate pairs from the
-    per-order pair expansion (an upper bound — duplicate partkeys
-    within an order die in the collect_set before expansion). The estimate is ONE count-per-order aggregate
+    emits C(n,2) = n*(n-1)/2 candidate pairs through the self-join's
+    ``u < v`` filter (an upper bound — duplicate partkeys within an
+    order emit fewer). The estimate is ONE count-per-order aggregate
     reduced to a single sum — metadata-grain, map-side combinable —
     and the width is clamped to [session_width, KCORE_PAIR_MAX_PARTS]
     so small inputs keep the session layout and a bad stat can't buy
@@ -1179,44 +1183,6 @@ def _kcore_parts(upper_bound_rows: int, rows_per_part: int, max_parts: int) -> i
 
     return max(
         1, min(max_parts, math.ceil(max(upper_bound_rows, 1) / rows_per_part))
-    )
-
-
-def _kcore_edge_pairs(li):
-    """Distinct undirected co-occurrence edges (u < v) from
-    (l_orderkey, l_partkey) rows.
-
-    r15 set-based build: ONE lineitem exchange (groupBy l_orderkey +
-    collect_set) instead of the previous self-join's two, pairs
-    expanded per order from the sorted distinct-partkey array by a
-    higher-order transform (u < v by construction; within-order
-    duplicate partkeys die in the set, so the pre-distinct pair
-    volume can only SHRINK vs the join and qg07's C(n,2) width
-    estimate stays an upper bound). Interleaved A/B at sf0.1
-    (contended boot, 4 rounds, min per side): join build 3.08 s vs
-    set build 2.27 s; edge sets bit-identical (symmetric-diff 0,
-    re-pinned with duplicate partkeys in
-    tests/test_plan_shapes.py::test_kcore_edge_pairs_equals_join_witness).
-    The cross-order dedup ``distinct`` — the exchange qg07's width
-    machinery protects — is unchanged."""
-    from pyspark.sql import functions as F
-
-    ps = F.array_sort(F.collect_set("l_partkey"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    return (
-        li.groupBy("l_orderkey")
-        .agg(ps.alias("ps"))
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .distinct()
     )
 
 

@@ -811,40 +811,3 @@ def test_qg07_broadcast_budget_fallback_plan_and_result(spark, sf_dir):
 
     hinted_rows = {(r.u, r.v) for r in one_round(hinted=True).collect()}
     assert fb_rows == hinted_rows and len(hinted_rows) > 0
-
-
-def test_kcore_edge_pairs_equals_join_witness(spark, sf_dir):
-    """r15 set-based edge build (one lineitem exchange) must produce
-    the EXACT edge set of the previous self-join build, including
-    under within-order duplicate partkeys (which die in the
-    collect_set before expansion) and degenerate one-line orders
-    (which emit no pairs), and every edge must satisfy u < v."""
-    from pyspark.sql import functions as F
-
-    from event_stream_aggr_spark.operators.cluster import _kcore_edge_pairs
-    from event_stream_aggr_spark.tables import load_table
-
-    # synthetic corpus exercising the edge cases: duplicates within an
-    # order, a singleton order, an empty-overlap pair of orders, and a
-    # multi-order shared part
-    rows = [
-        (1, 10), (1, 20), (1, 20), (1, 30),  # dup partkey 20 in order 1
-        (2, 10), (2, 30),
-        (3, 99),                              # singleton: no pairs
-        (4, 30), (4, 10), (4, 20),
-    ]
-    syn = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-
-    for src in (syn, load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")):
-        b = src.select("l_orderkey", F.col("l_partkey").alias("v"))
-        witness = (
-            src.join(b, "l_orderkey")
-            .filter(F.col("l_partkey") < F.col("v"))
-            .select(F.col("l_partkey").alias("u"), "v")
-            .distinct()
-        )
-        got = _kcore_edge_pairs(src)
-        assert got.filter(F.col("u") >= F.col("v")).count() == 0
-        assert got.exceptAll(witness).count() == 0
-        assert witness.exceptAll(got).count() == 0
-        assert got.count() == witness.count()
