@@ -160,7 +160,9 @@ def main() -> None:
         "streaming_reservoir": median_of_3_stream(
             reservoir_stream_bench, spark, rate_key="docs_per_sec"
         ),
-        "deltas_vs_prev_round": prev_round_deltas(timings),
+        "deltas_vs_prev_round": prev_round_deltas(
+            timings, calib_start["min_sec"]
+        ),
         "stage_metrics": {
             "note": "executor-reported bytes per headline query (warm "
             "run), from the UI status REST API; zero spill everywhere "
@@ -418,13 +420,23 @@ def upscale_probe(spark, specs, headline, primary_timings, top_n: int = 10) -> d
     return out
 
 
-def prev_round_deltas(timings: dict[str, float]) -> dict:
+def prev_round_deltas(
+    timings: dict[str, float], calib_sec: float | None = None
+) -> dict:
     """Per-query change vs the most recent usable driver-recorded
     BENCH_r*.json (positive pct = slower than last round). Rounds whose
     ``parsed`` is null (e.g. r03's tail-truncated capture) are skipped
     in favor of the newest round that actually has per-query numbers.
     Run-to-run variance on this box is ~±25%, so only large deltas are
-    signal."""
+    signal.
+
+    ``calib_sec`` (round 15, the ledger's calibration-normalizer item):
+    when this run's start-of-bench calibration and the baseline file's
+    ``calibration_sec`` are both available, ``pct_calibration_normalized``
+    restates each delta on sec/calibration ratios — dividing out the
+    uniform host/VM-contention shift the raw cross-boot pct conflates
+    with plan changes. Same-boot paired A/Bs remain the authoritative
+    comparison; this is the cross-boot reading aid."""
     import glob
     import re
 
@@ -437,7 +449,9 @@ def prev_round_deltas(timings: dict[str, float]) -> dict:
     for _, path in sorted(numbered, reverse=True):
         try:
             with open(path) as f:
-                prev = (json.load(f).get("parsed") or {}).get("queries") or {}
+                parsed = json.load(f).get("parsed") or {}
+            prev = parsed.get("queries") or {}
+            prev_calib = parsed.get("calibration_sec")
         except (OSError, json.JSONDecodeError, AttributeError, TypeError):
             continue
         if not prev:
@@ -463,6 +477,17 @@ def prev_round_deltas(timings: dict[str, float]) -> dict:
         for name, sec in timings.items():
             if name in prev and prev[name] > 0:
                 out["pct"][name] = round(100.0 * (sec - prev[name]) / prev[name], 1)
+        if calib_sec and prev_calib:
+            # restate on sec/calibration ratios: a uniform host shift
+            # moves every raw pct but cancels out of this column
+            ratio = calib_sec / prev_calib
+            out["calibration_ratio_cur_over_prev"] = round(ratio, 4)
+            out["pct_calibration_normalized"] = {
+                name: round(
+                    100.0 * (timings[name] / (prev[name] * ratio) - 1.0), 1
+                )
+                for name in out["pct"]
+            }
         return out
     return {}
 

@@ -284,6 +284,55 @@ def link_batch(
     ).withColumn("is_new", F.col("entity_id") == F.col("rec_id"))
 
 
+def _write_metrics_row(
+    spark,
+    dir_path: str,
+    epoch: int,
+    sp1: int,
+    sp2: int,
+    bp1: int,
+    bp2: int,
+    mode: str,
+) -> None:
+    """Land the per-epoch purge-metrics row as parquet WITHOUT a Spark
+    job (round 15, the fold/commit tail): the row is one tuple the
+    driver already holds, so a ``createDataFrame`` + 1-task write job
+    per epoch (task scheduling + the parquet commit protocol) buys
+    nothing. pyarrow serializes the row and the bytes land through the
+    session's Hadoop ``FileSystem`` — the same file:/hdfs:/object-store
+    portability as the state store's markers. Overwrite semantics match
+    the Spark write this replaces (delete + rewrite; an epoch replay
+    rewrites the same row). Schema is pinned byte-for-byte to the old
+    write: (epoch long, store_purged_p1/p2 long, batch_purged_p1/p2
+    long, mode string) — consumers read it with ``spark.read.parquet``
+    unchanged (tests/test_streaming_linkage.py)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "epoch": pa.array([int(epoch)], pa.int64()),
+            "store_purged_p1": pa.array([int(sp1)], pa.int64()),
+            "store_purged_p2": pa.array([int(sp2)], pa.int64()),
+            "batch_purged_p1": pa.array([int(bp1)], pa.int64()),
+            "batch_purged_p2": pa.array([int(bp2)], pa.int64()),
+            "mode": pa.array([str(mode)], pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    fs, jdir = ss._fs(spark, dir_path)
+    fs.delete(jdir, True)
+    _, jfile = ss._fs(spark, dir_path.rstrip("/") + "/part-00000.parquet")
+    out = fs.create(jfile, True)
+    try:
+        out.write(bytearray(buf.getvalue()))
+    finally:
+        out.close()
+
+
 def _purged_pair_counts(frames: list[DataFrame]) -> DataFrame:
     """One row (n_purged_p1, n_purged_p2) for the COMPOSED blocking
     strategy from the purged-key frames ``link_batch`` forwarded out
@@ -571,35 +620,15 @@ def entity_resolution_sink(
             if mode == "flat" and probe_row is not None:
                 # 'auto' chose flat: the decision probe's single
                 # action already collected all four counters — the
-                # metrics write is a literal 1-row frame, zero
-                # recompute (round 15, second half: previously the
-                # write re-evaluated the purge joins over the cached
-                # count frames).
-                store_purged = None
-                batch_purged = None
-                metrics_literal = spark.createDataFrame(
-                    [
-                        (
-                            int(epoch_id),
-                            int(probe_row["n_purged_p1"]),
-                            int(probe_row["n_purged_p2"]),
-                            int(probe_row["batch_purged_p1"]),
-                            int(probe_row["batch_purged_p2"]),
-                            mode,
-                        )
-                    ],
-                    "epoch long, store_purged_p1 long, store_purged_p2 "
-                    "long, batch_purged_p1 long, batch_purged_p2 long, "
-                    "mode string",
-                )
+                # metrics row needs no further dataflow at all.
+                counter_row = probe_row
             elif mode == "flat":
                 # forced flat: LAZY marks (not eager checkpoints) —
                 # the count frames' blocks materialize inside the
-                # metrics write itself (one job total), and every
+                # metrics collect itself (one action total), and every
                 # later reference in that plan reads the DISK_ONLY
                 # blocks, so the micro-batch and registry are still
                 # scanned once each without two extra per-epoch jobs.
-                metrics_literal = None
                 batch_counts, bc_gen = disk_checkpoint_lazy(
                     block_key_counts(recs_a, "a")
                 )
@@ -617,8 +646,8 @@ def entity_resolution_sink(
                 batch_purged = purged_from_counts(
                     batch_counts, batch_counts, block_cap
                 )
+                counter_row = None
             else:
-                metrics_literal = None
                 # composed blocking: p1/p2 reinterpret as the name /
                 # balance LADDERS' purged-block counts (qer05's
                 # per-pass counters). The frames come out of the
@@ -632,14 +661,13 @@ def entity_resolution_sink(
                     else None
                 )
                 batch_purged = _purged_pair_counts(purged_batch)
-            if metrics_literal is not None:
-                metrics = metrics_literal
-            else:
+                counter_row = None
+            if counter_row is None:
                 batch_purged = batch_purged.select(
                     F.col("n_purged_p1").alias("batch_purged_p1"),
                     F.col("n_purged_p2").alias("batch_purged_p2"),
                 )
-                metrics = (
+                counter_row = (
                     store_purged.crossJoin(F.broadcast(batch_purged))
                     if store_purged is not None
                     else batch_purged.select(
@@ -648,18 +676,22 @@ def entity_resolution_sink(
                         "batch_purged_p1",
                         "batch_purged_p2",
                     )
-                ).select(
-                    F.lit(epoch_id).cast("long").alias("epoch"),
-                    F.col("n_purged_p1").alias("store_purged_p1"),
-                    F.col("n_purged_p2").alias("store_purged_p2"),
-                    "batch_purged_p1",
-                    "batch_purged_p2",
-                    # the kernel that actually linked this epoch —
-                    # under 'auto' this is the decision's audit trail
-                    F.lit(mode).alias("mode"),
-                )
-            metrics.write.mode("overwrite").parquet(
-                f"{out_dir}/purge_metrics/epoch={epoch_id}"
+                ).first()
+            # the row is driver-held either way (the auto probe
+            # collected it; the forced/composed paths' one action
+            # just did) — land it without a per-epoch Spark write
+            # job (round 15, the fold/commit tail). ``mode`` is the
+            # kernel that actually linked this epoch — under 'auto'
+            # this is the decision's audit trail.
+            _write_metrics_row(
+                spark,
+                f"{out_dir}/purge_metrics/epoch={epoch_id}",
+                epoch_id,
+                counter_row["n_purged_p1"],
+                counter_row["n_purged_p2"],
+                counter_row["batch_purged_p1"],
+                counter_row["batch_purged_p2"],
+                mode,
             )
             free_blocks(spark, cnt_gen)
             cnt_gen.clear()
