@@ -237,6 +237,40 @@ def test_purge_metrics_written_per_epoch(spark, tmp_path):
     assert a[999] == (999, True)
 
 
+def test_metrics_row_writer_replay_overwrites(spark, tmp_path):
+    # Round 15: the purge-metrics row lands via a driver-side
+    # pyarrow + Hadoop-FileSystem write (_write_metrics_row) instead
+    # of a 1-task Spark job. Pins the replaced write's semantics: the
+    # schema is byte-identical to the old createDataFrame write, and
+    # an epoch REPLAY rewrites the same row (delete + recreate — never
+    # a second part file accumulating under the epoch dir).
+    from event_stream_aggr_spark.streaming.linkage import _write_metrics_row
+
+    d = str(tmp_path / "purge_metrics" / "epoch=3")
+    _write_metrics_row(spark, d, 3, 1, 2, 3, 4, "flat")
+    first = spark.read.parquet(d)
+    assert [
+        (f.name, f.dataType.simpleString()) for f in first.schema.fields
+    ] == [
+        ("epoch", "bigint"),
+        ("store_purged_p1", "bigint"),
+        ("store_purged_p2", "bigint"),
+        ("batch_purged_p1", "bigint"),
+        ("batch_purged_p2", "bigint"),
+        ("mode", "string"),
+    ]
+    assert [tuple(r) for r in first.collect()] == [(3, 1, 2, 3, 4, "flat")]
+    # replay of the committed epoch with fresher counters: exactly one
+    # row (and one data file) must remain, holding the replay's values
+    _write_metrics_row(spark, d, 3, 9, 8, 7, 6, "composed")
+    again = spark.read.parquet(d)
+    assert [tuple(r) for r in again.collect()] == [(3, 9, 8, 7, 6, "composed")]
+    files = [
+        p for p in os.listdir(d) if p.endswith(".parquet")
+    ]
+    assert len(files) == 1
+
+
 # ---------------------------------------------------------------------------
 # blocking="composed" (round 14): qer05's ladders inside the gate
 # ---------------------------------------------------------------------------
