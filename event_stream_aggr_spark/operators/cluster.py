@@ -30,6 +30,7 @@ def connected_components(
     gen_out: list[int] | None = None,
     init: DataFrame | None = None,
     label_offset: int = 0,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """(a, b) edge list → (node, component) with component = min LABEL
     reachable; by default a node's own label is its id, so component =
@@ -72,17 +73,34 @@ def connected_components(
     nondeterministic driver GC — exactly the accumulation
     lifecycle.py's docstring warns against. Batch callers that return
     the frame for a single evaluation may omit it (GC cleans up with
-    the plan)."""
+    the plan).
+
+    ``pairs_unique`` (round 15, second half — guide §2.4, "a distinct
+    on data that is already unique"): when the caller GUARANTEES one
+    row per unordered pair with a strict ``a < b`` order (every
+    in-repo pair generator does: ``lsh_candidates`` ends in a pair
+    ``distinct`` over ``doc_a < doc_b``, and both linkage kernels emit
+    each pair exactly once by the membership-dedup construction over
+    disjoint ``a_id < b_id`` namespaces), the reversed union below is
+    ALREADY duplicate-free — the two branches are disjoint by the
+    strict order — so the edge ``distinct`` is a pure wasted Exchange
+    + two HashAggregates over the full edge list, per evaluation (per
+    EPOCH in the streaming ER gate; a full edge-list shuffle at
+    100 TB). Semantics never depend on the flag: min-label propagation
+    is idempotent under duplicate edges (a lying caller costs
+    neighbor-join volume, never a wrong component) — pinned by the
+    flag-equivalence and duplicate-tolerance tests in
+    tests/test_cluster_components.py."""
     from event_stream_aggr_spark.operators.lifecycle import (
         disk_checkpoint_lazy,
         free_blocks,
     )
 
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-    )
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    if not pairs_unique:
+        edges = edges.distinct()
     # Materialize the edge list ONCE before iterating (round-13 fix,
     # found by the ER stream's stage budget): every iteration runs an
     # action over a plan that reads the edges, and without this
@@ -168,10 +186,13 @@ def dedup_keepers(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Full dedup: keep the min-id document of each near-dup component,
-    plus every document that appears in no pair."""
-    comp = connected_components(pairs, a_col, b_col)
+    plus every document that appears in no pair. ``pairs_unique``
+    forwards to ``connected_components`` (skip the edge dedup Exchange
+    when the pair list is one-row-per-unordered-pair, ``a < b``)."""
+    comp = connected_components(pairs, a_col, b_col, pairs_unique=pairs_unique)
     keepers_in_components = comp.groupBy("component").agg(
         F.min("node").alias(id_col)
     ).select(id_col)

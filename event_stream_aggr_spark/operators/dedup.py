@@ -615,7 +615,9 @@ def qd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 160)
     pairs = minhash_lsh_pairs(d, bands=2, threshold=0.8).select("doc_a", "doc_b")
-    return connected_components(pairs)
+    # lsh_candidates ends in a pair distinct over doc_a < doc_b, so
+    # CC's own edge dedup Exchange is redundant — skip it
+    return connected_components(pairs, pairs_unique=True)
 
 
 #: qd09 blocking: max edit distance searched; also bounds the length
@@ -1481,7 +1483,9 @@ def qd19_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     slice_ = d.filter(F.col("n_chars") <= 160)
     pairs = minhash_lsh_pairs(slice_, bands=2, threshold=0.8).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    # pair list is distinct over doc_a < doc_b (lsh_candidates) — skip
+    # CC's edge dedup Exchange
+    comp = connected_components(pairs, pairs_unique=True)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
     return (

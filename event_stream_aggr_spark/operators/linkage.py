@@ -577,7 +577,11 @@ def qer02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _a_side(spark, sf_dir)
     b = _twin_side(spark, sf_dir)
     matches = scored_pairs(a, b).filter(F.col("decision") == "match")
-    labels = connected_components(matches, a_col="a_id", b_col="b_id")
+    # scored_pairs emits each pair once (membership dedup) over the
+    # disjoint a_id < b_id namespaces — skip CC's edge dedup Exchange
+    labels = connected_components(
+        matches, a_col="a_id", b_col="b_id", pairs_unique=True
+    )
     allnodes = a.select(F.col("a_id").alias("node")).unionAll(
         b.select(F.col("b_id").alias("node"))
     )

@@ -157,7 +157,9 @@ def qs02_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     short = d.filter(F.col("n_chars") <= 160)
     pairs = minhash_lsh_pairs(short, bands=2, threshold=0.8).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    # pair list is distinct over doc_a < doc_b (lsh_candidates) — skip
+    # CC's edge dedup Exchange
+    comp = connected_components(pairs, pairs_unique=True)
     keyed = d.select("doc_id").join(
         F.broadcast(comp), d["doc_id"] == comp["node"], "left"
     ).select(

@@ -256,6 +256,13 @@ def link_batch(
         gen_out=cc_gen,
         init=init,
         label_offset=_REC_OFF,
+        # both kernels emit each pair exactly once (P1/pass-A single
+        # equi-join + membership-deduped P2/pass-B union) and the
+        # a_id < b_id filter above makes the order strict, so the edge
+        # dedup Exchange inside connected_components is redundant here
+        # — one full edge-list shuffle per EPOCH removed (round 15,
+        # second half; guide §2.4)
+        pairs_unique=True,
     )
 
     # assembly: decode the encoded component when the record was in
