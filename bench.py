@@ -68,6 +68,59 @@ def calibration_probe(spark) -> dict:
     return {"min_sec": min(runs), "runs": runs}
 
 
+# In-run host-load samples from mini_canary: (label, sec) per sample.
+# Round 16: the r15 driver boot ran every query AND stream ~3x slower
+# than the same-tree close run while BOTH endpoint calibrations stayed
+# quiet (0.3706 vs close 0.3302) — minute-scale external contention hit
+# only the MIDDLE of the run, exactly the window the start/end probes
+# cannot see. These samples make a contended middle visible in the
+# emission itself instead of requiring a forensic same-boot re-run.
+_CANARY_SAMPLES: list[tuple[str, float]] = []
+
+
+def mini_canary(spark, label: str) -> float:
+    """One ~50-100ms sample of the calibration workload at 1/5 size
+    (2M rows, same expression shape), single-run — cheap enough to
+    interleave after every headline query and before every stream
+    block (~55 samples ≈ +4s total). A quiet box holds these flat;
+    the r13/r15-style contention spikes move them 3-10x."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 2_000_000, 1, 32)
+        .select(F.pmod(F.xxhash64("id"), F.lit(1_000_003)).alias("h"))
+        .groupBy((F.col("h") % 1024).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
+        .agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    sec = round(time.perf_counter() - t0, 4)
+    _CANARY_SAMPLES.append((label, sec))
+    return sec
+
+
+def _canary_summary() -> dict:
+    secs = sorted(s for _, s in _CANARY_SAMPLES)
+    if not secs:
+        return {}
+    p50 = secs[len(secs) // 2]
+    return {
+        "note": "single-run 2M-row probe interleaved after every "
+        "headline query and before every stream block; flat samples "
+        "= quiet boot, a contended window shows as a spiked span — "
+        "read alongside calibration.start/end (which only see the "
+        "endpoints; the r15 driver boot was quiet at both endpoints "
+        "and ~3x contended in between)",
+        "n": len(secs),
+        "p50_sec": p50,
+        "max_sec": secs[-1],
+        "samples": [[lbl, s] for lbl, s in _CANARY_SAMPLES],
+    }
+
+
 def infer_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -125,6 +178,7 @@ def main() -> None:
                 if m:
                     stage_metrics[name] = m
         timings[name] = round(min(runs), 4)
+        mini_canary(spark, name)
 
     total = round(sum(timings.values()), 4)
     diagnostics = {
@@ -196,6 +250,10 @@ def main() -> None:
         " a contended host moves both together (r14 VERDICT ask #2)",
         "start": calib_start,
         "end": calib_end,
+        # r16: in-run samples — the r15 driver boot was quiet at both
+        # endpoints yet ~3x contended through the middle; these catch
+        # exactly that window (see mini_canary/_canary_summary)
+        "during": _canary_summary(),
     }
     for key, payload in diagnostics.items():
         print(json.dumps({key: payload}))
@@ -211,6 +269,17 @@ def main() -> None:
         "calibration_sec": min(
             calib_start["min_sec"], calib_end["min_sec"]
         ),
+        # r16: [p50, max] of the ~55 in-run 2M-row canary samples (a
+        # 1/5-size single-run calibration probe interleaved after every
+        # headline query and before every stream block). On a quiet
+        # boot max/p50 stays near 1; the r15 driver boot — quiet at
+        # both calibration endpoints, ~3x contended in between — is the
+        # case this exposes. Full per-sample series in BENCH_LOCAL.json
+        # under calibration.during.
+        "calib_mid": [
+            _canary_summary().get("p50_sec"),
+            _canary_summary().get("max_sec"),
+        ],
         # the streaming rates ride the (driver-captured) final line,
         # compactly: alert flattening + the curation foreachBatch path
         "stream": {
@@ -261,7 +330,16 @@ def main() -> None:
             json.dump({**headline_line, "queries_4dp": timings, **diagnostics}, f, indent=1)
     except OSError:
         pass
-    # the driver parses the LAST line only; keep it well under 2,000 chars
+    # the driver parses the LAST line only; keep it well under 2,000
+    # chars. r15's line ran 2,028 chars — over the documented 2,000
+    # tail capture (the driver still parsed it, but don't gamble):
+    # stream rates carry ~5 significant digits as ints (the 0.1/s
+    # fractional digit is far below the documented 1.5-2x in-session
+    # spread; full-precision rates stay in BENCH_LOCAL.json).
+    headline_line["stream"] = {
+        k: (int(round(v)) if isinstance(v, float) else v)
+        for k, v in headline_line["stream"].items()
+    }
     print(json.dumps(headline_line))
 
 
@@ -881,6 +959,7 @@ def median_of_3_stream(fn, spark, rate_key: str) -> dict:
     round-over-round deltas uninterpretable; the median of three is
     robust to one cold/JIT outlier in either direction, and the
     per-run list lets the reader judge the remaining spread)."""
+    mini_canary(spark, f"stream:{getattr(fn, '__name__', rate_key)}")
     runs = [fn(spark) for _ in range(3)]
     ranked = sorted(runs, key=lambda r: r.get(rate_key) or 0.0)
     best = dict(ranked[len(ranked) // 2])

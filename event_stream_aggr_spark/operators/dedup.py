@@ -899,7 +899,12 @@ def qd12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reassembly shuffles surviving (doc_id, span) pairs once back to
     the document grain. All hashes are md5 (engine-portable) so the
     DuckDB oracle replays the identical canonicalization."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 16: opt IN to the adaptive scan parallelization — this is a
+    # compute-bound zero/low-shuffle scan pass (paired A/B win; see
+    # tables.PARALLELIZE_DEFAULT_ON for why documents is opt-in)
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
     # tokenize ONCE behind a projection boundary — a slice lambda that
     # embeds the split expression would re-split the document for
     # every span index (O(n²) characters per doc)
@@ -1388,7 +1393,12 @@ def qd16_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dominance rule is a set-membership decision, no iteration."""
     from event_stream_aggr_spark.operators.similarity import kmeans_assign_shared
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round 16: parallelize=False — this load feeds the SHARED k-means
+    # assignment memo (kmeans_assign_shared); a repartitioned input both
+    # forks the memo key and leaves the tiny checkpointed assignment in
+    # 32 partitions, which cost every downstream consumer ~0.3-0.4 s of
+    # empty-task stages (paired min-of-5: qe08 0.59x, qp03 0.65x).
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=False)
     assign = kmeans_assign_shared(emb).select("vec_id", "code")
     drops = semantic_drops_shared(emb).withColumn("dropped", F.lit(1))
     return assign.join(drops, "vec_id", "left").select(

@@ -718,7 +718,11 @@ FROM cum GROUP BY 1
         prices the error). All arithmetic is integer or DECIMAL —
         bit-exact cross-engine; the only doubles are derived output.
         """
-        li = load_table(spark, sf_dir, "lineitem")
+        # round 16: opt OUT of scan parallelization — the whole query is
+        # one map-side-combinable micro-bucket aggregate; the added
+        # exchange cost more than the freed cores returned (paired A/B
+        # 0.58x with it on)
+        li = load_table(spark, sf_dir, "lineitem", parallelize=False)
         mb = (
             li.select(
                 F.expr(

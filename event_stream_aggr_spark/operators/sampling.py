@@ -583,7 +583,12 @@ def qs08_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from event_stream_aggr_spark.operators.similarity import kmeans_assign_shared
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round 16: parallelize=False — this load feeds the SHARED k-means
+    # assignment memo (kmeans_assign_shared); a repartitioned input both
+    # forks the memo key and leaves the tiny checkpointed assignment in
+    # 32 partitions, which cost every downstream consumer ~0.3-0.4 s of
+    # empty-task stages (paired min-of-5: qe08 0.59x, qp03 0.65x).
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=False)
     keyed = kmeans_assign_shared(emb).select(
         F.col("code").alias("cluster"),
         "vec_id",

@@ -598,7 +598,10 @@ def qe05_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((x-mn)/(mx-mn))*255 — bit-exact cross-engine; only the error MEAN
     (order-dependent accumulation) is rounded to 6 (the qe02 recipe).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round 16: opt OUT of scan parallelization — the encode pass is a
+    # single narrow scan whose error-mean accumulation order the 6dp
+    # rounding contract depends on; the paired A/B also lost (0.61x)
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=False)
     dims = emb.select(
         "vec_id",
         "label",
@@ -1297,7 +1300,12 @@ def qe08_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qe06's recipe), so SUM(d_us) is order-free; purity/tightness are
     single IEEE divisions of identical integers in both engines,
     rounded to 6dp; dominant-label ties resolve to the lowest label."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round 16: parallelize=False — this load feeds the SHARED k-means
+    # assignment memo (kmeans_assign_shared); a repartitioned input both
+    # forks the memo key and leaves the tiny checkpointed assignment in
+    # 32 partitions, which cost every downstream consumer ~0.3-0.4 s of
+    # empty-task stages (paired min-of-5: qe08 0.59x, qp03 0.65x).
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=False)
     assign = kmeans_assign_shared(emb)
     lab = assign.join(
         emb.select("vec_id", F.col("label").cast("long").alias("label")), "vec_id"
@@ -1397,7 +1405,12 @@ def qe09_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on vec_id, AQE-splittable); centroids are K×D rows — the wd join
     broadcasts them back onto member; the K² centroid-pair product is
     metadata-scale. No vector ever shuffles for the diagnostics."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round 16: parallelize=False — this load feeds the SHARED k-means
+    # assignment memo (kmeans_assign_shared); a repartitioned input both
+    # forks the memo key and leaves the tiny checkpointed assignment in
+    # 32 partitions, which cost every downstream consumer ~0.3-0.4 s of
+    # empty-task stages (paired min-of-5: qe08 0.59x, qp03 0.65x).
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=False)
     assign = kmeans_assign_shared(emb)
     vd = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id", "pos", F.col("xf").cast("double").alias("x")
@@ -2381,7 +2394,12 @@ def qe18_cluster_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation. Integer cross-multiplied ppm metrics — no float
     division crosses the engine boundary.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round 16: parallelize=False — this load feeds the SHARED k-means
+    # assignment memo (kmeans_assign_shared); a repartitioned input both
+    # forks the memo key and leaves the tiny checkpointed assignment in
+    # 32 partitions, which cost every downstream consumer ~0.3-0.4 s of
+    # empty-task stages (paired min-of-5: qe08 0.59x, qp03 0.65x).
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=False)
     assign = kmeans_assign_shared(emb)
     labeled = assign.join(
         emb.select("vec_id", F.col("label").cast("long").alias("label")),
@@ -3281,7 +3299,10 @@ def qe21_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell-id tiebreak) and qe06's integer-µs ADC (code tiebreak);
     the final rank orders by exact integer total_us with cid
     tiebreak."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round 16: parallelize=False — the composite probe is a chain of
+    # small keyed joins over memoized artifacts; the repartitioned scan
+    # only multiplied its stage/task count (paired min-of-5: 0.79x)
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=False)
     # IVF coarse pruning — same assignment relation as qe04
     cells = ivf_assignments(emb, nprobe=IVF_NPROBE)
     corpus_cell = cells.filter(F.col("rnk") == 1).select(

@@ -726,7 +726,12 @@ def qt13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the right one again — the cutover point is profile size, and
     both ends are pinned here (qt13 inline; qt12/qt22 join-based).
     Integer weights → exact scores, no float anywhere."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 16: opt IN to the adaptive scan parallelization — this is a
+    # compute-bound zero/low-shuffle scan pass (paired A/B win; see
+    # tables.PARALLELIZE_DEFAULT_ON for why documents is opt-in)
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
     # Materialize lower(text) behind a projection boundary: it feeds
     # all 24 replace() calls, and CollapseProject would otherwise
     # inline the lower() into every one.
@@ -816,7 +821,12 @@ def qt14_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted token array, a run-length fold instead of exploding and
     shuffling the token stream). The filter emits every doc with its
     verdict; the downstream pipeline applies ``WHERE keep``."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 16: opt IN to the adaptive scan parallelization — this is a
+    # compute-bound zero/low-shuffle scan pass (paired A/B win; see
+    # tables.PARALLELIZE_DEFAULT_ON for why documents is opt-in)
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
     # Tokenize ONCE behind a projection boundary: the four consumers
     # below would otherwise each re-split the document (4× the split
     # cost per row; CollapseProject won't inline a non-trivial expr

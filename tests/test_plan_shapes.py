@@ -318,25 +318,11 @@ def test_qt13_language_id_is_one_codegen_pass(spark, sf_dir, specs):
     assert "Generate" not in plan  # no explode
 
 
-def test_registry_outputs_are_driver_hashable(spark, sf_dir, specs):
-    # The driver's cross-engine comparator canonicalizes results via
-    # pandas sort/hash, which crashes on unhashable cells (r4's qt19:
-    # "unhashable type: 'list'" on an array<long> postings column). A
-    # registered query's OUTPUT schema must therefore be flat scalars
-    # only — nested values get serialized (array_join / to_json) before
-    # they leave the query. Schema derivation is analysis-only; no job
-    # runs for the non-iterative queries.
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    bad = []
-    for name, spec in specs.items():
-        for f in spec.fn(spark, sf_dir).schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
-    assert not bad, (
-        "driver-unhashable output columns (serialize them, q35 pattern): "
-        + "; ".join(bad)
-    )
+# NOTE (round 16): test_registry_outputs_are_driver_hashable moved into
+# tests/test_entry.py::test_queries_run_at_smoke_sf — the schema
+# flatness assertion now rides that sweep's eager fn() builds instead
+# of paying a second full-registry build pass (~220 s of suite wall
+# time), with identical coverage.
 
 
 def test_qd02_qd07_candidates_ride_prefix_token_equi_join(spark, sf_dir, specs):
