@@ -103,11 +103,19 @@ def mini_canary(spark, label: str) -> float:
 
 
 def _canary_summary() -> dict:
-    secs = sorted(s for _, s in _CANARY_SAMPLES)
+    # baseline:* samples (taken right after the endpoint calibration
+    # probes, i.e. at the boot's best observed moments) provide the
+    # mini probe's own quiet reference — the mini workload is
+    # overhead-bound, so its quiet value is ~0.5-0.7x the FULL probe,
+    # not 1/5; read p50/max against baseline_min_sec, not against
+    # calibration_sec.
+    secs = sorted(s for lbl, s in _CANARY_SAMPLES if not lbl.startswith("baseline:"))
+    base = [s for lbl, s in _CANARY_SAMPLES if lbl.startswith("baseline:")]
     if not secs:
         return {}
     p50 = secs[len(secs) // 2]
     return {
+        "baseline_min_sec": min(base) if base else None,
         "note": "single-run 2M-row probe interleaved after every "
         "headline query and before every stream block; flat samples "
         "= quiet boot, a contended window shows as a spiked span — "
@@ -149,6 +157,8 @@ def main() -> None:
 
     # host-load canary, start-of-bench sample (see calibration_probe)
     calib_start = calibration_probe(spark)
+    for _ in range(3):  # the mini probe's quiet reference (same boot)
+        mini_canary(spark, "baseline:start")
 
     # The retrieval-stage-sharing diagnostic runs BEFORE the headline
     # loop so its "cold" pass is genuinely cold; the headline timings
@@ -244,6 +254,8 @@ def main() -> None:
         "vs_prev_same_boot": vs_prev_same_boot(spark, specs, headline),
     }
     calib_end = calibration_probe(spark)
+    for _ in range(3):
+        mini_canary(spark, "baseline:end")
     diagnostics["calibration"] = {
         "note": "fixed 10M-row synthetic agg, min-of-3 at bench start"
         " and end; read cross-boot totals as value/calibration_sec —"
@@ -269,14 +281,18 @@ def main() -> None:
         "calibration_sec": min(
             calib_start["min_sec"], calib_end["min_sec"]
         ),
-        # r16: [p50, max] of the ~55 in-run 2M-row canary samples (a
-        # 1/5-size single-run calibration probe interleaved after every
-        # headline query and before every stream block). On a quiet
-        # boot max/p50 stays near 1; the r15 driver boot — quiet at
-        # both calibration endpoints, ~3x contended in between — is the
-        # case this exposes. Full per-sample series in BENCH_LOCAL.json
-        # under calibration.during.
+        # r16: [baseline_min, p50, max] of the ~55 in-run 2M-row canary
+        # samples (a small single-run probe interleaved after every
+        # headline query and before every stream block; baseline_min =
+        # the same probe taken right after the endpoint calibrations,
+        # the mini workload's own quiet reference — it is
+        # overhead-bound, so do NOT compare to calibration_sec/5). On a
+        # quiet boot p50/baseline stays near 1; the r15 driver boot —
+        # quiet at both calibration endpoints, ~3x contended in
+        # between — is the case this exposes. Full per-sample series in
+        # BENCH_LOCAL.json under calibration.during.
         "calib_mid": [
+            _canary_summary().get("baseline_min_sec"),
             _canary_summary().get("p50_sec"),
             _canary_summary().get("max_sec"),
         ],
